@@ -1,0 +1,175 @@
+"""Declared query inventory — the binding contract of SURVEY.md §2.
+
+Each SURVEY.md §2 operator row becomes one :class:`DeclaredQuery`:
+a ``(spark, sf_dir) -> DataFrame`` builder plus (where the operator is
+SQL-expressible) the equivalent DuckDB oracle SQL. ``__spark_entry__``
+exposes the registry to the driver, which hash-compares both sides.
+
+Determinism conventions (SURVEY.md §5, FIXTURES.md):
+
+- alias every computed column identically on both sides;
+- floating aggregates go through :func:`dsum` / :func:`davg`
+  (decimal-exact sums, then a single double round) so summation order
+  can never flip a hash;
+- collected lists are ``array_sort``-ed; no ``current_timestamp``,
+  ``monotonically_increasing_id`` or unordered ``first()``;
+- timestamps are emitted as dates or truncated timestamps only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class DeclaredQuery:
+    """One SURVEY.md §2 operator: Spark builder + DuckDB oracle."""
+
+    name: str
+    build: QueryFn
+    oracle: str | None  # None → driver runs rows-only check
+    section: str = ""
+    doc: str = ""
+
+
+_REGISTRY: dict[str, DeclaredQuery] = {}
+
+
+def declare(
+    name: str, oracle: str | None, section: str = "", doc: str = ""
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a query under its SURVEY.md §2 id."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query id: {name}")
+        _REGISTRY[name] = DeclaredQuery(
+            name=name, build=fn, oracle=oracle, section=section, doc=doc or (fn.__doc__ or "")
+        )
+        return fn
+
+    return wrap
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as a
+    long (``nanosAsLong``) and we truncate to µs — exactly DuckDB's
+    ns→µs cast — so both engines see identical timestamps.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def registry() -> dict[str, DeclaredQuery]:
+    """Import all query modules and return the full registry."""
+    # Imports are deferred so a syntax error in one section surfaces
+    # here (driver-visible) rather than at package import.
+    from configdrivendatapipeline_spark.queries import (  # noqa: F401
+        aggregates,
+        enrichment_q,
+        llm_q,
+        relational,
+        scalar_fns,
+        sorts_sets,
+        sources_q,
+        streaming_q,
+        udf_q,
+        validation_q,
+        windows,
+    )
+
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Determinism helpers (shared by every query module)
+# ---------------------------------------------------------------------------
+
+#: Element type for exact money sums. Scale 6 is load-bearing: every
+#: summed expression in declared queries is a product of ≤3 two-dp
+#: factors, so its true decimal expansion has ≤6 digits — the double
+#: sits within ~1e-11 of an exact scale-6 grid point, far from any
+#: tie, so Spark's and DuckDB's double→decimal casts must agree.
+#: (Scale 4 fails: 6-digit products land exactly ON scale-4 ties and
+#: the two engines break ties differently — observed on 0.5% of rows.)
+DEC = "decimal(18,6)"
+
+_MILLION = __import__("decimal").Decimal(1_000_000)
+
+
+def _sum6(c: Column) -> Column:
+    """Exact SUM as an integer count of micro-units (long)."""
+    return F.floor(F.sum(c.cast(DEC)) * F.lit(_MILLION)).cast("long")
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order- and engine-independent SUM of a double column, emitted
+    as a double rounded to cents.
+
+    Doubles sum order-dependently; decimals sum exactly. Cast each
+    element to scale-6 decimal (exact, see ``DEC``), sum exactly,
+    round to cents via ``floor((s6 + 5000) / 10000)`` — integer-exact
+    inputs through one identically-rounded IEEE division — so neither
+    summation order nor ROUND tie-break semantics can flip a hash.
+    Only pass expressions whose true decimal expansion has ≤6 digits.
+    DuckDB twin: :func:`odsum`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cents = F.floor((_sum6(c) + F.lit(5000)) / F.lit(10000))
+    return (cents.cast("double") / 100).alias(alias)
+
+
+def odsum(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`dsum` (identical arithmetic)."""
+    s6 = f"CAST(FLOOR(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000) AS BIGINT)"
+    return f"CAST(FLOOR(({s6} + 5000) / 10000) AS DOUBLE) / 100 AS {alias}"
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order- and engine-independent AVG rounded to cents.
+
+    ``round_half_up(s6 / (1e6·n), 2) == floor((2·s6 + 1e4·n) /
+    (2e4·n))`` — exact integer numerators through one IEEE division
+    that both engines round identically. DuckDB twin: :func:`odavg`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.count(c)
+    cents = F.floor((_sum6(c) * 2 + n * 10000) / (n * 20000))
+    return (cents.cast("double") / 100).alias(alias)
+
+
+def odavg(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`davg` (identical arithmetic)."""
+    s6 = f"CAST(FLOOR(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000) AS BIGINT)"
+    return (
+        f"CAST(FLOOR(({s6} * 2 + COUNT({expr}) * 10000)"
+        f" / (COUNT({expr}) * 20000)) AS DOUBLE) / 100 AS {alias}"
+    )
+
+
+def r2(col: Column, alias: str) -> Column:
+    """Round a scalar double expression to 2dp (both sides identical)."""
+    return F.round(col, 2).cast("double").alias(alias)

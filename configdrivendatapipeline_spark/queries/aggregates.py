@@ -1,0 +1,410 @@
+"""SURVEY.md §2.4 — aggregation operators.
+
+Flagship query ``agg_groupby`` is the TPC-H-Q1-shaped pricing summary
+(SURVEY.md §7 Phase 1). All money/float aggregates use the
+decimal-exact ``dsum``/``davg`` helpers so Spark's partial-aggregation
+order can never flip the oracle hash.
+
+Scale notes (100 TB posture): every aggregate here is a hash
+aggregate with map-side partial aggregation supplied by Spark
+automatically; no query collects to the driver; group-by keys are
+low-cardinality flags or well-distributed integer keys, so no skew
+salting is needed. ``approx_*`` variants are the sketch path for
+cardinalities where exact distinct would shuffle too much.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.queries import (
+    DEC,
+    davg,
+    declare,
+    dsum,
+    load,
+    odavg,
+    odsum,
+)
+
+_SEC = "2.4"
+
+# Keeps ~85% of lineitem (max shipdate 2001-11-04).
+_Q1_CUTOFF = "2000-12-01"
+
+
+@declare(
+    "agg_groupby",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {odsum('l_quantity', 'sum_qty')},
+           {odsum('l_extendedprice', 'sum_base_price')},
+           {odsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {odsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {odavg('l_quantity', 'avg_qty')},
+           {odavg('l_extendedprice', 'avg_price')},
+           {odavg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    _SEC,
+    "Pricing summary (TPC-H Q1 shape): hash group-by with partial aggregation.",
+)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@declare(
+    "agg_global",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           {odsum('l_quantity', 'total_qty')},
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(MIN(l_shipdate) AS DATE) AS first_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS last_ship
+    FROM lineitem
+    """,
+    _SEC,
+    "Ungrouped global aggregates in a single pass.",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", "total_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").cast("date").alias("first_ship"),
+        F.max("l_shipdate").cast("date").alias("last_ship"),
+    )
+
+
+@declare(
+    "agg_having",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_cust
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) > 40
+    """,
+    _SEC,
+    "Post-aggregation filter (HAVING).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .filter(F.col("n_cust") > 40)
+    )
+
+
+@declare(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    _SEC,
+    "Exact distinct count (expand + two-phase aggregate in Spark).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@declare(
+    "agg_approx_distinct",
+    None,  # HyperLogLog estimate: engine-specific → rows-only check.
+    _SEC,
+    "Approximate distinct (HyperLogLog++) — the 100 TB-scale path "
+    "where exact distinct would shuffle every key.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    )
+
+
+@declare(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(stddev_samp(l_quantity), 2) AS DOUBLE) AS sd_qty,
+           CAST(ROUND(var_samp(l_quantity), 2) AS DOUBLE) AS var_qty,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 2) AS DOUBLE) AS corr_qty_price,
+           CAST(ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    _SEC,
+    "Statistical aggregates: stddev / variance / corr / covar.",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 2).cast("double").alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 2).cast("double").alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 2)
+        .cast("double")
+        .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+        .cast("double")
+        .alias("cov_qty_price"),
+    )
+
+
+@declare(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_quantity, 0.5), 2) AS DOUBLE) AS p50_qty,
+           CAST(ROUND(quantile_cont(l_quantity, 0.9), 2) AS DOUBLE) AS p90_qty,
+           CAST(ROUND(median(l_quantity), 2) AS DOUBLE) AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    _SEC,
+    "Exact (interpolated) percentile and median.",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 2).cast("double").alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 2).cast("double").alias("p90_qty"),
+        F.round(F.median("l_quantity"), 2).cast("double").alias("med_qty"),
+    )
+
+
+@declare(
+    "agg_approx_percentile",
+    None,  # sketch-based → rows-only.
+    _SEC,
+    "Approximate percentile sketch — scale path for wide groups.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("ap50_price")
+    )
+
+
+@declare(
+    "agg_first_last",
+    """
+    SELECT event_type,
+           arg_min(event_id, ts) AS first_event,
+           arg_max(event_id, ts) AS last_event
+    FROM events
+    GROUP BY event_type
+    """,
+    _SEC,
+    "Deterministic first/last per group via min_by/max_by on a unique "
+    "order key (never unordered first()).",
+)
+def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.min_by("event_id", "ts").alias("first_event"),
+        F.max_by("event_id", "ts").alias("last_event"),
+    )
+
+
+@declare(
+    "agg_collect_set",
+    """
+    SELECT c_nationkey,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    _SEC,
+    "Group values → deduplicated, canonically sorted array.",
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_set("c_mktsegment")).alias("segments")
+    )
+
+
+@declare(
+    "agg_collect_list",
+    """
+    SELECT n_regionkey,
+           list_sort(list(n_name)) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    _SEC,
+    "Group values → array, sorted for a deterministic hash.",
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    return nat.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@declare(
+    "agg_rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {odsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    _SEC,
+    "ROLLUP hierarchy (status → status+priority → grand total).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+@declare(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {odsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    _SEC,
+    "CUBE over two dimensions.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+@declare(
+    "agg_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {odsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    _SEC,
+    "Explicit grouping sets.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@declare(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "F",
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(18,6)) END), 2) AS DOUBLE) AS "O"
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    _SEC,
+    "Pivot rows→columns (ADF 'Pivot'); explicit value list avoids an "
+    "extra distinct-values job at scale.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast(DEC)), 2).cast("double"))
+    )
+
+
+@declare(
+    "agg_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    _SEC,
+    "Unpivot columns→rows (ADF 'Unpivot').",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@declare(
+    "agg_conditional",
+    f"""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted,
+           {odsum("CASE WHEN l_tax > 0 THEN l_extendedprice END", 'taxed_revenue')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    _SEC,
+    "Filtered/conditional aggregates (count_if, sum of CASE).",
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        dsum(
+            F.when(F.col("l_tax") > 0, F.col("l_extendedprice")),
+            "taxed_revenue",
+        ),
+    )

@@ -1,0 +1,147 @@
+"""Local differential harness mimicking the driver's correctness gate.
+
+Runs every declared query on Spark at a given sf_dir and its DuckDB
+oracle over the same parquet, then compares row count, column names,
+and an order-insensitive canonical value multiset. Strictly *at least*
+as strict as the driver's hash compare: values are compared exactly
+after canonicalization (columns sorted by name, rows sorted).
+
+Usage:
+    python tools/check_correctness.py [--sf /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from configdrivendatapipeline_spark.queries import TABLES, registry
+from configdrivendatapipeline_spark.session import get_spark
+
+
+def canon_val(v) -> str:
+    """Canonical string for one cell, stable across engines."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == 0.0:
+            return "0"  # normalize -0.0
+        return repr(v)
+    if isinstance(v, decimal.Decimal):
+        return canon_val(float(v))
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon_val(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    out = sorted("|".join(canon_val(r[i]) for i in order) for r in rows)
+    return sorted_cols, out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", help="query ids to check (default: all)")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--rows-only-too", action="store_true",
+                    help="also run queries with no oracle (rows>0 check)")
+    args = ap.parse_args()
+
+    reg = registry()
+    names = args.names or sorted(reg)
+    unknown = [n for n in names if n not in reg]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("check-correctness")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name in names:
+        q = reg[name]
+        t0 = time.monotonic()
+        try:
+            sdf = q.build(spark, args.sf)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if q.oracle is None:
+            n_rows_only += 1
+            status = "ok" if len(srows) >= 0 else "??"
+            print(f"rows  {name}: {len(srows)} rows ({status}) "
+                  f"[{time.monotonic()-t0:.1f}s]")
+            continue
+        try:
+            ores = con.execute(q.oracle)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:  # noqa: BLE001
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        sc, sv = canon_rows(scols, [tuple(r) for r in srows])
+        oc, ov = canon_rows(ocols, orows)
+        dtl = f"[{time.monotonic()-t0:.1f}s]"
+        if sc != oc:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: columns differ: spark={sc} duck={oc} {dtl}")
+        elif len(sv) != len(ov):
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(sv)} duck={len(ov)} {dtl}")
+        elif sv != ov:
+            n_fail += 1
+            failures.append(name)
+            diffs = [(a, b) for a, b in zip(sv, ov) if a != b][:3]
+            print(f"FAIL  {name}: values differ; first diffs:")
+            for a, b in diffs:
+                print(f"      spark: {a}\n      duck : {b}")
+        else:
+            n_pass += 1
+            print(f"PASS  {name}: {len(sv)} rows {dtl}")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only "
+          f"(of {len(names)})")
+    if failures:
+        print("failing:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
