@@ -1,0 +1,37 @@
+"""Parameterized sink writers (SURVEY.md §2.1).
+
+Config shape::
+
+    {format: parquet|csv|json|orc, path: ..., mode: append|overwrite|
+     overwrite_dynamic|error, partition_by: [col, ...], options: {...}}
+
+Scale notes: ``partition_by`` keys should be low-cardinality and
+query-aligned (date, region) so downstream reads get partition
+pruning; ``overwrite_dynamic`` replaces only the partitions present
+in the batch — the idempotent-reload pattern for daily loads at
+lake scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
+    """Write a DataFrame to one configured sink (batch)."""
+    fmt = cfg.get("format", "parquet")
+    mode = cfg.get("mode", "error")
+    writer = df.write.format(fmt).options(**dict(cfg.get("options") or {}))
+
+    if mode == "overwrite_dynamic":
+        # Replace only partitions present in this batch.
+        writer = writer.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    else:
+        writer = writer.mode(mode)
+
+    partition_by = cfg.get("partition_by")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(cfg["path"])

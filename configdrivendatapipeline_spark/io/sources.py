@@ -1,0 +1,100 @@
+"""Parameterized source readers (SURVEY.md §2.1).
+
+``read_source(spark, cfg)`` is the single entry point the config
+compiler calls for every ``source:`` block. Config shape::
+
+    {format: parquet|csv|json|text|jdbc, path|url+dbtable: ...,
+     options: {...}, schema: "DDL string"?, streaming: bool?,
+     incremental: {column: ts, since: "..."}?,
+     drift: passthrough|drop|strict?}
+
+Scale notes: file sources split by ``spark.sql.files.maxPartitionBytes``
+automatically; JDBC reads parallelize via partitionColumn/num_partitions
+(each executor pulls one slice); incremental loads are a pushed-down
+range filter — at 100 TB this is the difference between scanning a
+day and scanning the lake.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_FILE_FORMATS = {"parquet", "csv", "json", "text", "orc"}
+
+
+def read_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    """Read one configured source into a (possibly streaming) DataFrame."""
+    fmt = cfg.get("format", "parquet")
+    options = dict(cfg.get("options") or {})
+    schema_ddl = cfg.get("schema")
+    streaming = bool(cfg.get("streaming"))
+
+    if fmt in _FILE_FORMATS:
+        reader = spark.readStream if streaming else spark.read
+        reader = reader.format(fmt).options(**options)
+        if schema_ddl:
+            reader = reader.schema(schema_ddl)
+        elif streaming:
+            # Streaming file sources require a schema: infer it from a
+            # one-off batch read of the same path (footer-only for
+            # parquet — cheap even on huge lakes).
+            static = spark.read.format(fmt).options(**options).load(cfg["path"])
+            reader = reader.schema(static.schema)
+        df = reader.load(cfg["path"])
+    elif fmt == "jdbc":
+        reader = (
+            spark.read.format("jdbc")
+            .option("url", cfg["url"])
+            .option("dbtable", cfg["dbtable"])
+            .options(**options)
+        )
+        if "partition_column" in cfg:
+            reader = (
+                reader.option("partitionColumn", cfg["partition_column"])
+                .option("lowerBound", str(cfg["lower_bound"]))
+                .option("upperBound", str(cfg["upper_bound"]))
+                .option("numPartitions", str(cfg.get("num_partitions", 8)))
+            )
+        df = reader.load()
+    else:
+        raise ValueError(f"unknown source format: {fmt!r}")
+
+    inc = cfg.get("incremental")
+    if inc:
+        # High-water-mark load (ADF incremental copy): pushed-down
+        # range predicate on the watermark column.
+        df = df.filter(F.col(inc["column"]) > F.lit(inc["since"]))
+
+    declared = cfg.get("declared_schema")
+    if declared:
+        df = apply_schema_drift(df, T._parse_datatype_string(declared), cfg.get("drift", "passthrough"))
+    return df
+
+
+def apply_schema_drift(
+    df: DataFrame, expected: T.StructType, mode: str = "passthrough"
+) -> DataFrame:
+    """ADF-style schema drift handling against a declared schema.
+
+    - ``passthrough``: unknown columns kept, missing columns added as
+      typed nulls;
+    - ``drop``: unknown columns dropped, missing added as nulls —
+      output shape always equals the declared schema;
+    - ``strict``: raise on any difference.
+    """
+    actual = {f.name: f for f in df.schema.fields}
+    missing = [f for f in expected.fields if f.name not in actual]
+    unknown = [n for n in actual if n not in {f.name for f in expected.fields}]
+    if mode == "strict" and (missing or unknown):
+        raise ValueError(
+            f"schema drift: missing={[f.name for f in missing]} unknown={unknown}"
+        )
+    for f in missing:
+        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    if mode == "drop":
+        df = df.select(*[f.name for f in expected.fields])
+    return df

@@ -1,1 +1,528 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.2 (projection / filtering / derived columns) and
+§2.3 (joins).
+
+Scale notes: filters and projections here are pure Catalyst — they
+push down to the parquet scan (PushedFilters / ReadSchema) because
+every predicate is a Column expression, never a Python UDF. Joins
+state their physical strategy intent: dimension joins broadcast
+(`F.broadcast`), fact-fact joins shuffle on their equi-keys and rely
+on AQE for skew; the as-of join is a composition (range join +
+per-key top-1 window) that avoids any driver materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.queries import declare, dsum, load, odsum
+
+_P = "2.2"
+_J = "2.3"
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projection / derived / filters
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "project_select",
+    "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    _P,
+    "Column selection/reorder; prunes the parquet scan to 3 columns.",
+)
+def project_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+
+
+@declare(
+    "project_rename",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           c_acctbal AS balance
+    FROM customer
+    """,
+    _P,
+    "Rename map (ADF 'Select' rename).",
+)
+def project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .withColumnsRenamed(
+            {"c_custkey": "customer_id", "c_name": "customer_name", "c_acctbal": "balance"}
+        )
+    )
+
+
+@declare(
+    "project_drop",
+    "SELECT n_nationkey, n_name FROM nation",
+    _P,
+    "Drop columns.",
+)
+def project_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "nation").drop("n_regionkey")
+
+
+@declare(
+    "derive_column",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_quantity * 2 AS double_qty
+    FROM lineitem
+    """,
+    _P,
+    "Derived columns from SQL expressions (ADF 'Derived Column'); "
+    "per-row IEEE arithmetic is engine-identical.",
+)
+def derive_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (F.col("l_quantity") * 2).alias("double_qty"),
+    )
+
+
+@declare(
+    "cast_column",
+    """
+    SELECT CAST(l_linenumber AS BIGINT) AS line_no,
+           CAST(l_quantity AS DECIMAL(10,2)) AS qty_dec,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(l_orderkey AS VARCHAR) AS okey_str
+    FROM lineitem
+    """,
+    _P,
+    "Explicit casts (int widening, double→decimal, ts→date, int→string).",
+)
+def cast_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_linenumber").cast("bigint").alias("line_no"),
+        F.col("l_quantity").cast("decimal(10,2)").alias("qty_dec"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.col("l_orderkey").cast("string").alias("okey_str"),
+    )
+
+
+@declare(
+    "safe_cast",
+    """
+    SELECT doc_id,
+           TRY_CAST(source AS INTEGER) AS bad_int,
+           TRY_CAST(SUBSTR(source, 4) AS INTEGER) AS src_num
+    FROM documents
+    """,
+    _P,
+    "Cast-or-null for bad-data tolerance (try_cast).",
+)
+def safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("TRY_CAST(source AS INT)").alias("bad_int"),
+        F.expr("TRY_CAST(SUBSTR(source, 4) AS INT)").alias("src_num"),
+    )
+
+
+@declare(
+    "filter_compare",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_discount <= 0.02 AND l_tax <> 0.0
+    """,
+    _P,
+    "Comparison predicates; pushed to the parquet scan.",
+)
+def filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & (F.col("l_discount") <= 0.02) & (F.col("l_tax") != 0.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+@declare(
+    "filter_bool",
+    """
+    SELECT o_orderkey
+    FROM orders
+    WHERE (o_orderstatus = 'F' OR o_totalprice > 300000)
+      AND NOT (o_orderpriority = '5-LOW')
+    """,
+    _P,
+    "AND / OR / NOT predicate composition.",
+)
+def filter_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 300000))
+        & ~(F.col("o_orderpriority") == "5-LOW")
+    ).select("o_orderkey")
+
+
+@declare(
+    "filter_in",
+    """
+    SELECT event_id, event_type
+    FROM events
+    WHERE event_type IN ('signup', 'purchase')
+    """,
+    _P,
+    "IN-list predicate.",
+)
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id", "event_type"
+    )
+
+
+@declare(
+    "filter_between",
+    """
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_day
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                          AND TIMESTAMP '1997-12-31 00:00:00'
+    """,
+    _P,
+    "BETWEEN range predicate (enables parquet row-group pruning).",
+)
+def filter_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderdate").between("1997-01-01 00:00:00", "1997-12-31 00:00:00")
+    ).select("o_orderkey", F.col("o_orderdate").cast("date").alias("order_day"))
+
+
+@declare(
+    "filter_like",
+    """
+    SELECT p_partkey, p_type
+    FROM part
+    WHERE p_type LIKE '%ECO%' AND p_brand LIKE 'Brand#1%'
+    """,
+    _P,
+    "LIKE wildcard matching.",
+)
+def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%ECO%") & F.col("p_brand").like("Brand#1%")
+    ).select("p_partkey", "p_type")
+
+
+@declare(
+    "filter_rlike",
+    r"""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE regexp_matches(p_name, '^(red|blue) [a-z]+$')
+    """,
+    _P,
+    "Regex predicate.",
+)
+def filter_rlike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").rlike(r"^(red|blue) [a-z]+$")).select(
+        "p_partkey", "p_name"
+    )
+
+
+@declare(
+    "filter_null",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE NULLIF(l_discount, 0.0) IS NULL
+      AND NULLIF(l_tax, 0.0) IS NOT NULL
+    """,
+    _P,
+    "IS [NOT] NULL predicates (nulls manufactured via NULLIF — the "
+    "testdata itself is null-free).",
+)
+def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.nullif(F.col("l_discount"), F.lit(0.0)).isNull()
+        & F.nullif(F.col("l_tax"), F.lit(0.0)).isNotNull()
+    ).select("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "join_inner",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    _J,
+    "Inner equi-join; shuffle-hash/sort-merge chosen by AQE.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@declare(
+    "join_broadcast",
+    """
+    SELECT c.c_custkey, n.n_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    _J,
+    "Broadcast hash join on a small dim (ADF 'Lookup'): same result "
+    "as join_inner, shuffle-free physical plan.",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+
+
+@declare(
+    "join_left",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    _J,
+    "Left outer join (null-extended customers without orders).",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left").select("c_custkey", "o_orderkey")
+
+
+@declare(
+    "join_right",
+    """
+    SELECT c.c_custkey, o.o_orderkey
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    _J,
+    "Right outer join.",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select("c_custkey", "o_orderkey")
+
+
+@declare(
+    "join_full",
+    """
+    SELECT n.n_name, s.s_name
+    FROM nation n FULL JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+    _J,
+    "Full outer join.",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return n.join(s, s.s_nationkey == n.n_nationkey, "full").select("n_name", "s_name")
+
+
+@declare(
+    "join_semi",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 400000)
+    """,
+    _J,
+    "Left-semi join (EXISTS, ADF 'Exists'): no row duplication.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+@declare(
+    "join_anti",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 450000)
+    """,
+    _J,
+    "Left-anti join (NOT EXISTS): orphan detection primitive.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@declare(
+    "join_cross",
+    """
+    SELECT a.r_name AS from_region, b.r_name AS to_region
+    FROM region a CROSS JOIN region b
+    """,
+    _J,
+    "Cartesian product (guarded: only declared for bounded dims).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = load(spark, sf_dir, "region").select(F.col("r_name").alias("from_region"))
+    b = load(spark, sf_dir, "region").select(F.col("r_name").alias("to_region"))
+    return a.crossJoin(b)
+
+
+@declare(
+    "join_theta",
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey < n.n_nationkey
+    WHERE n.n_regionkey = 0
+    """,
+    _J,
+    "Non-equi (theta) join → broadcast-nested-loop physical plan.",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    return s.join(n, s.s_nationkey < n.n_nationkey, "inner").select("s_name", "n_name")
+
+
+@declare(
+    "join_interval",
+    """
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day_start,
+             date_trunc('day', ts) + INTERVAL 1 DAY AS day_end
+      FROM events
+    )
+    SELECT e.event_id, CAST(d.day_start AS DATE) AS event_day
+    FROM events e JOIN days d ON e.ts >= d.day_start AND e.ts < d.day_end
+    """,
+    _J,
+    "Interval containment join (ts ∈ [start, end)).",
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = (
+        ev.select(F.date_trunc("day", "ts").alias("day_start"))
+        .distinct()
+        .withColumn("day_end", F.col("day_start") + F.expr("INTERVAL 1 DAY"))
+    )
+    return ev.join(
+        days, (ev.ts >= days.day_start) & (ev.ts < days.day_end), "inner"
+    ).select("event_id", F.col("day_start").cast("date").alias("event_day"))
+
+
+@declare(
+    "join_asof",
+    """
+    WITH f AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         d AS (SELECT user_id, ts AS sign_ts FROM events
+               WHERE event_type = 'signup'),
+         j AS (SELECT f.event_id, f.user_id, d.sign_ts,
+                      ROW_NUMBER() OVER (PARTITION BY f.event_id
+                                         ORDER BY d.sign_ts DESC) AS rn
+               FROM f LEFT JOIN d
+                 ON f.user_id = d.user_id AND d.sign_ts <= f.ts)
+    SELECT event_id, user_id, sign_ts FROM j WHERE rn = 1
+    """,
+    _J,
+    "As-of join: each purchase matched to the user's latest signup at "
+    "or before it. Composition: range join + per-key top-1 window — "
+    "no driver loop; at scale the window shuffles once on event_id.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    f = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    d = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("d_user"), F.col("ts").alias("sign_ts"))
+    )
+    j = f.join(d, (f.user_id == d.d_user) & (d.sign_ts <= f.ts), "left")
+    w = Window.partitionBy("event_id").orderBy(F.col("sign_ts").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "sign_ts")
+    )
+
+
+@declare(
+    "join_multiway_star",
+    f"""
+    SELECT n.n_name,
+           {odsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           COUNT(*) AS n_items
+    FROM region r
+      JOIN nation n    ON n.n_regionkey = r.r_regionkey
+      JOIN customer c  ON c.c_nationkey = n.n_nationkey
+      JOIN orders o    ON o.o_custkey = c.c_custkey
+      JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    _J,
+    "Five-way star join (TPC-H Q5 shape), flagship #2: dims broadcast, "
+    "the orders⋈lineitem fact join shuffles on l_orderkey.",
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    star = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return star.groupBy("n_name").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@declare(
+    "join_self",
+    """
+    SELECT a.s_name AS s1, b.s_name AS s2, a.s_nationkey AS nationkey
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+    _J,
+    "Self-join: supplier pairs within a nation.",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(
+        F.col("a.s_name").alias("s1"),
+        F.col("b.s_name").alias("s2"),
+        F.col("a.s_nationkey").alias("nationkey"),
+    )

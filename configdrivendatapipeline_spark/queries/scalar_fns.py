@@ -1,1 +1,425 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.7 — scalar function groups.
+
+One declared query per group, exercising every member on testdata
+columns. All functions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage-codegen'd) — never Python UDFs — so they stay on the fast
+path and push down where possible.
+
+Oracle dialect notes: each DuckDB twin is hand-translated (SURVEY.md
+§7 risk #2) — instr→strpos, initcap→manual, rlike→regexp_matches,
+unix_timestamp→epoch, explode→unnest, get_json_object→json_extract.
+Transcendental results (ln/log10) are rounded to 6dp: libm differences
+are ~1 ulp (~1e-16 rel) against a 5e-7 grid half-step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from configdrivendatapipeline_spark.queries import declare, load
+
+_SEC = "2.7"
+
+
+@declare(
+    "fn_string",
+    """
+    SELECT doc_id,
+           CONCAT(lang, ':', source) AS lang_src,
+           SUBSTR(text, 1, 10) AS head10,
+           UPPER(lang) AS lang_up,
+           LOWER(source) AS src_lo,
+           TRIM(CONCAT(' ', lang, ' ')) AS lang_trim,
+           LPAD(CAST(doc_id AS VARCHAR), 8, '0') AS id_pad,
+           RPAD(lang, 5, '_') AS lang_rpad,
+           LENGTH(text) AS text_len,
+           REPLACE(source, 'src', 'source-') AS src_long,
+           UPPER(SUBSTR(lang, 1, 1)) || LOWER(SUBSTR(lang, 2)) AS lang_cap,
+           STRPOS(text, 'data') AS data_pos,
+           STRING_SPLIT(text, ' ')[1] AS first_word,
+           REVERSE(lang) AS lang_rev
+    FROM documents
+    """,
+    _SEC,
+    "String functions: concat/substring/upper/lower/trim/lpad/rpad/"
+    "length/replace/initcap/instr/split/reverse.",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat("lang", F.lit(":"), "source").alias("lang_src"),
+        F.substring("text", 1, 10).alias("head10"),
+        F.upper("lang").alias("lang_up"),
+        F.lower("source").alias("src_lo"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("lang_trim"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("id_pad"),
+        F.rpad("lang", 5, "_").alias("lang_rpad"),
+        F.length("text").cast("long").alias("text_len"),
+        F.replace(F.col("source"), F.lit("src"), F.lit("source-")).alias("src_long"),
+        F.initcap("lang").alias("lang_cap"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+        F.split("text", " ").getItem(0).alias("first_word"),
+        F.reverse("lang").alias("lang_rev"),
+    )
+
+
+@declare(
+    "fn_regex",
+    r"""
+    SELECT doc_id,
+           regexp_extract(source, '([0-9]+)', 1) AS src_digits,
+           regexp_replace(text, '[aeiou]', '*', 'g') AS devoweled,
+           regexp_matches(source, '^src[0-9]$') AS single_digit_src
+    FROM documents
+    """,
+    _SEC,
+    "Regex extract / replace / match.",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", r"([0-9]+)", 1).alias("src_digits"),
+        F.regexp_replace("text", r"[aeiou]", "*").alias("devoweled"),
+        F.col("source").rlike(r"^src[0-9]$").alias("single_digit_src"),
+    )
+
+
+@declare(
+    "fn_date",
+    """
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS order_year,
+           EXTRACT(month FROM o_orderdate) AS order_month,
+           EXTRACT(day FROM o_orderdate) AS order_dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 30 AS due_day,
+           datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           datediff('month', date_trunc('month', o_orderdate),
+                    TIMESTAMP '2002-01-01 00:00:00') AS months_to_2002,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+           make_date(2030, CAST(EXTRACT(month FROM o_orderdate) AS INT), 1) AS proj_month
+    FROM orders
+    """,
+    _SEC,
+    "Temporal functions: year/month/day/date_trunc/date_add/datediff/"
+    "months_between (on month starts, where both dialects agree)/"
+    "last_day/unix_timestamp/make_date.",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_day"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.months_between(
+            F.lit("2002-01-01").cast("timestamp"), F.date_trunc("month", "o_orderdate")
+        )
+        .cast("long")
+        .alias("months_to_2002"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.make_date(F.lit(2030), F.month("o_orderdate"), F.lit(1)).alias("proj_month"),
+    )
+
+
+@declare(
+    "fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_quantity / 2, 1) AS half_qty,
+           CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+           ABS(l_discount - 0.05) AS disc_dev,
+           POW(2, l_linenumber) AS pow2_line,
+           SQRT(l_quantity) AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 6) AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6) AS price_log10,
+           CAST(l_orderkey % 7 AS BIGINT) AS okey_mod7,
+           CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate
+    FROM lineitem
+    """,
+    _SEC,
+    "Math functions: round/floor/ceil/abs/pow/sqrt/ln/log10/mod/sign/"
+    "greatest/least. ln and log10 rounded to 6dp (libm ulp tolerance).",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") / 2, 1).alias("half_qty"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.pow(F.lit(2), F.col("l_linenumber")).alias("pow2_line"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("okey_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@declare(
+    "fn_cond",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'other') AS seg_or_other,
+           NULLIF(c_nationkey, 0) AS natkey_nz,
+           CASE WHEN c_acctbal > 0 THEN 'pos' ELSE 'nonpos' END AS bal_if,
+           COALESCE(NULLIF(c_name, ''), 'unnamed') AS name_nvl
+    FROM customer
+    """,
+    _SEC,
+    "Conditionals: CASE WHEN / coalesce / nullif / if / nvl.",
+)
+def fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("other")).alias(
+            "seg_or_other"
+        ),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("natkey_nz"),
+        F.expr("IF(c_acctbal > 0, 'pos', 'nonpos')").alias("bal_if"),
+        F.nvl(F.nullif(F.col("c_name"), F.lit("")), F.lit("unnamed")).alias("name_nvl"),
+    )
+
+
+@declare(
+    "fn_hash",
+    """
+    SELECT doc_id,
+           md5(text) AS text_md5,
+           sha256(text) AS text_sha256
+    FROM documents
+    """,
+    _SEC,
+    "Cryptographic hashes for dedup keys: md5 / sha2-256.",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )
+
+
+@declare(
+    "fn_hash_fast",
+    None,  # xxhash64/crc32 seeds are engine-specific → rows-only.
+    _SEC,
+    "Non-cryptographic hashes (xxhash64, crc32) — bucket/shard keys.",
+)
+def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.xxhash64("text").alias("text_xxh64"),
+        F.crc32("text").alias("text_crc32"),
+    )
+
+
+@declare(
+    "fn_array",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           list_contains(toks, 'data') AS has_data,
+           list_sort(toks[1:5]) AS head_sorted,
+           toks[2:4] AS mid_slice,
+           list_sort(list_distinct(toks[1:8])) AS head_uniq,
+           toks[3] AS third_tok
+    FROM d
+    """,
+    _SEC,
+    "Array functions: size/contains/sort/slice/distinct/element_at "
+    "over tokenized text.",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_toks"),
+        F.array_contains("toks", "data").alias("has_data"),
+        F.array_sort(F.slice("toks", 1, 5)).alias("head_sorted"),
+        F.slice("toks", 2, 3).alias("mid_slice"),
+        F.array_sort(F.array_distinct(F.slice("toks", 1, 8))).alias("head_uniq"),
+        F.element_at("toks", 3).alias("third_tok"),
+    )
+
+
+@declare(
+    "fn_array_hof",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings)
+    SELECT vec_id,
+           ROUND(list_reduce(list_transform(v, x -> x * 2.0), (a, b) -> a + b), 6)
+               AS sum2x,
+           len(list_filter(v, x -> x > 0.1)) AS n_big,
+           len(list_filter(v, x -> x > 0.25)) > 0 AS any_huge,
+           ROUND(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b), 6)
+               AS dot_self
+    FROM e
+    """,
+    _SEC,
+    "Higher-order array functions (transform/filter/aggregate/exists/"
+    "zip_with) over 64-dim embeddings; left-fold sums are order-fixed "
+    "so doubles match exactly.",
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform("v", lambda x: x * 2.0),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("sum2x"),
+        F.size(F.filter("v", lambda x: x > 0.1)).cast("long").alias("n_big"),
+        F.exists("v", lambda x: x > 0.25).alias("any_huge"),
+        F.round(
+            F.aggregate(
+                F.zip_with("v", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dot_self"),
+    )
+
+
+@declare(
+    "fn_explode",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, unnest(toks) AS token
+    FROM d
+    """,
+    _SEC,
+    "Array → rows (explode/unnest).",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+
+
+@declare(
+    "fn_posexplode",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(unnest(range(len(toks))) AS INT) AS pos,
+           unnest(toks) AS token
+    FROM d
+    """,
+    _SEC,
+    "Array → rows with position (posexplode).",
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+
+
+@declare(
+    "fn_explode_outer",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), t -> t = 'spark') AS hits
+               FROM documents)
+    SELECT doc_id, unnest(hits) AS hit FROM d WHERE len(hits) > 0
+    UNION ALL
+    SELECT doc_id, NULL FROM d WHERE len(hits) = 0
+    """,
+    _SEC,
+    "explode_outer: empty arrays yield a null row instead of vanishing.",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda t: t == "spark").alias("hits"),
+    )
+    return d.select("doc_id", F.explode_outer("hits").alias("hit"))
+
+
+@declare(
+    "fn_map",
+    """
+    SELECT doc_id,
+           map_keys(MAP(['lang', 'source'], [lang, source])) AS meta_keys,
+           map_values(MAP(['lang', 'source'], [lang, source])) AS meta_vals,
+           MAP(['lang', 'source'], [lang, source])['lang'][1] AS lang_val
+    FROM documents
+    """,
+    _SEC,
+    "Map functions: create_map / map_keys / map_values / element access.",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.map_keys(m).alias("meta_keys"),
+        F.map_values(m).alias("meta_vals"),
+        m.getItem("lang").alias("lang_val"),
+    )
+
+
+@declare(
+    "fn_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int,
+           to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS INT)))
+               AS props_roundtrip
+    FROM events
+    """,
+    _SEC,
+    "JSON functions on events.props: get_json_object / from_json "
+    "(schema'd) / to_json.",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("props_roundtrip"),
+    )

@@ -1,1 +1,266 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.1 — source and sink operators.
+
+Pattern: each query materializes the driver's parquet into the
+target format under a deterministic scratch dir (idempotent,
+content-identical re-writes), reads it back through the engine's
+``read_source``/``write_sink`` layer, and the oracle simply selects
+the same rows from the parquet view — a full round-trip equality
+check, stronger than the "rows-only read-back" floor in SURVEY §2.1.
+
+The JDBC source uses Spark's bundled embedded Derby (in-process;
+fine on local[n]; a real cluster would point the same config at a
+networked RDBMS — only the URL changes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.io import read_source, write_sink
+from configdrivendatapipeline_spark.queries import declare, load
+
+_SEC = "2.1"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "cddp_scratch", tag, name)
+
+
+@declare(
+    "src_parquet",
+    "SELECT r_regionkey, r_name FROM region",
+    _SEC,
+    "Parquet scan through the configured source layer.",
+)
+def src_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_source(
+        spark, {"format": "parquet", "path": f"{sf_dir}/region.parquet"}
+    )
+    return df.select("r_regionkey", "r_name")
+
+
+@declare(
+    "src_csv",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    _SEC,
+    "CSV scan (header, explicit schema) after a lossless round-trip.",
+)
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "nation_csv")
+    nat = load(spark, sf_dir, "nation")
+    write_sink(
+        nat,
+        {"format": "csv", "path": path, "mode": "overwrite", "options": {"header": "true"}},
+    )
+    return read_source(
+        spark,
+        {
+            "format": "csv",
+            "path": path,
+            "options": {"header": "true"},
+            "schema": "n_nationkey INT, n_name STRING, n_regionkey INT",
+        },
+    )
+
+
+@declare(
+    "src_json",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    _SEC,
+    "JSON-lines scan (schema'd — inference would widen ints).",
+)
+def src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "supplier_json")
+    sup = load(spark, sf_dir, "supplier")
+    write_sink(sup, {"format": "json", "path": path, "mode": "overwrite"})
+    return read_source(
+        spark,
+        {
+            "format": "json",
+            "path": path,
+            "schema": "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+        },
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@declare(
+    "src_text",
+    "SELECT r_name AS value FROM region",
+    _SEC,
+    "Raw text-line source (one string column named value).",
+)
+def src_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "region_txt")
+    load(spark, sf_dir, "region").select("r_name").coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+    return read_source(spark, {"format": "text", "path": path})
+
+
+@declare(
+    "src_jdbc",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    _SEC,
+    "JDBC pull with partitioned reads (4 range slices on the key).",
+)
+def src_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    url = "jdbc:derby:memory:cddp_src;create=true"
+    nat = load(spark, sf_dir, "nation")
+    (
+        nat.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_jdbc")
+        .mode("overwrite")
+        .save()
+    )
+    return read_source(
+        spark,
+        {
+            "format": "jdbc",
+            "url": url,
+            "dbtable": "nation_jdbc",
+            "partition_column": "n_nationkey",
+            "lower_bound": 0,
+            "upper_bound": 25,
+            "num_partitions": 4,
+        },
+    )
+
+
+@declare(
+    "src_incremental",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    _SEC,
+    "High-water-mark incremental load (ADF incremental copy): pushed-"
+    "down watermark predicate.",
+)
+def src_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    inc = ev.filter(F.col("ts") > F.lit("2024-01-20 00:00:00").cast("timestamp"))
+    return inc.select("event_id", "user_id", "event_type")
+
+
+@declare(
+    "sink_parquet",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    _SEC,
+    "Partitioned parquet sink, verified by read-back (partition "
+    "column type survives directory-encoding round-trip).",
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "nation_part_parquet")
+    nat = load(spark, sf_dir, "nation")
+    write_sink(
+        nat,
+        {
+            "format": "parquet",
+            "path": path,
+            "mode": "overwrite",
+            "partition_by": ["n_regionkey"],
+        },
+    )
+    back = read_source(spark, {"format": "parquet", "path": path})
+    return back.select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("int").alias("n_regionkey")
+    )
+
+
+@declare(
+    "sink_csv",
+    "SELECT c_custkey, c_name, c_acctbal FROM customer",
+    _SEC,
+    "CSV sink verified by schema'd read-back.",
+)
+def sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "customer_csv_sink")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    write_sink(
+        cust,
+        {"format": "csv", "path": path, "mode": "overwrite", "options": {"header": "true"}},
+    )
+    return read_source(
+        spark,
+        {
+            "format": "csv",
+            "path": path,
+            "options": {"header": "true"},
+            "schema": "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE",
+        },
+    )
+
+
+@declare(
+    "sink_json",
+    "SELECT p_partkey, p_name, p_retailprice FROM part",
+    _SEC,
+    "JSON sink verified by schema'd read-back.",
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "part_json_sink")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    write_sink(p, {"format": "json", "path": path, "mode": "overwrite"})
+    return read_source(
+        spark,
+        {
+            "format": "json",
+            "path": path,
+            "schema": "p_partkey BIGINT, p_name STRING, p_retailprice DOUBLE",
+        },
+    )
+
+
+@declare(
+    "sink_overwrite_dynamic",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus <> 'P'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice * 0 FROM orders
+    WHERE o_orderstatus = 'P'
+    """,
+    _SEC,
+    "Dynamic partition overwrite: re-loading one partition ('P') "
+    "replaces only that partition, leaving the others intact.",
+)
+def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "orders_dyn_overwrite")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # Initial full load partitioned by status.
+    write_sink(
+        o,
+        {
+            "format": "parquet",
+            "path": path,
+            "mode": "overwrite",
+            "partition_by": ["o_orderstatus"],
+        },
+    )
+    # Incremental reload of ONLY the 'P' partition with changed values.
+    patch = o.filter(F.col("o_orderstatus") == "P").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0
+    )
+    write_sink(
+        patch,
+        {
+            "format": "parquet",
+            "path": path,
+            "mode": "overwrite_dynamic",
+            "partition_by": ["o_orderstatus"],
+        },
+    )
+    back = read_source(spark, {"format": "parquet", "path": path})
+    return back.select(
+        "o_orderkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "o_totalprice"
+    )
