@@ -1,0 +1,65 @@
+"""Command-line entry point: ``python -m configdrivendatapipeline_spark.cli``.
+
+Subcommands:
+
+- ``run <pipeline.yaml>``     — execute a pipeline (sinks written).
+- ``validate <pipeline.yaml>``— parse + validate config only (no Spark).
+- ``show <pipeline.yaml> <name> [-n N]`` — compile and display one
+  source/step result (no sinks executed).
+- ``explain <pipeline.yaml> <name>``     — print the physical plan.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from configdrivendatapipeline_spark.config import ConfigError, load_pipeline
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="configdrivendatapipeline-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for c in ("run", "validate", "show", "explain"):
+        s = sub.add_parser(c)
+        s.add_argument("config")
+        if c in ("show", "explain"):
+            s.add_argument("name")
+        if c == "show":
+            s.add_argument("-n", type=int, default=20)
+    args = ap.parse_args(argv)
+
+    try:
+        cfg = load_pipeline(args.config)
+    except ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
+    if args.cmd == "validate":
+        print(
+            f"OK: pipeline {cfg.name!r}: {len(cfg.sources)} sources, "
+            f"{len(cfg.steps)} steps, {len(cfg.sinks)} sinks"
+        )
+        return 0
+
+    from configdrivendatapipeline_spark.compiler import compile_pipeline, run_pipeline
+    from configdrivendatapipeline_spark.session import get_spark
+
+    spark = get_spark(f"cddp:{cfg.name}")
+    spark.sparkContext.setLogLevel("WARN")
+    if args.cmd == "run":
+        run_pipeline(spark, cfg)
+        print(f"pipeline {cfg.name!r} complete: {len(cfg.sinks)} sinks written")
+        return 0
+    frames = compile_pipeline(spark, cfg)
+    if args.name not in frames:
+        print(f"unknown step/source {args.name!r}; have {sorted(frames)}", file=sys.stderr)
+        return 2
+    if args.cmd == "show":
+        frames[args.name].show(args.n, truncate=False)
+    else:
+        frames[args.name].explain("formatted")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

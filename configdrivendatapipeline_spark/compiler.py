@@ -1,0 +1,308 @@
+"""Config → DataFrame compiler (SURVEY.md §3.1 step 3).
+
+Each step op is a registered builder ``(spark, inputs, params) ->
+DataFrame``. Builders only *declare* DataFrame transformations —
+nothing executes until a sink (or caller action) runs, so the whole
+pipeline compiles to one Catalyst logical plan and the optimizer sees
+every step at once (filter pushdown through joins, column pruning
+across steps, join reordering).
+
+The op surface below mirrors SURVEY.md §2; the ``sql`` op is the
+escape hatch — inputs become temp views and the step body is any
+Spark SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark import enrichment
+from configdrivendatapipeline_spark.config.models import PipelineConfig
+from configdrivendatapipeline_spark.io import read_source, write_sink
+from configdrivendatapipeline_spark.validation import rules_from_config, run_rules
+
+OpBuilder = Callable[[SparkSession, list[DataFrame], dict[str, Any]], DataFrame]
+
+OPS: dict[str, OpBuilder] = {}
+
+
+def op(name: str) -> Callable[[OpBuilder], OpBuilder]:
+    def reg(fn: OpBuilder) -> OpBuilder:
+        OPS[name] = fn
+        return fn
+
+    return reg
+
+
+def _one(dfs: list[DataFrame]) -> DataFrame:
+    if len(dfs) != 1:
+        raise ValueError(f"op expects exactly 1 input, got {len(dfs)}")
+    return dfs[0]
+
+
+# --- projection / derivation ------------------------------------------------
+
+
+@op("select")
+def _select(spark, dfs, p):
+    return _one(dfs).select(*p["columns"])
+
+
+@op("rename")
+def _rename(spark, dfs, p):
+    return _one(dfs).withColumnsRenamed(dict(p["mapping"]))
+
+
+@op("drop")
+def _drop(spark, dfs, p):
+    return _one(dfs).drop(*p["columns"])
+
+
+@op("derive")
+def _derive(spark, dfs, p):
+    # {columns: {name: "sql expr", ...}} — order preserved.
+    df = _one(dfs)
+    return df.withColumns({name: F.expr(e) for name, e in p["columns"].items()})
+
+
+@op("cast")
+def _cast(spark, dfs, p):
+    df = _one(dfs)
+    mode = p.get("mode", "strict")
+    for name, dtype in p["columns"].items():
+        c = F.expr(f"TRY_CAST({name} AS {dtype})") if mode == "safe" else F.col(name).cast(dtype)
+        df = df.withColumn(name, c)
+    return df
+
+
+@op("filter")
+def _filter(spark, dfs, p):
+    return _one(dfs).filter(F.expr(p["predicate"]))
+
+
+# --- joins / set ops ---------------------------------------------------------
+
+
+@op("join")
+def _join(spark, dfs, p):
+    if len(dfs) != 2:
+        raise ValueError("join expects exactly 2 inputs")
+    left, right = dfs
+    if p.get("broadcast"):
+        right = F.broadcast(right)
+    on = p.get("on")
+    cond = F.expr(p["condition"]) if "condition" in p else on
+    return left.join(right, cond, p.get("how", "inner"))
+
+
+@op("union")
+def _union(spark, dfs, p):
+    out = dfs[0]
+    allow_missing = bool(p.get("harmonize"))
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=allow_missing)
+    if p.get("distinct"):
+        out = out.distinct()
+    return out
+
+
+@op("distinct")
+def _distinct(spark, dfs, p):
+    df = _one(dfs)
+    cols = p.get("columns")
+    return df.select(*cols).distinct() if cols else df.distinct()
+
+
+# --- aggregation / window ----------------------------------------------------
+
+
+@op("aggregate")
+def _aggregate(spark, dfs, p):
+    df = _one(dfs)
+    aggs = [F.expr(e).alias(name) for name, e in p["aggs"].items()]
+    group_by = p.get("group_by") or []
+    kind = p.get("kind", "groupby")
+    if kind == "rollup":
+        out = df.rollup(*group_by).agg(*aggs)
+    elif kind == "cube":
+        out = df.cube(*group_by).agg(*aggs)
+    elif group_by:
+        out = df.groupBy(*group_by).agg(*aggs)
+    else:
+        out = df.agg(*aggs)
+    if p.get("having"):
+        out = out.filter(F.expr(p["having"]))
+    return out
+
+
+@op("pivot")
+def _pivot(spark, dfs, p):
+    df = _one(dfs)
+    return (
+        df.groupBy(*p["group_by"])
+        .pivot(p["pivot_column"], p["values"])
+        .agg(F.expr(p["agg"]))
+    )
+
+
+@op("unpivot")
+def _unpivot(spark, dfs, p):
+    return _one(dfs).unpivot(
+        p["ids"], p["values"], p.get("var_name", "metric"), p.get("value_name", "value")
+    )
+
+
+@op("window")
+def _window(spark, dfs, p):
+    df = _one(dfs)
+    w = Window.partitionBy(*(p.get("partition_by") or []))
+    if p.get("order_by"):
+        w = w.orderBy(*[F.expr(e) for e in p["order_by"]])
+    frame = p.get("rows_between")
+    if frame:
+        lo = Window.unboundedPreceding if frame[0] == "unbounded" else int(frame[0])
+        hi = Window.currentRow if frame[1] == "current" else int(frame[1])
+        w = w.rowsBetween(lo, hi)
+    return df.withColumns({name: F.expr(e).over(w) for name, e in p["columns"].items()})
+
+
+@op("dedup")
+def _dedup(spark, dfs, p):
+    """Keep one row per key: latest by order_by (win_dedup_latest)."""
+    df = _one(dfs)
+    if not p.get("order_by"):
+        return df.dropDuplicates(p["keys"])
+    w = Window.partitionBy(*p["keys"]).orderBy(
+        *[F.expr(e) for e in p["order_by"]]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- sort / limit -------------------------------------------------------------
+
+
+@op("sort")
+def _sort(spark, dfs, p):
+    return _one(dfs).orderBy(*[F.expr(e) for e in p["by"]])
+
+
+@op("limit")
+def _limit(spark, dfs, p):
+    return _one(dfs).limit(int(p["n"]))
+
+
+# --- SQL escape hatch ----------------------------------------------------------
+
+
+@op("sql")
+def _sql(spark, dfs, p):
+    # inputs are registered under the names given in params.views
+    # (aligned with the step's inputs list), default t1..tn.
+    views = p.get("views") or [f"t{i+1}" for i in range(len(dfs))]
+    for name, df in zip(views, dfs):
+        df.createOrReplaceTempView(name)
+    return spark.sql(p["query"])
+
+
+# --- validation / enrichment ---------------------------------------------------
+
+
+@op("validate")
+def _validate(spark, dfs, p):
+    """Emit the metrics DataFrame (output: metrics) or the valid/
+    invalid split of the input rows."""
+    df = dfs[0]
+    dims = {}
+    if len(dfs) > 1:
+        dim_names = p.get("dim_names") or [f"dim{i}" for i in range(len(dfs) - 1)]
+        dims = dict(zip(dim_names, dfs[1:]))
+    rules = rules_from_config(p["rules"])
+    output = p.get("output", "metrics")
+    res = run_rules(df, rules, dims=dims, split=output in ("valid", "invalid"))
+    return {"metrics": res.metrics, "valid": res.valid, "invalid": res.invalid}[output]
+
+
+@op("lookup")
+def _lookup(spark, dfs, p):
+    fact, dim = dfs
+    # YAML 1.1 parses a bare `on:` key as boolean True — accept both
+    # spellings but document `keys:`.
+    on = p.get("keys") or p.get("on") or p.get(True)
+    return enrichment.lookup(
+        fact,
+        dim,
+        on=dict(on),
+        take=dict(p["take"]),
+        defaults=p.get("defaults"),
+        broadcast=p.get("broadcast", True),
+    )
+
+
+@op("standardize")
+def _standardize(spark, dfs, p):
+    return enrichment.standardize(_one(dfs), p["columns"])
+
+
+@op("bucketize")
+def _bucketize(spark, dfs, p):
+    return enrichment.bucketize(
+        _one(dfs), p["column"], p["bounds"], p["labels"], p.get("out", "bucket")
+    )
+
+
+@op("surrogate_key")
+def _surrogate_key(spark, dfs, p):
+    return enrichment.surrogate_key(
+        _one(dfs), p["order_by"], p.get("out", "sk"), p.get("partition_by")
+    )
+
+
+@op("audit")
+def _audit(spark, dfs, p):
+    return enrichment.audit_columns(_one(dfs), p["load_id"], p["source_name"])
+
+
+@op("scd2")
+def _scd2(spark, dfs, p):
+    return enrichment.scd2(_one(dfs), p["key"], p["ts"], p.get("attrs"))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline runner
+# ---------------------------------------------------------------------------
+
+
+def compile_pipeline(
+    spark: SparkSession, cfg: PipelineConfig
+) -> dict[str, DataFrame]:
+    """Compile every source + step to a named (lazy) DataFrame."""
+    frames: dict[str, DataFrame] = {}
+    for name, src in cfg.sources.items():
+        frames[name] = read_source(spark, src.to_reader_cfg())
+    for step in cfg.steps:
+        builder = OPS.get(step.op)
+        if builder is None:
+            raise ValueError(
+                f"step {step.id!r}: unknown op {step.op!r} "
+                f"(known: {sorted(OPS)})"
+            )
+        frames[step.id] = builder(spark, [frames[i] for i in step.inputs], step.params)
+    return frames
+
+
+def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
+    """Compile, then execute sinks; returns the named frames."""
+    for k, v in cfg.spark_conf.items():
+        spark.conf.set(k, v)
+    frames = compile_pipeline(spark, cfg)
+    for sink in cfg.sinks:
+        write_sink(frames[sink.input], sink.to_writer_cfg())
+    return frames

@@ -1,0 +1,163 @@
+"""YAML pipeline loader + validation (SURVEY.md §3.1 steps 1–2).
+
+Checks performed before anything touches Spark:
+
+- document shape (required keys, unknown keys rejected early);
+- step references resolve (inputs name sources or prior steps);
+- the step graph is a DAG (cycle detection via Kahn topsort);
+- step ids unique, op names known to the compiler registry.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import yaml
+
+from configdrivendatapipeline_spark.config.models import (
+    PipelineConfig,
+    SinkConfig,
+    SourceConfig,
+    StepConfig,
+)
+
+
+class ConfigError(ValueError):
+    """A pipeline document failed validation (with path context)."""
+
+
+_SOURCE_KEYS = {
+    "format", "path", "url", "dbtable", "options", "schema",
+    "declared_schema", "drift", "streaming", "incremental",
+    "partition_column", "lower_bound", "upper_bound", "num_partitions",
+}
+_STEP_KEYS = {"id", "op", "input", "inputs", "params"}
+_SINK_KEYS = {"input", "format", "path", "mode", "partition_by", "options"}
+
+
+def load_pipeline(path: str) -> PipelineConfig:
+    """Parse + validate a pipeline YAML file."""
+    with open(path) as f:
+        return _build(yaml.safe_load(f), origin=path)
+
+
+def load_pipeline_str(text: str) -> PipelineConfig:
+    """Parse + validate a pipeline YAML string (tests, notebooks)."""
+    return _build(yaml.safe_load(text), origin="<string>")
+
+
+def _build(doc: Any, origin: str) -> PipelineConfig:
+    if not isinstance(doc, dict):
+        raise ConfigError(f"{origin}: top level must be a mapping")
+    meta = doc.get("pipeline") or {}
+    name = meta.get("name", "unnamed")
+    spark_conf = {str(k): str(v) for k, v in (meta.get("spark_conf") or {}).items()}
+
+    raw_sources = doc.get("sources") or {}
+    if not isinstance(raw_sources, dict) or not raw_sources:
+        raise ConfigError(f"{origin}: 'sources' must be a non-empty mapping")
+    sources: dict[str, SourceConfig] = {}
+    for sname, scfg in raw_sources.items():
+        if not isinstance(scfg, dict):
+            raise ConfigError(f"{origin}: source {sname!r} must be a mapping")
+        unknown = set(scfg) - _SOURCE_KEYS
+        if unknown:
+            raise ConfigError(f"{origin}: source {sname!r}: unknown keys {sorted(unknown)}")
+        known = {k: v for k, v in scfg.items() if k in SourceConfig.__dataclass_fields__}
+        extra = {k: v for k, v in scfg.items() if k not in SourceConfig.__dataclass_fields__}
+        if scfg.get("format", "parquet") != "jdbc" and not scfg.get("path"):
+            raise ConfigError(f"{origin}: source {sname!r}: 'path' is required")
+        sources[sname] = SourceConfig(
+            name=sname,
+            options={str(k): str(v) for k, v in (scfg.get("options") or {}).items()},
+            **{k: v for k, v in known.items() if k != "options"},
+            extra=extra,
+        )
+
+    raw_steps = doc.get("steps") or []
+    steps: list[StepConfig] = []
+    seen_ids: set[str] = set(sources)
+    for i, raw in enumerate(raw_steps):
+        where = f"{origin}: steps[{i}]"
+        if not isinstance(raw, dict):
+            raise ConfigError(f"{where}: must be a mapping")
+        unknown = set(raw) - _STEP_KEYS
+        if unknown:
+            raise ConfigError(f"{where}: unknown keys {sorted(unknown)}")
+        sid = raw.get("id")
+        op = raw.get("op")
+        if not sid or not op:
+            raise ConfigError(f"{where}: 'id' and 'op' are required")
+        if sid in seen_ids:
+            raise ConfigError(f"{where}: duplicate id {sid!r}")
+        seen_ids.add(sid)
+        if "input" in raw and "inputs" in raw:
+            raise ConfigError(f"{where}: use 'input' or 'inputs', not both")
+        inputs = tuple(raw.get("inputs") or ([raw["input"]] if raw.get("input") else ()))
+        if not inputs:
+            raise ConfigError(f"{where}: at least one input required")
+        steps.append(
+            StepConfig(id=sid, op=str(op), inputs=inputs, params=dict(raw.get("params") or {}))
+        )
+
+    # Reference resolution + cycle check (Kahn topological sort).
+    known_names = set(sources)
+    by_id = {s.id: s for s in steps}
+    for s in steps:
+        for inp in s.inputs:
+            if inp not in known_names and inp not in by_id:
+                raise ConfigError(
+                    f"{origin}: step {s.id!r}: input {inp!r} is not a source or step"
+                )
+    indeg = {
+        s.id: sum(1 for i in s.inputs if i in by_id) for s in steps
+    }
+    ready = [s.id for s in steps if indeg[s.id] == 0]
+    ordered: list[StepConfig] = []
+    dependents: dict[str, list[str]] = {}
+    for s in steps:
+        for i in s.inputs:
+            if i in by_id:
+                dependents.setdefault(i, []).append(s.id)
+    while ready:
+        ready.sort()  # deterministic order among independent steps
+        sid = ready.pop(0)
+        ordered.append(by_id[sid])
+        for dep in dependents.get(sid, ()):
+            indeg[dep] -= 1
+            if indeg[dep] == 0:
+                ready.append(dep)
+    if len(ordered) != len(steps):
+        cyclic = sorted(set(by_id) - {s.id for s in ordered})
+        raise ConfigError(f"{origin}: cycle detected among steps {cyclic}")
+
+    sinks: list[SinkConfig] = []
+    for i, raw in enumerate(doc.get("sinks") or []):
+        where = f"{origin}: sinks[{i}]"
+        if not isinstance(raw, dict):
+            raise ConfigError(f"{where}: must be a mapping")
+        unknown = set(raw) - _SINK_KEYS
+        if unknown:
+            raise ConfigError(f"{where}: unknown keys {sorted(unknown)}")
+        if not raw.get("input"):
+            raise ConfigError(f"{where}: 'input' is required")
+        if raw["input"] not in seen_ids:
+            raise ConfigError(f"{where}: input {raw['input']!r} is not a source or step")
+        sinks.append(
+            SinkConfig(
+                input=raw["input"],
+                format=raw.get("format", "parquet"),
+                path=raw.get("path"),
+                mode=raw.get("mode", "error"),
+                partition_by=tuple(raw.get("partition_by") or ()),
+                options={str(k): str(v) for k, v in (raw.get("options") or {}).items()},
+            )
+        )
+
+    return PipelineConfig(
+        name=name,
+        sources=sources,
+        steps=tuple(ordered),
+        sinks=tuple(sinks),
+        spark_conf=spark_conf,
+    )

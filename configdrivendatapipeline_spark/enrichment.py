@@ -1,0 +1,133 @@
+"""Enrichment operators — "enrichment" (/root/reference/README.md:2),
+SURVEY.md §2.9.
+
+Each function is a pure DataFrame→DataFrame transform, reused by the
+step compiler (`op: lookup` etc.) and the declared queries.
+
+Scale notes: lookups broadcast the dim side (they are ADF 'Lookup'
+small tables by contract); SCD2 is a single window pass partitioned
+by business key (shuffles once on the key — no MERGE, no driver
+loop); surrogate keys use per-key deterministic ordering, never
+``monotonically_increasing_id`` (not stable across retries).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str],
+    take: dict[str, str],
+    defaults: dict[str, Any] | None = None,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Dim lookup with default-on-miss (ADF 'Lookup').
+
+    ``on`` maps fact column → dim column; ``take`` maps output name →
+    dim column; ``defaults`` fills misses.
+    """
+    d = dim.select(
+        *[F.col(v).alias(f"__k_{k}") for k, v in on.items()],
+        *[F.col(v).alias(out) for out, v in take.items()],
+    )
+    if broadcast:
+        d = F.broadcast(d)
+    cond = None
+    for k in on:
+        c = fact[k] == d[f"__k_{k}"]
+        cond = c if cond is None else (cond & c)
+    out = fact.join(d, cond, "left").drop(*[f"__k_{k}" for k in on])
+    for name, default in (defaults or {}).items():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return out
+
+
+def standardize(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Trim + collapse inner whitespace + uppercase + blank→null."""
+    for c in columns:
+        df = df.withColumn(
+            c,
+            F.nullif(F.upper(F.regexp_replace(F.trim(F.col(c)), r"\s+", " ")), F.lit("")),
+        )
+    return df
+
+
+def bucketize(
+    df: DataFrame, column: str, bounds: list[float], labels: list[str], out: str
+) -> DataFrame:
+    """Value → band label: len(labels) == len(bounds) + 1.
+
+    ``bounds`` are the right-open cut points: x < bounds[0] → labels[0],
+    bounds[i-1] <= x < bounds[i] → labels[i], x >= bounds[-1] → labels[-1].
+    """
+    if len(labels) != len(bounds) + 1:
+        raise ValueError("need len(labels) == len(bounds) + 1")
+    c = F.col(column)
+    expr: Column = F.when(c < F.lit(bounds[0]), labels[0])
+    for i in range(1, len(bounds)):
+        expr = expr.when(c < F.lit(bounds[i]), labels[i])
+    expr = expr.otherwise(labels[-1])
+    return df.withColumn(out, expr)
+
+
+def surrogate_key(
+    df: DataFrame, order_by: list[str], out: str = "sk", partition_by: list[str] | None = None
+) -> DataFrame:
+    """Deterministic surrogate key.
+
+    With ``partition_by``: per-partition ``row_number`` over a
+    deterministic order (100 TB-safe — each key group sorts locally
+    after one shuffle). Without: a single global ``row_number`` —
+    declared for bounded dims only (SURVEY §4: global total order is
+    not a lake-scale operation).
+    """
+    w = (
+        Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(out, F.row_number().over(w).cast("long"))
+
+
+def audit_columns(df: DataFrame, load_id: str, source_name: str) -> DataFrame:
+    """Lineage columns. Fixed values from orchestration (not
+    current_timestamp()) so re-runs are byte-identical."""
+    return df.withColumn("_load_id", F.lit(load_id)).withColumn(
+        "_source", F.lit(source_name)
+    )
+
+
+def scd2(
+    snapshots: DataFrame,
+    key: list[str],
+    ts: str,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change/snapshot log.
+
+    One window pass per business key ordered by ``ts``: each version
+    row gets ``valid_from`` = its ts, ``valid_to`` = next version's ts
+    (null = open), ``is_current`` = no later version exists.
+    """
+    w = Window.partitionBy(*key).orderBy(F.col(ts).asc())
+    nxt = F.lead(F.col(ts)).over(w)
+    out = (
+        snapshots.withColumn("valid_from", F.col(ts))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
+    if attrs is not None:
+        out = out.select(*key, *attrs, "valid_from", "valid_to", "is_current")
+    return out
+
+
+def union_harmonize(dfs: list[DataFrame]) -> DataFrame:
+    """Schema-align N sources: missing columns become nulls."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

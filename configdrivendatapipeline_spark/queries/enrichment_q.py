@@ -1,1 +1,171 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.9 — enrichment operators, routed through the engine
+(:mod:`configdrivendatapipeline_spark.enrichment`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark import enrichment
+from configdrivendatapipeline_spark.queries import declare, load
+
+_SEC = "2.9"
+
+
+@declare(
+    "enr_lookup",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+           COALESCE(p.p_name, 'unknown') AS part_name
+    FROM lineitem l
+    LEFT JOIN (SELECT p_partkey, p_name FROM part WHERE p_size > 10) p
+      ON l.l_partkey = p.p_partkey
+    """,
+    _SEC,
+    "Broadcast dim lookup with default-on-miss (ADF 'Lookup'); the "
+    "dim is filtered so misses really occur.",
+)
+def enr_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") > 10)
+    return enrichment.lookup(
+        li,
+        part,
+        on={"l_partkey": "p_partkey"},
+        take={"part_name": "p_name"},
+        defaults={"part_name": "unknown"},
+    )
+
+
+@declare(
+    "enr_derived",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity > 40 AS bulk
+    FROM lineitem
+    """,
+    _SEC,
+    "Computed business columns (withColumns over SQL expressions).",
+)
+def enr_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.withColumns(
+        {
+            "net_price": F.expr("l_extendedprice * (1 - l_discount)"),
+            "charge": F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+            "bulk": F.expr("l_quantity > 40"),
+        }
+    ).select("l_orderkey", "l_linenumber", "net_price", "charge", "bulk")
+
+
+@declare(
+    "enr_standardize",
+    r"""
+    SELECT c_custkey,
+           NULLIF(UPPER(regexp_replace(TRIM(CONCAT('  ', c_mktsegment, '   ')),
+                                       '\s+', ' ', 'g')), '') AS segment
+    FROM customer
+    """,
+    _SEC,
+    "Standardize: trim / collapse whitespace / uppercase / blank→null "
+    "(messy input manufactured by padding).",
+)
+def enr_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.concat(F.lit("  "), "c_mktsegment", F.lit("   ")).alias("segment")
+    )
+    return enrichment.standardize(c, ["segment"])
+
+
+@declare(
+    "enr_bucketize",
+    """
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS bal_tier
+    FROM customer
+    """,
+    _SEC,
+    "Value→band bucketing (acctbal tiers).",
+)
+def enr_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return enrichment.bucketize(
+        c, "c_acctbal", [0, 3000, 7000], ["debt", "low", "mid", "high"], "bal_tier"
+    )
+
+
+@declare(
+    "enr_surrogate_key",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS sk
+    FROM customer
+    """,
+    _SEC,
+    "Stable surrogate key: per-partition row_number over a "
+    "deterministic order (never monotonically_increasing_id).",
+)
+def enr_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return enrichment.surrogate_key(
+        c, order_by=["c_custkey"], out="sk", partition_by=["c_nationkey"]
+    )
+
+
+@declare(
+    "enr_audit_cols",
+    """
+    SELECT r_regionkey, r_name,
+           'L2024_001' AS _load_id, 'region_parquet' AS _source
+    FROM region
+    """,
+    _SEC,
+    "Lineage/audit columns from orchestration constants (fixed, not "
+    "current_timestamp, so re-runs are reproducible).",
+)
+def enr_audit_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    return enrichment.audit_columns(r, "L2024_001", "region_parquet")
+
+
+@declare(
+    "enr_scd2",
+    """
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM events
+    """,
+    _SEC,
+    "SCD type 2 from a change log: one window pass derives "
+    "valid_from / valid_to / is_current (no MERGE dependency).",
+)
+def enr_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return enrichment.scd2(ev, key=["user_id"], ts="ts", attrs=["event_type"]).select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+@declare(
+    "enr_union_harmonize",
+    """
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name, c_acctbal FROM customer
+    """,
+    _SEC,
+    "Schema-align heterogeneous sources: unionByName with missing "
+    "columns null-filled.",
+)
+def enr_union_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.select("c_custkey", "c_name")
+    b = c.select("c_custkey", "c_acctbal")
+    return enrichment.union_harmonize([a, b])

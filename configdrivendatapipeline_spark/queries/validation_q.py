@@ -1,1 +1,284 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.8 — validation operators.
+
+Every query routes through the real engine
+(:mod:`configdrivendatapipeline_spark.validation`), not ad-hoc
+DataFrame code: the declared query builds Rule configs exactly as the
+YAML surface would, runs the one-pass rule engine, and the oracle
+recomputes the metrics row(s) in plain SQL.
+
+The testdata is null-free, so null/violation cases are manufactured
+with NULLIF / filtered dims to keep every check non-vacuous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.queries import declare, load
+from configdrivendatapipeline_spark.validation import Rule, check_schema, run_rules
+
+_SEC = "2.8"
+
+
+def _metric_oracle(name: str, table: str, fail_cond: str, where: str = "") -> str:
+    return f"""
+    SELECT '{name}' AS rule_name,
+           COUNT(*) AS n_checked,
+           CAST(COALESCE(SUM(CASE WHEN {fail_cond} THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_failed,
+           COALESCE(SUM(CASE WHEN {fail_cond} THEN 1 ELSE 0 END), 0) = 0 AS passed
+    FROM {table} {where}
+    """
+
+
+@declare(
+    "val_not_null",
+    _metric_oracle("seg_not_null", "customer", "NULLIF(c_mktsegment, 'BUILDING') IS NULL"),
+    _SEC,
+    "Null check (nulls manufactured via NULLIF on one segment).",
+)
+def val_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").withColumn(
+        "seg", F.nullif("c_mktsegment", F.lit("BUILDING"))
+    )
+    return run_rules(c, [Rule("seg_not_null", "not_null", {"column": "seg"})]).metrics
+
+
+@declare(
+    "val_unique",
+    """
+    WITH g AS (SELECT l_orderkey, l_linenumber, COUNT(*) AS cnt
+               FROM lineitem GROUP BY l_orderkey, l_linenumber)
+    SELECT 'pk_unique' AS rule_name,
+           (SELECT COUNT(*) FROM lineitem) AS n_checked,
+           CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS n_failed,
+           COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt END), 0) = 0 AS passed
+    FROM g
+    """,
+    _SEC,
+    "Uniqueness check: rows participating in duplicate key groups "
+    "(the synthetic lineitem really has duplicate (orderkey, lineno)).",
+)
+def val_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return run_rules(
+        li, [Rule("pk_unique", "unique", {"columns": ["l_orderkey", "l_linenumber"]})]
+    ).metrics
+
+
+@declare(
+    "val_range",
+    _metric_oracle(
+        "price_band",
+        "orders",
+        "NOT (o_totalprice >= 0 AND o_totalprice <= 400000)",
+    ),
+    _SEC,
+    "Numeric bounds check.",
+)
+def val_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return run_rules(
+        o, [Rule("price_band", "range", {"column": "o_totalprice", "min": 0, "max": 400000})]
+    ).metrics
+
+
+@declare(
+    "val_set",
+    _metric_oracle(
+        "type_domain", "events", "event_type NOT IN ('click', 'view', 'purchase')"
+    ),
+    _SEC,
+    "Domain membership check.",
+)
+def val_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return run_rules(
+        ev,
+        [Rule("type_domain", "set", {"column": "event_type", "allowed": ["click", "view", "purchase"]})],
+    ).metrics
+
+
+@declare(
+    "val_regex",
+    _metric_oracle(
+        "name_format", "part", "NOT regexp_matches(p_name, '^(red|blue|small) [a-z]+$')"
+    ),
+    _SEC,
+    "Format (regex) check.",
+)
+def val_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return run_rules(
+        p,
+        [Rule("name_format", "regex", {"column": "p_name", "pattern": r"^(red|blue|small) [a-z]+$"})],
+    ).metrics
+
+
+@declare(
+    "val_ref_integrity",
+    """
+    WITH dim AS (SELECT DISTINCT s_suppkey FROM supplier WHERE s_acctbal > 2000)
+    SELECT 'supplier_exists' AS rule_name,
+           (SELECT COUNT(*) FROM lineitem) AS n_checked,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM dim d
+                                   WHERE d.s_suppkey = l.l_suppkey)) AS BIGINT)
+               AS n_failed,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM dim d
+                              WHERE d.s_suppkey = l.l_suppkey)) = 0 AS passed
+    """,
+    _SEC,
+    "Referential integrity (orphan detection) via anti-join; the dim "
+    "is filtered so orphans actually exist.",
+)
+def val_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 2000)
+    return run_rules(
+        li,
+        [
+            Rule(
+                "supplier_exists",
+                "ref_integrity",
+                {"column": "l_suppkey", "ref_table": "supplier", "ref_column": "s_suppkey"},
+            )
+        ],
+        dims={"supplier": sup},
+    ).metrics
+
+
+@declare(
+    "val_row_count",
+    """
+    SELECT 'volume' AS rule_name,
+           COUNT(*) AS n_checked,
+           CAST(CASE WHEN COUNT(*) >= 100000 THEN 0 ELSE 1 END AS BIGINT) AS n_failed,
+           COUNT(*) >= 100000 AS passed
+    FROM orders
+    """,
+    _SEC,
+    "Volume threshold (intentionally failing below sf1 to prove the "
+    "rule can fail).",
+)
+def val_row_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return run_rules(o, [Rule("volume", "row_count", {"min": 100000})]).metrics
+
+
+@declare(
+    "val_freshness",
+    """
+    SELECT 'recent_enough' AS rule_name,
+           COUNT(*) AS n_checked,
+           CAST(CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-15 00:00:00'
+                THEN 0 ELSE 1 END AS BIGINT) AS n_failed,
+           MAX(ts) >= TIMESTAMP '2024-01-15 00:00:00' AS passed
+    FROM events
+    """,
+    _SEC,
+    "Freshness: max(ts) recency vs cutoff.",
+)
+def val_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return run_rules(
+        ev, [Rule("recent_enough", "freshness", {"column": "ts", "min_ts": "2024-01-15 00:00:00"})]
+    ).metrics
+
+
+@declare(
+    "val_expression",
+    _metric_oracle(
+        "rates_sane", "lineitem", "NOT (l_discount <= 0.1 AND l_tax >= 0.0)"
+    ),
+    _SEC,
+    "Arbitrary SQL predicate rule — the config escape hatch.",
+)
+def val_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return run_rules(
+        li,
+        [Rule("rates_sane", "expression", {"sql": "l_discount <= 0.1 AND l_tax >= 0.0"})],
+    ).metrics
+
+
+@declare(
+    "val_schema",
+    """
+    SELECT TRUE AS ok, 0 AS n_diffs
+    """,
+    _SEC,
+    "Declared-vs-actual schema diff (driver-side StructType check; "
+    "the oracle pins the expected outcome for the known fixture).",
+)
+def val_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    ok, diffs = check_schema(nat, "n_nationkey INT, n_name STRING, n_regionkey INT")
+    return nat.sparkSession.createDataFrame(
+        [(ok, len(diffs))], "ok BOOLEAN, n_diffs INT"
+    )
+
+
+@declare(
+    "val_quarantine_split",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE NOT (o_totalprice >= 0 AND o_totalprice <= 450000)
+    """,
+    _SEC,
+    "Quarantine routing: the invalid side of a rule split (valid side "
+    "is the complement — verified by val_summary counts).",
+)
+def val_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    res = run_rules(
+        o,
+        [
+            Rule(
+                "price_band",
+                "range",
+                {"column": "o_totalprice", "min": 0, "max": 450000},
+                on_fail="quarantine",
+            )
+        ],
+        split=True,
+    )
+    return res.invalid.select("o_orderkey", "o_totalprice")
+
+
+@declare(
+    "val_summary",
+    _metric_oracle("key_present", "orders", "o_orderkey IS NULL")
+    + " UNION ALL "
+    + _metric_oracle(
+        "price_band", "orders", "NOT (o_totalprice >= 0 AND o_totalprice <= 400000)"
+    )
+    + " UNION ALL "
+    + _metric_oracle("status_domain", "orders", "o_orderstatus NOT IN ('F','O','P')")
+    + " UNION ALL "
+    + _metric_oracle(
+        "priority_format", "orders", "NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')"
+    )
+    + " UNION ALL "
+    + """
+    SELECT 'volume' AS rule_name, COUNT(*) AS n_checked,
+           CAST(CASE WHEN COUNT(*) >= 100 THEN 0 ELSE 1 END AS BIGINT) AS n_failed,
+           COUNT(*) >= 100 AS passed
+    FROM orders
+    """,
+    _SEC,
+    "All configured rules → one metrics DataFrame in a single engine "
+    "run (row rules share one scan).",
+)
+def val_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    rules = [
+        Rule("key_present", "not_null", {"column": "o_orderkey"}),
+        Rule("price_band", "range", {"column": "o_totalprice", "min": 0, "max": 400000}),
+        Rule("status_domain", "set", {"column": "o_orderstatus", "allowed": ["F", "O", "P"]}),
+        Rule("priority_format", "regex", {"column": "o_orderpriority", "pattern": r"^[1-5]-[A-Z ]+$"}),
+        Rule("volume", "row_count", {"min": 100}),
+    ]
+    return run_rules(o, rules).metrics

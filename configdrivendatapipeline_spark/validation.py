@@ -1,0 +1,262 @@
+"""Validation rule engine — "customisable validation"
+(/root/reference/README.md:2), SURVEY.md §2.8.
+
+A rule is config: ``{rule, columns|column, params..., on_fail}``.
+Rules compile to Column predicates ("row rules") or dataset-level
+aggregates ("set rules"); running them yields:
+
+- a **metrics DataFrame** ``(rule_name, n_checked, n_failed, passed)``
+- optionally a **valid/invalid row split** (quarantine pattern).
+
+Scale notes: all row rules evaluate in ONE pass (a single aggregate
+over indicator columns — never one scan per rule); set rules
+(unique, referential integrity) are aggregates/anti-joins that shuffle
+once on their key. Nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One validation rule instance."""
+
+    name: str
+    rule: str  # type: not_null | range | set | regex | expression | ...
+    params: dict[str, Any] = field(default_factory=dict)
+    on_fail: str = "warn"  # fail | warn | quarantine
+
+
+# ---------------------------------------------------------------------------
+# Row-level rules: config → failure predicate (true ⇒ row FAILS)
+# ---------------------------------------------------------------------------
+
+
+def _fail_not_null(p: dict[str, Any]) -> Column:
+    return F.col(p["column"]).isNull()
+
+
+def _fail_range(p: dict[str, Any]) -> Column:
+    c = F.col(p["column"])
+    lo, hi = p.get("min"), p.get("max")
+    ok = F.lit(True)
+    if lo is not None:
+        ok = ok & (c >= F.lit(lo))
+    if hi is not None:
+        ok = ok & (c <= F.lit(hi))
+    return ~F.coalesce(ok, F.lit(False))
+
+
+def _fail_set(p: dict[str, Any]) -> Column:
+    return ~F.coalesce(F.col(p["column"]).isin(*p["allowed"]), F.lit(False))
+
+
+def _fail_regex(p: dict[str, Any]) -> Column:
+    return ~F.coalesce(F.col(p["column"]).rlike(p["pattern"]), F.lit(False))
+
+
+def _fail_expression(p: dict[str, Any]) -> Column:
+    # User SQL states what a VALID row satisfies.
+    return ~F.coalesce(F.expr(p["sql"]), F.lit(False))
+
+
+ROW_RULES = {
+    "not_null": _fail_not_null,
+    "range": _fail_range,
+    "set": _fail_set,
+    "regex": _fail_regex,
+    "expression": _fail_expression,
+}
+
+
+def row_fail_predicate(rule: Rule) -> Column:
+    """Compile one row rule to its failure predicate."""
+    try:
+        return ROW_RULES[rule.rule](rule.params)
+    except KeyError:
+        raise ValueError(f"unknown row rule type: {rule.rule!r}") from None
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+_METRIC_COLS = ("rule_name", "n_checked", "n_failed", "passed")
+
+
+@dataclass
+class ValidationResult:
+    metrics: DataFrame  # (rule_name, n_checked, n_failed, passed)
+    valid: DataFrame | None = None
+    invalid: DataFrame | None = None
+
+
+def run_rules(
+    df: DataFrame,
+    rules: list[Rule],
+    dims: dict[str, DataFrame] | None = None,
+    split: bool = False,
+) -> ValidationResult:
+    """Run all rules over ``df``; one scan for every row rule.
+
+    ``dims`` supplies lookup tables for ``ref_integrity`` rules.
+    ``split=True`` additionally returns valid/invalid row DataFrames
+    (rows failing any row rule whose on_fail is 'quarantine' or
+    'fail' go to invalid).
+    """
+    spark = df.sparkSession
+    row_rules = [r for r in rules if r.rule in ROW_RULES]
+    set_rules = [r for r in rules if r.rule not in ROW_RULES]
+
+    metric_dfs: list[DataFrame] = []
+    if row_rules:
+        # One aggregate pass: per rule, count rows and failures.
+        aggs = []
+        for r in row_rules:
+            fail = row_fail_predicate(r)
+            aggs.append(F.count(F.lit(1)).alias(f"__n_{r.name}"))
+            aggs.append(F.sum(fail.cast("long")).alias(f"__f_{r.name}"))
+        wide = df.agg(*aggs)
+        # Unpivot the single wide row into (rule_name, n_checked, n_failed).
+        parts = []
+        for r in row_rules:
+            parts.append(
+                F.struct(
+                    F.lit(r.name).alias("rule_name"),
+                    F.col(f"__n_{r.name}").alias("n_checked"),
+                    F.col(f"__f_{r.name}").alias("n_failed"),
+                )
+            )
+        metric_dfs.append(
+            wide.select(F.explode(F.array(*parts)).alias("m")).select(
+                "m.rule_name",
+                "m.n_checked",
+                F.coalesce("m.n_failed", F.lit(0)).alias("n_failed"),
+            )
+        )
+
+    for r in set_rules:
+        metric_dfs.append(_run_set_rule(df, r, dims or {}))
+
+    if not metric_dfs:
+        raise ValueError("no rules supplied")
+    metrics = reduce(lambda a, b: a.unionByName(b), metric_dfs).withColumn(
+        "passed", F.col("n_failed") == 0
+    )
+
+    valid = invalid = None
+    if split:
+        gating = [
+            row_fail_predicate(r)
+            for r in row_rules
+            if r.on_fail in ("quarantine", "fail")
+        ]
+        if gating:
+            any_fail = reduce(lambda a, b: a | b, gating)
+            invalid = df.filter(any_fail)
+            valid = df.filter(~any_fail)
+        else:
+            valid, invalid = df, df.limit(0)
+    return ValidationResult(metrics=metrics, valid=valid, invalid=invalid)
+
+
+def _run_set_rule(df: DataFrame, r: Rule, dims: dict[str, DataFrame]) -> DataFrame:
+    p = r.params
+    if r.rule == "unique":
+        keys = p["columns"] if "columns" in p else [p["column"]]
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+            .agg(
+                F.coalesce(F.sum("__cnt"), F.lit(0)).alias("n_failed"),
+            )
+        )
+        total = df.agg(F.count(F.lit(1)).alias("n_checked"))
+        return (
+            total.crossJoin(dup)
+            .select(
+                F.lit(r.name).alias("rule_name"),
+                "n_checked",
+                "n_failed",
+            )
+        )
+    if r.rule == "ref_integrity":
+        dim = dims[p["ref_table"]]
+        orphans = df.join(
+            dim.select(F.col(p["ref_column"]).alias("__refkey")).distinct(),
+            F.col(p["column"]) == F.col("__refkey"),
+            "left_anti",
+        )
+        return (
+            df.agg(F.count(F.lit(1)).alias("n_checked"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_failed")))
+            .select(F.lit(r.name).alias("rule_name"), "n_checked", "n_failed")
+        )
+    if r.rule == "row_count":
+        lo = p.get("min", 0)
+        hi = p.get("max")
+        agg = df.agg(F.count(F.lit(1)).alias("n_checked"))
+        cond = F.col("n_checked") >= F.lit(lo)
+        if hi is not None:
+            cond = cond & (F.col("n_checked") <= F.lit(hi))
+        return agg.select(
+            F.lit(r.name).alias("rule_name"),
+            "n_checked",
+            F.when(cond, F.lit(0)).otherwise(F.lit(1)).cast("long").alias("n_failed"),
+        )
+    if r.rule == "freshness":
+        agg = df.agg(
+            F.count(F.lit(1)).alias("n_checked"),
+            F.max(p["column"]).alias("__max_ts"),
+        )
+        return agg.select(
+            F.lit(r.name).alias("rule_name"),
+            "n_checked",
+            F.when(F.col("__max_ts") >= F.lit(p["min_ts"]), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("n_failed"),
+        )
+    raise ValueError(f"unknown set rule type: {r.rule!r}")
+
+
+def check_schema(df: DataFrame, expected_ddl: str) -> tuple[bool, list[str]]:
+    """val_schema: compare actual schema to a declared DDL string.
+
+    Driver-side structural check (no data scan): returns (ok, diffs).
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    expected = _parse_datatype_string(expected_ddl)
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    exp = {f.name: f.dataType.simpleString() for f in expected.fields}
+    diffs = []
+    for name, dt in exp.items():
+        if name not in actual:
+            diffs.append(f"missing column {name} ({dt})")
+        elif actual[name] != dt:
+            diffs.append(f"type mismatch {name}: {actual[name]} != {dt}")
+    for name in actual:
+        if name not in exp:
+            diffs.append(f"unexpected column {name}")
+    return (not diffs, diffs)
+
+
+def rules_from_config(raw: list[dict[str, Any]]) -> list[Rule]:
+    """Build Rule objects from config dicts (the YAML surface)."""
+    out = []
+    for i, rc in enumerate(raw):
+        rc = dict(rc)
+        rtype = rc.pop("rule")
+        name = rc.pop("name", f"{rtype}_{i}")
+        on_fail = rc.pop("on_fail", "warn")
+        out.append(Rule(name=name, rule=rtype, params=rc, on_fail=on_fail))
+    return out

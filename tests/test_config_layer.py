@@ -1,0 +1,151 @@
+"""Config loader + compiler unit tests (SURVEY.md §5 item 4):
+bad YAML shapes, cycle detection, reference resolution, and YAML-vs-
+programmatic equivalence of the flagship pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from configdrivendatapipeline_spark.compiler import compile_pipeline
+from configdrivendatapipeline_spark.config import ConfigError, load_pipeline_str
+
+GOOD = """
+pipeline: {name: t}
+sources:
+  li: {format: parquet, path: "%(sf)s/lineitem.parquet"}
+steps:
+  - id: f
+    input: li
+    op: filter
+    params: {predicate: "l_quantity > 45"}
+  - id: agg
+    input: f
+    op: aggregate
+    params:
+      group_by: [l_returnflag]
+      aggs: {n: "COUNT(*)"}
+"""
+
+
+def test_good_pipeline_parses(sf_dir):
+    cfg = load_pipeline_str(GOOD % {"sf": sf_dir})
+    assert [s.id for s in cfg.steps] == ["f", "agg"]
+    assert cfg.steps[1].inputs == ("f",)
+
+
+def test_cycle_detected():
+    bad = """
+sources:
+  s: {path: /x}
+steps:
+  - {id: a, input: b, op: filter, params: {predicate: "1=1"}}
+  - {id: b, input: a, op: filter, params: {predicate: "1=1"}}
+"""
+    with pytest.raises(ConfigError, match="cycle"):
+        load_pipeline_str(bad)
+
+
+def test_unknown_input_rejected():
+    bad = """
+sources:
+  s: {path: /x}
+steps:
+  - {id: a, input: nope, op: filter, params: {predicate: "1=1"}}
+"""
+    with pytest.raises(ConfigError, match="not a source or step"):
+        load_pipeline_str(bad)
+
+
+def test_duplicate_id_rejected():
+    bad = """
+sources:
+  s: {path: /x}
+steps:
+  - {id: a, input: s, op: filter, params: {predicate: "1=1"}}
+  - {id: a, input: s, op: filter, params: {predicate: "1=1"}}
+"""
+    with pytest.raises(ConfigError, match="duplicate id"):
+        load_pipeline_str(bad)
+
+
+def test_unknown_keys_rejected():
+    bad = """
+sources:
+  s: {path: /x, frmt: parquet}
+"""
+    with pytest.raises(ConfigError, match="unknown keys"):
+        load_pipeline_str(bad)
+
+
+def test_missing_path_rejected():
+    with pytest.raises(ConfigError, match="'path' is required"):
+        load_pipeline_str("sources:\n  s: {format: csv}\n")
+
+
+def test_unknown_op_fails_at_compile(spark, sf_dir):
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  li: {{format: parquet, path: "{sf_dir}/lineitem.parquet"}}
+steps:
+  - {{id: a, input: li, op: frobnicate, params: {{}}}}
+"""
+    )
+    with pytest.raises(ValueError, match="unknown op"):
+        compile_pipeline(spark, cfg)
+
+
+def test_yaml_equals_programmatic(spark, sf_dir):
+    """The YAML-compiled flagship equals the same plan built directly."""
+    from pyspark.sql import functions as F
+
+    cfg = load_pipeline_str(GOOD % {"sf": sf_dir})
+    frames = compile_pipeline(spark, cfg)
+    got = {tuple(r) for r in frames["agg"].collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = {
+        tuple(r)
+        for r in li.filter(F.col("l_quantity") > 45)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_validate_split_plus_metrics(spark, sf_dir):
+    """Quarantine split partitions the input; metrics agree with it."""
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  o: {{format: parquet, path: "{sf_dir}/orders.parquet"}}
+steps:
+  - id: metrics
+    input: o
+    op: validate
+    params:
+      output: metrics
+      rules:
+        - {{rule: range, name: band, column: o_totalprice, min: 0, max: 300000, on_fail: quarantine}}
+  - id: good
+    input: o
+    op: validate
+    params:
+      output: valid
+      rules:
+        - {{rule: range, name: band, column: o_totalprice, min: 0, max: 300000, on_fail: quarantine}}
+  - id: bad
+    input: o
+    op: validate
+    params:
+      output: invalid
+      rules:
+        - {{rule: range, name: band, column: o_totalprice, min: 0, max: 300000, on_fail: quarantine}}
+"""
+    )
+    frames = compile_pipeline(spark, cfg)
+    total = frames["o"].count()
+    n_good, n_bad = frames["good"].count(), frames["bad"].count()
+    assert n_good + n_bad == total
+    m = frames["metrics"].collect()[0]
+    assert m.n_checked == total and m.n_failed == n_bad
