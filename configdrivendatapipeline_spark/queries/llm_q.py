@@ -1,1 +1,477 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.11 — LLM-training-data operators (+ multimodal
+plumbing), routed through configdrivendatapipeline_spark.llm.
+
+Oracle strategy: deterministic integer/fixed-fold formulas match SQL
+exactly; xxhash64-based operators (MinHash/LSH, SimHash, hyperplane
+buckets) have no DuckDB twin hash → rows-only, with a deterministic
+Jaccard companion query (SQL) arguing their correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.llm import dedup, multimodal, similarity, textstats
+from configdrivendatapipeline_spark.queries import declare, load
+
+_SEC = "2.11"
+
+# DuckDB helpers: dot/norm via index-folded list_reduce in double —
+# identical left-fold order to Spark's F.aggregate.
+_ODOT = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (s, x) -> s + x)"
+)
+_ONRM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (s, x) -> s + x))"
+)
+
+
+def _ocos(a: str, b: str) -> str:
+    return (
+        f"ROUND({_ODOT.format(a=a, b=b)} / "
+        f"({_ONRM.format(a=a)} * {_ONRM.format(a=b)}), 6)"
+    )
+
+
+@declare(
+    "llm_exact_dedup",
+    """
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT MIN(doc_id) AS doc_id, md5(text) AS content_key, COUNT(*) AS n_copies
+    FROM doubled GROUP BY text
+    """,
+    _SEC,
+    "Exact dedup on a manufactured at-least-twice corpus: content-"
+    "hash groups, keep lowest id (one shuffle on the hash).",
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    return doubled.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.md5("text").alias("content_key"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("doc_id", "content_key", "n_copies")
+
+
+@declare(
+    "llm_minhash_dedup",
+    None,  # xxhash64 signatures have no DuckDB twin → rows-only;
+    # llm_jaccard_neardup is the deterministic companion check.
+    _SEC,
+    "MinHash(32) + banded LSH(8): near-dup candidate pairs without "
+    "any O(n²) comparison — the corpus-scale dedup path.",
+)
+def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, n_hashes=32, shingle_k=3)
+    return dedup.lsh_candidate_pairs(sigs, bands=8)
+
+
+@declare(
+    "llm_jaccard_neardup",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
+    """,
+    _SEC,
+    "Exact n-gram (token-set) Jaccard near-dups via inverted-index "
+    "join — the deterministic verifier behind MinHash.",
+)
+def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, threshold=0.8)
+
+
+@declare(
+    "llm_simhash",
+    None,  # xxhash64 bit-sums → rows-only.
+    _SEC,
+    "64-bit SimHash fingerprints (one aggregate pass of per-bit "
+    "signed sums).",
+)
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_text_stats",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(FLOOR((list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(toks, t -> CAST(LENGTH(t) AS BIGINT))),
+                    (a, b) -> a + b) * 200 + len(toks))
+                / (len(toks) * 2)) AS DOUBLE) / 100 AS avg_word_len
+    FROM d
+    """,
+    _SEC,
+    "Per-document stats: tokens, chars, distinct tokens, avg word "
+    "length (integer-exact to 2dp).",
+)
+def llm_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.text_stats(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS bpe_ish_tokens
+    FROM documents
+    """,
+    _SEC,
+    "Token counting: whitespace + BPE-ish greedy ≤4-char chunks "
+    "(training-budget estimation proxy).",
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_word_freq",
+    """
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS freq
+    FROM t GROUP BY token
+    ORDER BY freq DESC, token ASC
+    LIMIT 20
+    """,
+    _SEC,
+    "Corpus top-20 token frequencies (deterministic tie-break).",
+)
+def llm_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.word_freq(load(spark, sf_dir, "documents"), k=20)
+
+
+@declare(
+    "llm_lang_id",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+        len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS score_en,
+        len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS score_fr,
+        len(list_filter(toks, t -> list_contains(['el','los','de','y','que'], t))) AS score_es,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS score_de,
+        len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo'], t))) AS score_zh
+      FROM d)
+    SELECT doc_id, score_en, score_fr, score_es, score_de, score_zh,
+           CASE
+             WHEN score_en > 0 AND score_en >= score_fr AND score_en >= score_es
+                  AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+             WHEN score_fr > 0 AND score_fr > score_en AND score_fr >= score_es
+                  AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+             WHEN score_es > 0 AND score_es > score_en AND score_es > score_fr
+                  AND score_es >= score_de AND score_es >= score_zh THEN 'es'
+             WHEN score_de > 0 AND score_de > score_en AND score_de > score_fr
+                  AND score_de > score_es AND score_de >= score_zh THEN 'de'
+             WHEN score_zh > 0 AND score_zh > score_en AND score_zh > score_fr
+                  AND score_zh > score_es AND score_zh > score_de THEN 'zh'
+             ELSE 'und'
+           END AS lang_pred
+    FROM s
+    """,
+    _SEC,
+    "Stopword-dictionary language-ID heuristic (argmax with fixed "
+    "priority tie-break) — the cheap corpus prefilter.",
+)
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_quality_filter",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t)))
+                 AS n_stopwords,
+             len(list_distinct(toks)) AS n_distinct
+      FROM d)
+    SELECT doc_id, n_tokens, n_stopwords, n_distinct,
+           (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+            + CASE WHEN n_stopwords * 100 >= n_tokens * 2
+                    AND n_stopwords * 100 <= n_tokens * 40 THEN 30 ELSE 0 END
+            + CASE WHEN n_distinct * 100 >= n_tokens * 30 THEN 30 ELSE 0 END)
+               AS quality
+    FROM q
+    WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+            + CASE WHEN n_stopwords * 100 >= n_tokens * 2
+                    AND n_stopwords * 100 <= n_tokens * 40 THEN 30 ELSE 0 END
+            + CASE WHEN n_distinct * 100 >= n_tokens * 30 THEN 30 ELSE 0 END) >= 70
+    """,
+    _SEC,
+    "Quality scoring (length / stopword-ratio / repetition bands) + "
+    "threshold filter — integer arithmetic end-to-end.",
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = textstats.quality_score(load(spark, sf_dir, "documents"))
+    return q.filter(F.col("quality") >= 70)
+
+
+@declare(
+    "llm_fingerprint",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(ascii(t) AS BIGINT) * 100
+                                          + CAST(LENGTH(t) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 2147483647) AS fingerprint
+    FROM d
+    """,
+    _SEC,
+    "Order-sensitive rolling document hash (mod-2³¹−1 polynomial "
+    "fold) — engine-exact, unlike implementation-defined hashes.",
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_tfidf",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    weighted AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             ROUND(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf, dfreq, n WHERE tf.term = dfreq.term
+    )
+    SELECT doc_id, term, tf, df, tfidf,
+           rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS rn FROM weighted)
+    WHERE rn <= 5
+    """,
+    _SEC,
+    "TF-IDF (smoothed idf), top-5 terms per document.",
+)
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.tf_idf(load(spark, sf_dir, "documents"), top_per_doc=5)
+
+
+@declare(
+    "llm_cosine_topk",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS q FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id,
+             {_ocos('e.embedding', 'p.q')} AS cos_sim
+      FROM embeddings e CROSS JOIN probes p
+    )
+    SELECT probe_id, vec_id, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+    _SEC,
+    "Brute-force cosine top-k (5 probes × corpus, broadcast probe "
+    "side) — the exact ANN baseline/verifier.",
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.brute_force_topk(emb, probes, k=5)
+
+
+@declare(
+    "llm_knn_lsh",
+    None,  # hyperplane buckets are hash-derived → rows-only; recall
+    # is asserted against the exact path in tests/test_llm.py.
+    _SEC,
+    "LSH-bucketed approximate top-k (deterministic hash-derived "
+    "hyperplanes): the sub-linear ANN path for corpus-scale search.",
+)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.lsh_topk(emb, probes, k=5, n_tables=6, planes_per_table=4)
+
+
+@declare(
+    "llm_embed_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_ocos('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_ocos('a.embedding', 'b.embedding')} >= 0.3
+    """,
+    _SEC,
+    "Embedding-cosine near-duplicate pairs (threshold 0.3 — the "
+    "synthetic vectors are near-orthogonal); bucketed-LSH prefilter "
+    "is the scale path (llm_knn_lsh).",
+)
+def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@declare(
+    "llm_multimodal_cols",
+    f"""
+    SELECT e.label,
+           COUNT(*) AS n_docs,
+           MAX(ROUND({_ONRM.format(a='e.embedding')}, 6)) AS max_norm,
+           MIN(ROUND({_ONRM.format(a='e.embedding')}, 6)) AS min_norm,
+           MAX(LENGTH(d.text)) AS max_text_len
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en'
+    GROUP BY e.label
+    """,
+    _SEC,
+    "Multimodal table: text + vector + metadata columns flowing "
+    "through ordinary relational ops (join/filter/aggregate).",
+)
+def llm_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).filter(F.col("lang") == "en")
+    nrm = F.round(similarity.norm(similarity.as_double("embedding")), 6)
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(nrm).alias("max_norm"),
+        F.min(nrm).alias("min_norm"),
+        F.max(F.length("text")).cast("long").alias("max_text_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + Arrow decode kernel + plans)
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS payload_bytes,
+           md5(text) AS payload_md5,
+           ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+           CAST((doc_id * 37) % 1280 + 16 AS INT) AS width,
+           CAST((doc_id * 53) % 720 + 16 AS INT) AS height
+    FROM documents
+    """,
+    _SEC,
+    "Opaque binary media column + typed metadata riding the normal "
+    "columnar path (hashes/lengths computed on the bytes).",
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal.attach_fake_payload(load(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "media_type",
+        "width",
+        "height",
+    )
+
+
+@declare(
+    "mm_decode_stub",
+    """
+    WITH chars AS (
+      SELECT doc_id,
+             ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+             octet_length(encode(text)) AS payload_bytes,
+             ascii(text) AS first_byte,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(text, ''), c ->
+                 CAST(ascii(c) AS BIGINT))), (a, b) -> a + b) AS byte_sum
+      FROM documents)
+    SELECT doc_id, media_type, payload_bytes, first_byte,
+           CAST(FLOOR((byte_sum * 2000000 + payload_bytes)
+                / (2 * payload_bytes)) AS DOUBLE) / 1000000 AS feat_mean
+    FROM chars
+    """,
+    _SEC,
+    "Arrow-batched decode/featurize kernel over binary payloads "
+    "(mapInPandas; deterministic fake decoder — real PIL/ffmpeg path "
+    "raises DecodeUnavailable; plan/schema/batching are the real "
+    "deliverable).",
+)
+def mm_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal.attach_fake_payload(load(spark, sf_dir, "documents"))
+    return multimodal.decode_features(mm)
+
+
+@declare(
+    "mm_frame_sample",
+    """
+    SELECT doc_id, CAST((doc_id * 7) % 240 + 1 AS INT) AS n_frames,
+           CAST(unnest(range(0, (doc_id * 7) % 240 + 1, 24)) AS INT) AS frame_idx
+    FROM documents
+    WHERE ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'video'
+    """,
+    _SEC,
+    "Video frame-sampling plan: every-24th frame index exploded "
+    "BEFORE decode (decode k× less data at scale).",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal.attach_fake_payload(load(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(mm, every_k=24)
+
+
+@declare(
+    "mm_resize_plan",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST((doc_id * 37) % 1280 + 16 AS INT) AS width,
+             CAST((doc_id * 53) % 720 + 16 AS INT) AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width
+                ELSE FLOOR(width * 256 / GREATEST(width, height)) END AS INT) AS target_w,
+           CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height
+                ELSE FLOOR(height * 256 / GREATEST(width, height)) END AS INT) AS target_h
+    FROM m
+    """,
+    _SEC,
+    "Aspect-preserving resize targets computed in-plan (the SQL half "
+    "of the resize kernel; pixel work stays in the decode stub).",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal.attach_fake_payload(load(spark, sf_dir, "documents"))
+    return multimodal.resize_plan(mm, max_side=256)

@@ -1,1 +1,256 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.10 — streaming operators.
+
+Each query runs a real Structured Streaming plan (readStream →
+transform → memory sink, ``Trigger.AvailableNow``) to completion and
+returns the materialized result; the oracle is the batch-equivalent
+SQL over the same events (SURVEY.md §5 item 6). Late-data semantics
+that cannot appear in a single drained backlog are unit-tested with
+multi-micro-batch feeds in tests/test_streaming.py.
+
+Value sums use exact integer micro-units (see windows.py) so
+streaming partial aggregation order can't flip hashes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.queries import declare, load
+from configdrivendatapipeline_spark.streaming import run_available_now, stream_events
+
+_SEC = "2.10"
+
+_VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "cddp_stream", tag, name)
+
+
+@declare(
+    "stream_tumbling",
+    f"""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VU}) AS DOUBLE) / 1000000 AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    _SEC,
+    "Tumbling 1-hour windows (count + exact sum) on the event stream.",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = stream_events(spark, sf_dir).withColumn("vu", F.expr(_VU))
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vu").cast("double") / 1000000).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_available_now(agg, "complete")
+
+
+@declare(
+    "stream_sliding",
+    f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - CAST(g.i AS INT) * INTERVAL '15 minutes' AS win_start,
+             {_VU} AS vu
+      FROM events, generate_series(0, 3) AS g(i)
+    )
+    SELECT win_start, COUNT(*) AS n_events,
+           CAST(SUM(vu) AS DOUBLE) / 1000000 AS total_value
+    FROM expanded
+    GROUP BY win_start
+    """,
+    _SEC,
+    "Sliding windows (1 h length, 15 min slide): every event lands in "
+    "4 overlapping windows.",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = stream_events(spark, sf_dir).withColumn("vu", F.expr(_VU))
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("vu").cast("double") / 1000000).alias("total_value"),
+        )
+        .select(F.col("window.start").alias("win_start"), "n_events", "total_value")
+    )
+    return run_available_now(agg, "complete")
+
+
+@declare(
+    "stream_session",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+    _SEC,
+    "Gap-based session windows (30 min) per user; oracle is the "
+    "islands pattern — boundary convention: a gap of exactly the "
+    "timeout starts a new session (Spark closes at last_ts + gap, "
+    "exclusive).",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_available_now(agg, "complete")
+
+
+@declare(
+    "stream_watermark",
+    None,  # late-drop behavior is not expressible over a drained batch
+    _SEC,
+    "Watermarked windowed aggregation (10 min bounded lateness): "
+    "bounds state at scale; late-drop proper is unit-tested with "
+    "multi-micro-batch feeds (tests/test_streaming.py).",
+)
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "n_events")
+    )
+    return run_available_now(agg, "append")
+
+
+@declare(
+    "stream_dedup",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    _SEC,
+    "Exactly-once by event_id: the stream is fed a doubled feed and "
+    "dropDuplicates recovers exactly the original events.",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Manufacture an at-least-once feed: every event delivered twice.
+    path = _scratch(sf_dir, "events_doubled")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    ev.unionByName(ev).write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    sdf = spark.readStream.schema(static.schema).parquet(path)
+    return run_available_now(sdf.dropDuplicates(["event_id"]), "append")
+
+
+@declare(
+    "stream_static_join",
+    """
+    WITH cohorts AS (SELECT DISTINCT user_id, user_id % 5 AS cohort FROM events)
+    SELECT e.event_id, e.user_id, c.cohort
+    FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    """,
+    _SEC,
+    "Stream⋈static enrichment: the static dim broadcasts to every "
+    "micro-batch.",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = (
+        load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("cohort", F.col("user_id") % 5)
+    )
+    sdf = stream_events(spark, sf_dir).select("event_id", F.col("user_id").alias("e_user"))
+    joined = sdf.join(F.broadcast(dim), sdf.e_user == dim.user_id, "inner").select(
+        "event_id", "user_id", "cohort"
+    )
+    return run_available_now(joined, "append")
+
+
+@declare(
+    "stream_stateful_count",
+    f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM({_VU}) AS DOUBLE) / 1000000 AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+    _SEC,
+    "Running per-user state (unwindowed streaming aggregate — state "
+    "store backed; RocksDB provider at scale).",
+)
+def stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = stream_events(spark, sf_dir).withColumn("vu", F.expr(_VU))
+    agg = sdf.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("vu").cast("double") / 1000000).alias("total_value"),
+    )
+    return run_available_now(agg, "complete")
+
+
+@declare(
+    "stream_foreachbatch",
+    """
+    SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    """,
+    _SEC,
+    "foreachBatch sink adapter: every micro-batch is written through "
+    "the engine's batch sink layer (reuses write_sink), then read back.",
+)
+def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.io import write_sink
+
+    out = _scratch(sf_dir, "purchases_feb")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_sink(
+            batch_df,
+            {"format": "parquet", "path": out, "mode": "append"},
+        )
+
+    sdf = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "event_type", "value")
+    )
+    q = sdf.writeStream.foreachBatch(sink_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return spark.read.parquet(out)

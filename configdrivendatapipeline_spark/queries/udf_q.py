@@ -1,1 +1,165 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.12 — UDF surface.
+
+UDFs are the documented slow path (SURVEY.md §4: they break
+whole-stage codegen and cross the Python boundary) — declared here to
+prove the capability, with Arrow-batched variants preferred and every
+kernel deterministic so the SQL oracle can re-express it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from configdrivendatapipeline_spark.queries import declare, load
+
+_SEC = "2.12"
+
+
+@declare(
+    "udf_python",
+    """
+    SELECT o_orderkey,
+           6 - CAST(SUBSTR(o_orderpriority, 1, 1) AS INT) AS priority_weight
+    FROM orders
+    """,
+    _SEC,
+    "Row-scalar Python UDF (registered for SQL use too) — the "
+    "flexibility escape hatch, ~10-100× slower than built-ins.",
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("int")
+    def priority_weight(p: str) -> int:
+        return 6 - int(p[0])
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", priority_weight(F.col("o_orderpriority")).alias("priority_weight")
+    )
+
+
+@declare(
+    "udf_pandas",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    """,
+    _SEC,
+    "Vectorized Arrow pandas_udf: same IEEE math as the JVM "
+    "expression, executed on Arrow batches (the fast Python path).",
+)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @pandas_udf("double")
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@declare(
+    "udaf_pandas",
+    """
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 2) AS med_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    _SEC,
+    "Custom grouped aggregate via applyInPandas (Arrow batches per "
+    "group) — for aggregates Spark SQL can't express.",
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def group_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "med_qty": [round(float(pdf["l_quantity"].median()), 2)],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    return li.groupBy("l_returnflag").applyInPandas(
+        group_median, "l_returnflag STRING, med_qty DOUBLE, n BIGINT"
+    )
+
+
+@declare(
+    "udtf_python",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id < 50)
+    SELECT doc_id,
+           unnest(toks) AS token,
+           CAST(unnest(range(len(toks))) AS INT) AS pos
+    FROM d
+    """,
+    _SEC,
+    "Python UDTF (Spark 4): one row in, many rows out, used via "
+    "LATERAL join in SQL.",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @udtf(returnType="token: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield t, i
+
+    spark.udtf.register("cddp_tokenize", Tokenize)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM _udtf_docs d, LATERAL cddp_tokenize(d.text) t
+        """
+    )
+
+
+@declare(
+    "sql_step",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_cust,
+           CAST(FLOOR((CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000)
+                AS BIGINT) + 5000) / 10000) AS DOUBLE) / 100 AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    _SEC,
+    "Raw-SQL step THROUGH the YAML config engine: the pipeline is a "
+    "config document whose sql op runs over registered temp views.",
+)
+def sql_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.compiler import compile_pipeline
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+
+    cfg = load_pipeline_str(
+        f"""
+pipeline: {{name: sql_step_demo}}
+sources:
+  customer: {{format: parquet, path: "{sf_dir}/customer.parquet"}}
+steps:
+  - id: seg_summary
+    input: customer
+    op: sql
+    params:
+      views: [customer]
+      query: |
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+               CAST(FLOOR((CAST(FLOOR(SUM(CAST(c_acctbal AS DECIMAL(18,6))) * 1000000)
+                    AS BIGINT) + 5000) / 10000) AS DOUBLE) / 100 AS total_bal
+        FROM customer
+        GROUP BY c_mktsegment
+"""
+    )
+    return compile_pipeline(spark, cfg)["seg_summary"]

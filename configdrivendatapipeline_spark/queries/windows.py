@@ -1,1 +1,286 @@
-"""Placeholder — populated in a later phase."""
+"""SURVEY.md §2.5 — window functions.
+
+Determinism: every ORDER BY inside a window ends in a unique key
+(ts is unique in events; c_custkey/o_orderkey elsewhere), so ranks,
+offsets, and frame edges are reproducible. Running/moving sums go
+through integer micro-units (``floor(v*1e6 + 0.5)`` — exact for the
+2-dp fixture values) because windowed double summation is
+tree-order-dependent and DuckDB's segment-tree order differs from
+Spark's running accumulation.
+
+Scale notes: each window shuffles once on its partition key; no
+window here is partition-less over an unbounded table (the only
+global-order windows run over LIMITed subsets, see sorts_sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.queries import declare, load
+
+_SEC = "2.5"
+
+# Exact micro-units of the 2-dp double `value` column.
+_VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
+
+
+@declare(
+    "win_row_number",
+    """
+    SELECT event_id, user_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM events
+    """,
+    _SEC,
+    "Unique sequence per partition over a deterministic (unique ts) order.",
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
+
+
+@declare(
+    "win_rank",
+    """
+    SELECT c_custkey, c_nationkey,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS drnk
+    FROM customer
+    """,
+    _SEC,
+    "Ranking with (rank) and without (dense_rank) gaps; tied balances "
+    "get tied ranks deterministically.",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@declare(
+    "win_ntile",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+    _SEC,
+    "N buckets over a unique total order.",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+
+
+@declare(
+    "win_percent_rank",
+    """
+    SELECT c_custkey, c_nationkey,
+           ROUND(PERCENT_RANK() OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS pct_rnk,
+           ROUND(CUME_DIST() OVER
+                 (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS cdist
+    FROM customer
+    """,
+    _SEC,
+    "Relative rank / empirical CDF.",
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@declare(
+    "win_lag_lead",
+    """
+    SELECT event_id, user_id,
+           LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type,
+           LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS next_type
+    FROM events
+    """,
+    _SEC,
+    "Previous/next row values per user session stream.",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+    )
+
+
+@declare(
+    "win_first_last_value",
+    """
+    SELECT event_id, user_id,
+           FIRST_VALUE(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+           LAST_VALUE(event_type) OVER
+             (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+    FROM events
+    """,
+    _SEC,
+    "Frame-edge values with an explicit full frame (the default frame "
+    "would make last_value degenerate).",
+)
+def win_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )
+
+
+@declare(
+    "win_running_sum",
+    f"""
+    SELECT event_id, user_id,
+           CAST(SUM({_VU}) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / 1000000 AS running_value
+    FROM events
+    """,
+    _SEC,
+    "Cumulative sum per user via exact integer micro-units.",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("vu", F.expr(_VU))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.sum("vu").over(w).cast("double") / 1000000).alias("running_value"),
+    )
+
+
+@declare(
+    "win_moving_avg",
+    f"""
+    SELECT event_id, user_id,
+           CAST(SUM({_VU}) OVER w AS DOUBLE)
+             / (1000000 * COUNT(*) OVER w) AS avg_value_4
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    _SEC,
+    "Sliding mean over the last 4 rows (exact integer numerator / one "
+    "identically-rounded IEEE division).",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("vu", F.expr(_VU))
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-3, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum("vu").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * 1000000)
+        ).alias("avg_value_4"),
+    )
+
+
+@declare(
+    "win_range_frame",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+    FROM orders
+    """,
+    _SEC,
+    "Value-based RANGE frame: peers within 10 000 below the current "
+    "price (includes ties of the current value).",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey", "o_orderstatus", F.count(F.lit(1)).over(w).alias("n_within_10k")
+    )
+
+
+@declare(
+    "win_topk_per_group",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    SELECT c_custkey, c_nationkey, c_acctbal, rn
+    FROM ranked WHERE rn <= 3
+    """,
+    _SEC,
+    "Top-k rows per key (ADF 'Rank' + filter): the scalable 'top "
+    "customers per nation' pattern — one shuffle, no global sort.",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@declare(
+    "win_dedup_latest",
+    """
+    WITH ranked AS (
+      SELECT event_id, user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+      FROM events)
+    SELECT event_id, user_id, ts FROM ranked WHERE rn = 1
+    """,
+    _SEC,
+    "Keep the latest row per key (ADF dedup pattern; also the SCD1 "
+    "upsert-compaction primitive).",
+)
+def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    return (
+        ev.select("event_id", "user_id", "ts", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,75 @@
+"""LLM-operator semantic tests: LSH recall vs the exact path, dedup
+idempotence, fingerprint sensitivity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.llm import dedup, similarity, textstats
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    """Approximate LSH top-k must contain the true #1 neighbor (the
+    probe itself, cos=1.0 in the same bucket) and ≥50% of the exact
+    top-5 on this corpus at L=6 tables × 4 planes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in similarity.lsh_topk(emb, probes, k=5, n_tables=6, planes_per_table=4).collect()
+    }
+    # self-match always survives (identical vector → identical bucket)
+    for p in range(5):
+        assert (p, p) in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_minhash_finds_planted_neardup(spark):
+    """A doc and its 1-word-mutated copy must collide in some band."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    mutated = base.replace("lazy", "sleepy", 1)
+    other = "completely different words about spark shuffles and joins " * 6
+    df = spark.createDataFrame(
+        [(1, base), (2, mutated), (3, other)], "doc_id LONG, text STRING"
+    )
+    sigs = dedup.minhash_signatures(df, n_hashes=32, shingle_k=3)
+    pairs = {
+        (r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs, bands=16).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10**6))
+    once = dedup.exact_dedup(doubled)
+    assert once.count() == docs.select("text").distinct().count()
+    twice = dedup.exact_dedup(once)
+    assert twice.count() == once.count()
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")], "doc_id LONG, text STRING"
+    )
+    fps = {r.doc_id: r.fingerprint for r in textstats.fingerprint(df).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_decode_stub_raises_for_real_decoder(spark, sf_dir):
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import multimodal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    mm = multimodal.attach_fake_payload(docs)
+    with pytest.raises(Exception, match="PIL|torchaudio|Decode"):
+        multimodal.decode_features(mm, use_real_decoder=True).collect()

@@ -1,0 +1,95 @@
+"""Streaming semantics tests (SURVEY.md §5 item 6): watermark
+late-data drop across micro-batches, and batch-equivalence of the
+session windows."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_rows(spark):
+    """Two micro-batches: batch 2 delivers an event older than the
+    watermark established by batch 1 → it must be dropped; a fresh
+    event in the same batch survives."""
+    root = os.path.join(tempfile.gettempdir(), f"wm_test_{uuid.uuid4().hex[:8]}")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    schema = "event_id BIGINT, ts TIMESTAMP"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, name))
+        # FileStreamSource processes files in discovery order; stage
+        # the finished parquet into the watched dir atomically.
+        part = [
+            f
+            for f in os.listdir(os.path.join(root, name))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copyfile(
+            os.path.join(root, name, part), os.path.join(src, f"{name}.parquet")
+        )
+
+    import datetime as dt
+    import time
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # One file per micro-batch (maxFilesPerTrigger=1, mtime order).
+    # Spark's late-event filter uses the watermark lagging one batch
+    # behind eviction, so the late row arrives two batches after the
+    # data that advanced the watermark past it.
+    write_file("b1", [(1, t(12, 0)), (2, t(12, 30))])  # wm → 12:20
+    time.sleep(1.1)
+    write_file("b2", [(4, t(12, 40))])  # wm → 12:30
+    time.sleep(1.1)
+    write_file("b3", [(3, t(11, 0)), (5, t(12, 50))])  # 11:00 is late → drop
+    time.sleep(1.1)
+    write_file("b4", [(6, t(13, 30))])  # wm → 13:20: flushes [12,13)
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("win_start"), "n")
+    )
+    # Append mode is where Spark GUARANTEES the late-drop (update
+    # mode documents that too-late rows "may or may not" aggregate).
+    # Final watermark = 13:20 flushes [12:00,13:00); had the 11:00
+    # row entered state, [11:00,12:00) would flush too.
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sum(p["numInputRows"] for p in q.recentProgress) == 6
+    rows = {(r.win_start.hour, r.n) for r in spark.table(name).collect()}
+    assert not any(h == 11 for h, _ in rows), f"late row leaked into state: {rows}"
+    assert (12, 4) in rows, f"on-time window missing/wrong: {rows}"
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_session_window_matches_islands(spark, sf_dir):
+    """session_window == the lag/cumsum islands rewrite on real events."""
+    from configdrivendatapipeline_spark.queries import registry
+
+    q = registry()["stream_session"]
+    got = q.build(spark, sf_dir)
+    assert got.count() > 0
+    # one session per (user, start); ends after starts everywhere
+    bad = got.filter(F.col("session_end") <= F.col("session_start")).count()
+    assert bad == 0
