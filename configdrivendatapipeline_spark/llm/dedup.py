@@ -48,6 +48,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _signed64(x: int) -> int:
+    return ((x + 2**63) % 2**64) - 2**63
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -56,13 +60,32 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, signature array<long>) — H permutation-mins in ONE
-    aggregate pass (each min combines map-side)."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_k)
+    aggregate pass (each min combines map-side).
+
+    Each shingle is hashed ONCE (xxhash64, masked to 32 bits); the H
+    permutations are arithmetic — hᵢ = (h₃₂·aᵢ + bᵢ) mod (2⁶¹−1)
+    with odd 30-bit multipliers, so products stay under 2⁶² and never
+    trip ANSI overflow — H× cheaper than re-hashing the string per
+    permutation. A repartition spreads the CPU-heavy shingle
+    expansion when the source arrives in fewer splits than cores
+    (single small file locally; already-split at lake scale).
+    """
+    spark = df.sparkSession
+    src = df.select(id_col, text_col)
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, id_col)
+    sh = with_shingles(src, text_col, shingle_k)
     exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
-    mins = [
-        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
+    base = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF))
+    mersenne61 = F.lit(2305843009213693951)
+    mins = []
+    for i in range(n_hashes):
+        a = ((i * 2654435761) % (2**30)) | 1
+        b = (i * 40503 * 65537) % (2**31)
+        mins.append(
+            F.min(F.pmod(base * F.lit(a) + F.lit(b), mersenne61)).alias(f"h{i}")
+        )
     agg = exploded.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")

@@ -83,6 +83,18 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Repartition a DataFrame that arrived in fewer splits than
+    cores (the local single-row-group-parquet case). At lake scale
+    sources arrive pre-split, the condition is false, and this is a
+    no-op — so the shuffle is never paid where it would hurt.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry."""
     # Imports are deferred so a syntax error in one section surfaces

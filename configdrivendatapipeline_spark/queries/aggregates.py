@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from configdrivendatapipeline_spark.queries import (
+    spread,
     DEC,
     davg,
     declare,
@@ -54,7 +55,7 @@ _Q1_CUTOFF = "2000-12-01"
     "Pricing summary (TPC-H Q1 shape): hash group-by with partial aggregation.",
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
