@@ -275,6 +275,28 @@ def _scd2(spark, dfs, p):
     return enrichment.scd2(_one(dfs), p["key"], p["ts"], p.get("attrs"))
 
 
+# --- skew escape hatches -------------------------------------------------------
+
+
+@op("salted_join")
+def _salted_join(spark, dfs, p):
+    from configdrivendatapipeline_spark.skew import salted_join
+
+    if len(dfs) != 2:
+        raise ValueError("salted_join expects exactly 2 inputs (big, small)")
+    return salted_join(
+        dfs[0], dfs[1], on=p["key"], salt=int(p.get("salt", 16)), how=p.get("how", "inner")
+    )
+
+
+@op("salted_agg")
+def _salted_agg(spark, dfs, p):
+    from configdrivendatapipeline_spark.skew import salted_agg
+
+    aggs = {name: (spec[0], spec[1]) for name, spec in p["aggs"].items()}
+    return salted_agg(_one(dfs), p["group_by"], aggs, salt=int(p.get("salt", 16)))
+
+
 # ---------------------------------------------------------------------------
 # Pipeline runner
 # ---------------------------------------------------------------------------
@@ -299,10 +321,28 @@ def compile_pipeline(
 
 
 def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFrame]:
-    """Compile, then execute sinks; returns the named frames."""
+    """Compile, then execute sinks; returns the named frames.
+
+    Streaming inputs flow through the same step ops; a sink fed by a
+    streaming frame runs as a foreachBatch stream (each micro-batch
+    written through the identical batch sink layer) with
+    ``Trigger.AvailableNow`` — production would swap the trigger, not
+    the pipeline.
+    """
     for k, v in cfg.spark_conf.items():
         spark.conf.set(k, v)
     frames = compile_pipeline(spark, cfg)
     for sink in cfg.sinks:
-        write_sink(frames[sink.input], sink.to_writer_cfg())
+        df = frames[sink.input]
+        wcfg = sink.to_writer_cfg()
+        if df.isStreaming:
+            wcfg["mode"] = "append"  # per-micro-batch appends
+
+            def _write(batch_df: DataFrame, batch_id: int, _cfg=wcfg) -> None:
+                write_sink(batch_df, _cfg)
+
+            q = df.writeStream.foreachBatch(_write).trigger(availableNow=True).start()
+            q.awaitTermination()
+        else:
+            write_sink(df, wcfg)
     return frames

@@ -17,6 +17,7 @@ day and scanning the lake.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +35,7 @@ def read_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     streaming = bool(cfg.get("streaming"))
 
     if fmt in _FILE_FORMATS:
+        path = cfg["path"]
         reader = spark.readStream if streaming else spark.read
         reader = reader.format(fmt).options(**options)
         if schema_ddl:
@@ -42,9 +44,15 @@ def read_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
             # Streaming file sources require a schema: infer it from a
             # one-off batch read of the same path (footer-only for
             # parquet — cheap even on huge lakes).
-            static = spark.read.format(fmt).options(**options).load(cfg["path"])
+            static = spark.read.format(fmt).options(**options).load(path)
             reader = reader.schema(static.schema)
-        df = reader.load(cfg["path"])
+        if streaming and os.path.isfile(path):
+            # FileStreamSource monitors directories; stage a bare
+            # file behind a symlinked dir.
+            from configdrivendatapipeline_spark.streaming.ops import _stage_dir
+
+            path = _stage_dir(path)
+        df = reader.load(path)
     elif fmt == "jdbc":
         reader = (
             spark.read.format("jdbc")

@@ -1,0 +1,84 @@
+"""Skew mitigation utilities (SURVEY.md §4 "config escape hatch for
+extreme skew").
+
+AQE's skew-join split handles most runtime skew; these helpers cover
+the cases AQE can't: a single hot key whose *build side* must be
+replicated (salted broadcast pattern), and skewed aggregations where
+one key owns most rows (two-phase salted aggregate).
+
+Both transforms are pure DataFrame rewrites — no RDDs, no driver
+loops — and are exposed to YAML via the ``salted_join`` /
+``salted_agg`` compiler ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join a skewed big side to a small side, splitting every
+    hot key across ``salt`` sub-partitions.
+
+    Big rows get a deterministic salt from a sibling column hash (or
+    a hash of the whole row), small rows are replicated ``salt``
+    times, and the join key becomes (key, salt): a key owning 40% of
+    the table now lands on 16 reducers instead of one. Deterministic
+    (hash-derived salt — stable across retries, unlike rand()).
+    """
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
+    )
+    small_salted = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_salted.join(small_salted, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+#: phase-1 builder and phase-2 merger per algebraic aggregate kind.
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys.
+
+    ``aggs`` maps output name → (kind, column) with kind in
+    sum|count|min|max (algebraic aggregates only — they re-merge).
+    Phase 1 aggregates on (keys + salt): the hot key's rows combine
+    on ``salt`` different reducers; phase 2 merges the tiny partials
+    on the real keys. The salt is a deterministic full-row hash —
+    stable across task retries, unlike rand().
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt)).cast("int")
+    )
+    p1_exprs, p2_exprs = [], []
+    for name, (kind, col) in aggs.items():
+        try:
+            build, merge = _ALGEBRAIC[kind]
+        except KeyError:
+            raise ValueError(
+                f"salted_agg supports {sorted(_ALGEBRAIC)}, got {kind!r}"
+            ) from None
+        p1_exprs.append(build(col).alias(f"__p_{name}"))
+        p2_exprs.append(merge(F.col(f"__p_{name}")).alias(name))
+    phase1 = salted.groupBy(*keys, "__salt").agg(*p1_exprs)
+    return phase1.groupBy(*keys).agg(*p2_exprs)

@@ -1,0 +1,100 @@
+"""Skew utilities + config-driven streaming pipeline tests."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.skew import salted_agg, salted_join
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = li.join(sup, "l_suppkey").groupBy("s_name").count()
+    salted = salted_join(li, sup, on="l_suppkey", salt=8).groupBy("s_name").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_matches_plain_agg(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        tuple(r)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("min_q"),
+            F.max("l_quantity").alias("max_q"),
+        )
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n": ("count", "l_quantity"),
+                "min_q": ("min", "l_quantity"),
+                "max_q": ("max", "l_quantity"),
+            },
+            salt=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_algebraic(spark, sf_dir):
+    import pytest
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    with pytest.raises(ValueError, match="salted_agg supports"):
+        salted_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
+
+
+def test_streaming_pipeline_from_yaml(spark):
+    """The streaming_purchases example runs end-to-end via config and
+    produces exactly the batch-equivalent rows."""
+    from configdrivendatapipeline_spark.compiler import run_pipeline
+    from configdrivendatapipeline_spark.config import load_pipeline
+
+    out = "/tmp/cddp_out/purchases_stream"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = load_pipeline("examples/streaming_purchases.yaml")
+    frames = run_pipeline(spark, cfg)
+    assert frames["shaped"].isStreaming
+    got = spark.read.parquet(out)
+    want = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert got.count() == want
+    assert set(got.columns) == {"event_id", "user_id", "event_ts", "value"}
+    assert dict(got.dtypes)["event_ts"] == "timestamp"
+
+
+def test_schema_drift_modes(spark):
+    """passthrough keeps unknowns + nulls missing; drop shapes to the
+    declared schema; strict raises."""
+    import pytest
+
+    from configdrivendatapipeline_spark.io.sources import apply_schema_drift
+    from pyspark.sql.types import _parse_datatype_string
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a INT, b STRING, extra DOUBLE")
+    expected = _parse_datatype_string("a INT, b STRING, missing BIGINT")
+
+    pt = apply_schema_drift(df, expected, "passthrough")
+    assert set(pt.columns) == {"a", "b", "extra", "missing"}
+    assert pt.collect()[0].missing is None
+
+    dr = apply_schema_drift(df, expected, "drop")
+    assert dr.columns == ["a", "b", "missing"]
+
+    with pytest.raises(ValueError, match="schema drift"):
+        apply_schema_drift(df, expected, "strict")
