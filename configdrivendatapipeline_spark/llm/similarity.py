@@ -170,6 +170,78 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize, probe few lists.
+
+    Training-free coarse quantizer: the ``n_centroids``
+    lowest-id corpus vectors serve as centroids (deterministic; a
+    production build would k-means a sample — the plan shape is
+    identical). Every corpus vector is assigned to its nearest
+    centroid (inverted list); each query scores only its ``n_probe``
+    nearest lists — an equi-join on the list id replaces the
+    crossJoin, scanning ~n_probe/n_centroids of the corpus.
+    """
+    from pyspark.sql import Window as W
+
+    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    cents = (
+        c.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col("__v").alias("__c"))
+    )
+    bc = F.broadcast(cents)
+
+    # invert: each corpus vector → nearest centroid's list
+    assigned = (
+        c.crossJoin(bc)
+        .withColumn("__sim", cosine(F.col("__v"), F.col("__c")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "__v", F.col("cent_id").alias("list_id"))
+    )
+
+    # route each probe to its n_probe nearest lists
+    p = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
+    routed = (
+        p.crossJoin(bc)
+        .withColumn("__sim", cosine(F.col("__q"), F.col("__c")))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy(probe_id).orderBy(F.col("__sim").desc(), F.col("cent_id"))
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(probe_id, "__q", F.col("cent_id").alias("list_id"))
+    )
+
+    scored = assigned.join(F.broadcast(routed), "list_id").select(
+        probe_id,
+        id_col,
+        F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(probe_id, id_col, "cos_sim", F.col("rn").alias("rank"))
+    )
+
+
 def neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

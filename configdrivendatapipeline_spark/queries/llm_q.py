@@ -331,6 +331,23 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "llm_knn_ivf",
+    None,  # approximate (probe subset) → rows-only; recall vs the
+    # exact baseline is asserted in tests/test_llm.py.
+    _SEC,
+    "IVF-style ANN: coarse-quantize to inverted lists, probe the 4 "
+    "nearest of 16 lists per query — the second (routing-based) "
+    "scale path beside hyperplane LSH.",
+)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.ivf_topk(emb, probes, k=5, n_centroids=16, n_probe=4)
+
+
+@declare(
     "llm_embed_neardup",
     f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -1,0 +1,257 @@
+"""Every compiler op is reachable from YAML and produces the same
+result as the equivalent hand-built DataFrame expression."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.compiler import OPS, compile_pipeline
+from configdrivendatapipeline_spark.config import load_pipeline_str
+
+
+def run_step(spark, sf_dir, table: str, step_yaml: str, extra_sources: str = ""):
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  {table}: {{format: parquet, path: "{sf_dir}/{table}.parquet"}}
+{extra_sources}steps:
+{step_yaml}
+"""
+    )
+    return compile_pipeline(spark, cfg)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_every_op_is_exercised_below():
+    covered = {
+        "select", "rename", "drop", "derive", "cast", "filter", "join",
+        "union", "distinct", "aggregate", "pivot", "unpivot", "window",
+        "dedup", "sort", "limit", "sql", "validate", "lookup",
+        "standardize", "bucketize", "surrogate_key", "audit", "scd2",
+        "salted_join", "salted_agg",
+    }
+    assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
+
+
+def test_projection_ops(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "nation",
+        """
+  - {id: sel, input: nation, op: select, params: {columns: [n_nationkey, n_name]}}
+  - {id: ren, input: sel, op: rename, params: {mapping: {n_name: nation_name}}}
+  - {id: dr, input: nation, op: drop, params: {columns: [n_regionkey]}}
+  - {id: der, input: nation, op: derive, params: {columns: {double_key: "n_nationkey * 2"}}}
+  - {id: ca, input: nation, op: cast, params: {columns: {n_nationkey: bigint}}}
+  - {id: casafe, input: nation, op: cast, params: {mode: safe, columns: {n_name: int}}}
+""",
+    )
+    assert frames["ren"].columns == ["n_nationkey", "nation_name"]
+    assert frames["dr"].columns == ["n_nationkey", "n_name"]
+    assert frames["der"].select(F.max("double_key")).collect()[0][0] == 48
+    assert dict(frames["ca"].dtypes)["n_nationkey"] == "bigint"
+    assert frames["casafe"].filter(F.col("n_name").isNotNull()).count() == 0
+
+
+def test_join_union_distinct_ops(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "nation",
+        """
+  - id: j
+    inputs: [nation, region]
+    op: join
+    params: {condition: "n_regionkey = r_regionkey", how: inner, broadcast: true}
+  - id: u
+    inputs: [nation, nation]
+    op: union
+    params: {}
+  - id: d
+    input: u
+    op: distinct
+    params: {columns: [n_regionkey]}
+""",
+        extra_sources=f'  region: {{format: parquet, path: "{sf_dir}/region.parquet"}}\n',
+    )
+    assert frames["j"].count() == 25
+    assert frames["u"].count() == 50
+    assert frames["d"].count() == 5
+
+
+def test_aggregate_window_dedup_ops(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "orders",
+        """
+  - id: agg
+    input: orders
+    op: aggregate
+    params:
+      group_by: [o_orderstatus]
+      aggs: {n: "COUNT(*)"}
+      having: "COUNT(*) > 1"
+  - id: roll
+    input: orders
+    op: aggregate
+    params: {kind: rollup, group_by: [o_orderstatus], aggs: {n: "COUNT(*)"}}
+  - id: piv
+    input: orders
+    op: pivot
+    params: {group_by: [o_orderpriority], pivot_column: o_orderstatus,
+             values: [F, O], agg: "COUNT(*)"}
+  - id: unp
+    input: orders
+    op: unpivot
+    params: {ids: [o_orderkey], values: [o_totalprice], var_name: m, value_name: v}
+  - id: win
+    input: orders
+    op: window
+    params:
+      partition_by: [o_custkey]
+      order_by: [o_orderdate, o_orderkey]
+      columns: {seq: "ROW_NUMBER()"}
+  - id: ded
+    input: orders
+    op: dedup
+    params: {keys: [o_custkey], order_by: ["o_orderdate DESC", "o_orderkey"]}
+  - id: srt
+    input: ded
+    op: sort
+    params: {by: ["o_custkey"]}
+  - id: lim
+    input: srt
+    op: limit
+    params: {n: 7}
+""",
+    )
+    statuses = dict((r[0], r[1]) for r in frames["agg"].collect())
+    assert sum(statuses.values()) == frames["orders"].count()
+    assert frames["roll"].count() == len(statuses) + 1
+    assert set(frames["piv"].columns) == {"o_orderpriority", "F", "O"}
+    assert frames["unp"].columns == ["o_orderkey", "m", "v"]
+    assert frames["win"].filter(F.col("seq") == 1).count() == frames[
+        "orders"
+    ].select("o_custkey").distinct().count()
+    assert frames["ded"].count() == frames["orders"].select("o_custkey").distinct().count()
+    assert frames["lim"].count() == 7
+
+
+def test_enrichment_and_salted_ops(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "customer",
+        """
+  - id: lk
+    inputs: [customer, nation]
+    op: lookup
+    params:
+      keys: {c_nationkey: n_nationkey}
+      take: {nation_name: n_name}
+  - id: std
+    input: customer
+    op: standardize
+    params: {columns: [c_mktsegment]}
+  - id: bz
+    input: customer
+    op: bucketize
+    params: {column: c_acctbal, bounds: [0, 5000], labels: [debt, low, high], out: tier}
+  - id: sk
+    input: customer
+    op: surrogate_key
+    params: {order_by: [c_custkey], partition_by: [c_nationkey], out: sk}
+  - id: au
+    input: customer
+    op: audit
+    params: {load_id: L1, source_name: cust}
+  - id: natkeyed
+    input: nation
+    op: rename
+    params: {mapping: {n_nationkey: c_nationkey}}
+  - id: sj
+    inputs: [customer, natkeyed]
+    op: salted_join
+    params: {key: c_nationkey, salt: 4}
+  - id: sa
+    input: customer
+    op: salted_agg
+    params: {group_by: [c_nationkey], aggs: {n: [count, c_custkey]}, salt: 4}
+  - id: sc
+    input: customer
+    op: scd2
+    params: {key: [c_nationkey], ts: c_custkey}
+""",
+        extra_sources=(
+            f'  nation: {{format: parquet, path: "{sf_dir}/nation.parquet",'
+            ' schema: "n_nationkey INT, n_name STRING, n_regionkey INT"}\n'
+        ),
+    )
+    c = frames["customer"]
+    n_cust = c.count()
+    assert frames["lk"].filter(F.col("nation_name").isNotNull()).count() == n_cust
+    assert frames["std"].select("c_mktsegment").distinct().count() == 5
+    assert frames["bz"].filter(F.col("tier").isin("debt", "low", "high")).count() == n_cust
+    assert frames["sk"].filter(F.col("sk") == 1).count() == c.select(
+        "c_nationkey"
+    ).distinct().count()
+    assert frames["au"].select("_load_id").distinct().collect()[0][0] == "L1"
+    # salted join must equal a plain join ON the renamed key
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    plain = c.join(
+        nat.withColumnsRenamed({"n_nationkey": "c_nationkey"}), "c_nationkey"
+    ).count()
+    assert frames["sj"].count() == plain
+    sa = {tuple(r) for r in frames["sa"].collect()}
+    plain_agg = {
+        tuple(r)
+        for r in c.groupBy("c_nationkey").agg(F.count("c_custkey").alias("n")).collect()
+    }
+    assert sa == plain_agg
+    assert frames["sc"].filter(F.col("is_current")).count() == c.select(
+        "c_nationkey"
+    ).distinct().count()
+
+
+def test_validate_and_sql_ops_again(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "orders",
+        """
+  - id: m
+    input: orders
+    op: validate
+    params:
+      output: metrics
+      rules:
+        - {rule: not_null, name: ok, column: o_orderkey}
+  - id: q
+    input: orders
+    op: sql
+    params:
+      views: [o]
+      query: "SELECT COUNT(*) AS n FROM o"
+""",
+    )
+    assert frames["m"].collect()[0].passed is True
+    assert frames["q"].collect()[0].n == frames["orders"].count()
+
+
+def test_unknown_join_input_count_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="exactly 2 inputs"):
+        run_step(
+            spark,
+            sf_dir,
+            "orders",
+            """
+  - {id: j, inputs: [orders], op: join, params: {condition: "1=1"}}
+""",
+        )

@@ -31,6 +31,27 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with 4/16 lists probed must keep the self-match and ≥40%
+    of the exact top-5 (scans ~25% of the corpus)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    exact = {
+        (r.probe_id, r.vec_id)
+        for r in similarity.brute_force_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id)
+        for r in similarity.ivf_topk(emb, probes, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    for p in range(5):
+        assert (p, p) in approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
 def test_minhash_finds_planted_neardup(spark):
     """A doc and its 1-word-mutated copy must collide in some band."""
     base = "the quick brown fox jumps over the lazy dog " * 6

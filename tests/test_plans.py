@@ -1,0 +1,61 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations the
+engine promises must be visible in `.explain` output — these tests
+fail if a future change defeats pushdown, pruning, or broadcasting."""
+
+from __future__ import annotations
+
+from configdrivendatapipeline_spark.queries import registry
+
+
+def _plan(spark, sf_dir, name) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    df = registry()[name].build(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_groupby")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_flagship_columns_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_groupby")
+    # the scan must not read the join keys it doesn't need
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_multiway_star")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_semi_anti_stay_joins_not_subqueries(spark, sf_dir):
+    for name in ("join_semi", "join_anti"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scalar_queries_stay_codegen(spark, sf_dir):
+    """No Python evaluation in built-in-function queries."""
+    for name in ("fn_string", "fn_math", "derive_column"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # formatted-mode marks codegen stages with a leading '*'
+        assert "\n* " in plan or "+- * " in plan
+
+
+def test_lookup_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "enr_lookup")
+    assert "BroadcastHashJoin" in plan
