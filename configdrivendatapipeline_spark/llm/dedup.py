@@ -198,6 +198,52 @@ def jaccard_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, component),
+    component = min doc id in the cluster; singletons keep their own
+    id. The canonical "pick one representative per duplicate cluster"
+    step after MinHash/Jaccard.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(diameter) rounds. Each round is one shuffle;
+    ``localCheckpoint`` truncates the lineage so plans don't grow
+    (SURVEY.md §4: iterative algorithms are the one sanctioned use of
+    a driver-side loop — the loop is over *rounds*, never rows).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        neighbor = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.unionByName(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            labels.alias("old")
+            .join(new_labels.alias("new"), "id")
+            .filter(F.col("old.comp") != F.col("new.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

@@ -139,6 +139,61 @@ def fingerprint(
     return df.select(F.col(id_col), h.alias("fingerprint"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-budget chunks — the
+    pre-tokenization step of a training pipeline.
+
+    Chunk i covers tokens [i·(N−O), i·(N−O)+N); the last chunk may be
+    short; a doc shorter than N yields one chunk. Pure explode of an
+    in-plan sequence — no UDF, no driver involvement.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    n = F.size("__toks")
+    # number of chunks = 1 + ceil(max(0, n-N) / stride)
+    extra = F.greatest(n - chunk_tokens, F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / stride).cast("int")
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("__toks", i * stride + 1, chunk_tokens)
+                    ),
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .withColumn("chunk_tokens", F.size(F.split("chunk_text", " ")).cast("long"))
+    )
+
+
+#: PII-ish patterns → replacement tokens (regex scrubbing pass).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "[PHONE]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str, out: str | None = None) -> DataFrame:
+    """Regex-scrub PII-shaped substrings (emails, phones, SSNs) —
+    chained JVM-side regexp_replace, codegen-friendly."""
+    c = F.col(text_col)
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return df.withColumn(out or text_col, c)
+
+
 def word_freq(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus top-k token frequencies (count desc, token asc)."""
     return (

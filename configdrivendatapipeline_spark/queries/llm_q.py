@@ -331,6 +331,60 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "llm_knn_join",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+             {_ocos('a.embedding', 'b.embedding')} AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.label = b.label
+    )
+    SELECT left_id, right_id, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+               ORDER BY cos_sim DESC, right_id ASC) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+    _SEC,
+    "k-NN join: top-3 neighbors for EVERY vector within its label "
+    "group (label-partitioned to bound the pair space — the general "
+    "form swaps the label join for LSH/IVF candidates at scale).",
+)
+def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("left_id"),
+        F.col("label").alias("l_label"),
+        similarity.as_double("embedding").alias("__va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("right_id"),
+        F.col("label").alias("r_label"),
+        similarity.as_double("embedding").alias("__vb"),
+    )
+    scored = (
+        a.join(b, (F.col("l_label") == F.col("r_label"))
+               & (F.col("left_id") != F.col("right_id")))
+        .select(
+            "left_id",
+            "right_id",
+            F.round(
+                similarity.cosine(F.col("__va"), F.col("__vb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cos_sim").desc(), F.col("right_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("left_id", "right_id", "cos_sim", F.col("rn").alias("rank"))
+    )
+
+
+@declare(
     "llm_knn_ivf",
     None,  # approximate (probe subset) → rows-only; recall vs the
     # exact baseline is asserted in tests/test_llm.py.
@@ -492,3 +546,101 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = multimodal.attach_fake_payload(load(spark, sf_dir, "documents"))
     return multimodal.resize_plan(mm, max_side=256)
+
+
+@declare(
+    "llm_chunking",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             1 + CAST(CEIL(GREATEST(len(toks) - 64, 0) / 48.0) AS INT) AS n_chunks
+      FROM d)
+    SELECT doc_id,
+           CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx,
+           list_aggregate(toks[unnest(range(n_chunks)) * 48 + 1 :
+                               unnest(range(n_chunks)) * 48 + 64], 'string_agg', ' ')
+               AS chunk_text,
+           CAST(len(toks[unnest(range(n_chunks)) * 48 + 1 :
+                         unnest(range(n_chunks)) * 48 + 64]) AS BIGINT) AS chunk_tokens
+    FROM c
+    """,
+    _SEC,
+    "Document chunking: 64-token windows with 16-token overlap "
+    "(stride 48) — the context-window packing step; pure in-plan "
+    "sequence explode, no UDF.",
+)
+def llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@declare(
+    "llm_pii_redact",
+    r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             CONCAT(SUBSTR(text, 1, 20), ' contact user', doc_id,
+                    '@example.com or 555-867-5309 ssn 123-45-6789') AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+               '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS text
+    FROM dirty
+    """,
+    _SEC,
+    "PII scrubbing: chained regex redaction (emails/phones/SSNs) over "
+    "a corpus with injected PII — codegen'd, no Python.",
+)
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return textstats.redact_pii(dirty, "text")
+
+
+@declare(
+    "llm_dup_clusters",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sizes AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING COUNT(*) / (ANY_VALUE((SELECT n_tok FROM sizes WHERE id = a.id))
+             + ANY_VALUE((SELECT n_tok FROM sizes WHERE id = b.id)) - COUNT(*)) >= 0.95
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      WITH RECURSIVE w(id, anc) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.anc FROM w JOIN edges e ON e.src = w.id
+      ) SELECT * FROM w
+    )
+    SELECT id AS doc_id, MIN(anc) AS component
+    FROM walk GROUP BY id
+    """,
+    _SEC,
+    "Duplicate-cluster assignment: connected components (iterative "
+    "min-label propagation, one shuffle per round, localCheckpoint'd) "
+    "over exact-Jaccard>=0.95 edges; oracle is a recursive-CTE "
+    "transitive closure.",
+)
+def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    return dedup.duplicate_clusters(pairs, docs, id_col="doc_id")

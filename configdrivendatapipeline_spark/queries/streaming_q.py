@@ -34,6 +34,31 @@ def _scratch(sf_dir: str, name: str) -> str:
 
 
 @declare(
+    "src_stream",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type IN ('click', 'view')
+    """,
+    _SEC.replace("2.10", "2.1"),
+    "Streaming file source through the configured source layer "
+    "(readStream + AvailableNow), batch-equivalent by construction.",
+)
+def src_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.io import read_source
+
+    sdf = read_source(
+        spark,
+        {"format": "parquet", "path": f"{sf_dir}/events.parquet", "streaming": True},
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = sdf.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return run_available_now(out, "append")
+
+
+@declare(
     "stream_tumbling",
     f"""
     SELECT date_trunc('hour', ts) AS win_start,
