@@ -97,36 +97,60 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 8,
     max_bucket: int = 1000,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs whose signature agrees on any full band.
 
     Returns distinct (id_a, id_b) with id_a < id_b. ``max_bucket``
     caps degenerate collision groups before pair expansion (a bucket
     of size m yields m² pairs — unbounded m is the classic LSH
-    skew bomb at corpus scale).
+    skew bomb at corpus scale). Pass ``sig_len`` when known: literal
+    band boundaries generate far cheaper code than in-plan
+    ``size(signature)`` arithmetic.
     """
-    # band rows = |sig| / bands, computed in-plan to stay generic.
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+    if sig_len is not None:
+        r = sig_len // bands
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
                     F.concat_ws(
                         ",",
-                        F.transform(
-                            F.slice(
-                                "signature",
-                                b * (F.size("signature") / bands).cast("int") + 1,
-                                (F.size("signature") / bands).cast("int"),
-                            ),
-                            lambda x: x.cast("string"),
-                        ),
+                        *[
+                            F.element_at("signature", b * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
                     )
-                ),
+                ).alias("band_hash"),
             )
-        ).alias("band_id", "band_hash"),
-    )
+            for b in range(bands)
+        ]
+        banded = sigs.select(
+            F.col(id_col), F.explode(F.array(*band_cols)).alias("bh")
+        ).select(id_col, "bh.band_id", "bh.band_hash")
+    else:
+        # band rows = |sig| / bands, computed in-plan to stay generic.
+        banded = sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "signature",
+                                    b * (F.size("signature") / bands).cast("int") + 1,
+                                    (F.size("signature") / bands).cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("band_id", "band_hash"),
+        )
     grouped = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )

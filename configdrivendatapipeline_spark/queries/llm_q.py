@@ -74,7 +74,7 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, n_hashes=32, shingle_k=3)
-    return dedup.lsh_candidate_pairs(sigs, bands=8)
+    return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32)
 
 
 @declare(
