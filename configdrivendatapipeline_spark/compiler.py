@@ -275,6 +275,56 @@ def _scd2(spark, dfs, p):
     return enrichment.scd2(_one(dfs), p["key"], p["ts"], p.get("attrs"))
 
 
+# --- LLM corpus-prep ops -------------------------------------------------------
+
+
+@op("dedup_exact")
+def _dedup_exact(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.dedup import exact_dedup
+
+    return exact_dedup(
+        _one(dfs), text_col=p.get("text_column", "text"), id_col=p.get("id_column", "doc_id")
+    )
+
+
+@op("chunk")
+def _chunk(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.textstats import chunk_documents
+
+    return chunk_documents(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        chunk_tokens=int(p.get("chunk_tokens", 512)),
+        overlap=int(p.get("overlap", 64)),
+    )
+
+
+@op("text_quality")
+def _text_quality(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.textstats import quality_score
+
+    df = _one(dfs)
+    scored = quality_score(
+        df, id_col=p.get("id_column", "doc_id"), text_col=p.get("text_column", "text")
+    )
+    if p.get("min_quality") is not None:
+        scored = scored.filter(F.col("quality") >= int(p["min_quality"]))
+    if p.get("keep_text"):
+        scored = scored.join(
+            df.select(p.get("id_column", "doc_id"), p.get("text_column", "text")),
+            p.get("id_column", "doc_id"),
+        )
+    return scored
+
+
+@op("redact")
+def _redact(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.textstats import redact_pii
+
+    return redact_pii(_one(dfs), p.get("text_column", "text"))
+
+
 # --- skew escape hatches -------------------------------------------------------
 
 

@@ -282,3 +282,39 @@ def val_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("volume", "row_count", {"min": 100}),
     ]
     return run_rules(o, rules).metrics
+
+
+@declare(
+    "val_profile",
+    """
+    SELECT 'o_totalprice' AS column_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           CAST(MIN(o_totalprice) AS VARCHAR) AS min_val,
+           CAST(MAX(o_totalprice) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    """,
+    _SEC,
+    "Column profiling (ADF data-profile): null rate / distinct / "
+    "min / max for every requested column in ONE scan (single wide "
+    "aggregate, unpivoted in-plan to one row per column).",
+)
+def val_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.validation import profile_columns
+
+    o = load(spark, sf_dir, "orders")
+    return profile_columns(o, ["o_totalprice", "o_orderstatus", "o_custkey"])

@@ -260,3 +260,32 @@ def rules_from_config(raw: list[dict[str, Any]]) -> list[Rule]:
         on_fail = rc.pop("on_fail", "warn")
         out.append(Rule(name=name, rule=rtype, params=rc, on_fail=on_fail))
     return out
+
+
+def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
+    """Per-column profile — (column_name, n_rows, n_null, n_distinct,
+    min_val, max_val) — computed in ONE scan: a single wide aggregate
+    (count-distincts expand via Spark's multi-distinct rewrite), then
+    an in-plan unpivot to one row per column. The ADF 'data profile'
+    feature as a DataFrame transform."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_val"),
+            F.col(f"__max_{c}").alias("max_val"),
+        )
+        for c in columns
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -34,6 +34,7 @@ def test_every_op_is_exercised_below():
         "dedup", "sort", "limit", "sql", "validate", "lookup",
         "standardize", "bucketize", "surrogate_key", "audit", "scd2",
         "salted_join", "salted_agg",
+        "dedup_exact", "chunk", "text_quality", "redact",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -255,3 +256,34 @@ def test_unknown_join_input_count_raises(spark, sf_dir):
   - {id: j, inputs: [orders], op: join, params: {condition: "1=1"}}
 """,
         )
+
+
+def test_llm_corpus_ops(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - id: q
+    input: documents
+    op: text_quality
+    params: {min_quality: 70, keep_text: true}
+  - id: r
+    input: q
+    op: redact
+    params: {text_column: text}
+  - id: u
+    input: r
+    op: dedup_exact
+    params: {}
+  - id: c
+    input: u
+    op: chunk
+    params: {chunk_tokens: 32, overlap: 8}
+""",
+    )
+    assert frames["q"].count() <= frames["documents"].count()
+    assert frames["u"].count() <= frames["q"].count()
+    ch = frames["c"]
+    assert ch.filter(F.col("chunk_tokens") > 32).count() == 0
+    assert ch.select("doc_id").distinct().count() == frames["u"].count()
