@@ -35,6 +35,10 @@ def read_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     streaming = bool(cfg.get("streaming"))
 
     if fmt in _FILE_FORMATS:
+        # TIMESTAMP(NANOS) parquet columns otherwise error out; with
+        # this conf they read as long nanos (convert via a derive
+        # step) — strictly enabling, affects nothing else.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         path = cfg["path"]
         reader = spark.readStream if streaming else spark.read
         reader = reader.format(fmt).options(**options)

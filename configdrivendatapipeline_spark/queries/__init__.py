@@ -70,6 +70,24 @@ def declare(
     return wrap
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-supplied SparkSession safe for these queries:
+    ns-parquet readable and deterministic UTC timestamps. Both are
+    runtime-settable SQL confs; our own session factory already sets
+    them, but the driver hands us ITS session."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Right-size reducers only when the caller left Spark's static
+    # default (200 is 6× the data at these SFs); never override an
+    # explicit choice.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
@@ -77,6 +95,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     long (``nanosAsLong``) and we truncate to µs — exactly DuckDB's
     ns→µs cast — so both engines see identical timestamps.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

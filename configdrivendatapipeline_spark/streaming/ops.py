@@ -43,6 +43,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources require one); the ns `ts` column is truncated to µs
     exactly like the batch loader, keeping stream/batch/oracle parity.
     """
+    from configdrivendatapipeline_spark.queries import ensure_session_confs
+
+    ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(path)
     sdf = (
