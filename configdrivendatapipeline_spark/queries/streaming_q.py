@@ -279,3 +279,62 @@ def stream_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sdf.writeStream.foreachBatch(sink_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@declare(
+    "stream_custom_state",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VU}) AS DOUBLE) / 1000000 AS total_value,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS span_us
+    FROM events
+    GROUP BY user_id
+    """,
+    _SEC,
+    "Arbitrary stateful streaming operator (applyInPandasWithState): "
+    "a custom per-user state machine (count, exact micro-unit sum, "
+    "first/last seen) maintained across micro-batches in the state "
+    "store — the escape hatch beyond built-in streaming aggregates. "
+    "RocksDB state store provider at scale.",
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sdf = stream_events(spark, sf_dir).withColumn("vu", F.expr(_VU))
+
+    out_schema = (
+        "user_id BIGINT, n_events BIGINT, total_value DOUBLE, span_us BIGINT"
+    )
+    state_schema = "cnt BIGINT, vu_sum BIGINT, first_us BIGINT, last_us BIGINT"
+
+    def track(key, pdfs, state: GroupState):
+        cnt, vu_sum, first_us, last_us = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            cnt += len(pdf)
+            vu_sum += int(pdf["vu"].sum())
+            ts_us = pdf["ts"].astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((cnt, vu_sum, first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "total_value": [vu_sum / 1_000_000],
+                "span_us": [last_us - first_us],
+            }
+        )
+
+    result = (
+        sdf.select("user_id", "ts", "vu")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_available_now(result, "update")
