@@ -264,3 +264,17 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "o_orderkey", F.col("o_orderstatus").cast("string").alias("o_orderstatus"), "o_totalprice"
     )
+
+
+@declare(
+    "src_orc",
+    "SELECT p_partkey, p_name, p_size FROM part",
+    _SEC,
+    "ORC round-trip through the same parameterized source/sink layer "
+    "(columnar alternative to parquet).",
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "part_orc")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_size")
+    write_sink(p, {"format": "orc", "path": path, "mode": "overwrite"})
+    return read_source(spark, {"format": "orc", "path": path})
