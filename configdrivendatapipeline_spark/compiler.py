@@ -275,6 +275,15 @@ def _scd2(spark, dfs, p):
     return enrichment.scd2(_one(dfs), p["key"], p["ts"], p.get("attrs"))
 
 
+@op("merge")
+def _merge(spark, dfs, p):
+    if len(dfs) != 2:
+        raise ValueError("merge expects exactly 2 inputs (target, updates)")
+    return enrichment.merge_upsert(
+        dfs[0], dfs[1], key=list(p["key"]), update_cols=p.get("update_columns")
+    )
+
+
 # --- LLM corpus-prep ops -------------------------------------------------------
 
 

@@ -131,3 +131,42 @@ def union_harmonize(dfs: list[DataFrame]) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: list[str],
+    update_cols: list[str] | None = None,
+) -> DataFrame:
+    """MERGE INTO as a pure DataFrame rewrite (no Delta dependency):
+    matched keys take the update row's values, unmatched targets pass
+    through, unmatched updates insert. One full-outer join on the key
+    — the SCD1 upsert pattern (ADF Copy upsert semantics).
+
+    ``update_cols`` limits which columns the update side overwrites
+    (defaults to every non-key column present on both sides).
+    """
+    if update_cols is None:
+        update_cols = [
+            c for c in updates.columns if c not in key and c in target.columns
+        ]
+    u = updates.select(
+        *[F.col(k).alias(f"__u_{k}") for k in key],
+        *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+    )
+    cond = None
+    for k in key:
+        c = target[k] == u[f"__u_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = target.join(u, cond, "full_outer")
+    out_cols = []
+    for c in target.columns:
+        if c in key:
+            out_cols.append(F.coalesce(target[c], u[f"__u_{c}"]).alias(c))
+        elif c in update_cols:
+            # matched or insert → update side wins; else keep target
+            out_cols.append(F.coalesce(u[f"__u_{c}"], target[c]).alias(c))
+        else:
+            out_cols.append(target[c])
+    return joined.select(*out_cols)

@@ -169,3 +169,39 @@ def enr_union_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.select("c_custkey", "c_name")
     b = c.select("c_custkey", "c_acctbal")
     return enrichment.union_harmonize([a, b])
+
+
+@declare(
+    "enr_merge_upsert",
+    """
+    WITH updates AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 42.0 FROM orders WHERE o_orderkey < 5
+    )
+    SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+           COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice,
+           t.o_orderstatus
+    FROM orders t FULL JOIN updates u ON t.o_orderkey = u.o_orderkey
+    """,
+    _SEC,
+    "MERGE INTO / upsert as a full-outer-join rewrite (no Delta "
+    "dependency): matched rows updated, new keys inserted, the rest "
+    "pass through — SCD1 / ADF Copy-upsert semantics.",
+)
+def enr_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") < 5).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                F.lit(42.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return enrichment.merge_upsert(o, updates, key=["o_orderkey"])

@@ -34,7 +34,7 @@ def test_every_op_is_exercised_below():
         "dedup", "sort", "limit", "sql", "validate", "lookup",
         "standardize", "bucketize", "surrogate_key", "audit", "scd2",
         "salted_join", "salted_agg",
-        "dedup_exact", "chunk", "text_quality", "redact",
+        "dedup_exact", "chunk", "text_quality", "redact", "merge",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -219,6 +219,31 @@ def test_enrichment_and_salted_ops(spark, sf_dir):
     assert frames["sc"].filter(F.col("is_current")).count() == c.select(
         "c_nationkey"
     ).distinct().count()
+
+
+def test_merge_op(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "region",
+        """
+  - id: upd
+    input: region
+    op: derive
+    params: {columns: {r_name: "'PATCHED'"}}
+  - id: patch
+    input: upd
+    op: filter
+    params: {predicate: "r_regionkey = 0"}
+  - id: merged
+    inputs: [region, patch]
+    op: merge
+    params: {key: [r_regionkey]}
+""",
+    )
+    rows_ = {(r.r_regionkey, r.r_name) for r in frames["merged"].collect()}
+    assert ("PATCHED" in {n for k, n in rows_ if k == 0})
+    assert len(rows_) == 5
 
 
 def test_validate_and_sql_ops_again(spark, sf_dir):
