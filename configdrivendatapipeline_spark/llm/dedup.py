@@ -48,10 +48,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _signed64(x: int) -> int:
-    return ((x + 2**63) % 2**64) - 2**63
-
-
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

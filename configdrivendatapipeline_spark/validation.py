@@ -88,9 +88,6 @@ def row_fail_predicate(rule: Rule) -> Column:
 # Engine
 # ---------------------------------------------------------------------------
 
-_METRIC_COLS = ("rule_name", "n_checked", "n_failed", "passed")
-
-
 @dataclass
 class ValidationResult:
     metrics: DataFrame  # (rule_name, n_checked, n_failed, passed)

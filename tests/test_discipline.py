@@ -1,0 +1,43 @@
+"""100 TB discipline lint (SURVEY.md §7 risk 7): the engine package
+must never materialize data on the driver or use retry-unstable
+expressions. Docstrings may mention the banned names; code may not."""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).parent.parent / "configdrivendatapipeline_spark"
+
+#: banned as *calls* in engine code (driver materialization /
+#: nondeterminism). `collect` is allowed only in the iterative
+#: convergence check files listed below (count()-based, documented).
+BANNED_CALLS = {
+    "collect",
+    "toPandas",
+    "monotonically_increasing_id",
+    "current_timestamp",
+    "current_date",
+    "rand",
+    "randn",
+}
+
+
+def _called_names(tree: ast.AST):
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call):
+            f = node.func
+            if isinstance(f, ast.Attribute):
+                yield f.attr, node.lineno
+            elif isinstance(f, ast.Name):
+                yield f.id, node.lineno
+
+
+def test_no_driver_materialization_in_engine():
+    violations = []
+    for py in PKG.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+        for name, line in _called_names(tree):
+            if name in BANNED_CALLS:
+                violations.append(f"{py.relative_to(PKG.parent)}:{line}: {name}()")
+    assert not violations, "driver-side/nondeterministic calls:\n" + "\n".join(violations)
