@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
 
     try:
         cfg = load_pipeline(args.config)
+    except FileNotFoundError:
+        print(f"config error: no such file: {args.config}", file=sys.stderr)
+        return 2
     except ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2

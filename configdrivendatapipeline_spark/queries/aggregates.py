@@ -327,15 +327,18 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Explicit grouping sets.",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
     orders = load(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("_gs_orders")
+    view = f"_gs_orders_{uuid.uuid4().hex[:8]}"
+    orders.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,
                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
                    AS revenue
-        FROM _gs_orders
+        FROM {view}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )

@@ -115,13 +115,16 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(text.split(" ")):
                 yield t, i
 
+    import uuid
+
     spark.udtf.register("cddp_tokenize", Tokenize)
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    docs.createOrReplaceTempView("_udtf_docs")
+    view = f"_udtf_docs_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, t.token, t.pos
-        FROM _udtf_docs d, LATERAL cddp_tokenize(d.text) t
+        FROM {view} d, LATERAL cddp_tokenize(d.text) t
         """
     )
 
