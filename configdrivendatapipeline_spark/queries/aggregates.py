@@ -15,7 +15,7 @@ cardinalities where exact distinct would shuffle too much.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from configdrivendatapipeline_spark.queries import (
@@ -27,6 +27,7 @@ from configdrivendatapipeline_spark.queries import (
     load,
     odavg,
     odsum,
+    r2,
 )
 
 _SEC = "2.4"
@@ -157,28 +158,61 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "agg_stats",
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)))) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)))) AS BIGINT) AS DOUBLE) AS syy,
+             CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)))) AS BIGINT) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           CAST(ROUND(stddev_samp(l_quantity), 2) AS DOUBLE) AS sd_qty,
-           CAST(ROUND(var_samp(l_quantity), 2) AS DOUBLE) AS var_qty,
-           CAST(ROUND(corr(l_quantity, l_extendedprice), 2) AS DOUBLE) AS corr_qty_price,
-           CAST(ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS DOUBLE) AS cov_qty_price
-    FROM lineitem
-    GROUP BY l_returnflag
+           CAST(ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 2) AS DOUBLE) AS sd_qty,
+           CAST(ROUND((sxx - sx * sx / n) / (n - 1), 2) AS DOUBLE) AS var_qty,
+           CAST(ROUND((sxy - sx * sy / n)
+                      / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 2)
+                AS DOUBLE) AS corr_qty_price,
+           CAST(ROUND((sxy - sx * sy / n) / (n - 1), 2) AS DOUBLE) AS cov_qty_price
+    FROM m
     """,
     _SEC,
-    "Statistical aggregates: stddev / variance / corr / covar.",
+    "Statistical aggregates: stddev / variance / corr / covar, derived "
+    "from decimal-exact moment sums (Σx, Σx², Σy, Σy², Σxy floored to "
+    "exact integers then cast to double) so both engines feed the same "
+    "bit-identical doubles through one identical IEEE arithmetic chain "
+    "— summation order can never flip the hash (built-in covar_samp / "
+    "corr sum doubles order-dependently and did).",
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 2).cast("double").alias("sd_qty"),
-        F.round(F.var_samp("l_quantity"), 2).cast("double").alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 2)
-        .cast("double")
-        .alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
-        .cast("double")
-        .alias("cov_qty_price"),
+    q6 = F.col("l_quantity").cast(DEC)
+    p6 = F.col("l_extendedprice").cast(DEC)
+
+    def mom(c: Column, alias: str) -> Column:
+        # Exact decimal sum → floor → exact bigint → double: identical
+        # on Spark and DuckDB (floor of an exact decimal is exact; the
+        # long→double conversion is correctly-rounded IEEE on both).
+        return F.floor(F.sum(c)).cast("long").cast("double").alias(alias)
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        mom(q6, "sx"),
+        mom(q6 * q6, "sxx"),
+        mom(p6, "sy"),
+        mom(p6 * p6, "syy"),
+        mom(q6 * p6, "sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    var_num = sxx - sx * sx / n
+    cov_num = sxy - sx * sy / n
+    return m.select(
+        "l_returnflag",
+        r2(F.sqrt(var_num / (n - 1)), "sd_qty"),
+        r2(var_num / (n - 1), "var_qty"),
+        r2(cov_num / F.sqrt(var_num * (syy - sy * sy / n)), "corr_qty_price"),
+        r2(cov_num / (n - 1), "cov_qty_price"),
     )
 
 
@@ -242,17 +276,19 @@ def agg_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     """
     SELECT c_nationkey,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments
     FROM customer
     GROUP BY c_nationkey
     """,
     _SEC,
-    "Group values → deduplicated, canonically sorted array.",
+    "Group values → deduplicated, canonically sorted array "
+    "(emitted pipe-joined: array-typed cells break pandas-side "
+    "canonicalizers, so the hashable projection is a string).",
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return cust.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_set("c_mktsegment")).alias("segments")
+        F.concat_ws("|", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments")
     )
 
 
@@ -260,17 +296,18 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_list",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations
+           array_to_string(list_sort(list(n_name)), '|') AS nations
     FROM nation
     GROUP BY n_regionkey
     """,
     _SEC,
-    "Group values → array, sorted for a deterministic hash.",
+    "Group values → array, sorted for a deterministic hash "
+    "(pipe-joined string output — see agg_collect_set).",
 )
 def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load(spark, sf_dir, "nation")
     return nat.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations")
     )
 
 

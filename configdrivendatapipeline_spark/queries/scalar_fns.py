@@ -250,15 +250,15 @@ def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_toks,
            list_contains(toks, 'data') AS has_data,
-           list_sort(toks[1:5]) AS head_sorted,
-           toks[2:4] AS mid_slice,
-           list_sort(list_distinct(toks[1:8])) AS head_uniq,
+           array_to_string(list_sort(toks[1:5]), '|') AS head_sorted,
+           array_to_string(toks[2:4], '|') AS mid_slice,
+           array_to_string(list_sort(list_distinct(toks[1:8])), '|') AS head_uniq,
            toks[3] AS third_tok
     FROM d
     """,
     _SEC,
     "Array functions: size/contains/sort/slice/distinct/element_at "
-    "over tokenized text.",
+    "over tokenized text (arrays emitted pipe-joined for hashability).",
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
@@ -268,9 +268,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").cast("long").alias("n_toks"),
         F.array_contains("toks", "data").alias("has_data"),
-        F.array_sort(F.slice("toks", 1, 5)).alias("head_sorted"),
-        F.slice("toks", 2, 3).alias("mid_slice"),
-        F.array_sort(F.array_distinct(F.slice("toks", 1, 8))).alias("head_uniq"),
+        F.concat_ws("|", F.array_sort(F.slice("toks", 1, 5))).alias("head_sorted"),
+        F.concat_ws("|", F.slice("toks", 2, 3)).alias("mid_slice"),
+        F.concat_ws(
+            "|", F.array_sort(F.array_distinct(F.slice("toks", 1, 8)))
+        ).alias("head_uniq"),
         F.element_at("toks", 3).alias("third_tok"),
     )
 
@@ -381,21 +383,24 @@ def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     """
     SELECT doc_id,
-           map_keys(MAP(['lang', 'source'], [lang, source])) AS meta_keys,
-           map_values(MAP(['lang', 'source'], [lang, source])) AS meta_vals,
+           array_to_string(map_keys(MAP(['lang', 'source'], [lang, source])), '|')
+               AS meta_keys,
+           array_to_string(map_values(MAP(['lang', 'source'], [lang, source])), '|')
+               AS meta_vals,
            MAP(['lang', 'source'], [lang, source])['lang'][1] AS lang_val
     FROM documents
     """,
     _SEC,
-    "Map functions: create_map / map_keys / map_values / element access.",
+    "Map functions: create_map / map_keys / map_values / element access "
+    "(key/value arrays emitted pipe-joined for hashability).",
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
     return d.select(
         "doc_id",
-        F.map_keys(m).alias("meta_keys"),
-        F.map_values(m).alias("meta_vals"),
+        F.concat_ws("|", F.map_keys(m)).alias("meta_keys"),
+        F.concat_ws("|", F.map_values(m)).alias("meta_vals"),
         m.getItem("lang").alias("lang_val"),
     )
 
