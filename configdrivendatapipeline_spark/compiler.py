@@ -17,7 +17,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from configdrivendatapipeline_spark import enrichment
@@ -42,6 +42,21 @@ def _one(dfs: list[DataFrame]) -> DataFrame:
     if len(dfs) != 1:
         raise ValueError(f"op expects exactly 1 input, got {len(dfs)}")
     return dfs[0]
+
+
+def _sort_expr(e: str) -> Column:
+    """Parse an order-by entry with an optional trailing direction.
+
+    ``F.expr`` silently drops a trailing ``DESC`` (it parses the
+    column and ignores the rest), so direction must be peeled off
+    and applied via ``Column.desc()``/``asc()`` explicitly.
+    """
+    s = e.strip()
+    for suffix, flip in ((" desc", True), (" asc", False)):
+        if s.lower().endswith(suffix):
+            c = F.expr(s[: -len(suffix)].strip())
+            return c.desc() if flip else c.asc()
+    return F.expr(s)
 
 
 # --- projection / derivation ------------------------------------------------
@@ -161,7 +176,7 @@ def _window(spark, dfs, p):
     df = _one(dfs)
     w = Window.partitionBy(*(p.get("partition_by") or []))
     if p.get("order_by"):
-        w = w.orderBy(*[F.expr(e) for e in p["order_by"]])
+        w = w.orderBy(*[_sort_expr(e) for e in p["order_by"]])
     frame = p.get("rows_between")
     if frame:
         lo = Window.unboundedPreceding if frame[0] == "unbounded" else int(frame[0])
@@ -177,7 +192,7 @@ def _dedup(spark, dfs, p):
     if not p.get("order_by"):
         return df.dropDuplicates(p["keys"])
     w = Window.partitionBy(*p["keys"]).orderBy(
-        *[F.expr(e) for e in p["order_by"]]
+        *[_sort_expr(e) for e in p["order_by"]]
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -191,7 +206,7 @@ def _dedup(spark, dfs, p):
 
 @op("sort")
 def _sort(spark, dfs, p):
-    return _one(dfs).orderBy(*[F.expr(e) for e in p["by"]])
+    return _one(dfs).orderBy(*[_sort_expr(e) for e in p["by"]])
 
 
 @op("limit")

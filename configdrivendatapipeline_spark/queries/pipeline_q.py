@@ -1,0 +1,580 @@
+"""SURVEY.md §3.1 — the YAML config surface, oracle-verified.
+
+Every query here goes through the REAL product path — YAML text →
+``load_pipeline_str`` → ``compile_pipeline`` — not the Python API,
+so the config loader, op registry dispatch and step wiring are what
+the driver hash-checks, one pipeline per compiler-op family. The
+whole pipeline compiles to ONE Catalyst plan (ops only declare), so
+pushdown/pruning work across step boundaries exactly as they must at
+100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from configdrivendatapipeline_spark.compiler import compile_pipeline
+from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+from configdrivendatapipeline_spark.queries import declare, ensure_session_confs
+
+_SEC = "3.1"
+
+
+def _run(spark: SparkSession, yaml_text: str, out_step: str) -> DataFrame:
+    ensure_session_confs(spark)
+    frames = compile_pipeline(spark, load_pipeline_str(yaml_text))
+    return frames[out_step]
+
+
+@declare(
+    "pipeline_project",
+    """
+    SELECT l_orderkey,
+           CAST(l_quantity AS BIGINT) AS qty,
+           l_extendedprice AS price,
+           l_discount AS disc,
+           l_shipdate,
+           CAST(FLOOR(CAST(l_extendedprice AS DECIMAL(19,6))
+                      * CAST(1 - l_discount AS DECIMAL(19,6)) * 100) AS BIGINT)
+               AS net_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_discount > 0.02
+    """,
+    _SEC,
+    "YAML pipeline: select → rename → derive → cast → filter "
+    "(projection family ops through the config compiler).",
+)
+def pipeline_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: project_family
+sources:
+  lineitem:
+    format: parquet
+    path: {sf_dir}/lineitem.parquet
+steps:
+  - id: picked
+    input: lineitem
+    op: select
+    params:
+      columns: [l_orderkey, l_quantity, l_extendedprice, l_discount, l_shipdate]
+  - id: renamed
+    input: picked
+    op: rename
+    params:
+      mapping:
+        l_extendedprice: price
+        l_discount: disc
+  - id: derived
+    input: renamed
+    op: derive
+    params:
+      columns:
+        net_cents: "CAST(FLOOR(CAST(price AS DECIMAL(18,6)) * CAST(1 - disc AS DECIMAL(18,6)) * 100) AS BIGINT)"
+  - id: casted
+    input: derived
+    op: cast
+    params:
+      columns:
+        l_quantity: bigint
+  - id: shipped
+    input: casted
+    op: filter
+    params:
+      predicate: "l_shipdate >= DATE'1995-01-01' AND disc > 0.02"
+  - id: named
+    input: shipped
+    op: rename
+    params:
+      mapping:
+        l_quantity: qty
+"""
+    return _run(spark, yml, "named").select(
+        "l_orderkey", "qty", "price", "disc", "l_shipdate", "net_cents"
+    )
+
+
+@declare(
+    "pipeline_join_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000) AS BIGINT)
+               AS revenue_micro
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    ORDER BY o_orderpriority
+    LIMIT 10
+    """,
+    _SEC,
+    "YAML pipeline: join → aggregate(having) → sort → limit; the "
+    "whole DAG is one Catalyst plan so the orders filter/pruning "
+    "cross step boundaries.",
+)
+def pipeline_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: join_agg_family
+sources:
+  lineitem:
+    format: parquet
+    path: {sf_dir}/lineitem.parquet
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+steps:
+  - id: joined
+    inputs: [lineitem, orders]
+    op: join
+    params:
+      condition: "l_orderkey = o_orderkey"
+      how: inner
+  - id: by_priority
+    input: joined
+    op: aggregate
+    params:
+      group_by: [o_orderpriority]
+      aggs:
+        n_items: "COUNT(*)"
+        sum_qty: "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)"
+        revenue_micro: "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000) AS BIGINT)"
+      having: "n_items > 10"
+  - id: ranked
+    input: by_priority
+    op: sort
+    params:
+      by: [o_orderpriority]
+  - id: top
+    input: ranked
+    op: limit
+    params:
+      n: 10
+"""
+    return _run(spark, yml, "top")
+
+
+@declare(
+    "pipeline_union_distinct",
+    """
+    SELECT DISTINCT c_custkey, c_mktsegment
+    FROM (
+      SELECT * FROM customer WHERE c_acctbal > 5000
+      UNION ALL
+      SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+    _SEC,
+    "YAML pipeline: two filtered branches → union → distinct "
+    "(set-op family through the config compiler).",
+)
+def pipeline_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: union_family
+sources:
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+steps:
+  - id: rich
+    input: customer
+    op: filter
+    params:
+      predicate: "c_acctbal > 5000"
+  - id: building
+    input: customer
+    op: filter
+    params:
+      predicate: "c_mktsegment = 'BUILDING'"
+  - id: unioned
+    inputs: [rich, building]
+    op: union
+    params: {{}}
+  - id: uniq
+    input: unioned
+    op: distinct
+    params:
+      columns: [c_custkey, c_mktsegment]
+"""
+    return _run(spark, yml, "uniq")
+
+
+@declare(
+    "pipeline_window_dedup",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), f AS (SELECT * FROM w WHERE rn <= 3),
+    d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rn2
+      FROM f)
+    SELECT user_id, event_id, value, rn FROM d WHERE rn2 = 1
+    """,
+    _SEC,
+    "YAML pipeline: window(row_number) → filter → dedup-latest → "
+    "select. events.ts stays a raw nanosecond long on the Spark side "
+    "and a ns-timestamp in DuckDB — identical ordering, never "
+    "emitted.",
+)
+def pipeline_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: window_family
+sources:
+  events:
+    format: parquet
+    path: {sf_dir}/events.parquet
+steps:
+  - id: numbered
+    input: events
+    op: window
+    params:
+      partition_by: [user_id]
+      order_by: [ts, event_id]
+      columns:
+        rn: "row_number()"
+  - id: first3
+    input: numbered
+    op: filter
+    params:
+      predicate: "rn <= 3"
+  - id: latest
+    input: first3
+    op: dedup
+    params:
+      keys: [user_id]
+      order_by: ["ts DESC", "event_id DESC"]
+  - id: shaped
+    input: latest
+    op: select
+    params:
+      columns: [user_id, event_id, value, rn]
+"""
+    return _run(spark, yml, "shaped")
+
+
+@declare(
+    "pipeline_pivot_unpivot",
+    """
+    SELECT o_orderpriority, o_orderstatus AS status, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F', 'P')
+    GROUP BY o_orderpriority, o_orderstatus
+    """,
+    _SEC,
+    "YAML pipeline: pivot(status → columns) then unpivot back to "
+    "rows + drop-null filter — round-trips to the plain group-by "
+    "the oracle states.",
+)
+def pipeline_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: pivot_family
+sources:
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+steps:
+  - id: wide
+    input: orders
+    op: pivot
+    params:
+      group_by: [o_orderpriority]
+      pivot_column: o_orderstatus
+      values: [O, F, P]
+      agg: "COUNT(*)"
+  - id: tall
+    input: wide
+    op: unpivot
+    params:
+      ids: [o_orderpriority]
+      values: [O, F, P]
+      var_name: status
+      value_name: n
+  - id: present
+    input: tall
+    op: filter
+    params:
+      predicate: "n IS NOT NULL"
+"""
+    return _run(spark, yml, "present")
+
+
+@declare(
+    "pipeline_validate",
+    """
+    SELECT 'key_present' AS rule_name, COUNT(*) AS n_checked,
+           CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_failed,
+           COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'price_band', COUNT(*),
+           CAST(COALESCE(SUM(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 400000) THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 400000) THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'status_domain', COUNT(*),
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END), 0) AS BIGINT),
+           COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END), 0) = 0
+    FROM orders
+    """,
+    _SEC,
+    "YAML pipeline: declarative rule list → one metrics DataFrame "
+    "(the validate op; all rules share one scan).",
+)
+def pipeline_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: validate_family
+sources:
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+steps:
+  - id: metrics
+    input: orders
+    op: validate
+    params:
+      output: metrics
+      rules:
+        - rule: not_null
+          name: key_present
+          column: o_custkey
+        - rule: range
+          name: price_band
+          column: o_totalprice
+          min: 0
+          max: 400000
+        - rule: set
+          name: status_domain
+          column: o_orderstatus
+          allowed: [F, O, P]
+"""
+    return _run(spark, yml, "metrics")
+
+
+@declare(
+    "pipeline_enrich",
+    r"""
+    SELECT c_custkey,
+           COALESCE(n_name, 'UNKNOWN') AS nation_name,
+           NULLIF(UPPER(regexp_replace(TRIM(c_mktsegment), '\s+', ' ', 'g')), '')
+               AS c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           'L42' AS _load_id,
+           'crm' AS _source
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+    _SEC,
+    "YAML pipeline: lookup(default-on-miss, broadcast dim) → "
+    "standardize → bucketize → audit → select (enrichment family).",
+)
+def pipeline_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: enrich_family
+sources:
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+  nation:
+    format: parquet
+    path: {sf_dir}/nation.parquet
+steps:
+  - id: named_nation
+    inputs: [customer, nation]
+    op: lookup
+    params:
+      keys:
+        c_nationkey: n_nationkey
+      take:
+        nation_name: n_name
+      defaults:
+        nation_name: UNKNOWN
+  - id: tidy
+    input: named_nation
+    op: standardize
+    params:
+      columns: [c_mktsegment]
+  - id: banded
+    input: tidy
+    op: bucketize
+    params:
+      column: c_acctbal
+      bounds: [0.0, 5000.0]
+      labels: [negative, low, high]
+      out: bal_band
+  - id: audited
+    input: banded
+    op: audit
+    params:
+      load_id: L42
+      source_name: crm
+  - id: shaped
+    input: audited
+    op: select
+    params:
+      columns: [c_custkey, nation_name, c_mktsegment, bal_band, _load_id, _source]
+"""
+    return _run(spark, yml, "shaped")
+
+
+@declare(
+    "pipeline_corpus",
+    r"""
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id, text,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t)))
+                 AS n_stopwords,
+             len(list_distinct(toks)) AS n_distinct
+      FROM d),
+    gated AS (
+      SELECT doc_id, text FROM q
+      WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+             + CASE WHEN n_stopwords * 100 >= n_tokens * 2
+                     AND n_stopwords * 100 <= n_tokens * 40 THEN 30 ELSE 0 END
+             + CASE WHEN n_distinct * 100 >= n_tokens * 30 THEN 30 ELSE 0 END) >= 70),
+    scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '[PHONE]', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS text
+      FROM gated),
+    uniq AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM scrubbed) WHERE rn = 1),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM uniq),
+    c AS (
+      SELECT doc_id, toks,
+             1 + CAST(CEIL(GREATEST(len(toks) - 64, 0) / 48.0) AS INT) AS n_chunks
+      FROM t)
+    SELECT doc_id,
+           CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx,
+           list_aggregate(toks[unnest(range(n_chunks)) * 48 + 1 :
+                               unnest(range(n_chunks)) * 48 + 64], 'string_agg', ' ')
+               AS chunk_text,
+           CAST(len(toks[unnest(range(n_chunks)) * 48 + 1 :
+                         unnest(range(n_chunks)) * 48 + 64]) AS BIGINT) AS chunk_tokens
+    FROM c
+    """,
+    _SEC,
+    "YAML pipeline: the LLM corpus-prep DAG (examples/corpus_prep."
+    "yaml) — quality gate → PII scrub → exact dedup → chunk — "
+    "config-declared end-to-end and hash-checked against a composed "
+    "SQL twin.",
+)
+def pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: corpus_family
+sources:
+  documents:
+    format: parquet
+    path: {sf_dir}/documents.parquet
+steps:
+  - id: quality_gated
+    input: documents
+    op: text_quality
+    params:
+      min_quality: 70
+      keep_text: true
+  - id: scrubbed
+    input: quality_gated
+    op: redact
+    params:
+      text_column: text
+  - id: slim
+    input: scrubbed
+    op: select
+    params:
+      columns: [doc_id, text]
+  - id: unique_docs
+    input: slim
+    op: dedup_exact
+    params:
+      text_column: text
+      id_column: doc_id
+  - id: chunks
+    input: unique_docs
+    op: chunk
+    params:
+      chunk_tokens: 64
+      overlap: 16
+"""
+    return _run(spark, yml, "chunks")
+
+
+@declare(
+    "pipeline_salted",
+    """
+    SELECT s_nationkey,
+           COUNT(l_orderkey) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+    _SEC,
+    "YAML pipeline: salted_join (hot-key splitting) → salted_agg "
+    "(two-phase partial merge) — results identical to the plain "
+    "join+group-by the oracle states; only the shuffle shape "
+    "changes.",
+)
+def pipeline_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: skew_family
+sources:
+  lineitem:
+    format: parquet
+    path: {sf_dir}/lineitem.parquet
+  supplier:
+    format: parquet
+    path: {sf_dir}/supplier.parquet
+steps:
+  - id: keyed_supplier
+    input: supplier
+    op: rename
+    params:
+      mapping:
+        s_suppkey: l_suppkey
+  - id: joined
+    inputs: [lineitem, keyed_supplier]
+    op: salted_join
+    params:
+      key: l_suppkey
+      salt: 8
+      how: inner
+  - id: by_nation
+    input: joined
+    op: salted_agg
+    params:
+      group_by: [s_nationkey]
+      aggs:
+        n_items: [count, l_orderkey]
+        sum_qty: [sum, l_quantity]
+      salt: 8
+  - id: typed
+    input: by_nation
+    op: derive
+    params:
+      columns:
+        sum_qty: "CAST(sum_qty AS BIGINT)"
+  - id: ranked
+    input: typed
+    op: sort
+    params:
+      by: [s_nationkey]
+"""
+    return _run(spark, yml, "ranked")
