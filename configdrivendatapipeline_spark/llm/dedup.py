@@ -179,27 +179,59 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard for pairs sharing ≥1 token.
+    """Exact token-set Jaccard ≥ threshold via prefix filtering.
 
-    With ``candidates`` (e.g. from LSH) only those pairs are scored —
-    the production path; without, the token inverted index generates
-    the pairs (fine for bounded corpora / within-bucket use).
+    Candidate generation is the PPJoin-style prefix filter (Xiao et
+    al., WWW'08): tokens get a global canonical rarity order
+    (document frequency asc, token asc) and each doc indexes only its
+    ``n − ⌈t·n⌉ + 1`` rarest tokens — two docs sharing NO prefix
+    token provably cannot reach Jaccard ≥ t, so the candidate set is
+    exact, and the inverted-index join groups are bounded by the df
+    of *rare* tokens instead of stopword df (the unbounded k² group
+    bomb of the naive token join). Scoring then computes the exact
+    intersection over full token sets, driven from the candidate
+    pairs. With ``candidates`` (e.g. LSH) the prefix step is skipped
+    and only those pairs are scored.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
-    a = toks.select(F.col("id").alias("id_a"), "tok")
-    b = toks.select(F.col("id").alias("id_b"), "tok")
+    if candidates is None:
+        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        ranked = (
+            toks.join(dfreq, "tok")
+            .join(sizes, "id")
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df", "tok")
+                ),
+            )
+        )
+        prefix = ranked.filter(
+            F.col("rk")
+            <= F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+        ).select("id", "tok")
+        candidates = (
+            prefix.select(F.col("id").alias("id_a"), "tok")
+            .join(prefix.select(F.col("id").alias("id_b"), "tok"), "tok")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    # Exact intersection, candidate-driven: pair ⋈ a-tokens ⋈ b-tokens.
+    at = candidates.join(
+        toks.select(F.col("id").alias("id_a"), "tok"), "id_a"
+    )
     inter = (
-        a.join(b, ["tok"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        at.join(
+            toks.select(F.col("id").alias("id_b"), "tok"), ["id_b", "tok"]
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
     return (

@@ -79,16 +79,24 @@ def brute_force_topk(
 
 def _plane_weights(plane: int, dim: int = 64) -> Column:
     """Deterministic pseudo-random hyperplane (array<double> in
-    [-1, 1)): hash-derived, no RNG state, identical on every executor
-    and across retries — the property a seeded RNG can't guarantee
-    under task re-execution."""
+    [-1, 1)): derived by pure integer arithmetic — multiplicative
+    hashing (Knuth's 2654435761 mod 2³²), top 11 bits — so it is
+    identical on every executor, across task retries (the property a
+    seeded RNG can't guarantee), AND reproducible in any SQL engine:
+    the twin oracle computes the very same planes, which upgrades
+    every hyperplane-LSH operator from rows-only to hash-checked."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.pmod(F.xxhash64(F.lit(plane * 100_003) + d), F.lit(2001)) - 1000
-        ).cast("double")
-        / 1000.0,
+        lambda d: _weight_from(F.lit(plane * 100_003) + d),
     )
+
+
+def _weight_from(x: Column) -> Column:
+    """x (small non-negative int) → double in [-1, 1): top 11 bits of
+    (x·2654435761 mod 2³²), every step exact integer arithmetic."""
+    y = (x * F.lit(2_654_435_761)) % F.lit(4_294_967_296)
+    hi = (y - y % F.lit(2_097_152)) / F.lit(2_097_152)  # exact: < 2^53
+    return (hi - F.lit(1024.0)) / F.lit(1024.0)
 
 
 def hyperplane_bucket(vec: Column, n_planes: int = 12, dim: int = 64) -> Column:
@@ -247,17 +255,53 @@ def neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 6,
+    planes_per_table: int = 4,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b).
 
-    Written as self-join + threshold; at scale the join is bucketed
-    by hyperplane signature first (same pattern as lsh_topk).
+    Default path is LSH-bucketed: both sides explode to (table_id,
+    bucket) hyperplane signatures and only same-bucket pairs are
+    scored — an equi-join, never the O(n²) theta self-join, so the
+    pair space stays bounded at corpus scale (size planes ~log₂ n).
+    Candidate recall is the standard 1 − (1 − p^k)^L amplifier; the
+    deterministic arithmetic planes mean an oracle can replay the
+    exact same candidate set. ``exact=True`` keeps the all-pairs
+    form as the small-fixture verifier ONLY — never the scale path.
     """
-    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("__va"))
-    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("__vb"))
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    if exact:
+        a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+        b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        banded = v.select(
+            id_col,
+            "__v",
+            F.posexplode(
+                _table_buckets(F.col("__v"), n_tables, planes_per_table)
+            ).alias("table_id", "bucket"),
+        )
+        a = banded.select(
+            "table_id",
+            "bucket",
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+        )
+        b = banded.select(
+            "table_id",
+            "bucket",
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+        )
+        cand = (
+            a.join(b, ["table_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
+        cand.select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),

@@ -36,6 +36,51 @@ def _ocos(a: str, b: str) -> str:
     )
 
 
+def _ocos_raw(a: str, b: str) -> str:
+    """Unrounded cosine — for ORDER BY comparisons that must see the
+    exact double both engines computed."""
+    return (
+        f"{_ODOT.format(a=a, b=b)} / "
+        f"({_ONRM.format(a=a)} * {_ONRM.format(a=b)})"
+    )
+
+
+# DuckDB twins of similarity._plane_weights/_table_buckets: the
+# hyperplanes are pure integer arithmetic (Knuth multiplicative mod
+# 2³², top 11 bits), so the oracle replays the IDENTICAL planes and
+# buckets — which is what lets the LSH operators be hash-checked
+# instead of rows-only.
+
+
+def _oproj(vec: str, plane: int) -> str:
+    w = (
+        f"(CAST((((({plane * 100_003} + i - 1)) * 2654435761) % 4294967296)"
+        f" // 2097152 AS DOUBLE) - 1024.0) / 1024.0"
+    )
+    return (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({w}))), (s, x) -> s + x)"
+    )
+
+
+def _obucket(vec: str, table: int, planes_per_table: int) -> str:
+    terms = [
+        f"CASE WHEN {_oproj(vec, table * planes_per_table + j)} > 0"
+        f" THEN {2 ** j} ELSE 0 END"
+        for j in range(planes_per_table)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _obanded(n_tables: int, planes_per_table: int) -> str:
+    """UNION-ALL CTE body: (vec_id, table_id, bucket) per LSH table."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS table_id, "
+        f"{_obucket('embedding', t, planes_per_table)} AS bucket FROM v"
+        for t in range(n_tables)
+    )
+
+
 @declare(
     "llm_exact_dedup",
     """
@@ -98,8 +143,12 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.8
     """,
     _SEC,
-    "Exact n-gram (token-set) Jaccard near-dups via inverted-index "
-    "join — the deterministic verifier behind MinHash.",
+    "Exact token-set Jaccard near-dups. The plan prunes candidates "
+    "with a PPJoin prefix filter (index only each doc's n−⌈t·n⌉+1 "
+    "rarest tokens — provably lossless for J ≥ t), so the join "
+    "groups are bounded by rare-token df, not stopword df; the "
+    "oracle states the naive all-shared-token spec, which the "
+    "prefix-filtered plan must (and does) reproduce exactly.",
 )
 def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -316,11 +365,28 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "llm_knn_lsh",
-    None,  # hyperplane buckets are hash-derived → rows-only; recall
-    # is asserted against the exact path in tests/test_llm.py.
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    pb AS (SELECT vec_id AS probe_id, table_id, bucket FROM cb WHERE vec_id < 5),
+    cand AS (
+      SELECT DISTINCT p.probe_id, c.vec_id
+      FROM cb c JOIN pb p ON c.table_id = p.table_id AND c.bucket = p.bucket),
+    scored AS (
+      SELECT cand.probe_id, cand.vec_id,
+             {_ocos('cv.embedding', 'pv.embedding')} AS cos_sim
+      FROM cand JOIN v cv ON cv.vec_id = cand.vec_id
+                JOIN v pv ON pv.vec_id = cand.probe_id)
+    SELECT probe_id, vec_id, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
     _SEC,
-    "LSH-bucketed approximate top-k (deterministic hash-derived "
-    "hyperplanes): the sub-linear ANN path for corpus-scale search.",
+    "LSH-bucketed approximate top-k (deterministic arithmetic "
+    "hyperplanes, 6 tables × 4 planes): the sub-linear ANN path for "
+    "corpus-scale search — hash-checked because the oracle replays "
+    "the identical planes.",
 )
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -386,12 +452,40 @@ def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "llm_knn_ivf",
-    None,  # approximate (probe subset) → rows-only; recall vs the
-    # exact baseline is asserted in tests/test_llm.py.
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, embedding AS cemb FROM v
+              ORDER BY vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.cent_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ocos_raw('v.embedding', 'c.cemb')} DESC,
+                            c.cent_id) AS rn
+        FROM v CROSS JOIN cents c) WHERE rn = 1),
+    routed AS (
+      SELECT probe_id, list_id FROM (
+        SELECT p.vec_id AS probe_id, c.cent_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY {_ocos_raw('p.embedding', 'c.cemb')} DESC,
+                            c.cent_id) AS rn
+        FROM v p CROSS JOIN cents c WHERE p.vec_id < 5) WHERE rn <= 4),
+    scored AS (
+      SELECT r.probe_id, a.vec_id,
+             {_ocos('av.embedding', 'pv.embedding')} AS cos_sim
+      FROM routed r JOIN assigned a ON a.list_id = r.list_id
+           JOIN v av ON av.vec_id = a.vec_id
+           JOIN v pv ON pv.vec_id = r.probe_id)
+    SELECT probe_id, vec_id, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
     _SEC,
     "IVF-style ANN: coarse-quantize to inverted lists, probe the 4 "
     "nearest of 16 lists per query — the second (routing-based) "
-    "scale path beside hyperplane LSH.",
+    "scale path beside hyperplane LSH; the training-free centroid "
+    "pick is deterministic, so the oracle replays it exactly.",
 )
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -404,15 +498,24 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "llm_embed_neardup",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_ocos('a.embedding', 'b.embedding')} AS cos_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE {_ocos('a.embedding', 'b.embedding')} >= 0.3
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cb a JOIN cb b ON a.table_id = b.table_id
+                         AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT id_a, id_b, {_ocos('va.embedding', 'vb.embedding')} AS cos_sim
+      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b)
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.3
     """,
     _SEC,
-    "Embedding-cosine near-duplicate pairs (threshold 0.3 — the "
-    "synthetic vectors are near-orthogonal); bucketed-LSH prefilter "
-    "is the scale path (llm_knn_lsh).",
+    "Embedding-cosine near-duplicate pairs, LSH-bucketed (6 tables × "
+    "4 planes, equi-join on (table_id, bucket) — never an O(n²) "
+    "theta self-join); threshold 0.3 because the synthetic vectors "
+    "are near-orthogonal. The oracle replays the identical "
+    "deterministic planes, so the candidate subset hash-matches; "
+    "neardup_pairs(exact=True) remains the small-fixture verifier.",
 )
 def llm_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)

@@ -479,8 +479,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     _J,
-    "Five-way star join (TPC-H Q5 shape), flagship #2: dims broadcast, "
-    "the orders⋈lineitem fact join shuffles on l_orderkey.",
+    "Five-way star join (TPC-H Q5 shape), flagship #2: true dims "
+    "(nation/region — fixed-size) get explicit broadcast hints; "
+    "customer SCALES WITH THE FACTS (sf×150k rows — TBs at 100 TB), "
+    "so it carries no hint and AQE picks broadcast vs shuffle from "
+    "the runtime size (at sf0.1 it still broadcasts; at 100 TB it "
+    "must not — a forced hint there is an executor-OOM).",
 )
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
@@ -493,7 +497,7 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     star = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
