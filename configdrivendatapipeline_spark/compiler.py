@@ -89,7 +89,23 @@ def _cast(spark, dfs, p):
     df = _one(dfs)
     mode = p.get("mode", "strict")
     for name, dtype in p["columns"].items():
-        c = F.expr(f"TRY_CAST({name} AS {dtype})") if mode == "safe" else F.col(name).cast(dtype)
+        tc = F.expr(f"TRY_CAST({name} AS {dtype})")
+        if mode == "safe":
+            c = tc
+        else:
+            # Genuinely strict regardless of spark.sql.ansi.enabled:
+            # Column.cast silently NULLs invalid input under the
+            # default non-ANSI mode, so strictness is enforced as an
+            # expression — any value TRY_CAST cannot represent raises.
+            c = F.when(
+                F.col(name).isNotNull() & tc.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"cast: invalid {dtype} in column {name}: "),
+                        F.col(name).cast("string"),
+                    )
+                ).cast(dtype),
+            ).otherwise(tc)
         df = df.withColumn(name, c)
     return df
 

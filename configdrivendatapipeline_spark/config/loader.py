@@ -65,7 +65,13 @@ def _build(doc: Any, origin: str) -> PipelineConfig:
             raise ConfigError(f"{origin}: source {sname!r}: unknown keys {sorted(unknown)}")
         known = {k: v for k, v in scfg.items() if k in SourceConfig.__dataclass_fields__}
         extra = {k: v for k, v in scfg.items() if k not in SourceConfig.__dataclass_fields__}
-        if scfg.get("format", "parquet") != "jdbc" and not scfg.get("path"):
+        if scfg.get("format", "parquet") == "jdbc":
+            if not scfg.get("url") or not scfg.get("dbtable"):
+                raise ConfigError(
+                    f"{origin}: source {sname!r}: jdbc sources require "
+                    "'url' and 'dbtable'"
+                )
+        elif not scfg.get("path"):
             raise ConfigError(f"{origin}: source {sname!r}: 'path' is required")
         sources[sname] = SourceConfig(
             name=sname,
@@ -96,6 +102,18 @@ def _build(doc: Any, origin: str) -> PipelineConfig:
         inputs = tuple(raw.get("inputs") or ([raw["input"]] if raw.get("input") else ()))
         if not inputs:
             raise ConfigError(f"{where}: at least one input required")
+        # Op-name check at validate time, not first-compile time. The
+        # import is deferred (the compiler pulls in pyspark; config
+        # validation alone must not) and tolerated missing so pure
+        # config tooling can still parse documents.
+        try:
+            from configdrivendatapipeline_spark.compiler import OPS
+        except ImportError:  # pragma: no cover - compiler always ships
+            OPS = None
+        if OPS is not None and str(op) not in OPS:
+            raise ConfigError(
+                f"{where}: unknown op {op!r} (known: {sorted(OPS)})"
+            )
         steps.append(
             StepConfig(id=sid, op=str(op), inputs=inputs, params=dict(raw.get("params") or {}))
         )

@@ -138,6 +138,7 @@ def merge_upsert(
     updates: DataFrame,
     key: list[str],
     update_cols: list[str] | None = None,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """MERGE INTO as a pure DataFrame rewrite (no Delta dependency):
     matched keys take the update row's values, unmatched targets pass
@@ -146,27 +147,52 @@ def merge_upsert(
 
     ``update_cols`` limits which columns the update side overwrites
     (defaults to every non-key column present on both sides).
+
+    A literal match marker (not ``coalesce`` on data columns) decides
+    which side wins, so an update row CAN set a column to NULL —
+    exactly SQL MERGE's ``WHEN MATCHED THEN UPDATE SET`` semantics.
+    ``validate_unique=True`` (default) fails the job if the updates
+    side carries duplicate keys, which under a plain join would
+    silently fan out target rows; at scale prefer deduplicating
+    upstream (win_dedup_latest) and passing False to skip the check's
+    extra aggregate.
     """
     if update_cols is None:
         update_cols = [
             c for c in updates.columns if c not in key and c in target.columns
         ]
+    if validate_unique:
+        n_dup = (
+            updates.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(1)
+            .count()
+        )
+        if n_dup:
+            raise ValueError(
+                "merge_upsert: updates side has duplicate keys "
+                f"{key} — each target row would fan out; dedup first "
+                "(win_dedup_latest) or pass validate_unique=False"
+            )
     u = updates.select(
         *[F.col(k).alias(f"__u_{k}") for k in key],
         *[F.col(c).alias(f"__u_{c}") for c in update_cols],
+        F.lit(1).alias("__u_matched"),
     )
     cond = None
     for k in key:
         c = target[k] == u[f"__u_{k}"]
         cond = c if cond is None else (cond & c)
     joined = target.join(u, cond, "full_outer")
+    upd = u["__u_matched"].isNotNull()
     out_cols = []
     for c in target.columns:
         if c in key:
             out_cols.append(F.coalesce(target[c], u[f"__u_{c}"]).alias(c))
         elif c in update_cols:
-            # matched or insert → update side wins; else keep target
-            out_cols.append(F.coalesce(u[f"__u_{c}"], target[c]).alias(c))
+            # matched or insert → update side wins (NULLs included).
+            out_cols.append(F.when(upd, u[f"__u_{c}"]).otherwise(target[c]).alias(c))
         else:
             out_cols.append(target[c])
     return joined.select(*out_cols)

@@ -284,3 +284,45 @@ def win_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@declare(
+    "win_dense_rank",
+    """
+    SELECT s_suppkey, s_nationkey,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey
+                              ORDER BY s_acctbal DESC) AS drnk
+    FROM supplier
+    """,
+    _SEC,
+    "Gap-free ranking standalone (also exercised beside RANK in "
+    "win_rank; this entry keys the SURVEY §2 id on its own).",
+)
+def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
+    return s.select(
+        "s_suppkey", "s_nationkey", F.dense_rank().over(w).alias("drnk")
+    )
+
+
+@declare(
+    "win_cume_dist",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice), 6) AS cdist
+    FROM orders
+    """,
+    _SEC,
+    "Empirical CDF standalone (also exercised beside PERCENT_RANK in "
+    "win_percent_rank; this entry keys the SURVEY §2 id on its own).",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )

@@ -32,7 +32,18 @@ def salted_join(
     times, and the join key becomes (key, salt): a key owning 40% of
     the table now lands on 16 reducers instead of one. Deterministic
     (hash-derived salt — stable across retries, unlike rand()).
+
+    Only ``inner``/``left``(_outer) are legal: the small side is
+    replicated, so any join type that can emit UNMATCHED small-side
+    rows (right/full/right-semi/anti) would emit each of them
+    ``salt`` times — silently duplicated output.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "replicating the small side would duplicate its unmatched "
+            "rows under right/full/outer join types"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
     )

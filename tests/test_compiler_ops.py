@@ -312,3 +312,35 @@ def test_llm_corpus_ops(spark, sf_dir):
     ch = frames["c"]
     assert ch.filter(F.col("chunk_tokens") > 32).count() == 0
     assert ch.select("doc_id").distinct().count() == frames["u"].count()
+
+
+def test_merge_upsert_sets_null_and_rejects_dup_keys(spark):
+    from configdrivendatapipeline_spark.enrichment import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    got = {tuple(r) for r in merge_upsert(target, updates, key=["k"]).collect()}
+    # matched row k=2 takes the update's NULL name (MERGE semantics),
+    # not the stale 'b' a coalesce() would silently keep.
+    assert got == {(1, "a", 10.0), (2, None, 99.0), (3, "c", 30.0)}
+
+    dup = spark.createDataFrame(
+        [(2, "x", 1.0), (2, "y", 2.0)], "k int, name string, v double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_upsert(target, dup, key=["k"])
+
+
+def test_cast_strict_raises_without_ansi(spark):
+    from configdrivendatapipeline_spark.compiler import OPS
+
+    df = spark.createDataFrame([("12",), ("oops",)], "x string")
+    bad = OPS["cast"](spark, [df], {"columns": {"x": "int"}, "mode": "strict"})
+    with pytest.raises(Exception, match="invalid int"):
+        bad.collect()
+    ok = OPS["cast"](spark, [df], {"columns": {"x": "int"}, "mode": "safe"})
+    assert [r.x for r in ok.orderBy("x").collect()] == [None, 12]

@@ -82,17 +82,29 @@ def test_missing_path_rejected():
         load_pipeline_str("sources:\n  s: {format: csv}\n")
 
 
-def test_unknown_op_fails_at_compile(spark, sf_dir):
-    cfg = load_pipeline_str(
-        f"""
+def test_unknown_op_fails_at_load(spark, sf_dir):
+    """Op names are checked at validate time (before Spark is ever
+    touched), not at first compile."""
+    with pytest.raises(ConfigError, match="unknown op"):
+        load_pipeline_str(
+            f"""
 sources:
   li: {{format: parquet, path: "{sf_dir}/lineitem.parquet"}}
 steps:
   - {{id: a, input: li, op: frobnicate, params: {{}}}}
 """
-    )
-    with pytest.raises(ValueError, match="unknown op"):
-        compile_pipeline(spark, cfg)
+        )
+
+
+def test_jdbc_source_requires_url_dbtable():
+    with pytest.raises(ConfigError, match="url"):
+        load_pipeline_str(
+            """
+sources:
+  db: {format: jdbc}
+steps: []
+"""
+        )
 
 
 def test_yaml_equals_programmatic(spark, sf_dir):

@@ -5,6 +5,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from configdrivendatapipeline_spark.skew import salted_agg, salted_join
@@ -98,3 +100,12 @@ def test_schema_drift_modes(spark):
 
     with pytest.raises(ValueError, match="schema drift"):
         apply_schema_drift(df, expected, "strict")
+
+
+def test_salted_join_rejects_outer_types(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(li, sup, on="l_suppkey", how="full")
