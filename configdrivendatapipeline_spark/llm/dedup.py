@@ -272,6 +272,11 @@ def duplicate_clusters(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # Materialize once: every round joins against the edge set, and
+        # without this the whole upstream pair-generation plan (LSH /
+        # prefix-filtered Jaccard — the expensive part) would re-execute
+        # per round.
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     for _ in range(max_iter):

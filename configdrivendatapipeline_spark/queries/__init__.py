@@ -70,11 +70,18 @@ def declare(
     return wrap
 
 
+_CONF_DONE: "set[int]" = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> None:
     """Make any caller-supplied SparkSession safe for these queries:
     ns-parquet readable and deterministic UTC timestamps. Both are
     runtime-settable SQL confs; our own session factory already sets
-    them, but the driver hands us ITS session."""
+    them, but the driver hands us ITS session. Applied once per
+    session — a registry sweep calls this per query and the conf
+    round-trips add up."""
+    if id(spark) in _CONF_DONE:
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Right-size reducers only when the caller left Spark's static
@@ -86,6 +93,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
             str(spark.sparkContext.defaultParallelism),
         )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    _CONF_DONE.add(id(spark))
+
+
+#: (session, sf_dir, table) → reader DataFrame. Plans are immutable
+#: and the test parquet never changes mid-run, so re-deriving the
+#: schema per query (150 queries × ~4 tables × ~50 ms of footer
+#: reads) is pure overhead. The session object itself is held in the
+#: value to guard against id() reuse after a session is collected.
+_LOAD_CACHE: dict = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -95,10 +111,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     long (``nanosAsLong``) and we truncate to µs — exactly DuckDB's
     ns→µs cast — so both engines see identical timestamps.
     """
+    key = (id(spark), sf_dir, table)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _LOAD_CACHE[key] = (spark, df)
     return df
 
 
