@@ -55,16 +55,20 @@ def minhash_signatures(
     n_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>) — H permutation-mins in ONE
-    aggregate pass (each min combines map-side).
+    """(id, signature array<long>) — H permutation-mins computed
+    entirely row-local: ZERO shuffle.
 
-    Each shingle is hashed ONCE (xxhash64, masked to 32 bits); the H
-    permutations are arithmetic — hᵢ = (h₃₂·aᵢ + bᵢ) mod (2⁶¹−1)
-    with odd 30-bit multipliers, so products stay under 2⁶² and never
-    trip ANSI overflow — H× cheaper than re-hashing the string per
-    permutation. A repartition spreads the CPU-heavy shingle
-    expansion when the source arrives in fewer splits than cores
-    (single small file locally; already-split at lake scale).
+    Each shingle is hashed ONCE (xxhash64, masked to 32 bits) into an
+    array column; the H permutations are affine mod 2³² (odd
+    multiplier → a true permutation of [0, 2³²), the textbook
+    minhash family) applied by ``transform`` and reduced by
+    ``array_min`` — a tight codegen loop per row, no row explosion,
+    no groupBy, no division (the mod is a bitmask). At 100 TB this
+    is a pure map stage: signatures stream out partition-parallel
+    with nothing crossing the network until LSH banding. A
+    repartition spreads the CPU-heavy shingle expansion when the
+    source arrives in fewer splits than cores (single small file
+    locally; already-split at lake scale).
     """
     spark = df.sparkSession
     src = df.select(id_col, text_col)
@@ -72,20 +76,28 @@ def minhash_signatures(
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, id_col)
     sh = with_shingles(src, text_col, shingle_k)
-    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
-    base = F.xxhash64("shingle").bitwiseAND(F.lit(0xFFFFFFFF))
-    mersenne61 = F.lit(2305843009213693951)
-    mins = []
+    # Hash once into an array column — HOF lambdas get no CSE across
+    # the H mins, so the hash must be materialized before fan-out.
+    hashed = sh.filter(F.size("shingles") > 0).select(
+        id_col,
+        F.transform(
+            "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
+        ).alias("hs"),
+    )
+    mask32 = F.lit(0xFFFFFFFF)
+
+    def perm(a: int, b: int):
+        # One-arg lambda factory: pyspark counts default args as HOF
+        # lambda parameters, so a/b must be closed over, not defaulted.
+        return lambda h: (h * F.lit(a) + F.lit(b)).bitwiseAND(mask32)
+
+    sig = []
     for i in range(n_hashes):
+        # a stays below 2³⁰ so h·a < 2⁶² — no ANSI long overflow.
         a = ((i * 2654435761) % (2**30)) | 1
         b = (i * 40503 * 65537) % (2**31)
-        mins.append(
-            F.min(F.pmod(base * F.lit(a) + F.lit(b), mersenne61)).alias(f"h{i}")
-        )
-    agg = exploded.groupBy(id_col).agg(*mins)
-    return agg.select(
-        id_col, F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature")
-    )
+        sig.append(F.array_min(F.transform("hs", perm(a, b))))
+    return hashed.select(id_col, F.array(*sig).alias("signature"))
 
 
 def lsh_candidate_pairs(
