@@ -96,3 +96,40 @@ def test_decode_stub_raises_for_real_decoder(spark, sf_dir):
     mm = multimodal.attach_fake_payload(docs)
     with pytest.raises(Exception, match="PIL|torchaudio|Decode"):
         multimodal.decode_features(mm, use_real_decoder=True).collect()
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    """Companion for the rows-only llm_simhash: a doc and its
+    one-token edit land within a few bits; unrelated docs are ~32
+    bits apart (the property LSH-on-simhash would bucket by)."""
+    from configdrivendatapipeline_spark.llm.dedup import simhash
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("lazy", "sleepy", 1)),
+            (3, "completely different words about spark shuffles and "
+                "parquet footers and adaptive query execution plans"),
+        ],
+        "doc_id int, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in simhash(docs).collect()}
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(fp[1], fp[2]) <= 12
+    assert ham(fp[1], fp[3]) >= 20
+
+
+def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
+    """Companion for the rows-only agg_approx_distinct: the HLL
+    estimate stays within 5x the configured 2% rsd of exact."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    )
+    for r in got.collect():
+        assert abs(r.approx - r.exact) <= max(1, 0.1 * r.exact), r
