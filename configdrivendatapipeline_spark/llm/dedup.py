@@ -190,6 +190,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard ≥ threshold via prefix filtering.
 
@@ -203,11 +204,18 @@ def jaccard_pairs(
     bomb of the naive token join). Scoring then computes the exact
     intersection over full token sets, driven from the candidate
     pairs. With ``candidates`` (e.g. LSH) the prefix step is skipped
-    and only those pairs are scored.
+    and only those pairs are scored. ``tokens_col`` names a
+    ready-made array column to use as the set elements (e.g. k-token
+    shingles) instead of whitespace tokens.
     """
+    elems = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.split(F.col(text_col), " ")
+    )
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+        F.explode(F.array_distinct(elems)).alias("tok"),
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     if candidates is None:

@@ -747,3 +747,36 @@ def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
     return dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+
+
+@declare(
+    "llm_ngram_jaccard",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id AS id,
+            unnest(list_distinct(list_transform(
+              range(0, greatest(len(toks) - 3, 0) + 1),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS tok
+          FROM d),
+    sizes AS (SELECT id, COUNT(*) AS n_tok FROM s GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_inter
+      FROM s a JOIN s b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id_a, id_b,
+           ROUND(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE n_inter / (sa.n_tok + sb.n_tok - n_inter) >= 0.5
+    """,
+    _SEC,
+    "n-gram (3-token shingle) Jaccard near-dups — order-sensitive "
+    "where token-set Jaccard is not, so reordered boilerplate stops "
+    "colliding; same PPJoin prefix-filtered plan via the shingle "
+    "array as the element set (shingle vocabulary is quadratically "
+    "larger than token vocabulary, so inverted-index groups shrink).",
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = dedup.with_shingles(
+        load(spark, sf_dir, "documents"), "text", k=3, out="sh"
+    )
+    return dedup.jaccard_pairs(docs, threshold=0.5, tokens_col="sh")
