@@ -1,0 +1,60 @@
+"""Deterministic content-hash sampling / split assignment.
+
+Training pipelines need train/val/test membership and downsampling
+that are (a) stable across reruns, engines and task retries, (b)
+driven by row identity, never RNG state, and (c) cheap at 100 TB — a
+pure map-side expression, no shuffle, no sampling pass. Spark's
+``df.sample``/``rand()`` fails (a)+(b) under retries; the standard
+answer is a content hash mod a grid, which is what these helpers
+compute — with md5 (not xxhash64) so any SQL engine reproduces the
+exact assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, salt: str, buckets: int = 10_000) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 hex chars of
+    md5(key ":" salt) parsed as an integer, mod buckets. The salt
+    decorrelates independent decisions (split vs sample vs shard) on
+    the same key."""
+    h8 = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
+    return (F.conv(h8, 16, 10).cast("long") % buckets).alias("bucket")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split:v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    out: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by id hash — percent granularity."""
+    b = hash_bucket(F.col(id_col), salt, 100)
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return df.withColumn("bucket", b).withColumn(out, split)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample:v1",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows (1/10000 grid).
+
+    Unlike ``df.sample`` this is reproducible across engines/retries
+    and composable: samples at fractions f1 < f2 with the same salt
+    are strictly nested (the f1 sample is a subset of the f2 one) —
+    the property you need to grow a training subset monotonically.
+    """
+    cut = int(round(fraction * 10_000))
+    return df.filter(hash_bucket(F.col(id_col), salt, 10_000) < cut)

@@ -780,3 +780,56 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "text", k=3, out="sh"
     )
     return dedup.jaccard_pairs(docs, threshold=0.5, tokens_col="sh")
+
+
+# DuckDB twin of sampling.hash_bucket: fold the first 8 hex chars of
+# md5(key ":" salt) — md5 is the one hash both engines share.
+def _obucket_md5(key_expr: str, salt: str, buckets: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5("
+        f"CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {buckets}"
+    )
+
+
+@declare(
+    "llm_hash_split",
+    f"""
+    SELECT doc_id, lang,
+           {_obucket_md5('doc_id', 'split:v1', 100)} AS bucket,
+           CASE WHEN {_obucket_md5('doc_id', 'split:v1', 100)} < 90 THEN 'train'
+                WHEN {_obucket_md5('doc_id', 'split:v1', 100)} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    _SEC,
+    "Deterministic train/val/test assignment: md5(id)-mod-100 "
+    "buckets — stable across reruns, engines and task retries "
+    "(rand()/df.sample is not), pure map-side at 100 TB.",
+)
+def llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.hash_split(docs)
+
+
+@declare(
+    "llm_hash_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_obucket_md5('doc_id', 'sample:v1', 10000)} < 1000
+    """,
+    _SEC,
+    "Deterministic 10% corpus sample on a 1/10000 hash grid; samples "
+    "at growing fractions with one salt are strictly nested, so a "
+    "training subset can grow monotonically.",
+)
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.hash_sample(docs, fraction=0.10)

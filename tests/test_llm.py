@@ -133,3 +133,18 @@ def test_approx_distinct_within_rsd_of_exact(spark, sf_dir):
     )
     for r in got.collect():
         assert abs(r.approx - r.exact) <= max(1, 0.1 * r.exact), r
+
+
+def test_hash_sample_nested_and_split_stable(spark, sf_dir):
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s5 = {r.doc_id for r in sampling.hash_sample(docs, 0.05).collect()}
+    s20 = {r.doc_id for r in sampling.hash_sample(docs, 0.20).collect()}
+    assert s5 <= s20  # same salt → strictly nested
+    n = docs.count()
+    assert abs(len(s20) - 0.20 * n) <= 0.05 * n
+    # split assignment is a function of the id alone: rerun identical
+    a = sampling.hash_split(docs).select("doc_id", "split").collect()
+    b = sampling.hash_split(docs).select("doc_id", "split").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
