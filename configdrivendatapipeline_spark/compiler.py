@@ -365,6 +365,58 @@ def _redact(spark, dfs, p):
     return redact_pii(_one(dfs), p.get("text_column", "text"))
 
 
+@op("hash_split")
+def _hash_split(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.sampling import hash_split
+
+    return hash_split(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        salt=p.get("salt", "split:v1"),
+        train_pct=int(p.get("train_pct", 90)),
+        val_pct=int(p.get("val_pct", 5)),
+        out=p.get("out", "split"),
+    )
+
+
+@op("hash_sample")
+def _hash_sample(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.sampling import hash_sample
+
+    return hash_sample(
+        _one(dfs),
+        fraction=float(p["fraction"]),
+        id_col=p.get("id_column", "doc_id"),
+        salt=p.get("salt", "sample:v1"),
+    )
+
+
+@op("neardup_pairs")
+def _neardup_pairs(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.similarity import neardup_pairs
+
+    return neardup_pairs(
+        _one(dfs),
+        threshold=float(p.get("threshold", 0.9)),
+        id_col=p.get("id_column", "vec_id"),
+        vec_col=p.get("vector_column", "embedding"),
+        n_tables=int(p.get("n_tables", 6)),
+        planes_per_table=int(p.get("planes_per_table", 4)),
+    )
+
+
+@op("jaccard_pairs")
+def _jaccard_pairs(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        threshold=float(p.get("threshold", 0.5)),
+    )
+
+
 # --- skew escape hatches -------------------------------------------------------
 
 

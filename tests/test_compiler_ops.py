@@ -35,6 +35,7 @@ def test_every_op_is_exercised_below():
         "standardize", "bucketize", "surrogate_key", "audit", "scd2",
         "salted_join", "salted_agg",
         "dedup_exact", "chunk", "text_quality", "redact", "merge",
+        "hash_split", "hash_sample", "neardup_pairs", "jaccard_pairs",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -344,3 +345,43 @@ def test_cast_strict_raises_without_ansi(spark):
         bad.collect()
     ok = OPS["cast"](spark, [df], {"columns": {"x": "int"}, "mode": "safe"})
     assert [r.x for r in ok.orderBy("x").collect()] == [None, 12]
+
+
+def test_sampling_and_pair_ops_through_yaml(spark, sf_dir):
+    from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  documents: {{format: parquet, path: "{sf_dir}/documents.parquet"}}
+  embeddings: {{format: parquet, path: "{sf_dir}/embeddings.parquet"}}
+steps:
+  - id: split
+    input: documents
+    op: hash_split
+    params: {{train_pct: 80, val_pct: 10}}
+  - id: sampled
+    input: documents
+    op: hash_sample
+    params: {{fraction: 0.2}}
+  - id: jac
+    input: documents
+    op: jaccard_pairs
+    params: {{threshold: 0.9}}
+  - id: ndp
+    input: embeddings
+    op: neardup_pairs
+    params: {{threshold: 0.3}}
+"""
+    )
+    frames = compile_pipeline(spark, cfg)
+    n_docs = frames["documents"].count()
+    splits = dict(
+        frames["split"].groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert set(splits) <= {"train", "val", "test"} and sum(splits.values()) == n_docs
+    n_sample = frames["sampled"].count()
+    assert 0 < n_sample < n_docs
+    assert frames["jac"].columns == ["id_a", "id_b", "jaccard"]
+    assert frames["ndp"].columns == ["id_a", "id_b", "cos_sim"]
+    assert frames["ndp"].count() > 0
