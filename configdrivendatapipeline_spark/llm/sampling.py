@@ -58,3 +58,28 @@ def hash_sample(
     """
     cut = int(round(fraction * 10_000))
     return df.filter(hash_bucket(F.col(id_col), salt, 10_000) < cut)
+
+
+def mixture_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture:v1",
+    default_fraction: float = 1.0,
+) -> DataFrame:
+    """Per-group deterministic downsampling — training-mixture
+    reweighting (keep 30% of web, all of books, ...). One map-side
+    expression: the row's hash bucket is compared against its group's
+    cut; groups not listed keep ``default_fraction``. Same nesting
+    property as :func:`hash_sample` per group."""
+    cut = None
+    for g, f in fractions.items():
+        c = F.when(F.col(group_col) == g, F.lit(int(round(f * 10_000))))
+        cut = c if cut is None else cut.when(F.col(group_col) == g, F.lit(int(round(f * 10_000))))
+    cut = (
+        cut.otherwise(F.lit(int(round(default_fraction * 10_000))))
+        if cut is not None
+        else F.lit(int(round(default_fraction * 10_000)))
+    )
+    return df.filter(hash_bucket(F.col(id_col), salt, 10_000) < cut)

@@ -833,3 +833,26 @@ def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return sampling.hash_sample(docs, fraction=0.10)
+
+
+@declare(
+    "llm_mixture_sample",
+    f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_obucket_md5('doc_id', 'mixture:v1', 10000)} <
+          CASE WHEN source = 'src0' THEN 2500
+               WHEN source = 'src1' THEN 5000
+               ELSE 10000 END
+    """,
+    _SEC,
+    "Training-mixture reweighting: per-source deterministic "
+    "downsampling on the md5 grid (keep 25% of src0, 50% of src1, "
+    "all else) — one map-side predicate, no shuffle, retry-stable; "
+    "per-group samples nest as the fraction grows.",
+)
+def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.mixture_sample(docs, {"src0": 0.25, "src1": 0.50})
