@@ -84,24 +84,49 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "win_percent_rank",
     """
+    WITH r AS (
+      SELECT c_custkey, c_nationkey,
+             RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rnk,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+             COUNT(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM customer)
     SELECT c_custkey, c_nationkey,
-           ROUND(PERCENT_RANK() OVER
-                 (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS pct_rnk,
-           ROUND(CUME_DIST() OVER
-                 (PARTITION BY c_nationkey ORDER BY c_acctbal), 6) AS cdist
-    FROM customer
+           CAST(CASE WHEN n > 1
+                THEN FLOOR(((rnk - 1) * 2000000 + (n - 1)) / ((n - 1) * 2))
+                ELSE 0 END AS DOUBLE) / 1000000 AS pct_rnk,
+           CAST(FLOOR((c * 2000000 + n) / (n * 2)) AS DOUBLE) / 1000000 AS cdist
+    FROM r
     """,
     _SEC,
-    "Relative rank / empirical CDF.",
+    "Relative rank / empirical CDF, emitted as half-up-rounded "
+    "micro-units computed in integer arithmetic — (rank−1)/(n−1) can "
+    "land exactly on a 6-dp rounding tie (observed at sf0.1: "
+    "41/640·10⁶ = 64062.5) where Spark's and DuckDB's double ROUND "
+    "disagree; integer floor-division before one exact /10⁶ cannot.",
 )
 def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
-    return c.select(
+    wp = Window.partitionBy("c_nationkey")
+    wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    r = c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.rank().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.count(F.lit(1)).over(wr).alias("c"),
+    )
+    n, rnk, cnt = F.col("n"), F.col("rnk"), F.col("c")
+    pct = F.when(
+        n > 1, F.floor(((rnk - 1) * 2000000 + (n - 1)) / ((n - 1) * 2))
+    ).otherwise(0)
+    cd = F.floor((cnt * 2000000 + n) / (n * 2))
+    return r.select(
+        "c_custkey",
+        "c_nationkey",
+        (pct.cast("double") / 1000000).alias("pct_rnk"),
+        (cd.cast("double") / 1000000).alias("cdist"),
     )
 
 
@@ -309,20 +334,35 @@ def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "win_cume_dist",
     """
+    WITH r AS (
+      SELECT o_orderkey, o_orderstatus,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n,
+             COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM orders)
     SELECT o_orderkey, o_orderstatus,
-           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus
-                                   ORDER BY o_totalprice), 6) AS cdist
-    FROM orders
+           CAST(FLOOR((c * 2000000 + n) / (n * 2)) AS DOUBLE) / 1000000 AS cdist
+    FROM r
     """,
     _SEC,
-    "Empirical CDF standalone (also exercised beside PERCENT_RANK in "
-    "win_percent_rank; this entry keys the SURVEY §2 id on its own).",
+    "Empirical CDF standalone (this entry keys the SURVEY §2 id on "
+    "its own) — integer micro-unit rounding, tie-free; see "
+    "win_percent_rank.",
 )
 def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    return o.select(
+    wp = Window.partitionBy("o_orderstatus")
+    wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    r = o.select(
         "o_orderkey",
         "o_orderstatus",
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.count(F.lit(1)).over(wr).alias("c"),
+    )
+    cd = F.floor((F.col("c") * 2000000 + F.col("n")) / (F.col("n") * 2))
+    return r.select(
+        "o_orderkey",
+        "o_orderstatus",
+        (cd.cast("double") / 1000000).alias("cdist"),
     )
