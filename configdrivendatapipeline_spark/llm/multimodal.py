@@ -84,9 +84,18 @@ def decode_features(df: DataFrame, use_real_decoder: bool = False) -> DataFrame:
                     "first_byte": payload.map(lambda b: b[0] if len(b) else -1).astype(
                         "int32"
                     ),
-                    # deterministic fake feature: mean byte value, 6dp
+                    # deterministic fake feature: mean byte value in
+                    # half-up micro-units via exact integer arithmetic —
+                    # python round() is half-EVEN and loses ties against
+                    # the oracle's half-up (observed at sf0.1: mean
+                    # exactly x.xxx5625).
                     "feat_mean": payload.map(
-                        lambda b: round(sum(b) / len(b), 6) if len(b) else 0.0
+                        lambda b: (
+                            ((sum(b) * 2_000_000 + len(b)) // (2 * len(b)))
+                            / 1_000_000
+                            if len(b)
+                            else 0.0
+                        )
                     ).astype("float64"),
                 }
             )

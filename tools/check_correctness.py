@@ -79,6 +79,11 @@ def main() -> int:
 
     spark = get_spark("check-correctness")
     con = duckdb.connect()
+    # Bound the oracle: the degenerate fixture corpus makes pair-query
+    # RESULTS quadratic at sf>=0.1; without a cap DuckDB exhausts RAM
+    # and poisons every later query in the process.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/cddp_duck_spill'")
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
         if os.path.exists(p):
