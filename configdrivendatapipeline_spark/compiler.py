@@ -391,6 +391,20 @@ def _hash_sample(spark, dfs, p):
     )
 
 
+@op("mixture_sample")
+def _mixture_sample(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.sampling import mixture_sample
+
+    return mixture_sample(
+        _one(dfs),
+        fractions={str(k): float(v) for k, v in p["fractions"].items()},
+        group_col=p.get("group_column", "source"),
+        id_col=p.get("id_column", "doc_id"),
+        salt=p.get("salt", "mixture:v1"),
+        default_fraction=float(p.get("default_fraction", 1.0)),
+    )
+
+
 @op("neardup_pairs")
 def _neardup_pairs(spark, dfs, p):
     from configdrivendatapipeline_spark.llm.similarity import neardup_pairs

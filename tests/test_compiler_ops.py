@@ -35,7 +35,8 @@ def test_every_op_is_exercised_below():
         "standardize", "bucketize", "surrogate_key", "audit", "scd2",
         "salted_join", "salted_agg",
         "dedup_exact", "chunk", "text_quality", "redact", "merge",
-        "hash_split", "hash_sample", "neardup_pairs", "jaccard_pairs",
+        "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
+        "jaccard_pairs",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -364,6 +365,10 @@ steps:
     input: documents
     op: hash_sample
     params: {{fraction: 0.2}}
+  - id: mixed
+    input: documents
+    op: mixture_sample
+    params: {{fractions: {{src0: 0.0, src1: 1.0}}}}
   - id: jac
     input: documents
     op: jaccard_pairs
@@ -382,6 +387,10 @@ steps:
     assert set(splits) <= {"train", "val", "test"} and sum(splits.values()) == n_docs
     n_sample = frames["sampled"].count()
     assert 0 < n_sample < n_docs
+    mixed = frames["mixed"]
+    assert mixed.filter(F.col("source") == "src0").count() == 0
+    n_src1 = frames["documents"].filter(F.col("source") == "src1").count()
+    assert mixed.filter(F.col("source") == "src1").count() == n_src1
     assert frames["jac"].columns == ["id_a", "id_b", "jaccard"]
     assert frames["ndp"].columns == ["id_a", "id_b", "cos_sim"]
     assert frames["ndp"].count() > 0
