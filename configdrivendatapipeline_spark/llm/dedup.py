@@ -20,7 +20,7 @@ Scale design (the whole point of these operators):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,12 +58,14 @@ def minhash_signatures(
     """(id, signature array<long>) — H permutation-mins computed
     entirely row-local: ZERO shuffle.
 
-    Each shingle is hashed ONCE (xxhash64, masked to 32 bits) into an
-    array column; the H permutations are affine mod 2³² (odd
-    multiplier → a true permutation of [0, 2³²), the textbook
-    minhash family) applied by ``transform`` and reduced by
-    ``array_min`` — a tight codegen loop per row, no row explosion,
-    no groupBy, no division (the mod is a bitmask). At 100 TB this
+    Each token is hashed ONCE (xxhash64, masked to 32 bits) and
+    k-shingle hashes are arithmetic mixes of k consecutive token
+    hashes — no shingle strings are ever built. The H permutations
+    are affine mod 2³² (odd multiplier → a true permutation of
+    [0, 2³²), the textbook minhash family) applied by ``transform``
+    and reduced by ``array_min`` — a tight codegen loop per row, no
+    row explosion, no groupBy, no division (mods are bitmasks). At
+    100 TB this
     is a pure map stage: signatures stream out partition-parallel
     with nothing crossing the network until LSH banding. A
     repartition spreads the CPU-heavy shingle expansion when the
@@ -75,14 +77,35 @@ def minhash_signatures(
     target = spark.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < target:
         src = src.repartition(target, id_col)
-    sh = with_shingles(src, text_col, shingle_k)
-    # Hash once into an array column — HOF lambdas get no CSE across
-    # the H mins, so the hash must be materialized before fan-out.
-    hashed = sh.filter(F.size("shingles") > 0).select(
-        id_col,
-        F.transform(
-            "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF))
-        ).alias("hs"),
+    # Shingle hashes WITHOUT materializing shingle strings: hash each
+    # token once (xxhash64, 32-bit mask), then combine k consecutive
+    # token-hashes arithmetically (odd-multiplier mix, masked per term
+    # so ANSI long arithmetic can't overflow). Skips building and
+    # re-hashing ~n·k characters of concatenated shingle text per doc
+    # — the former hot spot of the signature stage.
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)))
+    mixers = [
+        F.lit(((j + 1) * 2654435761) % (2**29) | 1) for j in range(shingle_k)
+    ]
+
+    def shingle_hash(i: Column) -> Column:
+        acc = None
+        for j in range(shingle_k):
+            term = (F.coalesce(F.get(F.col("__th"), i + j), F.lit(0)) * mixers[j]).bitwiseAND(
+                F.lit(0xFFFFFFFFFFFF)
+            )
+            acc = term if acc is None else acc + term
+        return acc.bitwiseAND(F.lit(0xFFFFFFFF))
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("__th")) - shingle_k, F.lit(0)))
+    hashed = (
+        src.select(id_col, th.alias("__th"))
+        .filter(F.size("__th") > 0)
+        .select(
+            id_col,
+            F.array_distinct(F.transform(idx, shingle_hash)).alias("hs"),
+        )
     )
     mask32 = F.lit(0xFFFFFFFF)
 
