@@ -91,7 +91,7 @@ def derive_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cast_column",
     """
     SELECT CAST(l_linenumber AS BIGINT) AS line_no,
-           CAST(l_quantity AS DECIMAL(10,2)) AS qty_dec,
+           CAST(CAST(l_quantity AS DECIMAL(10,2)) AS VARCHAR) AS qty_dec,
            CAST(l_shipdate AS DATE) AS ship_day,
            CAST(l_orderkey AS VARCHAR) AS okey_str
     FROM lineitem
@@ -101,9 +101,15 @@ def derive_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cast_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # The DECIMAL(10,2) cast is the operator under test, but it is
+    # re-emitted as a string: a decimal-typed OUTPUT column cannot be
+    # hash-compared (DuckDB's pandas bridge renders float64, Spark
+    # yields decimal.Decimal). decimal→string preserves scale
+    # identically in both engines ("23.00"). House rule: never emit
+    # DECIMAL/array/map-typed output columns.
     return li.select(
         F.col("l_linenumber").cast("bigint").alias("line_no"),
-        F.col("l_quantity").cast("decimal(10,2)").alias("qty_dec"),
+        F.col("l_quantity").cast("decimal(10,2)").cast("string").alias("qty_dec"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
         F.col("l_orderkey").cast("string").alias("okey_str"),
     )

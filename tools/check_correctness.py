@@ -55,6 +55,22 @@ def canon_val(v) -> str:
     return str(v)
 
 
+#: Output-column types the driver's hash cannot compare across engines
+#: even when every value is equal: Spark's toPandas yields
+#: decimal.Decimal / list / dict cells where DuckDB's pandas bridge
+#: yields float64 / ndarray / str. canon_val coerces these locally
+#: (Decimal→float), which MASKED the round-2 cast_column driver FAIL —
+#: so the checker now rejects the output type itself.
+_FORBIDDEN_OUT = ("decimal", "array", "map", "struct")
+
+
+def forbidden_output_cols(dtypes: list[tuple[str, str]]) -> list[str]:
+    return [
+        f"{n}:{t}" for n, t in dtypes
+        if any(t.startswith(p) for p in _FORBIDDEN_OUT)
+    ]
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
@@ -102,6 +118,13 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        bad_types = forbidden_output_cols(sdf.dtypes)
+        if bad_types and q.oracle is not None:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: driver-unhashable output column(s): "
+                  f"{bad_types} (emit as string/double instead)")
             continue
         if q.oracle is None:
             n_rows_only += 1
