@@ -123,22 +123,13 @@ def minhash_signatures(
     return hashed.select(id_col, F.array(*sig).alias("signature"))
 
 
-def lsh_candidate_pairs(
+def _banded(
     sigs: DataFrame,
-    id_col: str = "doc_id",
-    bands: int = 8,
-    max_bucket: int = 1000,
-    sig_len: int | None = None,
+    id_col: str,
+    bands: int,
+    sig_len: int | None,
 ) -> DataFrame:
-    """Banded LSH: docs whose signature agrees on any full band.
-
-    Returns distinct (id_a, id_b) with id_a < id_b. ``max_bucket``
-    caps degenerate collision groups before pair expansion (a bucket
-    of size m yields m² pairs — unbounded m is the classic LSH
-    skew bomb at corpus scale). Pass ``sig_len`` when known: literal
-    band boundaries generate far cheaper code than in-plan
-    ``size(signature)`` arithmetic.
-    """
+    """(id, band_id, band_hash) — one row per doc per band."""
     if sig_len is not None:
         r = sig_len // bands
         band_cols = [
@@ -182,6 +173,53 @@ def lsh_candidate_pairs(
                 )
             ).alias("band_id", "band_hash"),
         )
+    return banded
+
+
+def lsh_dropped_buckets(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 1000,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """(band_id, band_hash, n_ids) for every collision bucket that
+    :func:`lsh_candidate_pairs` would DROP under the same
+    ``max_bucket`` cap.
+
+    The cap is the skew defense (an m-doc bucket expands to m² pairs)
+    but it silently costs recall: every pair inside a degenerate
+    bucket vanishes. This companion makes the tradeoff observable —
+    run it beside the pair query and alert when ``count > 0`` or
+    ``sum(n_ids)`` is material. Same one-shuffle shape as the pair
+    path; no pair expansion ever happens for oversized buckets.
+    """
+    banded = _banded(sigs, id_col, bands, sig_len)
+    return (
+        banded.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+        .filter(F.col("n_ids") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    max_bucket: int = 1000,
+    sig_len: int | None = None,
+) -> DataFrame:
+    """Banded LSH: docs whose signature agrees on any full band.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. ``max_bucket``
+    caps degenerate collision groups before pair expansion (a bucket
+    of size m yields m² pairs — unbounded m is the classic LSH
+    skew bomb at corpus scale); :func:`lsh_dropped_buckets` reports
+    what the cap discarded. Pass ``sig_len`` when known: literal
+    band boundaries generate far cheaper code than in-plan
+    ``size(signature)`` arithmetic.
+    """
+    banded = _banded(sigs, id_col, bands, sig_len)
     grouped = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
@@ -253,9 +291,21 @@ def jaccard_pairs(
                 ),
             )
         )
+        # ⌈t·n⌉ in exact integer arithmetic: ceil(threshold*n) computed
+        # as floor((t6·n + 999999) / 1e6) with t6 = round(t·1e6).
+        # Double ceil(lit(t)*n) overshoots for many (t, n) — e.g.
+        # t=0.55, n=100: 0.55*100 = 55.000000000000007 → ceil 56 —
+        # which shortens the indexed prefix by one token and silently
+        # drops pairs with J ≥ t. The division below is exact: both
+        # operands are integers < 2⁵³ and a correctly-rounded IEEE
+        # quotient within ~1e-12 of a point ≥ 1e-6 away from any
+        # integer cannot cross one.
+        t6 = int(round(threshold * 1_000_000))
+        ceil_tn = F.floor(
+            (F.lit(t6) * F.col("n_tok") + F.lit(999_999)) / F.lit(1_000_000)
+        )
         prefix = ranked.filter(
-            F.col("rk")
-            <= F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + 1
+            F.col("rk") <= F.col("n_tok") - ceil_tn + 1
         ).select("id", "tok")
         candidates = (
             prefix.select(F.col("id").alias("id_a"), "tok")

@@ -33,7 +33,18 @@ def hash_split(
     val_pct: int = 5,
     out: str = "split",
 ) -> DataFrame:
-    """Assign train/val/test by id hash — percent granularity."""
+    """Assign train/val/test by id hash — percent granularity.
+
+    Raises at plan time when the percentages are inconsistent: e.g.
+    ``train_pct=95, val_pct=10`` would silently produce an EMPTY test
+    split (every bucket < 100 matches train or val).
+    """
+    if not (0 <= train_pct and 0 <= val_pct and train_pct + val_pct <= 100):
+        raise ValueError(
+            f"hash_split needs 0 <= train_pct, 0 <= val_pct and "
+            f"train_pct + val_pct <= 100; got train_pct={train_pct}, "
+            f"val_pct={val_pct}"
+        )
     b = hash_bucket(F.col(id_col), salt, 100)
     split = (
         F.when(b < train_pct, "train")
@@ -56,6 +67,8 @@ def hash_sample(
     are strictly nested (the f1 sample is a subset of the f2 one) —
     the property you need to grow a training subset monotonically.
     """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1]; got {fraction}")
     cut = int(round(fraction * 10_000))
     return df.filter(hash_bucket(F.col(id_col), salt, 10_000) < cut)
 

@@ -250,6 +250,64 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    emb: DataFrame,
+    k: int = 3,
+    n_tables: int = 6,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Approximate k-NN self-join: top-k neighbors for EVERY vector.
+
+    Candidates come from multi-table hyperplane LSH — two vectors
+    meet only when they share (table_id, bucket) in some table
+    (optionally also matching ``group_col``) — so the pair space is an
+    equi-join bounded by bucket granularity (~n/2^planes per table per
+    group), never the label-quadratic or O(n²) self-join: a hot group
+    (e.g. one dominant language label) subdivides across buckets
+    instead of forming one k² pair bomb. The deterministic arithmetic
+    planes (:func:`_plane_weights`) mean a SQL oracle replays the
+    identical candidate set, keeping the operator hash-checkable.
+    """
+    extra = [group_col] if group_col else []
+    v = emb.select(F.col(id_col), *extra, as_double(vec_col).alias("__v"))
+    banded = v.select(
+        id_col,
+        *extra,
+        "__v",
+        F.posexplode(_table_buckets(F.col("__v"), n_tables, planes_per_table)).alias(
+            "table_id", "bucket"
+        ),
+    )
+    keys = extra + ["table_id", "bucket"]
+    a = banded.select(
+        *keys, F.col(id_col).alias("left_id"), F.col("__v").alias("__va")
+    )
+    b = banded.select(
+        *keys, F.col(id_col).alias("right_id"), F.col("__v").alias("__vb")
+    )
+    cand = (
+        a.join(b, keys)
+        .filter(F.col("left_id") != F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    scored = cand.select(
+        "left_id",
+        "right_id",
+        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("cos_sim").desc(), F.col("right_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("left_id", "right_id", "cos_sim", F.col("rn").alias("rank"))
+    )
+
+
 def neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -399,54 +399,37 @@ def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "llm_knn_join",
     f"""
-    WITH scored AS (
-      SELECT a.vec_id AS left_id, b.vec_id AS right_id,
-             {_ocos('a.embedding', 'b.embedding')} AS cos_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-      WHERE a.label = b.label
-    )
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+      FROM cb a JOIN cb b ON a.table_id = b.table_id AND a.bucket = b.bucket
+           JOIN lab la ON la.vec_id = a.vec_id
+           JOIN lab lb ON lb.vec_id = b.vec_id
+      WHERE la.label = lb.label AND a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT c.left_id, c.right_id,
+             {_ocos('va.embedding', 'vb.embedding')} AS cos_sim
+      FROM cand c JOIN v va ON va.vec_id = c.left_id
+                  JOIN v vb ON vb.vec_id = c.right_id)
     SELECT left_id, right_id, cos_sim, rn AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
                ORDER BY cos_sim DESC, right_id ASC) AS rn FROM scored)
     WHERE rn <= 3
     """,
     _SEC,
-    "k-NN join: top-3 neighbors for EVERY vector within its label "
-    "group (label-partitioned to bound the pair space — the general "
-    "form swaps the label join for LSH/IVF candidates at scale).",
+    "k-NN join: approximate top-3 neighbors for EVERY vector within "
+    "its label, candidates from multi-table hyperplane LSH (6 tables "
+    "× 4 planes) joined on (label, table, bucket) — buckets subdivide "
+    "hot labels, so no within-label quadratic survives at scale; the "
+    "deterministic planes keep the oracle replaying identical "
+    "candidates.",
 )
 def llm_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("left_id"),
-        F.col("label").alias("l_label"),
-        similarity.as_double("embedding").alias("__va"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("right_id"),
-        F.col("label").alias("r_label"),
-        similarity.as_double("embedding").alias("__vb"),
-    )
-    scored = (
-        a.join(b, (F.col("l_label") == F.col("r_label"))
-               & (F.col("left_id") != F.col("right_id")))
-        .select(
-            "left_id",
-            "right_id",
-            F.round(
-                similarity.cosine(F.col("__va"), F.col("__vb")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("left_id").orderBy(
-        F.col("cos_sim").desc(), F.col("right_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("left_id", "right_id", "cos_sim", F.col("rn").alias("rank"))
+    return similarity.knn_join(
+        emb, k=3, n_tables=6, planes_per_table=4, group_col="label"
     )
 
 

@@ -148,3 +148,64 @@ def test_hash_sample_nested_and_split_stable(spark, sf_dir):
     a = sampling.hash_split(docs).select("doc_id", "split").collect()
     b = sampling.hash_split(docs).select("doc_id", "split").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_dropped_buckets_surfaces_cap_loss(spark):
+    """max_bucket silently removes every pair in a degenerate bucket;
+    lsh_dropped_buckets must report exactly those buckets so the
+    recall tradeoff is observable (VERDICT r2 item 5)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(6)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs)
+    # identical docs → identical signatures → one 6-doc bucket per band
+    dropped = dedup.lsh_dropped_buckets(sigs, max_bucket=3, sig_len=32)
+    rows = dropped.collect()
+    assert rows and all(r.n_ids == 6 for r in rows)
+    assert dedup.lsh_candidate_pairs(sigs, max_bucket=3, sig_len=32).count() == 0
+    # generous cap: nothing dropped, all 15 pairs emerge
+    assert dedup.lsh_dropped_buckets(sigs, max_bucket=100, sig_len=32).count() == 0
+    assert dedup.lsh_candidate_pairs(sigs, max_bucket=100, sig_len=32).count() == 15
+
+
+def test_jaccard_prefix_filter_lossless_at_fp_hostile_threshold(spark):
+    """t=0.55 is the ADVICE r2 case where double ceil(t·n) overshoots
+    (0.55·20 = 11.000000000000002 → ceil 12), shortening the indexed
+    prefix and silently dropping qualifying pairs. Differential check
+    against a Python brute force over every pair proves the prefix
+    filter is lossless with the exact-integer bound."""
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    corpus = [
+        (i, " ".join(rnd.sample(vocab, 20)))  # exactly n_tok=20, distinct
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, threshold=0.55).collect()
+    }
+    sets = {i: frozenset(t.split()) for i, t in corpus}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+        if jac >= 0.55:
+            want.add((a, b))
+    assert got == want
+
+
+def test_hash_split_rejects_inconsistent_percentages(spark, sf_dir):
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    with pytest.raises(ValueError, match="train_pct"):
+        sampling.hash_split(docs, train_pct=95, val_pct=10)
+    with pytest.raises(ValueError, match="fraction"):
+        sampling.hash_sample(docs, fraction=1.5)

