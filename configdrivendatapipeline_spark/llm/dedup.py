@@ -394,6 +394,62 @@ def duplicate_clusters(
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an eval/benchmark set (the standard n-gram
+    membership test used before training runs).
+
+    Scale shape: real benchmark suites are tiny next to a 100 TB
+    corpus, so the distinct benchmark n-gram set is **broadcast** and
+    the whole check is one map-side-joined aggregation over the train
+    scan — no corpus shuffle. Returns (id, n_overlap) for contaminated
+    docs only; overlap counts DISTINCT shared n-grams.
+    """
+    def grams(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = F.split(F.col(text_col), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        g = F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        )
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(*cols, F.explode(g).alias("__gram"))
+
+    bench_grams = grams(benchmark, keep_id=False).distinct()
+    return (
+        grams(train, keep_id=True)
+        .join(F.broadcast(bench_grams), "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+
+
+def cross_corpus_dedup(
+    new: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: drop new-batch docs whose exact content
+    already exists in the base corpus (every nightly training-data
+    refresh does this before anything else).
+
+    One anti-join on sha2(text) — both sides shuffle once on the
+    256-bit content key, so collision groups are single rows and the
+    join never expands. At 100 TB the base side would be the
+    pre-materialized hash column of the corpus manifest, not a rescan.
+    """
+    key = F.sha2(F.col(text_col), 256)
+    return new.withColumn("__k", key).join(
+        existing.select(key.alias("__k")).distinct(), "__k", "left_anti"
+    ).drop("__k")
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:

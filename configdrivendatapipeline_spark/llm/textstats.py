@@ -177,6 +177,72 @@ def chunk_documents(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition quality signals per document (the Gopher-style
+    filters): duplicate-token fraction and the share of token
+    positions covered by the single most frequent 2-gram. Highly
+    repetitive documents (boilerplate, SEO spam, template churn) score
+    high on both and get filtered before training.
+
+    Shape: one explode + two aggregations keyed by (doc, gram) then
+    doc — linear in corpus size and partitioned by doc id, unlike the
+    per-row nested-loop alternative (count each distinct gram inside
+    the array), which is quadratic in document length. Fractions are
+    emitted via integer micro-unit rounding so both engines hash
+    identically.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        toks.alias("__toks"),
+    )
+    grams = base.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__toks") - 2, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 2)),
+            )
+        ).alias("gram"),
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.count(F.lit(1)).alias("gram_count"),
+    )
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.max("gram_count").alias("top_gram_count"),
+    )
+    # exact 6dp fractions: floor(a·10⁶/b + ½) on integers, then /10⁶
+    def frac6(a: Column, b: Column) -> Column:
+        return (
+            F.floor((a * 2_000_000 + b) / (b * 2)).cast("double") / 1_000_000
+        )
+
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "top_gram_count",
+        frac6(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")).alias(
+            "dup_tok_frac"
+        ),
+        # share of 2-gram positions occupied by the most frequent
+        # 2-gram (n-1 positions for an n-token doc) — bounded [0,1]
+        frac6(
+            F.col("top_gram_count"),
+            F.greatest(F.col("n_tokens") - 1, F.lit(1).cast("long")),
+        ).alias("top_gram_frac"),
+    )
+
+
 #: PII-ish patterns → replacement tokens (regex scrubbing pass).
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),

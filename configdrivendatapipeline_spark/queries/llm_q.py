@@ -839,3 +839,149 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
     return sampling.mixture_sample(docs, {"src0": 0.25, "src1": 0.50})
+
+
+@declare(
+    "llm_decontaminate",
+    """
+    WITH bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(0, greatest(len(toks) - 8, 0) + 1),
+          i -> array_to_string(toks[i+1:i+8], ' ')))) AS __gram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 20 = 0)
+    ), tg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+          range(0, greatest(len(toks) - 8, 0) + 1),
+          i -> array_to_string(toks[i+1:i+8], ' ')))) AS __gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 20 <> 0)
+    )
+    SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM tg JOIN bg USING (__gram)
+    GROUP BY tg.doc_id
+    """,
+    _SEC,
+    "Benchmark decontamination: flag training docs sharing any word "
+    "8-gram with the eval split (doc_id%20==0 here; a real run "
+    "broadcasts MMLU et al.) — the benchmark gram set is broadcast, "
+    "so the corpus never shuffles; output = contaminated doc ids "
+    "with distinct-overlap counts.",
+)
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return dedup.decontaminate(train, bench, n=8)
+
+
+@declare(
+    "llm_repetition",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             unnest(list_transform(
+               range(0, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(toks[i+1:i+2], ' '))) AS gram
+      FROM d),
+    pg AS (
+      SELECT doc_id, MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct,
+             gram, COUNT(*) AS gram_count
+      FROM g GROUP BY doc_id, gram),
+    pd AS (
+      SELECT doc_id, MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct,
+             MAX(gram_count) AS top_gram_count
+      FROM pg GROUP BY doc_id)
+    SELECT doc_id, n_tokens, top_gram_count,
+           CAST(FLOOR(((n_tokens - n_distinct) * 2000000 + n_tokens)
+                      / (n_tokens * 2)) AS DOUBLE) / 1000000 AS dup_tok_frac,
+           CAST(FLOOR((top_gram_count * 2000000 + GREATEST(n_tokens - 1, 1))
+                      / (GREATEST(n_tokens - 1, 1) * 2)) AS DOUBLE) / 1000000
+               AS top_gram_frac
+    FROM pd
+    """,
+    _SEC,
+    "Gopher-style repetition signals per doc: duplicate-token "
+    "fraction and top-2-gram position share — the cheap structural "
+    "spam filters; explode + two keyed aggregations, linear in "
+    "corpus size (never per-row nested counting).",
+)
+def llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_cross_dedup",
+    """
+    WITH new_batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' novel tail' AS text
+      FROM documents WHERE doc_id % 5 = 1
+    )
+    SELECT n.doc_id, md5(n.text) AS content_key
+    FROM new_batch n
+    ANTI JOIN documents d ON sha256(n.text) = sha256(d.text)
+    """,
+    _SEC,
+    "Incremental cross-corpus dedup: a manufactured ingest batch "
+    "(20% re-keyed exact copies + 20% genuinely novel docs) "
+    "anti-joined on sha2(text) against the base corpus — the "
+    "nightly-refresh front door; one shuffle on the content hash, "
+    "copies vanish, novel docs survive.",
+)
+def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 1)
+            .withColumn("doc_id", F.col("doc_id") + 2000000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" novel tail")))
+        )
+    )
+    return dedup.cross_corpus_dedup(new_batch, docs).select(
+        "doc_id", F.md5("text").alias("content_key")
+    )
+
+
+@declare(
+    "llm_embed_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    m AS (
+      SELECT vec_id, v,
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+      FROM e),
+    q AS (
+      SELECT vec_id, v, max_abs,
+             list_transform(v, x -> GREATEST(-127.0, LEAST(127.0,
+                 FLOOR(x * (127.0 / max_abs) + 0.5)))) AS qv
+      FROM m)
+    SELECT vec_id,
+           ROUND(max_abs, 6) AS max_abs,
+           CAST(list_reduce(list_prepend(0.0, qv), (s, x) -> s + x) AS BIGINT)
+               AS q_sum,
+           CAST(list_reduce(list_prepend(0.0,
+                list_transform(qv, x -> abs(x))), (s, x) -> s + x) AS BIGINT)
+               AS q_l1,
+           ROUND(list_aggregate(list_transform(range(1, 65),
+                 i -> abs(v[i] - qv[i] / (127.0 / max_abs))), 'max'), 6)
+               AS max_recon_err
+    FROM q
+    """,
+    _SEC,
+    "Per-vector symmetric int8 quantization (the 4x compression step "
+    "before ANN indexing): half-up rounded q_i = v_i*127/max|v|, "
+    "clamped; emits scalar diagnostics (q sums, max reconstruction "
+    "error) — pure map-side array arithmetic, zero shuffle.",
+)
+def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(load(spark, sf_dir, "embeddings"))

@@ -209,3 +209,59 @@ def test_hash_split_rejects_inconsistent_percentages(spark, sf_dir):
         sampling.hash_split(docs, train_pct=95, val_pct=10)
     with pytest.raises(ValueError, match="fraction"):
         sampling.hash_sample(docs, fraction=1.5)
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc sharing an 8-gram with the benchmark is flagged
+    with the DISTINCT overlap count; disjoint docs are not."""
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h i j")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            # shares grams "a..h" and "b..i" with the benchmark doc
+            (1, "x a b c d e f g h i y"),
+            (2, "q r s t u v w x y z"),  # disjoint
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.n_overlap)
+        for r in dedup.decontaminate(train, bench, n=8).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_cross_corpus_dedup_drops_only_existing_content(spark):
+    """Exact copies of base-corpus content vanish regardless of id;
+    novel content survives."""
+    base = spark.createDataFrame([(0, "alpha beta"), (1, "gamma")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100, "alpha beta"), (101, "delta")], ["doc_id", "text"]
+    )
+    survivors = {r.doc_id for r in dedup.cross_corpus_dedup(new, base).collect()}
+    assert survivors == {101}
+
+
+def test_repetition_stats_on_known_doc(spark):
+    """'a a a b' → 4 tokens, top 2-gram 'a a' ×2 of 3 positions."""
+    df = spark.createDataFrame([(0, "a a a b")], ["doc_id", "text"])
+    row = textstats.repetition_stats(df).collect()[0]
+    assert row.n_tokens == 4
+    assert row.top_gram_count == 2
+    assert row.dup_tok_frac == 0.5  # 2 of 4 tokens are repeats
+    assert abs(row.top_gram_frac - 2 / 3) < 1e-6
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    """|q| ≤ 127 by construction (L1 ≤ 127·64) and reconstruction
+    error is bounded by half a quantization step (max_abs/254, plus
+    the 6dp output-rounding granularity)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.quantize_int8(emb)
+    bad = out.filter(
+        (F.col("q_l1") > 127 * 64)
+        | (F.col("max_recon_err") > F.col("max_abs") / 254 + 1e-6)
+    ).count()
+    assert bad == 0
+    assert out.count() == emb.count()
