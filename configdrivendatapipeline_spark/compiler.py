@@ -431,6 +431,57 @@ def _jaccard_pairs(spark, dfs, p):
     )
 
 
+@op("decontaminate")
+def _decontaminate(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.dedup import decontaminate
+
+    if len(dfs) != 2:
+        raise ValueError("decontaminate expects exactly 2 inputs (train, benchmark)")
+    return decontaminate(
+        dfs[0],
+        dfs[1],
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        n=int(p.get("ngram", 8)),
+    )
+
+
+@op("cross_dedup")
+def _cross_dedup(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.dedup import cross_corpus_dedup
+
+    if len(dfs) != 2:
+        raise ValueError("cross_dedup expects exactly 2 inputs (new, existing)")
+    return cross_corpus_dedup(
+        dfs[0],
+        dfs[1],
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+    )
+
+
+@op("repetition_stats")
+def _repetition_stats(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.textstats import repetition_stats
+
+    return repetition_stats(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+    )
+
+
+@op("quantize_int8")
+def _quantize_int8(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.similarity import quantize_int8
+
+    return quantize_int8(
+        _one(dfs),
+        id_col=p.get("id_column", "vec_id"),
+        vec_col=p.get("vector_column", "embedding"),
+    )
+
+
 # --- skew escape hatches -------------------------------------------------------
 
 

@@ -76,9 +76,46 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "N buckets over a unique total order.",
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select("o_orderkey", F.ntile(4).over(w).alias("quartile"))
+    """Global NTILE without the single-partition global window.
+
+    ``Window.orderBy(...)`` with no partition moves the WHOLE table
+    into one task (WindowExec warns precisely about this) — fatal at
+    100 TB. Instead: range-repartition on the sort key, rank locally,
+    then add per-partition offsets (an exclusive prefix sum over the
+    per-partition counts — bounded by #partitions, not #rows) and
+    derive the NTILE bucket arithmetically from the global rank.
+    Bucket values depend only on the global rank over a UNIQUE total
+    order, so nondeterministic range boundaries cannot change the
+    output.
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    parts = o.sparkSession.sparkContext.defaultParallelism
+    d = o.repartitionByRange(parts, "o_totalprice", "o_orderkey").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wl = Window.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")
+    d = d.withColumn("__lrn", F.row_number().over(wl))
+    counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # global window over ≤ #partitions rows — bounded at any data size
+    wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(wo), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(Window.partitionBy()).alias("__n"),
+    )
+    r = F.col("__off") + F.col("__lrn")
+    n = F.col("__n")
+    base = F.floor(n / 4).cast("long")
+    extra = (n % 4).cast("long")
+    # NTILE(4): first (n mod 4) buckets hold ⌈n/4⌉ rows, rest ⌊n/4⌋
+    quartile = F.when(
+        r <= (base + 1) * extra, F.floor((r - 1) / (base + 1)) + 1
+    ).otherwise(
+        extra + F.floor((r - 1 - (base + 1) * extra) / F.greatest(base, F.lit(1))) + 1
+    )
+    return d.join(F.broadcast(offsets), "__pid").select(
+        "o_orderkey", quartile.cast("int").alias("quartile")
+    )
 
 
 @declare(

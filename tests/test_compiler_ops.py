@@ -36,7 +36,8 @@ def test_every_op_is_exercised_below():
         "salted_join", "salted_agg",
         "dedup_exact", "chunk", "text_quality", "redact", "merge",
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
-        "jaccard_pairs",
+        "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
+        "quantize_int8",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -394,3 +395,51 @@ steps:
     assert frames["jac"].columns == ["id_a", "id_b", "jaccard"]
     assert frames["ndp"].columns == ["id_a", "id_b", "cos_sim"]
     assert frames["ndp"].count() > 0
+
+
+def test_curation_ops_through_yaml(spark, sf_dir):
+    """decontaminate / cross_dedup / repetition_stats / quantize_int8
+    are YAML-reachable and keep their library semantics."""
+    from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  documents: {{format: parquet, path: "{sf_dir}/documents.parquet"}}
+  embeddings: {{format: parquet, path: "{sf_dir}/embeddings.parquet"}}
+steps:
+  - id: bench
+    input: documents
+    op: filter
+    params: {{predicate: "doc_id % 20 = 0"}}
+  - id: train
+    input: documents
+    op: filter
+    params: {{predicate: "doc_id % 20 <> 0"}}
+  - id: contaminated
+    inputs: [train, bench]
+    op: decontaminate
+    params: {{ngram: 8}}
+  - id: fresh
+    inputs: [train, bench]
+    op: cross_dedup
+    params: {{}}
+  - id: rep
+    input: documents
+    op: repetition_stats
+    params: {{}}
+  - id: quant
+    input: embeddings
+    op: quantize_int8
+    params: {{}}
+"""
+    )
+    frames = compile_pipeline(spark, cfg)
+    assert frames["contaminated"].columns == ["doc_id", "n_overlap"]
+    # train and bench are disjoint splits of one corpus: nothing in
+    # train has content identical to bench, so cross_dedup keeps all
+    assert frames["fresh"].count() == frames["train"].count()
+    assert frames["rep"].columns == [
+        "doc_id", "n_tokens", "top_gram_count", "dup_tok_frac", "top_gram_frac"
+    ]
+    assert frames["quant"].count() == frames["embeddings"].count()
