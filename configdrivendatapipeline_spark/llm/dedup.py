@@ -413,12 +413,19 @@ def decontaminate(
     """
     def grams(df: DataFrame, keep_id: bool) -> DataFrame:
         toks = F.split(F.col(text_col), " ")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        # Docs shorter than n tokens emit NO grams (standard n-gram
+        # decontamination semantics — a truncated "gram" of the whole
+        # short doc would flag sub-n-token overlaps). Mirrored in the
+        # SQL oracle.
+        idx = F.sequence(F.lit(0), F.size(toks) - n)
         g = F.array_distinct(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
         )
         cols = [F.col(id_col)] if keep_id else []
-        return df.select(*cols, F.explode(g).alias("__gram"))
+        return (
+            df.filter(F.size(toks) >= n)
+            .select(*cols, F.explode(g).alias("__gram"))
+        )
 
     bench_grams = grams(benchmark, keep_id=False).distinct()
     return (

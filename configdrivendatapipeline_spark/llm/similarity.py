@@ -387,7 +387,11 @@ def quantize_int8(
     """
     v = as_double(vec_col)
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / max_abs
+    # All-zero vector guard: 127/0 = Inf, then 0·Inf = NaN would flow
+    # through floor/least/greatest with engine-specific NaN ordering.
+    # scale=1 makes q_i = floor(0+0.5) = 0 and recon_err = |0 − 0/1| =
+    # 0 exactly — mirrored in the SQL oracle (llm_embed_quantize).
+    scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(F.lit(127.0) / max_abs)
     q = F.transform(
         v,
         lambda x: F.greatest(

@@ -318,5 +318,12 @@ def odavg(expr: str, alias: str) -> str:
 
 
 def r2(col: Column, alias: str) -> Column:
-    """Round a scalar double expression to 2dp (both sides identical)."""
-    return F.round(col, 2).cast("double").alias(alias)
+    """Round a scalar double expression to 2dp (both sides identical).
+
+    ``+ 0.0`` normalizes any negative zero (IEEE ``-0.0 + 0.0 = +0.0``).
+    Spark's ``F.round`` (BigDecimal HALF_UP) can never emit ``-0.0``,
+    but DuckDB's C-style ``round`` can — so every oracle ``ROUND`` over
+    a possibly-negative expression must carry a matching ``+ 0.0``, and
+    this side carries it too so the normalization is symmetric.
+    """
+    return (F.round(col, 2).cast("double") + F.lit(0.0)).alias(alias)

@@ -168,12 +168,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)))) AS BIGINT) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           CAST(ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 2) AS DOUBLE) AS sd_qty,
-           CAST(ROUND((sxx - sx * sx / n) / (n - 1), 2) AS DOUBLE) AS var_qty,
+           CAST(ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 2) AS DOUBLE) + 0.0 AS sd_qty,
+           CAST(ROUND((sxx - sx * sx / n) / (n - 1), 2) AS DOUBLE) + 0.0 AS var_qty,
            CAST(ROUND((sxy - sx * sy / n)
                       / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 2)
-                AS DOUBLE) AS corr_qty_price,
-           CAST(ROUND((sxy - sx * sy / n) / (n - 1), 2) AS DOUBLE) AS cov_qty_price
+                AS DOUBLE) + 0.0 AS corr_qty_price,
+           CAST(ROUND((sxy - sx * sy / n) / (n - 1), 2) AS DOUBLE) + 0.0 AS cov_qty_price
     FROM m
     """,
     _SEC,

@@ -20,19 +20,22 @@ _SEC = "2.11"
 # DuckDB helpers: dot/norm via index-folded list_reduce in double —
 # identical left-fold order to Spark's F.aggregate.
 _ODOT = (
-    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (s, x) -> s + x)"
 )
 _ONRM = (
-    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len({a}) + 1), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))), (s, x) -> s + x))"
 )
 
 
 def _ocos(a: str, b: str) -> str:
+    # ``+ 0.0`` normalizes DuckDB's ``-0.0`` (C-style round keeps the
+    # sign bit; Spark's BigDecimal round doesn't) — cosine can round to
+    # zero from below, and the driver hashes raw double bits.
     return (
         f"ROUND({_ODOT.format(a=a, b=b)} / "
-        f"({_ONRM.format(a=a)} * {_ONRM.format(a=b)}), 6)"
+        f"({_ONRM.format(a=a)} * {_ONRM.format(a=b)}), 6) + 0.0"
     )
 
 
@@ -846,16 +849,18 @@ def llm_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH bg AS (
       SELECT DISTINCT unnest(list_distinct(list_transform(
-          range(0, greatest(len(toks) - 8, 0) + 1),
+          range(0, len(toks) - 8 + 1),
           i -> array_to_string(toks[i+1:i+8], ' ')))) AS __gram
       FROM (SELECT string_split(text, ' ') AS toks FROM documents
             WHERE doc_id % 20 = 0)
+      WHERE len(toks) >= 8
     ), tg AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
-          range(0, greatest(len(toks) - 8, 0) + 1),
+          range(0, len(toks) - 8 + 1),
           i -> array_to_string(toks[i+1:i+8], ' ')))) AS __gram
       FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
             WHERE doc_id % 20 <> 0)
+      WHERE len(toks) >= 8
     )
     SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
     FROM tg JOIN bg USING (__gram)
@@ -958,12 +963,16 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings),
     m AS (
       SELECT vec_id, v,
-             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+             list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs,
+             CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') = 0
+                  THEN 1.0
+                  ELSE 127.0 / list_aggregate(list_transform(v, x -> abs(x)), 'max')
+             END AS scale
       FROM e),
     q AS (
-      SELECT vec_id, v, max_abs,
+      SELECT vec_id, v, max_abs, scale,
              list_transform(v, x -> GREATEST(-127.0, LEAST(127.0,
-                 FLOOR(x * (127.0 / max_abs) + 0.5)))) AS qv
+                 FLOOR(x * scale + 0.5)))) AS qv
       FROM m)
     SELECT vec_id,
            ROUND(max_abs, 6) AS max_abs,
@@ -972,8 +981,8 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(list_reduce(list_prepend(0.0,
                 list_transform(qv, x -> abs(x))), (s, x) -> s + x) AS BIGINT)
                AS q_l1,
-           ROUND(list_aggregate(list_transform(range(1, 65),
-                 i -> abs(v[i] - qv[i] / (127.0 / max_abs))), 'max'), 6)
+           ROUND(list_aggregate(list_transform(range(1, len(v) + 1),
+                 i -> abs(v[i] - qv[i] / scale)), 'max'), 6)
                AS max_recon_err
     FROM q
     """,

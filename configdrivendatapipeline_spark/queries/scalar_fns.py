@@ -285,7 +285,7 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM embeddings)
     SELECT vec_id,
            ROUND(list_reduce(list_transform(v, x -> x * 2.0), (a, b) -> a + b), 6)
-               AS sum2x,
+               + 0.0 AS sum2x,
            len(list_filter(v, x -> x > 0.1)) AS n_big,
            len(list_filter(v, x -> x > 0.25)) > 0 AS any_huge,
            ROUND(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b), 6)

@@ -95,6 +95,15 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wl = Window.partitionBy("__pid").orderBy("o_totalprice", "o_orderkey")
     d = d.withColumn("__lrn", F.row_number().over(wl))
+    # Pin (__pid, __lrn): spark_partition_id() is nondeterministic and
+    # range boundaries are re-sampled per-exchange, so the counts
+    # branch and the join branch below must see the SAME partition
+    # assignment. Default exchange reuse dedups the identical subtree,
+    # but that's an optimizer choice (spark.sql.exchange.reuse), not a
+    # guarantee — localCheckpoint materializes one assignment so a
+    # recomputed branch can't disagree. Bounded cost: one pass over
+    # data already shuffled by the repartitionByRange above.
+    d = d.localCheckpoint(eager=True)
     counts = d.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     # global window over ≤ #partitions rows — bounded at any data size
     wo = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

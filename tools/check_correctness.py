@@ -35,8 +35,10 @@ def canon_val(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            return "0"  # normalize -0.0
+        # Do NOT normalize -0.0: the driver hashes raw double bits, so
+        # a sign-bit-only difference fails there — r3's agg_stats FAIL
+        # slipped past this checker precisely because it normalized.
+        # Queries must emit +0.0 on both engine sides (r2()/+0.0).
         return repr(v)
     if isinstance(v, decimal.Decimal):
         return canon_val(float(v))
