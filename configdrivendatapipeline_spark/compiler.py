@@ -419,6 +419,24 @@ def _neardup_pairs(spark, dfs, p):
     )
 
 
+@op("knn_join")
+def _knn_join(spark, dfs, p):
+    """Approximate k-NN self-join: LSH candidates → cosine verify →
+    per-vector top-k (see llm.similarity.knn_join for the scale
+    argument — bucket-bounded equi-join, never O(n²))."""
+    from configdrivendatapipeline_spark.llm.similarity import knn_join
+
+    return knn_join(
+        _one(dfs),
+        k=int(p.get("k", 3)),
+        n_tables=int(p.get("n_tables", 6)),
+        planes_per_table=int(p.get("planes_per_table", 4)),
+        id_col=p.get("id_column", "vec_id"),
+        vec_col=p.get("vector_column", "embedding"),
+        group_col=p.get("group_column"),
+    )
+
+
 @op("jaccard_pairs")
 def _jaccard_pairs(spark, dfs, p):
     from configdrivendatapipeline_spark.llm.dedup import jaccard_pairs

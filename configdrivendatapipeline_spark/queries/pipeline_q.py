@@ -578,3 +578,120 @@ steps:
       by: [s_nationkey]
 """
     return _run(spark, yml, "ranked")
+
+
+_VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
+
+
+@declare(
+    "pipeline_stream",
+    f"""
+    SELECT date_trunc('hour', ts) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM({_VU}) AS DOUBLE) / 1000000 AS total_value
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY 1, 2
+    """,
+    _SEC,
+    "YAML pipeline over a STREAMING source: config declares "
+    "streaming:true on the parquet source, the same derive/filter/"
+    "sql step ops run unchanged on the unbounded frame, and the "
+    "result drains through AvailableNow — proving the compiler's "
+    "batch/stream unification (one op surface, trigger swapped in "
+    "production, never the pipeline). Exact integer micro-unit sums "
+    "so streaming partial-agg order can't flip hashes.",
+)
+def pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.streaming import run_available_now
+
+    yml = f"""
+pipeline:
+  name: stream_family
+sources:
+  events:
+    format: parquet
+    path: {sf_dir}/events.parquet
+    streaming: true
+steps:
+  - id: typed
+    input: events
+    op: derive
+    params:
+      columns:
+        ts: "timestamp_micros(ts div 1000)"
+        vu: "{_VU}"
+  - id: kept
+    input: typed
+    op: filter
+    params:
+      predicate: "event_type <> 'error'"
+  - id: hourly
+    input: kept
+    op: sql
+    params:
+      views: [ev]
+      query: |
+        SELECT window(ts, '1 hour').start AS win_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(vu) AS DOUBLE) / 1000000 AS total_value
+        FROM ev GROUP BY window(ts, '1 hour'), event_type
+"""
+    frames = compile_pipeline(spark, load_pipeline_str(yml))
+    assert frames["hourly"].isStreaming  # the YAML really declared a stream
+    return run_available_now(frames["hourly"], "complete")
+
+
+def _knn_oracle() -> str:
+    # The deterministic hyperplane LSH (integer arithmetic planes)
+    # lets DuckDB replay the IDENTICAL candidate set — same helpers
+    # as llm_knn_join's oracle, here without the group column and k=2.
+    from configdrivendatapipeline_spark.queries.llm_q import _obanded, _ocos
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+      FROM cb a JOIN cb b ON a.table_id = b.table_id AND a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id),
+    scored AS (
+      SELECT c.left_id, c.right_id,
+             {_ocos('va.embedding', 'vb.embedding')} AS cos_sim
+      FROM cand c JOIN v va ON va.vec_id = c.left_id
+                  JOIN v vb ON vb.vec_id = c.right_id)
+    SELECT left_id, right_id, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+               ORDER BY cos_sim DESC, right_id ASC) AS rn FROM scored)
+    WHERE rn <= 2
+    """
+
+
+@declare(
+    "pipeline_knn",
+    _knn_oracle(),
+    _SEC,
+    "YAML pipeline: approximate k-NN self-join through the config "
+    "surface — knn_join op (deterministic hyperplane LSH candidates "
+    "→ cosine verify → per-vector top-2); bucket-bounded equi-join, "
+    "identical plan to llm_knn_join but declared in YAML.",
+)
+def pipeline_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: knn_family
+sources:
+  embeddings:
+    format: parquet
+    path: {sf_dir}/embeddings.parquet
+steps:
+  - id: neighbors
+    input: embeddings
+    op: knn_join
+    params:
+      k: 2
+      n_tables: 6
+      planes_per_table: 4
+"""
+    return _run(spark, yml, "neighbors")

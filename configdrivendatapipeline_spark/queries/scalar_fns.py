@@ -230,16 +230,34 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "fn_hash_fast",
-    None,  # xxhash64/crc32 seeds are engine-specific → rows-only.
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT text) AS n_distinct_text,
+           TRUE AS xxh64_injective,
+           TRUE AS crc32_low_collision
+    FROM documents
+    """,
     _SEC,
-    "Non-cryptographic hashes (xxhash64, crc32) — bucket/shard keys.",
+    "Non-cryptographic hashes (xxhash64, crc32) — bucket/shard keys. "
+    "Raw values are engine-specific (DuckDB has no xxhash64 twin), so "
+    "the checkable output is the self-consistency invariant the hash "
+    "must satisfy on this corpus: xxhash64 is injective over the "
+    "distinct texts (64-bit — expected collisions ≈ 0 at any testable "
+    "scale) and crc32 loses at most 16 to birthday collisions (32-bit "
+    "— expectation ~n²/2³³). Spark COMPUTES both hashes over the full "
+    "corpus and tests the invariant; the oracle states it must hold.",
 )
 def fn_hash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.xxhash64("text").alias("text_xxh64"),
-        F.crc32("text").alias("text_crc32"),
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        (F.countDistinct(F.xxhash64("text")) == F.countDistinct("text")).alias(
+            "xxh64_injective"
+        ),
+        (
+            (F.countDistinct("text") - F.countDistinct(F.crc32("text"))) <= 16
+        ).alias("crc32_low_collision"),
     )
 
 

@@ -166,14 +166,61 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "stream_watermark",
-    None,  # late-drop behavior is not expressible over a drained batch
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS win_start, COUNT(*) AS n_events
+      FROM events GROUP BY 1),
+    m AS (SELECT MAX(ts) AS mx FROM events)
+    SELECT win_start, n_events FROM w, m
+    WHERE win_start + INTERVAL '1 hour' <= mx - INTERVAL '10 minutes'
+    """,
     _SEC,
-    "Watermarked windowed aggregation (10 min bounded lateness): "
-    "bounds state at scale; late-drop proper is unit-tested with "
-    "multi-micro-batch feeds (tests/test_streaming.py).",
+    "Watermarked windowed aggregation (10 min bounded lateness) over "
+    "a TWO-micro-batch feed (time-ordered split, maxFilesPerTrigger=1) "
+    "so the watermark genuinely advances between batches. Append mode "
+    "emits exactly the windows closed by the final watermark "
+    "(end ≤ max ts − 10 min); the time-ordered split carries no late "
+    "rows, so those windows hold full batch counts — making the "
+    "kept-row SET (not just its size) DuckDB-expressible. Late-drop "
+    "proper is unit-tested with late feeds in tests/test_streaming.py.",
 )
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sdf = stream_events(spark, sf_dir)
+    import glob
+    import shutil
+
+    from configdrivendatapipeline_spark.queries import ensure_session_confs
+
+    ensure_session_confs(spark)
+    ev = load(spark, sf_dir, "events")
+    feed = _scratch(sf_dir, "events_two_batch")
+    marker = feed + ".staged"  # outside the dir the stream monitors
+    if not os.path.exists(marker):
+        # Stage once per sf_dir: two time-ordered parquet files. The
+        # cut at max(ts) − 2 h puts every batch-2 row AFTER batch 1's
+        # watermark (max(b1) − 10 min), so nothing is late-dropped and
+        # the final result equals the batch aggregate of closed
+        # windows. Driver-side file shuffling only — row data never
+        # leaves the executors.
+        cut = ev.agg(
+            (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")
+        ).collect()[0]["c"]
+        shutil.rmtree(feed, ignore_errors=True)
+        for i, part in enumerate(
+            (ev.filter(F.col("ts") <= F.lit(cut)), ev.filter(F.col("ts") > F.lit(cut)))
+        ):
+            d = os.path.join(feed, f"_part{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(d)
+            src = glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            # lexicographic AND mtime order == event-time order
+            shutil.move(src, os.path.join(feed, f"{i:04d}.parquet"))
+            shutil.rmtree(d)
+        open(marker, "w").close()
+    schema = spark.read.parquet(os.path.join(feed, "0000.parquet")).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
     agg = (
         sdf.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"))

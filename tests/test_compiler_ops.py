@@ -37,7 +37,7 @@ def test_every_op_is_exercised_below():
         "dedup_exact", "chunk", "text_quality", "redact", "merge",
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
-        "quantize_int8",
+        "quantize_int8", "knn_join",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -443,3 +443,30 @@ steps:
         "doc_id", "n_tokens", "top_gram_count", "dup_tok_frac", "top_gram_frac"
     ]
     assert frames["quant"].count() == frames["embeddings"].count()
+
+
+def test_knn_join_through_yaml(spark, sf_dir):
+    """knn_join is YAML-reachable: every vector gets ≤ k LSH-candidate
+    neighbors, ranked by cosine within its candidate set."""
+    from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  embeddings: {{format: parquet, path: "{sf_dir}/embeddings.parquet"}}
+steps:
+  - id: neighbors
+    input: embeddings
+    op: knn_join
+    params: {{k: 2, n_tables: 6, planes_per_table: 4}}
+"""
+    )
+    frames = compile_pipeline(spark, cfg)
+    out = frames["neighbors"]
+    assert out.columns == ["left_id", "right_id", "cos_sim", "rank"]
+    from pyspark.sql import functions as F
+
+    per_left = out.groupBy("left_id").count()
+    assert per_left.filter(F.col("count") > 2).count() == 0
+    assert out.filter(F.col("rank") > 2).count() == 0
+    assert out.count() > 0

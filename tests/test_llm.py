@@ -265,3 +265,41 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.count() == emb.count()
+
+
+def test_decontaminate_skips_docs_shorter_than_n(spark):
+    """Docs with fewer than n tokens emit no n-grams on either side:
+    a 3-token train doc can't be flagged, and a 3-token benchmark doc
+    can't flag anything (standard n-gram decontamination semantics)."""
+    bench = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "x y z")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail"),  # real 8-gram overlap
+            (2, "x y z"),                 # would match bench doc 1 only truncated
+            (3, "a b c"),                 # short prefix of a bench gram
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.n_overlap)
+        for r in dedup.decontaminate(train, bench, n=8).collect()
+    }
+    assert got == {(1, 1)}
+
+
+def test_quantize_int8_zero_vector(spark):
+    """An all-zero vector quantizes to q=0 with zero reconstruction
+    error — no Inf/NaN from the 127/max|v| scale."""
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0, -2.0] + [0.0] * 6)],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8(df).collect()}
+    z = rows[0]
+    assert z.max_abs == 0.0
+    assert z.q_sum == 0 and z.q_l1 == 0
+    assert z.max_recon_err == 0.0
+    nz = rows[1]
+    assert nz.q_l1 > 0 and nz.max_recon_err <= nz.max_abs / 254 + 1e-6
