@@ -113,12 +113,41 @@ def ensure_session_confs(spark: SparkSession) -> None:
 _LOAD_CACHE: dict = {}
 
 
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Canonicalize an event-time column to TimestampType (UTC).
+
+    The driver's parquet has shipped ``events.ts`` in several physical
+    flavors across rounds: TIMESTAMP(NANOS) (reads as long under
+    ``nanosAsLong`` — truncate to µs exactly like DuckDB's ns→µs
+    cast), TIMESTAMP(MICROS, isAdjustedToUTC=false) (reads as
+    TIMESTAMP_NTZ in Spark 4 — value-preserving cast under the UTC
+    session zone), or plain TIMESTAMP. All three land on the same
+    wall-clock instants; TimestampType is required by ``withWatermark``
+    and keeps stream/batch/oracle parity.
+    """
+    t = dict(df.dtypes).get(col)
+    if t == "bigint":
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def ts_normalize_expr(dtype: str, col: str = "ts") -> str:
+    """SQL-expression twin of :func:`normalize_ts` for config surfaces
+    (YAML derive steps) that pass expressions, not DataFrames."""
+    if dtype == "bigint":
+        return f"timestamp_micros({col} div 1000)"
+    if dtype == "timestamp_ntz":
+        return f"cast({col} as timestamp)"
+    return col
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as a
-    long (``nanosAsLong``) and we truncate to µs — exactly DuckDB's
-    ns→µs cast — so both engines see identical timestamps.
+    ``events.ts`` is normalized to TimestampType (see
+    :func:`normalize_ts`) so both engines see identical timestamps.
     """
     key = (id(spark), sf_dir, table)
     hit = _LOAD_CACHE.get(key)
@@ -126,8 +155,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         return hit[1]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if table == "events":
+        df = normalize_ts(df)
     _LOAD_CACHE[key] = (spark, df)
     return df
 

@@ -604,8 +604,16 @@ _VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
     "so streaming partial-agg order can't flip hashes.",
 )
 def pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.queries import ts_normalize_expr
     from configdrivendatapipeline_spark.streaming import run_available_now
 
+    # The derive step's ts expression depends on how the parquet ships
+    # event time (long nanos / TIMESTAMP_NTZ / TIMESTAMP) — resolve it
+    # from a footer-only batch read, exactly what a config generator
+    # would template in.
+    ensure_session_confs(spark)
+    raw_t = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    ts_expr = ts_normalize_expr(raw_t)
     yml = f"""
 pipeline:
   name: stream_family
@@ -620,7 +628,7 @@ steps:
     op: derive
     params:
       columns:
-        ts: "timestamp_micros(ts div 1000)"
+        ts: "{ts_expr}"
         vu: "{_VU}"
   - id: kept
     input: typed

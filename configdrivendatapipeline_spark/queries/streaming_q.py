@@ -46,12 +46,14 @@ def _scratch(sf_dir: str, name: str) -> str:
 def src_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.io import read_source
 
-    sdf = read_source(
-        spark,
-        {"format": "parquet", "path": f"{sf_dir}/events.parquet", "streaming": True},
+    from configdrivendatapipeline_spark.queries import normalize_ts
+
+    sdf = normalize_ts(
+        read_source(
+            spark,
+            {"format": "parquet", "path": f"{sf_dir}/events.parquet", "streaming": True},
+        )
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = sdf.filter(F.col("event_type").isin("click", "view")).select(
         "event_id", "user_id", "event_type", "value"
     )
@@ -215,8 +217,10 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.move(src, os.path.join(feed, f"{i:04d}.parquet"))
             shutil.rmtree(d)
         open(marker, "w").close()
+    from configdrivendatapipeline_spark.queries import normalize_ts
+
     schema = spark.read.parquet(os.path.join(feed, "0000.parquet")).schema
-    sdf = (
+    sdf = normalize_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)

@@ -16,7 +16,6 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def _stage_dir(path: str) -> str:
@@ -43,7 +42,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources require one); the ns `ts` column is truncated to µs
     exactly like the batch loader, keeping stream/batch/oracle parity.
     """
-    from configdrivendatapipeline_spark.queries import ensure_session_confs
+    from configdrivendatapipeline_spark.queries import ensure_session_confs, normalize_ts
 
     ensure_session_confs(spark)
     path = f"{sf_dir}/events.parquet"
@@ -51,9 +50,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = (
         spark.readStream.schema(static.schema).format("parquet").load(_stage_dir(path))
     )
-    if dict(sdf.dtypes).get("ts") == "bigint":
-        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return sdf
+    return normalize_ts(sdf)
 
 
 def run_available_now(
