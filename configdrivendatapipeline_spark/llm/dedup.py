@@ -54,6 +54,7 @@ def minhash_signatures(
     text_col: str = "text",
     n_hashes: int = 32,
     shingle_k: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<long>) — H permutation-mins computed
     entirely row-local: ZERO shuffle.
@@ -83,8 +84,18 @@ def minhash_signatures(
     # so ANSI long arithmetic can't overflow). Skips building and
     # re-hashing ~n·k characters of concatenated shingle text per doc
     # — the former hot spot of the signature stage.
+    # Token-hash primitive: xxhash64 (fastest, JVM-native) is the
+    # production default; "md5_32" (first 8 hex chars of md5 as an
+    # int) is the same 32-bit family but replayable bit-for-bit by
+    # any SQL engine — the cross-engine verification member.
     toks = F.split(F.col(text_col), " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)))
+    if token_hash == "md5_32":
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        )
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)))
     mixers = [
         F.lit(((j + 1) * 2654435761) % (2**29) | 1) for j in range(shingle_k)
     ]
@@ -128,22 +139,33 @@ def _banded(
     id_col: str,
     bands: int,
     sig_len: int | None,
+    band_key: str = "xxhash64",
 ) -> DataFrame:
-    """(id, band_id, band_hash) — one row per doc per band."""
+    """(id, band_id, band_hash) — one row per doc per band.
+
+    ``band_key="concat"`` keeps the raw CSV of the band's signature
+    slots as the bucket key instead of hashing it — identical
+    grouping semantics (equal strings ⇔ equal hashes, minus the
+    ~2⁻⁶⁴ collision), replayable by any SQL engine; xxhash64 shortens
+    the shuffle key and is the scale default.
+    """
     if sig_len is not None:
         r = sig_len // bands
+
+        def key_of(b: int):
+            csv = F.concat_ws(
+                ",",
+                *[
+                    F.element_at("signature", b * r + j + 1).cast("string")
+                    for j in range(r)
+                ],
+            )
+            return csv if band_key == "concat" else F.xxhash64(csv)
+
         band_cols = [
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.element_at("signature", b * r + j + 1).cast("string")
-                            for j in range(r)
-                        ],
-                    )
-                ).alias("band_hash"),
+                key_of(b).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -208,6 +230,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     max_bucket: int = 1000,
     sig_len: int | None = None,
+    band_key: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH: docs whose signature agrees on any full band.
 
@@ -219,7 +242,7 @@ def lsh_candidate_pairs(
     band boundaries generate far cheaper code than in-plan
     ``size(signature)`` arithmetic.
     """
-    banded = _banded(sigs, id_col, bands, sig_len)
+    banded = _banded(sigs, id_col, bands, sig_len, band_key)
     grouped = banded.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
@@ -458,17 +481,43 @@ def cross_corpus_dedup(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash fingerprint per document (one aggregate pass:
-    64 per-bit signed sums)."""
+    64 per-bit signed sums).
+
+    ``token_hash="md5_32x2"`` draws the 64 bits from two 32-bit md5
+    words (hex chars 1-8 and 9-16) instead of xxhash64 — same
+    independence properties, replayable by any SQL engine; xxhash64
+    is the production default (one JVM-native hash per token instead
+    of a cryptographic one).
+    """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if token_hash == "md5_32x2":
+        toks = toks.withColumn(
+            "h1", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        ).withColumn(
+            "h2", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+        )
+
+        def bit_at(i: int):
+            src = "h1" if i < 32 else "h2"
+            return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+
+    else:
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+
+        def bit_at(i: int):
+            return F.shiftright("h", i).bitwiseAND(F.lit(1))
+
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(bit_at(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)

@@ -143,15 +143,33 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "agg_approx_distinct",
-    None,  # HyperLogLog estimate: engine-specific → rows-only check.
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_rsd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     _SEC,
     "Approximate distinct (HyperLogLog++) — the 100 TB-scale path "
-    "where exact distinct would shuffle every key.",
+    "where exact distinct would shuffle every key. The raw estimate "
+    "is engine-specific, so the hash-checked output is the property "
+    "the sketch must satisfy: |approx − exact| ≤ 2.5 × rsd × exact "
+    "(HLL++ at rsd=0.02 stays well inside that on any group here). "
+    "An out-of-band estimate flips within_rsd to false and fails the "
+    "hash — a real error-bound check, not a rubber stamp.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02)
+                - F.count_distinct("l_partkey")
+            )
+            <= 0.05 * F.count_distinct("l_partkey")
+        ).alias("within_rsd"),
     )
 
 
@@ -240,14 +258,34 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declare(
     "agg_approx_percentile",
-    None,  # sketch-based → rows-only.
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) + 0.0
+             AS p50_exact,
+           TRUE AS within_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     _SEC,
-    "Approximate percentile sketch — scale path for wide groups.",
+    "Approximate percentile sketch (KLL/GK-style, accuracy=1000) — "
+    "the scale path for wide groups. The sketch value is "
+    "engine-specific, so the hash-checked output is its rank-error "
+    "contract: the estimate must land between the exact 45th and "
+    "55th percentiles (accuracy=1000 bounds rank error at ~0.1% — "
+    "a 5-point percentile band is ~50× slack). A drifting sketch "
+    "flips within_band and fails the hash.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_percentile("l_extendedprice", 0.5, 1000).alias("ap50_price")
+        (F.round(F.percentile("l_extendedprice", 0.5), 2).cast("double") + F.lit(0.0))
+        .alias("p50_exact"),
+        F.approx_percentile("l_extendedprice", 0.5, 1000)
+        .between(
+            F.percentile("l_extendedprice", 0.45),
+            F.percentile("l_extendedprice", 0.55),
+        )
+        .alias("within_band"),
     )
 
 

@@ -111,18 +111,83 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "content_key", "n_copies")
 
 
+def _minhash_oracle(n_hashes: int = 32, shingle_k: int = 3, bands: int = 8) -> str:
+    """DuckDB replay of the FULL minhash pipeline (md5_32 token-hash
+    member): token hash → shingle mix → affine permutation mins →
+    banding → capped bucket pairs. Every constant mirrors
+    ``dedup.minhash_signatures`` / ``_banded`` exactly."""
+    m48, m32 = (1 << 48) - 1, (1 << 32) - 1
+    md5_32 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5(s), 1, 8), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+    mixers = [((j + 1) * 2654435761) % (2**29) | 1 for j in range(shingle_k)]
+    shingle = " + ".join(
+        f"((coalesce(th[i + {j + 1}], 0) * {mixers[j]}) & {m48})"
+        for j in range(shingle_k)
+    )
+    sig_exprs = []
+    for i in range(n_hashes):
+        a = ((i * 2654435761) % (2**30)) | 1
+        b = (i * 40503 * 65537) % (2**31)
+        sig_exprs.append(
+            f"list_min(list_transform(hs, h -> (h * {a} + {b}) & {m32})) AS s{i}"
+        )
+    r = n_hashes // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || ',' || ".join(
+            f"CAST(s{b * r + j} AS VARCHAR)" for j in range(r)
+        )
+        + " AS bkey FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), s -> {md5_32}) AS th
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(th) - {shingle_k}, 0) + 1),
+               i -> ({shingle}) & {m32})) AS hs
+      FROM th WHERE len(th) > 0
+    ), sigs AS (
+      SELECT doc_id, {', '.join(sig_exprs)} FROM hs
+    ), bandrows AS ({band_rows}
+    ), bs AS (
+      SELECT band_id, bkey, COUNT(*) AS m FROM bandrows GROUP BY 1, 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandrows a
+    JOIN bandrows b ON a.band_id = b.band_id AND a.bkey = b.bkey
+                   AND a.doc_id < b.doc_id
+    JOIN bs ON bs.band_id = a.band_id AND bs.bkey = a.bkey
+    WHERE bs.m <= 1000
+    """
+
+
 @declare(
     "llm_minhash_dedup",
-    None,  # xxhash64 signatures have no DuckDB twin → rows-only;
-    # llm_jaccard_neardup is the deterministic companion check.
+    _minhash_oracle(),
     _SEC,
     "MinHash(32) + banded LSH(8): near-dup candidate pairs without "
-    "any O(n²) comparison — the corpus-scale dedup path.",
+    "any O(n²) comparison — the corpus-scale dedup path. This "
+    "declared query runs the md5_32 member of the token-hash family "
+    "so the oracle replays the ENTIRE pipeline (shingle mix, affine "
+    "permutations, banding, bucket cap) bit-for-bit in DuckDB; "
+    "production defaults to the xxhash64 member (same arithmetic, "
+    "faster primitive), which tests/test_llm.py covers.",
 )
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, n_hashes=32, shingle_k=3)
-    return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32)
+    sigs = dedup.minhash_signatures(
+        docs, n_hashes=32, shingle_k=3, token_hash="md5_32"
+    )
+    return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32, band_key="concat")
 
 
 @declare(
@@ -158,15 +223,54 @@ def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.8)
 
 
+def _simhash_oracle(bits: int = 64) -> str:
+    """DuckDB replay of the md5_32x2 SimHash: two 32-bit md5 words →
+    64 signed bit-sums → majority fingerprint. Mirrors
+    ``dedup.simhash`` constant-for-constant."""
+
+    def md5_word(start: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split(substr(md5(tok), {start}, 8), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+            "(a, b) -> a * 16 + b)"
+        )
+
+    sums = ", ".join(
+        f"SUM(CASE WHEN ({'h1' if i < 32 else 'h2'} >> {i % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST("
+        + (str(1 << i) if i < 63 else "-9223372036854775807 - 1")
+        + " AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, {md5_word(1)} AS h1, {md5_word(9)} AS h2 FROM tok
+    ), bitsums AS (
+      SELECT doc_id, {sums} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({terms} AS BIGINT) AS fingerprint FROM bitsums
+    """
+
+
 @declare(
     "llm_simhash",
-    None,  # xxhash64 bit-sums → rows-only.
+    _simhash_oracle(),
     _SEC,
     "64-bit SimHash fingerprints (one aggregate pass of per-bit "
-    "signed sums).",
+    "signed sums). This declared query runs the md5_32x2 member of "
+    "the token-hash family so the oracle replays every bit-sum and "
+    "the majority fold in DuckDB; production defaults to the "
+    "xxhash64 member (tests/test_llm.py covers it).",
 )
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(load(spark, sf_dir, "documents"))
+    return dedup.simhash(load(spark, sf_dir, "documents"), token_hash="md5_32x2")
 
 
 @declare(
