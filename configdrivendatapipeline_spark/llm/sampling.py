@@ -96,3 +96,51 @@ def mixture_sample(
         else F.lit(int(round(default_fraction * 10_000)))
     )
     return df.filter(hash_bucket(F.col(id_col), salt, 10_000) < cut)
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    shards: int = 8,
+    salt: str = "pack:v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document its
+    token offset in a concatenated stream and the fixed-size context
+    windows (packs) it lands in — the standard pretraining layout
+    (concatenate all docs, cut every ``budget`` tokens; docs may
+    straddle a cut).
+
+    A single global stream would serialize the cumulative sum through
+    one partition at corpus scale, so the stream is sharded by a
+    deterministic id hash: each shard packs independently with
+    shard-local offsets (how production pipelines shard tokenization
+    output), the window cumsum runs per shard partition, and pack ids
+    are (shard, pack_no) pairs. Token counts here are whitespace
+    tokens; swap in a tokenizer UDF for BPE without changing the
+    packing math.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0 or shards <= 0:
+        raise ValueError(f"budget and shards must be positive; got {budget}, {shards}")
+    d = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        hash_bucket(F.col(id_col), salt, shards).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        off.alias("tok_offset"),
+        F.floor(off / budget).cast("long").alias("pack_first"),
+        F.floor((off + F.col("n_tokens") - 1) / budget).cast("long").alias("pack_last"),
+    )

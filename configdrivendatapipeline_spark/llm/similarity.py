@@ -408,3 +408,46 @@ def quantize_int8(
         F.aggregate(q, F.lit(0.0), lambda s, x: s + F.abs(x)).cast("long").alias("q_l1"),
         F.round(recon_err, 6).alias("max_recon_err"),
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = ("label",),
+    n_tables: int = 6,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Semantic dedup over an embedding column (SemDeDup-style):
+    drop every vector that has a LOWER-id neighbor with cosine ≥
+    ``threshold`` inside any shared LSH bucket; the lowest id of each
+    near-duplicate neighborhood survives as its representative.
+
+    Greedy-by-id is the deterministic variant of cluster-and-keep-one
+    (retry-safe, engine-replayable); candidates come from the same
+    hyperplane LSH as :func:`neardup_pairs`, so the pair space is
+    bucket-bounded — never O(n²) — and the dropped set is exactly
+    `{id_b of scored pairs ≥ threshold}`. Emits every row with a
+    ``kept`` flag so downstream can filter or audit the drop rate.
+    """
+    pairs = neardup_pairs(
+        emb,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_tables=n_tables,
+        planes_per_table=planes_per_table,
+    )
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
+        "__drop", F.lit(True)
+    )
+    return (
+        emb.select(id_col, *keep_cols)
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            *keep_cols,
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -192,6 +192,9 @@ _ROUND5_WINDOW = (
     "llm_simhash",
     "agg_approx_distinct",
     "agg_approx_percentile",
+    # new this round, never driver-checked
+    "llm_semdedup",
+    "llm_seq_packing",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -237,8 +240,6 @@ _ROUND5_WINDOW = (
     "mm_decode_stub",
     "mm_frame_sample",
     "mm_resize_plan",
-    "llm_chunking",
-    "llm_pii_redact",
 )
 
 

@@ -2,9 +2,11 @@
 plumbing), routed through configdrivendatapipeline_spark.llm.
 
 Oracle strategy: deterministic integer/fixed-fold formulas match SQL
-exactly; xxhash64-based operators (MinHash/LSH, SimHash, hyperplane
-buckets) have no DuckDB twin hash → rows-only, with a deterministic
-Jaccard companion query (SQL) arguing their correctness.
+exactly. Hash-family operators (MinHash, SimHash) declare their
+md5-based family member so DuckDB replays the full pipeline
+bit-for-bit; production defaults to the xxhash64 member (same
+arithmetic, faster primitive, unit-test covered). Hyperplane LSH
+buckets are pure integer arithmetic the oracle replays directly.
 """
 
 from __future__ import annotations
@@ -1098,3 +1100,65 @@ def llm_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(load(spark, sf_dir, "embeddings"))
+
+
+@declare(
+    "llm_semdedup",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cb a JOIN cb b ON a.table_id = b.table_id
+                         AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    dropped AS (
+      SELECT DISTINCT id_b FROM cand
+      JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+      WHERE {_ocos('va.embedding', 'vb.embedding')} >= 0.3)
+    SELECT e.vec_id, e.label, (d.id_b IS NULL) AS kept
+    FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+    """,
+    _SEC,
+    "Semantic dedup (SemDeDup-style): drop vectors with a lower-id "
+    "cosine-neighbor ≥ 0.3 in any shared LSH bucket; lowest id of "
+    "each neighborhood survives. Greedy-by-id is the deterministic "
+    "variant of cluster-and-keep-one; candidates are bucket-bounded "
+    "(6 tables × 4 hyperplanes), never O(n²). Emits kept flags so "
+    "the drop rate is auditable.",
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semdedup(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@declare(
+    "llm_seq_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_obucket_md5('doc_id', 'pack:v1', 8)} AS shard
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_offset
+      FROM d)
+    SELECT doc_id, shard, n_tokens, tok_offset,
+           CAST(FLOOR(tok_offset / 2048.0) AS BIGINT) AS pack_first,
+           CAST(FLOOR((tok_offset + n_tokens - 1) / 2048.0) AS BIGINT)
+             AS pack_last
+    FROM o
+    """,
+    _SEC,
+    "Concat-and-chunk sequence packing: shard by id hash, per-shard "
+    "token offsets via a window cumsum, docs mapped to the 2048-token "
+    "context windows they span — the standard pretraining layout. "
+    "Sharding keeps the cumsum partition-parallel at corpus scale "
+    "(a single global stream would serialize through one partition).",
+)
+def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.pack_offsets(load(spark, sf_dir, "documents"))

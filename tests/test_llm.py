@@ -303,3 +303,77 @@ def test_quantize_int8_zero_vector(spark):
     assert z.max_recon_err == 0.0
     nz = rows[1]
     assert nz.q_l1 > 0 and nz.max_recon_err <= nz.max_abs / 254 + 1e-6
+
+
+def test_minhash_token_hash_members_agree_on_planted_neardup(spark):
+    """The md5_32 member (oracle-replayable) and the xxhash64 member
+    (production) are the same LSH family: both must band-collide a
+    doc with its 1-word mutation."""
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    mutated = base.replace("lazy", "sleepy", 1)
+    docs = spark.createDataFrame(
+        [(1, base), (2, mutated), (3, "completely unrelated words here")],
+        ["doc_id", "text"],
+    )
+    for member, bkey in (("xxhash64", "xxhash64"), ("md5_32", "concat")):
+        sigs = dedup.minhash_signatures(docs, token_hash=member)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(
+                sigs, bands=8, sig_len=32, band_key=bkey
+            ).collect()
+        }
+        assert (1, 2) in pairs, f"{member} member missed the planted near-dup"
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_members_close_on_neardup_far_on_unrelated(spark):
+    """Both token-hash members: hamming(base, mutated) must be far
+    smaller than hamming(base, unrelated)."""
+    base = "one two three four five six seven eight nine ten " * 5
+    mutated = base.replace("seven", "SEVEN", 1)
+    docs = spark.createDataFrame(
+        [(1, base), (2, mutated), (3, "zz yy xx ww vv uu tt ss rr qq " * 5)],
+        ["doc_id", "text"],
+    )
+    for member in ("xxhash64", "md5_32x2"):
+        fp = {r.doc_id: r.fingerprint for r in dedup.simhash(docs, token_hash=member).collect()}
+
+        def ham(a, b):
+            return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+        near, far = ham(fp[1], fp[2]), ham(fp[1], fp[3])
+        assert near < far, f"{member}: near={near} !< far={far}"
+
+
+def test_semdedup_keeps_lowest_id_and_all_of_empty_neighborhoods(spark, sf_dir):
+    """Survivor set: a vector is dropped iff some lower-id bucket-mate
+    has cosine >= t; verify against the pairwise definition."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    out = {r.vec_id: r.kept for r in similarity.semdedup(emb, threshold=0.3).collect()}
+    pairs = similarity.neardup_pairs(emb, threshold=0.3).collect()
+    dropped_expect = {r.id_b for r in pairs}
+    for vid, kept in out.items():
+        assert kept == (vid not in dropped_expect)
+    assert len(out) == emb.count()
+
+
+def test_pack_offsets_contiguous_within_shard(spark):
+    """Offsets are a gapless cumsum per shard and pack spans are
+    consistent with the 2048 budget."""
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 700 + 1)) for i in range(1, 60)], ["doc_id", "text"]
+    ).withColumn("text", F.rtrim("text"))
+    rows = sorted(
+        sampling.pack_offsets(docs, budget=256, shards=4).collect(),
+        key=lambda r: (r.shard, r.doc_id),
+    )
+    seen = {}
+    for r in rows:
+        assert r.tok_offset == seen.get(r.shard, 0), "offset gap in shard"
+        seen[r.shard] = r.tok_offset + r.n_tokens
+        assert r.pack_first == r.tok_offset // 256
+        assert r.pack_last == (r.tok_offset + r.n_tokens - 1) // 256
+        assert r.pack_first <= r.pack_last
