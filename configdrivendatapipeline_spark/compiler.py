@@ -500,6 +500,35 @@ def _quantize_int8(spark, dfs, p):
     )
 
 
+@op("semdedup")
+def _semdedup(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.similarity import semdedup
+
+    return semdedup(
+        _one(dfs),
+        threshold=float(p.get("threshold", 0.3)),
+        id_col=p.get("id_column", "vec_id"),
+        vec_col=p.get("vector_column", "embedding"),
+        keep_cols=tuple(p.get("keep_columns", ("label",))),
+        n_tables=int(p.get("n_tables", 6)),
+        planes_per_table=int(p.get("planes_per_table", 4)),
+    )
+
+
+@op("pack")
+def _pack(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.sampling import pack_offsets
+
+    return pack_offsets(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        budget=int(p.get("budget", 2048)),
+        shards=int(p.get("shards", 8)),
+        salt=p.get("salt", "pack:v1"),
+    )
+
+
 # --- skew escape hatches -------------------------------------------------------
 
 

@@ -37,7 +37,7 @@ def test_every_op_is_exercised_below():
         "dedup_exact", "chunk", "text_quality", "redact", "merge",
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
-        "quantize_int8", "knn_join",
+        "quantize_int8", "knn_join", "semdedup", "pack",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -470,3 +470,35 @@ steps:
     assert per_left.filter(F.col("count") > 2).count() == 0
     assert out.filter(F.col("rank") > 2).count() == 0
     assert out.count() > 0
+
+
+def test_semdedup_and_pack_through_yaml(spark, sf_dir):
+    """semdedup and pack are YAML-reachable and agree with their
+    library twins."""
+    from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  embeddings: {{format: parquet, path: "{sf_dir}/embeddings.parquet"}}
+  documents: {{format: parquet, path: "{sf_dir}/documents.parquet"}}
+steps:
+  - id: survivors
+    input: embeddings
+    op: semdedup
+    params: {{threshold: 0.3}}
+  - id: packed
+    input: documents
+    op: pack
+    params: {{budget: 512, shards: 4}}
+"""
+    )
+    frames = compile_pipeline(spark, cfg)
+    assert frames["survivors"].columns == ["vec_id", "label", "kept"]
+    assert frames["survivors"].count() == frames["embeddings"].count()
+    assert frames["packed"].columns == [
+        "doc_id", "shard", "n_tokens", "tok_offset", "pack_first", "pack_last"
+    ]
+    from pyspark.sql import functions as F
+
+    assert frames["packed"].filter(F.col("pack_first") > F.col("pack_last")).count() == 0
