@@ -93,3 +93,46 @@ def test_session_window_matches_islands(spark, sf_dir):
     # one session per (user, start); ends after starts everywhere
     bad = got.filter(F.col("session_end") <= F.col("session_start")).count()
     assert bad == 0
+
+
+def test_normalize_ts_canonicalizes_every_parquet_encoding(spark):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (long
+    under nanosAsLong), TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (TIMESTAMP_NTZ in Spark 4) and plain TIMESTAMP across rounds —
+    all three must normalize to the same TimestampType instants,
+    batch and streaming (withWatermark rejects NTZ)."""
+    import datetime as dt
+
+    from configdrivendatapipeline_spark.queries import normalize_ts
+
+    want = dt.datetime(2024, 3, 1, 12, 0, 5)
+    us = int(want.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+
+    as_long = spark.createDataFrame([(1, us * 1000)], "event_id BIGINT, ts BIGINT")
+    as_ntz = spark.createDataFrame([(1, want)], "event_id BIGINT, ts TIMESTAMP_NTZ")
+    as_ltz = spark.createDataFrame([(1, want)], "event_id BIGINT, ts TIMESTAMP")
+
+    outs = []
+    for df in (as_long, as_ntz, as_ltz):
+        out = normalize_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        outs.append(out.collect()[0].ts)
+    assert outs[0] == outs[1] == outs[2]
+
+    # the NTZ form must be watermarkable after normalization
+    root = os.path.join(tempfile.gettempdir(), f"ntz_{uuid.uuid4().hex[:8]}")
+    as_ntz.write.parquet(root)
+    sdf = normalize_ts(
+        spark.readStream.schema(as_ntz.schema).parquet(root)
+    ).withWatermark("ts", "10 minutes")
+    q = (
+        sdf.groupBy(F.window("ts", "1 hour"))
+        .count()
+        .writeStream.format("memory")
+        .queryName(f"ntz_q_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(root, ignore_errors=True)
