@@ -500,6 +500,24 @@ def _quantize_int8(spark, dfs, p):
     )
 
 
+@op("event_time")
+def _event_time(spark, dfs, p):
+    """Normalize an event-time column to TimestampType whatever the
+    source's physical encoding (long nanos via nanosAsLong,
+    TIMESTAMP_NTZ, or TIMESTAMP) — the config stays stable when the
+    lake's writers change timestamp flavor, which real feeds do.
+    ``out`` copies the normalized column under a new name."""
+    from configdrivendatapipeline_spark.queries import normalize_ts
+
+    df = _one(dfs)
+    col = p.get("column", "ts")
+    ndf = normalize_ts(df, col)
+    out = p.get("out")
+    if out and out != col:
+        ndf = ndf.withColumn(out, F.col(col))
+    return ndf
+
+
 @op("semdedup")
 def _semdedup(spark, dfs, p):
     from configdrivendatapipeline_spark.llm.similarity import semdedup
@@ -512,6 +530,18 @@ def _semdedup(spark, dfs, p):
         keep_cols=tuple(p.get("keep_columns", ("label",))),
         n_tables=int(p.get("n_tables", 6)),
         planes_per_table=int(p.get("planes_per_table", 4)),
+    )
+
+
+@op("shuffle")
+def _shuffle(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.sampling import hash_shuffle
+
+    return hash_shuffle(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        salt=p.get("salt", "shuffle:v1"),
+        shards=int(p.get("shards", 8)),
     )
 
 

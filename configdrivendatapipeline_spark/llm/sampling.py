@@ -144,3 +144,39 @@ def pack_offsets(
         F.floor(off / budget).cast("long").alias("pack_first"),
         F.floor((off + F.col("n_tokens") - 1) / budget).cast("long").alias("pack_last"),
     )
+
+
+def hash_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle:v1",
+    shards: int = 8,
+) -> DataFrame:
+    """Deterministic corpus shuffle: every row gets a shard and an
+    ordinal position inside it, ordered by md5(id ":" salt) — a
+    reproducible pseudo-random permutation (same salt → same order on
+    any engine or retry; new salt → fresh epoch order), which is what
+    training-data layout needs where ``ORDER BY rand()`` is neither
+    stable nor replayable.
+
+    Decorrelation matters because ingest order is heavily clustered
+    (by crawl, by source, by time); feeding it unshuffled skews every
+    training batch. Position is per-shard so the sort stays
+    partition-parallel at corpus scale — the (shard, pos) pair is the
+    global layout, exactly how sharded training data is laid out on
+    disk. Compose with :func:`pack_offsets` downstream to pack context
+    windows in shuffled order.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.select(
+            F.col(id_col),
+            hash_bucket(F.col(id_col), salt + ":shard", shards).alias("shard"),
+            key.alias("sort_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos", "sort_key")
+    )

@@ -195,6 +195,7 @@ _ROUND5_WINDOW = (
     # new this round, never driver-checked
     "llm_semdedup",
     "llm_seq_packing",
+    "llm_shuffle",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -239,7 +240,6 @@ _ROUND5_WINDOW = (
     "mm_binary_meta",
     "mm_decode_stub",
     "mm_frame_sample",
-    "mm_resize_plan",
 )
 
 

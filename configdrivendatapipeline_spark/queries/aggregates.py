@@ -260,8 +260,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_percentile",
     """
     SELECT l_returnflag,
-           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS DOUBLE) + 0.0
-             AS p50_exact,
+           CAST(FLOOR(quantile_cont(l_extendedprice, 0.5)) AS BIGINT)
+             AS p50_usd,
            TRUE AS within_band
     FROM lineitem
     GROUP BY l_returnflag
@@ -273,13 +273,15 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contract: the estimate must land between the exact 45th and "
     "55th percentiles (accuracy=1000 bounds rank error at ~0.1% — "
     "a 5-point percentile band is ~50× slack). A drifting sketch "
-    "flips within_band and fails the hash.",
+    "flips within_band and fails the hash. The exact-median "
+    "companion is FLOORed to whole units: Spark and DuckDB "
+    "interpolate with differently-ordered float ops (~1e-10 apart), "
+    "which can straddle a ROUND(…,2) cent boundary.",
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        (F.round(F.percentile("l_extendedprice", 0.5), 2).cast("double") + F.lit(0.0))
-        .alias("p50_exact"),
+        F.floor(F.percentile("l_extendedprice", 0.5)).cast("long").alias("p50_usd"),
         F.approx_percentile("l_extendedprice", 0.5, 1000)
         .between(
             F.percentile("l_extendedprice", 0.45),

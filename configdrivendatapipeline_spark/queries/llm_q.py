@@ -1162,3 +1162,32 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.llm import sampling
 
     return sampling.pack_offsets(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_shuffle",
+    f"""
+    WITH k AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':shuffle:v1') AS sort_key,
+             {_obucket_md5('doc_id', 'shuffle:v1:shard', 8)} AS shard
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                ORDER BY sort_key, doc_id) AS BIGINT) AS pos,
+           sort_key
+    FROM k
+    """,
+    _SEC,
+    "Deterministic corpus shuffle: md5(id:salt) ordering inside "
+    "id-hash shards — a reproducible pseudo-random permutation "
+    "(same salt → same order on any engine or retry; new salt → "
+    "fresh epoch) where ORDER BY rand() is neither. Per-shard "
+    "positions keep the sort partition-parallel; (shard, pos) is "
+    "the on-disk training layout. Compose with llm_seq_packing to "
+    "pack context windows in decorrelated order.",
+)
+def llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.hash_shuffle(load(spark, sf_dir, "documents"))

@@ -37,7 +37,8 @@ def test_every_op_is_exercised_below():
         "dedup_exact", "chunk", "text_quality", "redact", "merge",
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
-        "quantize_int8", "knn_join", "semdedup", "pack",
+        "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
+        "shuffle",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -482,6 +483,7 @@ def test_semdedup_and_pack_through_yaml(spark, sf_dir):
 sources:
   embeddings: {{format: parquet, path: "{sf_dir}/embeddings.parquet"}}
   documents: {{format: parquet, path: "{sf_dir}/documents.parquet"}}
+  events: {{format: parquet, path: "{sf_dir}/events.parquet"}}
 steps:
   - id: survivors
     input: embeddings
@@ -491,14 +493,29 @@ steps:
     input: documents
     op: pack
     params: {{budget: 512, shards: 4}}
+  - id: timed
+    input: events
+    op: event_time
+    params: {{column: ts, out: event_ts}}
+  - id: shuffled
+    input: documents
+    op: shuffle
+    params: {{shards: 4}}
 """
     )
     frames = compile_pipeline(spark, cfg)
     assert frames["survivors"].columns == ["vec_id", "label", "kept"]
     assert frames["survivors"].count() == frames["embeddings"].count()
+    assert dict(frames["timed"].dtypes)["ts"] == "timestamp"
+    assert dict(frames["timed"].dtypes)["event_ts"] == "timestamp"
+    sh = frames["shuffled"]
+    assert sh.columns == ["doc_id", "shard", "pos", "sort_key"]
+    # positions are a gapless 1..n per shard
+    per_shard = sh.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per_shard.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
     assert frames["packed"].columns == [
         "doc_id", "shard", "n_tokens", "tok_offset", "pack_first", "pack_last"
     ]
-    from pyspark.sql import functions as F
-
     assert frames["packed"].filter(F.col("pack_first") > F.col("pack_last")).count() == 0
