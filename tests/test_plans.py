@@ -81,3 +81,30 @@ def test_pair_queries_never_quadratic(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_semdedup_bucket_bounded(spark, sf_dir):
+    """Survivor selection must inherit the LSH equi-join candidate
+    shape — never a cartesian/nested-loop pair space."""
+    plan = _plan(spark, sf_dir, "llm_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_packing_and_shuffle_single_exchange_no_global_sort(spark, sf_dir):
+    """pack/shuffle layouts must shuffle once on the shard key and
+    sort only within partitions (a global Sort/range partitioning
+    would serialize the corpus through one ordering)."""
+    for name in ("llm_seq_packing", "llm_shuffle"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("hashpartitioning(shard") == 1, name
+        assert "rangepartitioning" not in plan, name
+        # text must be consumed map-side, never shuffled: the Exchange
+        # node's Input schema may not carry the text column
+        lines = plan.splitlines()
+        ex_inputs = [
+            lines[i + 1]
+            for i, l in enumerate(lines)
+            if l.strip().endswith("Exchange") and "Input" in lines[i + 1]
+        ]
+        assert ex_inputs and all("text" not in l for l in ex_inputs), name
