@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "run":
         run_pipeline(spark, cfg)
         print(f"pipeline {cfg.name!r} complete: {len(cfg.sinks)} sinks written")
+        from configdrivendatapipeline_spark.compiler import observed_metrics
+
+        for oname, metrics in observed_metrics().items():
+            print(f"observed[{oname}]: {metrics}")
         return 0
     frames = compile_pipeline(spark, cfg)
     if args.name not in frames:

@@ -500,6 +500,51 @@ def _quantize_int8(spark, dfs, p):
     )
 
 
+#: name → Observation attached by observe steps in the CURRENT
+#: compile; read via observed_metrics() after the sinks run.
+_OBSERVATIONS: dict[str, object] = {}
+
+
+@op("observe")
+def _observe(spark, dfs, p):
+    """Attach named metrics computed DURING the next action on this
+    frame (Spark ``df.observe``) — production telemetry (row counts,
+    null rates, sums) piggybacks on the sink's own scan instead of
+    paying a second aggregation pass over 100 TB, which is what a
+    separate metrics step costs. Batch frames only (streaming metrics
+    need a streaming-query listener). Retrieve with
+    :func:`observed_metrics` AFTER an action has run on the frame.
+    """
+    from pyspark.sql import Observation
+
+    df = _one(dfs)
+    if df.isStreaming:
+        raise ValueError(
+            "observe: streaming frames report via StreamingQueryListener, "
+            "not Observation; attach observe to a batch frame"
+        )
+    name = p.get("name") or "metrics"
+    metrics = p.get("metrics") or {"rows": "count(1)"}
+    obs = Observation(name)
+    _OBSERVATIONS[name] = obs
+    return df.observe(obs, *[F.expr(e).alias(a) for a, e in metrics.items()])
+
+
+def observed_metrics() -> dict[str, dict]:
+    """Metrics gathered by ``observe`` steps whose frames have been
+    acted on (sink write, count). Frames never executed report {} —
+    the JVM-side ``getOrEmpty`` is probed first so this never blocks
+    on an unsunk observed frame (``Observation.get`` alone would)."""
+    out: dict[str, dict] = {}
+    for name, obs in _OBSERVATIONS.items():
+        try:
+            ready = not obs._jo.getOrEmpty().isEmpty()
+        except Exception:
+            ready = False  # pre-action probe NPEs on some Spark builds
+        out[name] = dict(obs.get) if ready else {}
+    return out
+
+
 @op("event_time")
 def _event_time(spark, dfs, p):
     """Normalize an event-time column to TimestampType whatever the
@@ -590,6 +635,7 @@ def compile_pipeline(
     spark: SparkSession, cfg: PipelineConfig
 ) -> dict[str, DataFrame]:
     """Compile every source + step to a named (lazy) DataFrame."""
+    _OBSERVATIONS.clear()  # observations belong to one compiled pipeline
     frames: dict[str, DataFrame] = {}
     for name, src in cfg.sources.items():
         frames[name] = read_source(spark, src.to_reader_cfg())

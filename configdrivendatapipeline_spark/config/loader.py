@@ -32,7 +32,7 @@ _SOURCE_KEYS = {
     "partition_column", "lower_bound", "upper_bound", "num_partitions",
 }
 _STEP_KEYS = {"id", "op", "input", "inputs", "params"}
-_SINK_KEYS = {"input", "format", "path", "mode", "partition_by", "options"}
+_SINK_KEYS = {"input", "format", "path", "mode", "partition_by", "cluster_by", "sort_by", "options"}
 
 
 def load_pipeline(path: str) -> PipelineConfig:
@@ -168,6 +168,8 @@ def _build(doc: Any, origin: str) -> PipelineConfig:
                 path=raw.get("path"),
                 mode=raw.get("mode", "error"),
                 partition_by=tuple(raw.get("partition_by") or ()),
+                cluster_by=tuple(raw.get("cluster_by") or ()),
+                sort_by=tuple(raw.get("sort_by") or ()),
                 options={str(k): str(v) for k, v in (raw.get("options") or {}).items()},
             )
         )

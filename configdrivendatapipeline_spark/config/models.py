@@ -63,6 +63,8 @@ class SinkConfig:
     path: str | None = None
     mode: str = "error"
     partition_by: tuple[str, ...] = ()
+    cluster_by: tuple[str, ...] = ()
+    sort_by: tuple[str, ...] = ()
     options: dict[str, str] = field(default_factory=dict)
 
     def to_writer_cfg(self) -> dict[str, Any]:
@@ -71,6 +73,8 @@ class SinkConfig:
             "path": self.path,
             "mode": self.mode,
             "partition_by": list(self.partition_by),
+            "cluster_by": list(self.cluster_by),
+            "sort_by": list(self.sort_by),
             "options": self.options,
         }
 

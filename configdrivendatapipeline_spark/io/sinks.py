@@ -20,7 +20,22 @@ from pyspark.sql import DataFrame
 
 
 def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
-    """Write a DataFrame to one configured sink (batch)."""
+    """Write a DataFrame to one configured sink (batch).
+
+    Layout controls for scan-time pruning at scale: ``cluster_by``
+    repartitions on the given columns (co-locates each key's rows in
+    one output file set) and ``sort_by`` sorts WITHIN partitions
+    before writing — together they tighten per-file min/max ranges so
+    parquet row-group skipping prunes on those columns. Neither adds
+    a driver-side step; sort-within-partitions never triggers a
+    global range exchange.
+    """
+    cluster_by = cfg.get("cluster_by")
+    if cluster_by:
+        df = df.repartition(*cluster_by)
+    sort_by = cfg.get("sort_by")
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     fmt = cfg.get("format", "parquet")
     mode = cfg.get("mode", "error")
     writer = df.write.format(fmt).options(**dict(cfg.get("options") or {}))

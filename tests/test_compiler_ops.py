@@ -38,7 +38,7 @@ def test_every_op_is_exercised_below():
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
-        "shuffle",
+        "shuffle", "observe",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -519,3 +519,77 @@ steps:
         "doc_id", "shard", "n_tokens", "tok_offset", "pack_first", "pack_last"
     ]
     assert frames["packed"].filter(F.col("pack_first") > F.col("pack_last")).count() == 0
+
+
+def test_observe_piggybacks_metrics_on_sink_write(spark, sf_dir, tmp_path):
+    """observe metrics must be collected during the sink's own action
+    (no extra scan) and match the written data; un-acted observations
+    report {} instead of blocking."""
+    from configdrivendatapipeline_spark.compiler import observed_metrics, run_pipeline
+    from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+
+    out = str(tmp_path / "obs_out")
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  nation: {{format: parquet, path: "{sf_dir}/nation.parquet"}}
+steps:
+  - id: watched
+    input: nation
+    op: observe
+    params:
+      name: nation_stats
+      metrics: {{rows: "count(1)", max_key: "max(n_nationkey)"}}
+  - id: unsunk
+    input: nation
+    op: observe
+    params: {{name: never_run}}
+sinks:
+  - input: watched
+    format: parquet
+    path: {out}
+    mode: overwrite
+"""
+    )
+    run_pipeline(spark, cfg)
+    m = observed_metrics()
+    assert m["nation_stats"] == {"rows": 25, "max_key": 24}
+    assert m["never_run"] == {}
+
+
+def test_sink_cluster_and_sort_layout(spark, sf_dir, tmp_path):
+    """cluster_by + sort_by must produce files whose per-file key
+    ranges are disjoint-ish (each key in one file) and rows sorted
+    within files — the layout parquet min/max pruning needs."""
+    from configdrivendatapipeline_spark.io import write_sink
+
+    out = str(tmp_path / "clustered")
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_sink(
+        df,
+        {
+            "format": "parquet",
+            "path": out,
+            "mode": "overwrite",
+            "cluster_by": ["o_orderstatus"],
+            "sort_by": ["o_orderdate"],
+        },
+    )
+    import glob as g
+
+    files = g.glob(out + "/part-*.parquet")
+    assert files
+    import pyarrow.parquet as pq
+
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderstatus", "o_orderdate"])
+        dates = t.column("o_orderdate").to_pylist()
+        assert dates == sorted(dates), "not sorted within file"
+    # every status lands in exactly one file
+    seen: dict[str, set] = {}
+    for f in files:
+        for s in set(
+            pq.read_table(f, columns=["o_orderstatus"]).column(0).to_pylist()
+        ):
+            seen.setdefault(s, set()).add(f)
+    assert all(len(fs) == 1 for fs in seen.values()), seen
