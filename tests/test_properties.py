@@ -159,3 +159,51 @@ def test_hash_split_total_and_tolerant(spark, sf_dir, train, val):
     assert abs(counts.get("train", 0) - train / 100 * n) <= tol
     assert abs(counts.get("val", 0) - val / 100 * n) <= tol
     assert abs(counts.get("test", 0) - (100 - train - val) / 100 * n) <= tol
+
+
+@given(budget=st.integers(min_value=1, max_value=5000),
+       shards=st.integers(min_value=1, max_value=32))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pack_offsets_conserves_tokens_and_budget_independent(
+    spark, sf_dir, budget, shards
+):
+    """Per-shard offsets are a gapless cumsum whose total equals the
+    shard's token mass, for ANY (budget, shards); offsets depend on
+    the shard assignment only, never on the budget."""
+    from configdrivendatapipeline_spark.llm.sampling import pack_offsets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = pack_offsets(docs, budget=budget, shards=shards).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in members:
+            assert r.tok_offset == off
+            assert r.pack_first == off // budget
+            assert r.pack_last == (off + r.n_tokens - 1) // budget
+            off += r.n_tokens
+
+
+def test_hash_shuffle_is_stable_permutation(spark, sf_dir):
+    """Same salt ⇒ identical order across invocations; positions are
+    1..n per shard; a different salt produces a different order."""
+    from configdrivendatapipeline_spark.llm.sampling import hash_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r.doc_id: (r.shard, r.pos) for r in hash_shuffle(docs).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in hash_shuffle(docs).collect()}
+    assert a == b
+    c = {r.doc_id: (r.shard, r.pos) for r in hash_shuffle(docs, salt="epoch2").collect()}
+    assert c != a
+    per_shard: dict[int, set] = {}
+    for shard, pos in a.values():
+        per_shard.setdefault(shard, set()).add(pos)
+    for positions in per_shard.values():
+        assert positions == set(range(1, len(positions) + 1))
