@@ -601,6 +601,7 @@ def _pack(spark, dfs, p):
         budget=int(p.get("budget", 2048)),
         shards=int(p.get("shards", 8)),
         salt=p.get("salt", "pack:v1"),
+        shuffle_salt=p.get("shuffle_salt"),
     )
 
 

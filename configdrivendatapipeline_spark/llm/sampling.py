@@ -105,6 +105,7 @@ def pack_offsets(
     budget: int = 2048,
     shards: int = 8,
     salt: str = "pack:v1",
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document its
     token offset in a concatenated stream and the fixed-size context
@@ -120,6 +121,12 @@ def pack_offsets(
     are (shard, pack_no) pairs. Token counts here are whitespace
     tokens; swap in a tokenizer UDF for BPE without changing the
     packing math.
+
+    ``shuffle_salt`` packs in decorrelated order: within each shard
+    docs are laid out by md5(id ":" shuffle_salt) — the
+    :func:`hash_shuffle` permutation fused into the same single
+    shuffle, so clustered ingest order never becomes clustered
+    training batches; a new salt re-lays the corpus for a new epoch.
     """
     from pyspark.sql import Window
 
@@ -130,9 +137,16 @@ def pack_offsets(
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
         hash_bucket(F.col(id_col), salt, shards).alias("shard"),
     )
+    if shuffle_salt is not None:
+        order = [
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + shuffle_salt))),
+            F.col(id_col),
+        ]
+    else:
+        order = [F.col(id_col)]
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

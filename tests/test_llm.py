@@ -377,3 +377,36 @@ def test_pack_offsets_contiguous_within_shard(spark):
         assert r.pack_first == r.tok_offset // 256
         assert r.pack_last == (r.tok_offset + r.n_tokens - 1) // 256
         assert r.pack_first <= r.pack_last
+
+
+def test_pack_offsets_shuffle_salt_decorrelates_but_conserves(spark):
+    """shuffle_salt changes the within-shard layout (decorrelated
+    epoch order) but never the shard token mass or pack math."""
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (i % 50 + 1)) for i in range(1, 40)], ["doc_id", "text"]
+    ).withColumn("text", F.rtrim("text"))
+    plain = sampling.pack_offsets(docs, budget=64, shards=2).collect()
+    ep0 = sampling.pack_offsets(docs, budget=64, shards=2, shuffle_salt="e0").collect()
+    ep1 = sampling.pack_offsets(docs, budget=64, shards=2, shuffle_salt="e1").collect()
+
+    def mass(rows):
+        out: dict[int, int] = {}
+        for r in rows:
+            out[r.shard] = out.get(r.shard, 0) + r.n_tokens
+        return out
+
+    assert mass(plain) == mass(ep0) == mass(ep1)
+    assert {r.doc_id: r.shard for r in plain} == {r.doc_id: r.shard for r in ep0}
+    assert {r.doc_id: r.tok_offset for r in ep0} != {r.doc_id: r.tok_offset for r in ep1}
+    for rows in (ep0, ep1):
+        per_shard: dict[int, list] = {}
+        for r in rows:
+            per_shard.setdefault(r.shard, []).append(r)
+        for members in per_shard.values():
+            offs = sorted((r.tok_offset, r.n_tokens) for r in members)
+            pos = 0
+            for off, n in offs:
+                assert off == pos
+                pos += n
