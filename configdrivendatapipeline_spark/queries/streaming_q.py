@@ -29,7 +29,17 @@ _VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    """Scratch dir keyed on the source file's identity (path + mtime +
+    size), not just its path: the driver has regenerated
+    events.parquet in place between rounds, and a path-keyed stage
+    marker would silently replay the previous round's rows."""
+    src = f"{sf_dir}/events.parquet"
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), "cddp_stream", tag, name)
 
 

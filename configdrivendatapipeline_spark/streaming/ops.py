@@ -20,8 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _stage_dir(path: str) -> str:
     """FileStreamSource wants a directory; the fixture is one parquet
-    file. Stage it (symlink; idempotent) into a scratch dir."""
-    tag = hashlib.md5(path.encode()).hexdigest()[:10]
+    file. Stage it (symlink; idempotent) into a scratch dir keyed on
+    the file's identity (path + mtime + size) — a symlink tracks
+    in-place regeneration, but the copyfile fallback would not, and
+    the driver has regenerated fixtures between rounds."""
+    try:
+        st = os.stat(path)
+        ident = f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = path
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     d = os.path.join(tempfile.gettempdir(), "cddp_stream_src", tag)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
