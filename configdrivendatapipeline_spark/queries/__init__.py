@@ -196,6 +196,7 @@ _ROUND5_WINDOW = (
     "llm_semdedup",
     "llm_seq_packing",
     "llm_shuffle",
+    "pipeline_observe",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -239,7 +240,6 @@ _ROUND5_WINDOW = (
     "llm_multimodal_cols",
     "mm_binary_meta",
     "mm_decode_stub",
-    "mm_frame_sample",
 )
 
 
