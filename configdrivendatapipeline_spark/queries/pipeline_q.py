@@ -216,9 +216,9 @@ steps:
     """,
     _SEC,
     "YAML pipeline: window(row_number) → filter → dedup-latest → "
-    "select. events.ts stays a raw nanosecond long on the Spark side "
-    "and a ns-timestamp in DuckDB — identical ordering, never "
-    "emitted.",
+    "select. events.ts is only ORDERED BY, never emitted — every "
+    "physical encoding (long nanos / NTZ / timestamp) orders "
+    "identically in both engines.",
 )
 def pipeline_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     yml = f"""
