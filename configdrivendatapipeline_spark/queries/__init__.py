@@ -197,6 +197,7 @@ _ROUND5_WINDOW = (
     "llm_seq_packing",
     "llm_shuffle",
     "pipeline_observe",
+    "val_anomaly",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -239,7 +240,6 @@ _ROUND5_WINDOW = (
     "llm_fingerprint",
     "llm_multimodal_cols",
     "mm_binary_meta",
-    "mm_decode_stub",
 )
 
 

