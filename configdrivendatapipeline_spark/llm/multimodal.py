@@ -2,12 +2,15 @@
 columns with typed metadata, processed through Arrow-batched
 mapInPandas.
 
-The decode kernels themselves are STUBBED (no image/audio libraries
-in this container — see ``DecodeUnavailable``): what is real, tested,
-and scale-designed here is everything Spark-side — the schema
-contract, the binary column handling, the Arrow batch shapes, the
-partitioning, and the frame-sampling plan. Swapping the stub body
-for PIL/torchaudio is a one-function change that touches no plan.
+The decode architecture is REAL end-to-end for P6 PPM (pure-numpy
+header parse + buffer reshape, see ``decode_ppm`` /
+``decode_ppm_features`` — hash-verified against an analytic oracle);
+codec-dependent formats (JPEG/PNG/audio) stay behind
+``DecodeUnavailable`` because no codec library exists in this
+container. Swapping in PIL/torchaudio for those is a one-function
+change that touches no plan — the schema contract, binary column
+handling, Arrow batch shapes, partitioning and frame-sampling plan
+are shared with the proven PPM path.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 BYTE_ARRAY); mapInPandas streams Arrow batches so a 100 MB image
@@ -136,3 +139,107 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
         F.when(long_side <= max_side, F.col("width")).otherwise(new_w).alias("target_w"),
         F.when(long_side <= max_side, F.col("height")).otherwise(new_h).alias("target_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path: P6 PPM in pure numpy (no image library needed).
+# JPEG/PNG/audio stay behind DecodeUnavailable — those genuinely need
+# codec libraries — but the decode ARCHITECTURE is proven end-to-end
+# here on a real binary image format: header parse, buffer reshape,
+# per-channel statistics, all inside the same Arrow-batched kernel.
+# ---------------------------------------------------------------------------
+
+
+def ppm_bytes(doc_id: int, w: int, h: int) -> bytes:
+    """Render a deterministic P6 PPM image (header + raw RGB):
+    pixel(ch, r, c) = (doc_id·31 + r·7 + c·3 + ch·11) mod 256. The
+    closed-form pattern is what lets a SQL oracle recompute the
+    decoded statistics analytically."""
+    import numpy as np
+
+    header = f"P6\n{w} {h}\n255\n".encode()
+    r = np.arange(h, dtype=np.int64).reshape(h, 1, 1)
+    c = np.arange(w, dtype=np.int64).reshape(1, w, 1)
+    ch = np.arange(3, dtype=np.int64).reshape(1, 1, 3)
+    px = ((doc_id * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(np.uint8)
+    return header + px.tobytes()
+
+
+def decode_ppm(buf: bytes):
+    """Parse a binary P6 PPM into an (h, w, 3) uint8 ndarray — a real
+    image decode with zero codec dependencies (whitespace/comment-
+    tolerant header, raw buffer reshape)."""
+    import numpy as np
+
+    if not bytes(buf[:2]) == b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":
+            while pos < len(buf) and buf[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(buf[start:pos]))
+    pos += 1  # the single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    return np.frombuffer(buf, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a REAL P6 PPM binary payload per row (deterministic
+    pattern, varied dims w=8+id%9, h=8+id%7 so the decoder's header
+    parse is genuinely exercised)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: ppm_bytes(int(i), 8 + int(i) % 9, 8 + int(i) % 7)
+        )
+
+    return df.select(id_col).withColumn("payload", gen(F.col(id_col)))
+
+
+_PPM_SCHEMA = (
+    "doc_id BIGINT, img_w INT, img_h INT, "
+    "r_mean_micro BIGINT, g_mean_micro BIGINT, b_mean_micro BIGINT"
+)
+
+
+def decode_ppm_features(df: DataFrame) -> DataFrame:
+    """Real decode + featurize: every payload is parsed as P6 PPM
+    (header → dims, buffer → ndarray) and per-channel means are
+    emitted in half-up micro-units via exact integer arithmetic (the
+    same determinism discipline as the rest of the engine — float
+    means would hash differently across engines). Arrow-batched
+    mapInPandas: payloads never materialize as per-row Python rows."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(buf)
+                h, w, _ = img.shape
+                n = w * h
+                sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                means = [int((int(s) * 2_000_000 + n) // (2 * n)) for s in sums]
+                rows.append((int(doc_id), w, h, *means))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "img_w", "img_h",
+                    "r_mean_micro", "g_mean_micro", "b_mean_micro",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=_PPM_SCHEMA)

@@ -198,6 +198,7 @@ _ROUND5_WINDOW = (
     "llm_shuffle",
     "pipeline_observe",
     "val_anomaly",
+    "mm_decode_ppm",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -239,7 +240,6 @@ _ROUND5_WINDOW = (
     "llm_quality_filter",
     "llm_fingerprint",
     "llm_multimodal_cols",
-    "mm_binary_meta",
 )
 
 

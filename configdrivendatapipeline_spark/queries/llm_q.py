@@ -1191,3 +1191,47 @@ def llm_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.llm import sampling
 
     return sampling.hash_shuffle(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "mm_decode_ppm",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents
+    ), g AS (
+      SELECT d.doc_id, d.w, d.h, r.range AS r, c.range AS c
+      FROM d, range(0, 16) r, range(0, 16) c
+      WHERE r.range < d.h AND c.range < d.w
+    ), s AS (
+      SELECT doc_id, w, h,
+             SUM((doc_id * 31 + r * 7 + c * 3) % 256) AS rs,
+             SUM((doc_id * 31 + r * 7 + c * 3 + 11) % 256) AS gs,
+             SUM((doc_id * 31 + r * 7 + c * 3 + 22) % 256) AS bs
+      FROM g GROUP BY doc_id, w, h
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS img_w,
+           CAST(h AS INT) AS img_h,
+           CAST((rs * 2000000 + w * h) // (2 * w * h) AS BIGINT) AS r_mean_micro,
+           CAST((gs * 2000000 + w * h) // (2 * w * h) AS BIGINT) AS g_mean_micro,
+           CAST((bs * 2000000 + w * h) // (2 * w * h) AS BIGINT) AS b_mean_micro
+    FROM s
+    """,
+    _SEC,
+    "REAL image decode through the Arrow kernel: every payload is a "
+    "genuine binary P6 PPM (varied dims, so the header parse is "
+    "exercised) decoded in pure numpy — header tokenize → buffer "
+    "reshape → per-channel stats in exact half-up micro-units. The "
+    "deterministic pixel pattern lets the oracle recompute the "
+    "decoded statistics analytically, so the decode itself is "
+    "hash-verified. Codec formats (JPEG/PNG/audio) remain behind "
+    "DecodeUnavailable — this proves the decode architecture is not "
+    "a stub.",
+)
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_ppm_payload(docs)
+    return multimodal.decode_ppm_features(payloads)

@@ -410,3 +410,51 @@ def test_pack_offsets_shuffle_salt_decorrelates_but_conserves(spark):
             for off, n in offs:
                 assert off == pos
                 pos += n
+
+
+def test_ppm_decode_roundtrip_and_header_tolerance():
+    """decode_ppm inverts ppm_bytes exactly, tolerates comments and
+    multi-whitespace headers, and rejects non-P6 / 16-bit payloads."""
+    import numpy as np
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import multimodal
+
+    img = multimodal.decode_ppm(multimodal.ppm_bytes(42, 9, 11))
+    assert img.shape == (11, 9, 3)
+    assert img[0, 0, 0] == (42 * 31) % 256
+    assert img[3, 5, 2] == (42 * 31 + 3 * 7 + 5 * 3 + 2 * 11) % 256
+
+    # comment + extra whitespace in the header
+    body = np.zeros((2, 2, 3), dtype=np.uint8).tobytes()
+    fancy = b"P6\n# a comment\n 2\t2 \n255\n" + body
+    assert multimodal.decode_ppm(fancy).shape == (2, 2, 3)
+
+    with pytest.raises(ValueError, match="not a P6"):
+        multimodal.decode_ppm(b"P5\n2 2\n255\n" + body)
+    with pytest.raises(ValueError, match="8-bit"):
+        multimodal.decode_ppm(b"P6\n2 2\n65535\n" + body * 2)
+
+
+def test_ppm_kernel_matches_local_decode(spark):
+    """The Arrow-batched kernel output equals a local per-image
+    decode — proves the mapInPandas path does real work."""
+    import numpy as np
+
+    from configdrivendatapipeline_spark.llm import multimodal
+
+    docs = spark.range(1, 21).withColumnRenamed("id", "doc_id")
+    out = {
+        r.doc_id: r
+        for r in multimodal.decode_ppm_features(
+            multimodal.attach_ppm_payload(docs)
+        ).collect()
+    }
+    for i in range(1, 21):
+        img = multimodal.decode_ppm(multimodal.ppm_bytes(i, 8 + i % 9, 8 + i % 7))
+        h, w, _ = img.shape
+        n = w * h
+        sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        assert out[i].img_w == w and out[i].img_h == h
+        assert out[i].r_mean_micro == (int(sums[0]) * 2_000_000 + n) // (2 * n)
+        assert out[i].b_mean_micro == (int(sums[2]) * 2_000_000 + n) // (2 * n)
