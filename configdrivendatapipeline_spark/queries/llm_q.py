@@ -1235,3 +1235,36 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_ppm_payload(docs)
     return multimodal.decode_ppm_features(payloads)
+
+
+@declare(
+    "mm_decode_wav",
+    """
+    WITH d AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+    ), s AS (
+      SELECT d.doc_id, d.n,
+             SUM(abs(((d.doc_id * 7 + i.range * 13) % 4096) - 2048)) AS abs_sum
+      FROM d, range(0, 1440) i
+      WHERE i.range < d.n
+      GROUP BY d.doc_id, d.n
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST((abs_sum * 2000000 + n) // (2 * n) AS BIGINT) AS mean_abs_micro
+    FROM s
+    """,
+    _SEC,
+    "REAL audio decode through the Arrow kernel: every payload is a "
+    "genuine 16-bit PCM WAV (full RIFF layout, varied lengths) "
+    "parsed by a chunk-walking decoder — fmt validation, data chunk "
+    "location, int16 buffer — with mean |amplitude| in exact "
+    "half-up micro-units. The deterministic sample pattern lets the "
+    "oracle recompute the decoded statistics analytically, so the "
+    "audio decode is hash-verified like the PPM image path.",
+)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_payload(docs)
+    return multimodal.decode_wav_features(payloads)

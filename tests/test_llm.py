@@ -458,3 +458,32 @@ def test_ppm_kernel_matches_local_decode(spark):
         assert out[i].img_w == w and out[i].img_h == h
         assert out[i].r_mean_micro == (int(sums[0]) * 2_000_000 + n) // (2 * n)
         assert out[i].b_mean_micro == (int(sums[2]) * 2_000_000 + n) // (2 * n)
+
+
+def test_wav_decode_roundtrip_and_chunk_walk():
+    """decode_wav inverts wav_bytes, survives an unknown chunk before
+    fmt/data (the RIFF walk is real), and rejects non-PCM."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import multimodal
+
+    samples, sr = multimodal.decode_wav(multimodal.wav_bytes(7, 1000))
+    assert sr == 16000 and len(samples) == 1000
+    assert samples[0] == (7 * 7) % 4096 - 2048
+    assert samples[999] == (7 * 7 + 999 * 13) % 4096 - 2048
+
+    # inject a LIST chunk before fmt — the walk must skip it
+    raw = multimodal.wav_bytes(7, 10)
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:12] + extra + raw[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    s2, _ = multimodal.decode_wav(patched)
+    assert np.array_equal(s2, samples[:10])
+
+    bad = bytearray(multimodal.wav_bytes(7, 10))
+    bad[20] = 3  # audio_format = IEEE float
+    with pytest.raises(ValueError, match="only PCM"):
+        multimodal.decode_wav(bytes(bad))
