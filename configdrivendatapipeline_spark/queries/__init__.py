@@ -200,6 +200,7 @@ _ROUND5_WINDOW = (
     "val_anomaly",
     "mm_decode_ppm",
     "mm_decode_wav",
+    "mm_decode_y4m",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -239,7 +240,6 @@ _ROUND5_WINDOW = (
     "llm_word_freq",
     "llm_lang_id",
     "llm_quality_filter",
-    "llm_fingerprint",
 )
 
 

@@ -487,3 +487,23 @@ def test_wav_decode_roundtrip_and_chunk_walk():
     bad[20] = 3  # audio_format = IEEE float
     with pytest.raises(ValueError, match="only PCM"):
         multimodal.decode_wav(bytes(bad))
+
+
+def test_y4m_decode_roundtrip_and_frame_sampling():
+    """decode_y4m inverts y4m_bytes (frames, dims, plane values) and
+    rejects non-C444 / malformed streams."""
+    import numpy as np
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import multimodal
+
+    frames, (w, h) = multimodal.decode_y4m(multimodal.y4m_bytes(9, 5, 4, 3))
+    assert (w, h) == (5, 4) and len(frames) == 3
+    assert frames[0].shape == (3, 4, 5)
+    assert frames[2][1, 0, 0] == (9 * 17 + 2 * 29 + 1 * 5) % 256
+    assert frames[1][0, 2, 3] == (9 * 17 + 1 * 29 + (2 * 5 + 3) * 3) % 256
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        multimodal.decode_y4m(b"RIFF....")
+    with pytest.raises(ValueError, match="C444"):
+        multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + b"\0" * 6)
