@@ -428,3 +428,52 @@ def decode_y4m_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=_Y4M_SCHEMA)
+
+
+def resize_nearest(img, target_w: int, target_h: int):
+    """Nearest-neighbor resize of an (h, w, 3) array via integer
+    index maps — src index = (dst·src_dim) // dst_dim, the exact
+    arithmetic an oracle can replay."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    rows = (np.arange(target_h, dtype=np.int64) * h) // target_h
+    cols = (np.arange(target_w, dtype=np.int64) * w) // target_w
+    return img[rows][:, cols]
+
+
+_RESIZE_SCHEMA = (
+    "doc_id BIGINT, target_w INT, target_h INT, r_mean_micro BIGINT"
+)
+
+
+def resize_ppm_features(df: DataFrame, max_side: int = 6) -> DataFrame:
+    """Real decode → aspect-preserving nearest-neighbor resize →
+    channel stats, all inside one Arrow kernel: the pixel-path
+    realization of resize_plan (same fit arithmetic), emitting the
+    resized red-channel mean in exact half-up micro-units."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(buf)
+                h, w, _ = img.shape
+                long_side = max(w, h)
+                if long_side <= max_side:
+                    tw, th = w, h
+                else:
+                    tw = (w * max_side) // long_side
+                    th = (h * max_side) // long_side
+                small = resize_nearest(img, tw, th)
+                n = tw * th
+                r_sum = int(small[:, :, 0].sum(dtype=np.int64))
+                rows.append(
+                    (int(doc_id), tw, th, (r_sum * 2_000_000 + n) // (2 * n))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "target_w", "target_h", "r_mean_micro"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=_RESIZE_SCHEMA)

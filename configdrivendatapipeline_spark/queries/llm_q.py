@@ -1310,3 +1310,49 @@ def mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_y4m_payload(docs)
     return multimodal.decode_y4m_frames(payloads, every_k=2)
+
+
+@declare(
+    "mm_resize_ppm",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + doc_id % 9 AS w,
+             8 + doc_id % 7 AS h
+      FROM documents
+    ), t AS (
+      SELECT doc_id, w, h,
+             (w * 6) // greatest(w, h) AS tw,
+             (h * 6) // greatest(w, h) AS th
+      FROM d
+    ), g AS (
+      SELECT t.doc_id, t.w, t.h, t.tw, t.th, r.range AS r, c.range AS c
+      FROM t, range(0, 6) r, range(0, 6) c
+      WHERE r.range < t.th AND c.range < t.tw
+    ), s AS (
+      SELECT doc_id, tw, th,
+             SUM((doc_id * 31 + ((r * h) // th) * 7 + ((c * w) // tw) * 3) % 256)
+               AS r_sum
+      FROM g GROUP BY doc_id, tw, th
+    )
+    SELECT doc_id,
+           CAST(tw AS INT) AS target_w,
+           CAST(th AS INT) AS target_h,
+           CAST((r_sum * 2000000 + tw * th) // (2 * tw * th) AS BIGINT)
+             AS r_mean_micro
+    FROM s
+    """,
+    _SEC,
+    "REAL resize through the Arrow kernel: decode the PPM payload, "
+    "aspect-preserving nearest-neighbor downscale (integer index "
+    "maps src = (dst·src_dim) // dst_dim — the same fit arithmetic "
+    "as resize_plan), then channel stats on the RESIZED pixels in "
+    "exact micro-units. The oracle replays decode + resize "
+    "analytically, so the pixel path itself is hash-verified — "
+    "completing the decode / featurize / resize / frame-sample "
+    "quartet with real kernels.",
+)
+def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_ppm_payload(docs)
+    return multimodal.resize_ppm_features(payloads, max_side=6)

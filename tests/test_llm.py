@@ -507,3 +507,23 @@ def test_y4m_decode_roundtrip_and_frame_sampling():
         multimodal.decode_y4m(b"RIFF....")
     with pytest.raises(ValueError, match="C444"):
         multimodal.decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + b"\0" * 6)
+
+
+def test_resize_nearest_matches_index_arithmetic():
+    """resize_nearest picks exactly src[(r·h)//th, (c·w)//tw] and a
+    large payload (1 MB-scale image) flows through decode+resize."""
+    import numpy as np
+
+    from configdrivendatapipeline_spark.llm import multimodal
+
+    img = multimodal.decode_ppm(multimodal.ppm_bytes(5, 16, 12))
+    small = multimodal.resize_nearest(img, 6, 4)
+    assert small.shape == (4, 6, 3)
+    for r in range(4):
+        for c in range(6):
+            assert (small[r, c] == img[(r * 12) // 4, (c * 16) // 6]).all()
+
+    big = multimodal.ppm_bytes(1, 640, 540)  # ~1 MB raw RGB
+    decoded = multimodal.decode_ppm(big)
+    assert decoded.shape == (540, 640, 3)
+    assert multimodal.resize_nearest(decoded, 64, 54).shape == (54, 64, 3)
