@@ -202,6 +202,7 @@ _ROUND5_WINDOW = (
     "mm_decode_wav",
     "mm_decode_y4m",
     "mm_resize_ppm",
+    "llm_paragraph_dedup",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -239,7 +240,6 @@ _ROUND5_WINDOW = (
     "llm_text_stats",
     "llm_token_count",
     "llm_word_freq",
-    "llm_lang_id",
 )
 
 

@@ -1356,3 +1356,57 @@ def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_ppm_payload(docs)
     return multimodal.resize_ppm_features(payloads, max_side=6)
+
+
+@declare(
+    "llm_paragraph_dedup",
+    """
+    WITH p AS (
+      SELECT doc_id, md5(unnest(string_split(text, '. '))) AS pk
+      FROM documents
+    ), pc AS (
+      SELECT pk, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY pk
+    ), d AS (
+      SELECT p.doc_id,
+             COUNT(*) AS n_paras,
+             SUM(CASE WHEN pc.nd > 1 THEN 1 ELSE 0 END) AS n_shared
+      FROM p JOIN pc USING (pk) GROUP BY p.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_paras AS BIGINT) AS n_paras,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST((n_shared * 2000000 + n_paras) // (2 * n_paras) AS BIGINT)
+             AS shared_frac_micro
+    FROM d
+    """,
+    _SEC,
+    "Paragraph-granularity boilerplate detection: per doc, the "
+    "fraction of sentences/paragraphs that also appear in OTHER "
+    "documents — the classic cross-document repeated-text signal "
+    "(headers, footers, templates) that document-level dedup misses. "
+    "Paragraphs shuffle as md5 keys (never raw text) so the "
+    "frequency join moves 16-byte keys at corpus scale; two "
+    "shuffles total (frequency count + join back).",
+)
+def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("para")
+    ).select("doc_id", F.md5("para").alias("pk"))
+    pc = p.groupBy("pk").agg(F.count_distinct("doc_id").alias("nd"))
+    d = (
+        p.join(pc, "pk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        ((F.col("n_shared") * 2000000 + F.col("n_paras")) / (2 * F.col("n_paras")))
+        .cast("long")
+        .alias("shared_frac_micro"),
+    )
