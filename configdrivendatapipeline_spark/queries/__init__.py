@@ -203,6 +203,7 @@ _ROUND5_WINDOW = (
     "mm_decode_y4m",
     "mm_resize_ppm",
     "llm_paragraph_dedup",
+    "llm_source_weights",
     # §2.10 re-proof: event-time normalization changed ts dtype
     "stream_tumbling",
     "stream_sliding",
@@ -239,7 +240,6 @@ _ROUND5_WINDOW = (
     "llm_exact_dedup",
     "llm_text_stats",
     "llm_token_count",
-    "llm_word_freq",
 )
 
 

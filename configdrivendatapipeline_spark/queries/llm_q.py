@@ -1410,3 +1410,36 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("shared_frac_micro"),
     )
+
+
+@declare(
+    "llm_source_weights",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY source, lang
+    ), m AS (SELECT MAX(n_docs) AS mx FROM c)
+    SELECT source, lang, n_docs,
+           CAST((mx * 2000000 + n_docs) // (2 * n_docs) AS BIGINT)
+             AS upsample_micro
+    FROM c, m
+    """,
+    _SEC,
+    "Inverse-frequency mixture weights: per (source, lang) stratum, "
+    "the upsampling factor that balances it against the largest "
+    "stratum — the data-driven side of mixture reweighting "
+    "(mixture_sample applies given fractions; this computes them). "
+    "One aggregation plus a broadcast scalar max; exact integer "
+    "micro-units so the weights hash identically everywhere.",
+)
+def llm_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = c.agg(F.max("n_docs").alias("mx"))
+    return c.crossJoin(F.broadcast(m)).select(
+        "source",
+        "lang",
+        "n_docs",
+        ((F.col("mx") * 2000000 + F.col("n_docs")) / (2 * F.col("n_docs")))
+        .cast("long")
+        .alias("upsample_micro"),
+    )
