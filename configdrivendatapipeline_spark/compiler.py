@@ -524,23 +524,50 @@ def _observe(spark, dfs, p):
             "not Observation; attach observe to a batch frame"
         )
     name = p.get("name") or "metrics"
+    if name in _OBSERVATIONS:
+        raise ValueError(
+            f"observe: duplicate observation name {name!r} in this "
+            "pipeline (the default is 'metrics' — give each observe "
+            "step an explicit distinct name); a silent overwrite would "
+            "make the first step's metrics unretrievable"
+        )
     metrics = p.get("metrics") or {"rows": "count(1)"}
     obs = Observation(name)
     _OBSERVATIONS[name] = obs
     return df.observe(obs, *[F.expr(e).alias(a) for a, e in metrics.items()])
 
 
+def _get_with_timeout(obs, seconds: float):
+    """``Observation.get`` bounded by a daemon thread: returns the
+    metrics dict, or None if nothing materializes within the timeout
+    (get blocks forever on a frame that was never acted on)."""
+    import threading
+
+    box: list = []
+    t = threading.Thread(target=lambda: box.append(dict(obs.get)), daemon=True)
+    t.start()
+    t.join(seconds)
+    return box[0] if box else None
+
+
 def observed_metrics() -> dict[str, dict]:
     """Metrics gathered by ``observe`` steps whose frames have been
     acted on (sink write, count). Frames never executed report {} —
     the JVM-side ``getOrEmpty`` is probed first so this never blocks
-    on an unsunk observed frame (``Observation.get`` alone would)."""
+    on an unsunk observed frame (``Observation.get`` alone would).
+    Where that private probe is unavailable (Spark Connect, future
+    builds), we fall back to a short bounded ``get`` rather than
+    silently discarding metrics that ARE materialized."""
     out: dict[str, dict] = {}
     for name, obs in _OBSERVATIONS.items():
         try:
             ready = not obs._jo.getOrEmpty().isEmpty()
         except Exception:
-            ready = False  # pre-action probe NPEs on some Spark builds
+            # Probe unavailable ≠ not materialized: a bounded get
+            # retrieves real metrics instead of mapping them to {}.
+            got = _get_with_timeout(obs, 2.0)
+            out[name] = got if got is not None else {}
+            continue
         out[name] = dict(obs.get) if ready else {}
     return out
 
@@ -575,6 +602,16 @@ def _semdedup(spark, dfs, p):
         keep_cols=tuple(p.get("keep_columns", ("label",))),
         n_tables=int(p.get("n_tables", 6)),
         planes_per_table=int(p.get("planes_per_table", 4)),
+    )
+
+
+@op("source_weights")
+def _source_weights(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.sampling import source_weights
+
+    return source_weights(
+        _one(dfs),
+        group_cols=tuple(p.get("group_by", ("source", "lang"))),
     )
 
 

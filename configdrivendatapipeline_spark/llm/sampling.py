@@ -150,13 +150,43 @@ def pack_offsets(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # Integer `div`, not floor(double /): exact for ANY budget at any
+    # offset magnitude (floor(x/b) on doubles can cross an integer
+    # boundary once offsets outgrow the 53-bit mantissa for
+    # non-power-of-two budgets).
     return d.select(
+        F.col(id_col), F.col("shard"), F.col("n_tokens"), off.alias("tok_offset")
+    ).select(
         id_col,
         "shard",
         "n_tokens",
-        off.alias("tok_offset"),
-        F.floor(off / budget).cast("long").alias("pack_first"),
-        F.floor((off + F.col("n_tokens") - 1) / budget).cast("long").alias("pack_last"),
+        "tok_offset",
+        F.expr(f"tok_offset div {budget}").alias("pack_first"),
+        F.expr(f"(tok_offset + n_tokens - 1) div {budget}").alias("pack_last"),
+    )
+
+
+def source_weights(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Inverse-frequency mixture weights: per stratum, the upsampling
+    factor that balances it against the largest stratum — the
+    data-driven side of mixture reweighting (:func:`mixture_sample`
+    applies given fractions; this computes them).
+
+    One aggregation plus a broadcast scalar max; half-up integer
+    micro-units (exact `div` on longs, never double division) so the
+    weights hash identically on every engine and retry.
+    """
+    c = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_docs"))
+    m = c.agg(F.max("n_docs").alias("mx"))
+    return c.crossJoin(F.broadcast(m)).select(
+        *group_cols,
+        "n_docs",
+        F.expr("(mx * 2000000 + n_docs) div (2 * n_docs)").alias(
+            "upsample_micro"
+        ),
     )
 
 

@@ -73,7 +73,7 @@ def brute_force_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(probe_id, id_col, "cos_sim", F.col("rn").alias("rank"))
+        .select(probe_id, id_col, "cos_sim", F.col("rn").cast("long").alias("rank"))
     )
 
 
@@ -174,7 +174,7 @@ def lsh_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(probe_id, id_col, "cos_sim", F.col("rn").alias("rank"))
+        .select(probe_id, id_col, "cos_sim", F.col("rn").cast("long").alias("rank"))
     )
 
 
@@ -246,7 +246,7 @@ def ivf_topk(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(probe_id, id_col, "cos_sim", F.col("rn").alias("rank"))
+        .select(probe_id, id_col, "cos_sim", F.col("rn").cast("long").alias("rank"))
     )
 
 
@@ -304,7 +304,7 @@ def knn_join(
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("left_id", "right_id", "cos_sim", F.col("rn").alias("rank"))
+        .select("left_id", "right_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
     )
 
 
@@ -421,8 +421,7 @@ def semdedup(
 ) -> DataFrame:
     """Semantic dedup over an embedding column (SemDeDup-style):
     drop every vector that has a LOWER-id neighbor with cosine ≥
-    ``threshold`` inside any shared LSH bucket; the lowest id of each
-    near-duplicate neighborhood survives as its representative.
+    ``threshold`` inside any shared LSH bucket.
 
     Greedy-by-id is the deterministic variant of cluster-and-keep-one
     (retry-safe, engine-replayable); candidates come from the same
@@ -430,6 +429,18 @@ def semdedup(
     bucket-bounded — never O(n²) — and the dropped set is exactly
     `{id_b of scored pairs ≥ threshold}`. Emits every row with a
     ``kept`` flag so downstream can filter or audit the drop rate.
+
+    Survivor semantics — deliberately ONE PASS, which over-drops
+    relative to iterative greedy selection on chains: with pairs
+    A~B and B~C (but not A~C), iterative greedy keeps {A, C} (C's
+    only neighbor B was already dropped), while this keeps only {A}
+    — C is dropped because it has SOME lower-id neighbor, dropped
+    or not. At corpus scale that trade is intentional: iterative
+    greedy is O(chain-length) sequential join rounds, whereas one
+    pass is a single distinct + anti-join, and the extra drops are
+    confined to near-duplicate chains you were thinning anyway. Use
+    :func:`connected components in dedup.cluster_assign` when exact
+    one-representative-per-neighborhood semantics matter.
     """
     pairs = neardup_pairs(
         emb,

@@ -295,5 +295,5 @@ def tf_idf(
     return (
         weighted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_per_doc)
-        .select(id_col, "term", "tf", "df", "tfidf", F.col("rn").alias("rank"))
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rn").cast("long").alias("rank"))
     )

@@ -377,11 +377,11 @@ def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_distinct(toks)) AS n_distinct
       FROM d)
     SELECT doc_id, n_tokens, n_stopwords, n_distinct,
-           (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+           CAST(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
             + CASE WHEN n_stopwords * 100 >= n_tokens * 2
                     AND n_stopwords * 100 <= n_tokens * 40 THEN 30 ELSE 0 END
-            + CASE WHEN n_distinct * 100 >= n_tokens * 30 THEN 30 ELSE 0 END)
-               AS quality
+            + CASE WHEN n_distinct * 100 >= n_tokens * 30 THEN 30 ELSE 0 END
+               AS BIGINT) AS quality
     FROM q
     WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
             + CASE WHEN n_stopwords * 100 >= n_tokens * 2
@@ -1140,14 +1140,14 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), o AS (
       SELECT doc_id, shard, n_tokens,
-             COALESCE(SUM(n_tokens) OVER (
+             CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tok_offset
+               AS BIGINT) AS tok_offset
       FROM d)
     SELECT doc_id, shard, n_tokens, tok_offset,
-           CAST(FLOOR(tok_offset / 2048.0) AS BIGINT) AS pack_first,
-           CAST(FLOOR((tok_offset + n_tokens - 1) / 2048.0) AS BIGINT)
+           CAST(tok_offset // 2048 AS BIGINT) AS pack_first,
+           CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT)
              AS pack_last
     FROM o
     """,
@@ -1162,6 +1162,44 @@ def llm_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.llm import sampling
 
     return sampling.pack_offsets(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_seq_packing_shuffled",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_obucket_md5('doc_id', 'pack:v1', 8)} AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':epoch:1') AS shuffle_key
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY shuffle_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_offset
+      FROM d)
+    SELECT doc_id, shard, n_tokens, tok_offset,
+           CAST(tok_offset // 2048 AS BIGINT) AS pack_first,
+           CAST((tok_offset + n_tokens - 1) // 2048 AS BIGINT)
+             AS pack_last
+    FROM o
+    """,
+    _SEC,
+    "Sequence packing in epoch-shuffled order: the hash_shuffle "
+    "md5(id:salt) permutation fused into the packing cumsum itself — "
+    "ONE shuffle lays out a decorrelated epoch, instead of a shuffle "
+    "pass followed by a packing pass. A new salt re-lays the corpus "
+    "for the next epoch; same salt reproduces the layout bit-for-bit "
+    "on any engine or retry (ORDER BY rand() is neither).",
+)
+def llm_seq_packing_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.pack_offsets(
+        load(spark, sf_dir, "documents"), shuffle_salt="epoch:1"
+    )
 
 
 @declare(
@@ -1406,9 +1444,12 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_paras").cast("long").alias("n_paras"),
         F.col("n_shared").cast("long").alias("n_shared"),
-        ((F.col("n_shared") * 2000000 + F.col("n_paras")) / (2 * F.col("n_paras")))
-        .cast("long")
-        .alias("shared_frac_micro"),
+        # Integer `div`, not double `/` + cast: exact on longs like the
+        # oracle's `//`, so no rounding boundary can flip the last digit
+        # once counts outgrow double precision.
+        F.expr(
+            "(cast(n_shared as bigint) * 2000000 + n_paras) div (2 * n_paras)"
+        ).alias("shared_frac_micro"),
     )
 
 
@@ -1432,14 +1473,6 @@ def llm_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "micro-units so the weights hash identically everywhere.",
 )
 def llm_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    m = c.agg(F.max("n_docs").alias("mx"))
-    return c.crossJoin(F.broadcast(m)).select(
-        "source",
-        "lang",
-        "n_docs",
-        ((F.col("mx") * 2000000 + F.col("n_docs")) / (2 * F.col("n_docs")))
-        .cast("long")
-        .alias("upsample_micro"),
-    )
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.source_weights(load(spark, sf_dir, "documents"))

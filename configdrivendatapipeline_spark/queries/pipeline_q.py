@@ -253,8 +253,14 @@ steps:
     op: select
     params:
       columns: [user_id, event_id, value, rn]
+  - id: typed
+    input: shaped
+    op: cast
+    params:
+      columns:
+        rn: bigint
 """
-    return _run(spark, yml, "shaped")
+    return _run(spark, yml, "typed")
 
 
 @declare(
@@ -756,3 +762,75 @@ steps:
     if m.get("rows") != expected:
         raise AssertionError(f"observe metrics wrong: {m} vs rows={expected}")
     return frames["by_status"]
+
+
+@declare(
+    "pipeline_curation_stats",
+    """
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n_docs FROM documents
+      WHERE n_chars >= 10
+      GROUP BY source, lang
+    ), m AS (SELECT MAX(n_docs) AS mx FROM c)
+    SELECT source, lang, n_docs,
+           CAST((mx * 2000000 + n_docs) // (2 * n_docs) AS BIGINT)
+             AS upsample_micro
+    FROM c, m
+    """,
+    _SEC,
+    "YAML pipeline: observe(telemetry) → filter → source_weights — "
+    "the data-driven mixture-weight step reachable from the config "
+    "surface, with an anomaly (zscore) validate branch in the same "
+    "pipeline proving the statistical rule compiles from YAML too. "
+    "The observe metrics piggyback on the frame's own action (no "
+    "second scan) and are cross-checked before returning.",
+)
+def pipeline_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.compiler import observed_metrics
+
+    yml = f"""
+pipeline:
+  name: curation_stats
+sources:
+  documents:
+    format: parquet
+    path: {sf_dir}/documents.parquet
+steps:
+  - id: watched
+    input: documents
+    op: observe
+    params:
+      name: doc_stats
+      metrics:
+        rows: "count(1)"
+        max_id: "max(doc_id)"
+  - id: sized
+    input: watched
+    op: filter
+    params:
+      predicate: "n_chars >= 10"
+  - id: weights
+    input: sized
+    op: source_weights
+    params:
+      group_by: [source, lang]
+  - id: length_anomaly
+    input: documents
+    op: validate
+    params:
+      output: metrics
+      rules:
+        - {{rule: zscore, name: length_outliers, column: n_chars, max_z: 1.5}}
+"""
+    frames = compile_pipeline(spark, load_pipeline_str(yml))
+    ensure_session_confs(spark)
+    frames["watched"].write.format("noop").mode("overwrite").save()
+    m = observed_metrics()["doc_stats"]
+    expected = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    if m.get("rows") != expected:
+        raise AssertionError(f"observe metrics wrong: {m} vs rows={expected}")
+    # Drive the zscore branch too: an empty/broken anomaly plan must
+    # fail the gate here, not silently return only the weights frame.
+    if frames["length_anomaly"].count() != 1:
+        raise AssertionError("zscore validate branch produced no metrics row")
+    return frames["weights"]

@@ -47,7 +47,9 @@ def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").asc(),
     ]
     top = o.select("o_orderkey", "o_orderpriority", "o_totalprice").orderBy(*keys).limit(100)
-    return top.withColumn("rnk", F.row_number().over(Window.orderBy(*keys)))
+    return top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*keys)).cast("long")
+    )
 
 
 @declare(

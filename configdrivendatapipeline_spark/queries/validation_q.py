@@ -351,7 +351,7 @@ def val_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "μ/σ come from decimal-exact sums cast to double once, so both "
     "engines compute the identical threshold and the outlier count "
     "is deterministic (a float-sum mean would depend on partition "
-    "order). k=2.5 so the near-uniform price fixture genuinely "
+    "order). k=1.5 so the near-uniform price fixture genuinely "
     "flags tail rows rather than vacuously passing.",
 )
 def val_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,7 +39,9 @@ _VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
 def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts")
-    return ev.select("event_id", "user_id", F.row_number().over(w).alias("rn"))
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).cast("long").alias("rn")
+    )
 
 
 @declare(
@@ -60,8 +62,11 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+        # long, not the int32 Spark ranks natively emit: DuckDB window
+        # ranks are BIGINT, and matching widths keeps the oracle
+        # bit-comparable under any hash bridge.
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
     )
 
 
@@ -123,7 +128,7 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra + F.floor((r - 1 - (base + 1) * extra) / F.greatest(base, F.lit(1))) + 1
     )
     return d.join(F.broadcast(offsets), "__pid").select(
-        "o_orderkey", quartile.cast("int").alias("quartile")
+        "o_orderkey", quartile.cast("long").alias("quartile")
     )
 
 
@@ -328,7 +333,10 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.select(
-            "c_custkey", "c_nationkey", "c_acctbal", F.row_number().over(w).alias("rn")
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
     )
@@ -373,7 +381,7 @@ def win_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     w = Window.partitionBy("s_nationkey").orderBy(F.col("s_acctbal").desc())
     return s.select(
-        "s_suppkey", "s_nationkey", F.dense_rank().over(w).alias("drnk")
+        "s_suppkey", "s_nationkey", F.dense_rank().over(w).cast("long").alias("drnk")
     )
 
 

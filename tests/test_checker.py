@@ -1,0 +1,95 @@
+"""Regression tests for the local correctness checker's dtype-drift
+guard (tools/check_correctness.py).
+
+Two driver reds (r3 agg_stats, r5 llm_seq_packing) shared the
+signature "local checker passes, driver hash fails" because the
+checker fetched oracle rows via fetchall(), which canonicalizes
+DuckDB HUGEINT to Python int while the driver's pandas bridge turns
+it into float64. The checker now compares Arrow dtypes against the
+Spark schema; these tests pin that behavior without needing Spark.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from tools.check_correctness import (
+    arrow_type_class,
+    dtype_mismatches,
+    spark_type_class,
+)
+
+# The exact shape that produced the r5 llm_seq_packing red: a windowed
+# SUM over BIGINT returns HUGEINT in DuckDB.
+UNCAST_WINDOW_SUM = """
+WITH d AS (SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30)) t(id, n))
+SELECT id,
+       COALESCE(SUM(CAST(n AS BIGINT)) OVER (
+         ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS tok_offset
+FROM d
+"""
+
+
+def test_uncast_window_sum_is_flagged():
+    tbl = duckdb.connect().execute(UNCAST_WINDOW_SUM).arrow()
+    # fetchall() would have returned plain Python ints — the blind spot.
+    spark_dtypes = [("id", "int"), ("tok_offset", "bigint")]
+    drift = dtype_mismatches(spark_dtypes, tbl.schema)
+    assert any(m.startswith("tok_offset:") for m in drift), (
+        "checker must flag HUGEINT window-sum vs Spark bigint "
+        f"(got: {drift}, arrow schema: {tbl.schema})"
+    )
+
+
+CAST_WINDOW_SUM = """
+WITH d AS (SELECT * FROM (VALUES (1, 10), (2, 20), (3, 30)) t(id, n))
+SELECT id,
+       CAST(COALESCE(SUM(CAST(n AS BIGINT)) OVER (
+         ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS BIGINT) AS tok_offset
+FROM d
+"""
+
+
+def test_cast_window_sum_is_clean():
+    tbl = duckdb.connect().execute(CAST_WINDOW_SUM).arrow()
+    spark_dtypes = [("id", "int"), ("tok_offset", "bigint")]
+    assert dtype_mismatches(spark_dtypes, tbl.schema) == []
+
+
+@pytest.mark.parametrize(
+    "sql,arrow_cls",
+    [
+        ("SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)", "int64"),
+        ("SELECT CAST(1 AS BIGINT) AS s", "int64"),
+        ("SELECT 1.5 AS s", "float64"),  # DuckDB literal 1.5 is DECIMAL
+        ("SELECT CAST(1.5 AS DOUBLE) AS s", "float64"),
+        ("SELECT 'a' AS s", "string"),
+        ("SELECT TRUE AS s", "bool"),
+        ("SELECT DATE '2024-01-01' AS s", "date"),
+    ],
+)
+def test_arrow_type_classes(sql, arrow_cls):
+    tbl = duckdb.connect().execute(sql).arrow()
+    got = arrow_type_class(tbl.schema.field("s").type)
+    if sql.startswith("SELECT 1.5"):
+        # decimal literal: must NOT class as float64 — it would hash
+        # as float64 via pandas but the point is the checker sees the
+        # difference from Spark double and flags it.
+        assert got != "float64"
+    elif sql.startswith("SELECT SUM"):
+        # plain (non-windowed) SUM(INTEGER) → HUGEINT as well; ensure
+        # it is NOT classed int64 so uncast aggregates get flagged.
+        assert got != "int64"
+    else:
+        assert got == arrow_cls
+
+
+def test_spark_type_classes():
+    assert spark_type_class("bigint") == "int64"
+    assert spark_type_class("double") == "float64"
+    assert spark_type_class("string") == "string"
+    assert spark_type_class("timestamp_ntz") == "timestamp"
+    assert spark_type_class("boolean") == "bool"

@@ -38,7 +38,7 @@ def test_every_op_is_exercised_below():
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
-        "shuffle", "observe",
+        "shuffle", "observe", "source_weights",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -555,6 +555,41 @@ sinks:
     m = observed_metrics()
     assert m["nation_stats"] == {"rows": 25, "max_key": 24}
     assert m["never_run"] == {}
+
+
+def test_duplicate_observe_name_rejected(spark, sf_dir):
+    """Two observe steps sharing a name (easy with the default) would
+    silently overwrite each other's Observation — compile must fail."""
+    with pytest.raises(ValueError, match="duplicate observation name"):
+        run_step(
+            spark,
+            sf_dir,
+            "nation",
+            """
+  - {id: a, input: nation, op: observe, params: {name: metrics}}
+  - {id: b, input: a, op: observe, params: {name: metrics}}
+""",
+        )
+
+
+def test_source_weights_through_yaml(spark, sf_dir):
+    """source_weights from YAML equals the library function and the
+    largest stratum gets exactly weight 1.0 (1_000_000 micro)."""
+    from configdrivendatapipeline_spark.llm.sampling import source_weights
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: w, input: documents, op: source_weights, params: {group_by: [source, lang]}}
+""",
+    )
+    got = rows(frames["w"])
+    want = rows(source_weights(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    assert got == want
+    assert min(r[3] for r in got) == 1_000_000  # largest stratum → 1.0x
+    assert all(r[3] >= 1_000_000 for r in got)
 
 
 def test_sink_cluster_and_sort_layout(spark, sf_dir, tmp_path):

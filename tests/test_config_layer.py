@@ -178,3 +178,25 @@ def test_zscore_rule_flags_planted_outlier(spark):
     assert row.n_checked == 50
     assert row.n_failed == 1
     assert not row.passed
+
+
+def test_all_example_yamls_compile(spark):
+    """Every shipped example in examples/ must parse and plan-compile
+    (catching op-name drift between docs and the op registry). The
+    streaming example needs a streaming source, covered separately in
+    test_skew_and_streaming_cfg; batch examples compile fully."""
+    import pathlib
+
+    from configdrivendatapipeline_spark.config.loader import load_pipeline
+
+    ex_dir = pathlib.Path(__file__).parent.parent / "examples"
+    yamls = sorted(ex_dir.glob("*.yaml"))
+    assert yamls, "examples/ directory is empty"
+    for y in yamls:
+        if y.name == "streaming_purchases.yaml":
+            continue
+        cfg = load_pipeline(str(y))
+        frames = compile_pipeline(spark, cfg)
+        assert frames, f"{y.name}: no frames compiled"
+        for step_id, df in frames.items():
+            assert df.columns, f"{y.name}:{step_id}: empty schema"

@@ -73,6 +73,87 @@ def forbidden_output_cols(dtypes: list[tuple[str, str]]) -> list[str]:
     ]
 
 
+def spark_type_class(dtype: str) -> str:
+    """Coarse cross-engine type class for a Spark simpleString dtype."""
+    d = dtype.lower()
+    if d in ("bigint", "long"):
+        return "int64"
+    if d in ("int", "integer"):
+        return "int32"
+    if d in ("smallint", "short"):
+        return "int16"
+    if d in ("tinyint", "byte"):
+        return "int8"
+    if d == "double":
+        return "float64"
+    if d == "float":
+        return "float32"
+    if d == "boolean":
+        return "bool"
+    if d == "string":
+        return "string"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d == "binary":
+        return "binary"
+    return d  # decimal/array/map/struct — already rejected upstream
+
+
+def arrow_type_class(t) -> str:
+    """Coarse type class for an Arrow type as DuckDB exports it.
+
+    HUGEINT exports as decimal128(38,0) / int128 — neither maps to
+    int64, which is exactly the drift this check exists to catch:
+    the driver's pandas bridge turns it into float64 while Spark
+    emits int64, so hashes diverge even with equal values (r3
+    agg_stats, r5 llm_seq_packing).
+    """
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def dtype_mismatches(
+    spark_dtypes: list[tuple[str, str]], arrow_schema
+) -> list[str]:
+    """Columns whose Spark type class differs from the oracle's Arrow
+    type class — the engine-type drift the driver's hash punishes."""
+    sparkc = {n: spark_type_class(t) for n, t in spark_dtypes}
+    out = []
+    for field in arrow_schema:
+        if field.name not in sparkc:
+            continue  # column-name diff is reported separately
+        oc = arrow_type_class(field.type)
+        sc = sparkc[field.name]
+        if oc != sc:
+            out.append(f"{field.name}: spark={sc} oracle={oc}")
+    return out
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[str]]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     sorted_cols = [cols[i] for i in order]
@@ -135,13 +216,26 @@ def main() -> int:
                   f"[{time.monotonic()-t0:.1f}s]")
             continue
         try:
-            ores = con.execute(q.oracle)
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            # Fetch as Arrow, NOT fetchall(): fetchall() canonicalizes
+            # HUGEINT→int and masks the dtype drift the driver's
+            # pandas-bridge hash punishes (r3 agg_stats, r5
+            # llm_seq_packing both passed locally this way and failed
+            # on the driver).
+            otbl = con.execute(q.oracle).arrow()
+            ocols = list(otbl.column_names)
+            orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
         except Exception as e:  # noqa: BLE001
             n_fail += 1
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+
+        drift = dtype_mismatches(sdf.dtypes, otbl.schema)
+        if drift:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: engine dtype drift (driver hash would "
+                  f"differ even on equal values): {drift}")
             continue
 
         sc, sv = canon_rows(scols, [tuple(r) for r in srows])
