@@ -536,3 +536,96 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.s_name").alias("s2"),
         F.col("a.s_nationkey").alias("nationkey"),
     )
+
+
+@declare(
+    "join_bucketed",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    _J,
+    "Shuffle-free co-located join via bucketed storage: both sides "
+    "are written bucketBy(8, key) + sortBy, so the sort-merge join "
+    "consumes the pre-shuffled, pre-sorted layout directly — the "
+    "builder ASSERTS the physical plan contains no Exchange and "
+    "raises otherwise, making the scale property itself the gate. "
+    "At 100 TB this is the difference between re-shuffling the fact "
+    "table on every join and paying the shuffle once at write time.",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    # Table names keyed on the source's identity (path+mtime+size):
+    # reruns against unchanged fixtures reuse the bucketed layout;
+    # regenerated fixtures get fresh tables instead of stale replays.
+    src = f"{sf_dir}/orders.parquet"
+    try:
+        st = os.stat(src)
+        ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = sf_dir
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    # Scale-factor name in the table id so cleanup below only ever
+    # touches THIS sf's lineage — a concurrent run against another sf
+    # (tests at sf0.001 vs checker at sf0.01) must not lose its stage.
+    sf_name = "".join(c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/")))
+    t_orders, t_cust = f"bq_orders_{sf_name}_{tag}", f"bq_cust_{sf_name}_{tag}"
+
+    catalog = spark.catalog
+    # Drop bucketed stages from superseded generations of the same
+    # fixture so the warehouse doesn't accumulate one pair per
+    # regeneration.
+    stale_prefixes = (f"bq_orders_{sf_name}_", f"bq_cust_{sf_name}_")
+    for tbl in catalog.listTables():
+        if tbl.name.startswith(stale_prefixes) and not tbl.name.endswith(tag):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl.name}")
+    if not catalog.tableExists(t_orders) or not catalog.tableExists(t_cust):
+        # The catalog is per-process (in-memory) but the warehouse dir
+        # persists: a fresh session sees tableExists()=False while the
+        # managed location from a previous process still exists, and
+        # saveAsTable then raises LOCATION_ALREADY_EXISTS. Clear the
+        # orphaned locations before (re)staging.
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        wh_dir = wh.path or wh.geturl()
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh_dir, t), ignore_errors=True)
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .mode("overwrite")
+            .saveAsTable(t_orders)
+        )
+        (
+            load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .mode("overwrite")
+            .saveAsTable(t_cust)
+        )
+    o = spark.table(t_orders)
+    c = spark.table(t_cust)
+    # merge hint pins sort-merge (a broadcast would also be
+    # shuffle-free but would not prove the bucketed layout is used).
+    joined = o.join(c.hint("merge"), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    if "Exchange" in plan:
+        raise AssertionError(f"bucketed join still shuffles:\n{plan}")
+    if "SortMergeJoin" not in plan:
+        raise AssertionError(f"bucketed join did not sort-merge:\n{plan}")
+    return joined

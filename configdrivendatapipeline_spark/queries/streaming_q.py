@@ -399,3 +399,61 @@ def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(result, "update")
+
+
+@declare(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    _SEC,
+    "Stream-stream interval join (click→purchase attribution within "
+    "30 min): both sides carry event-time watermarks so the state "
+    "store can evict rows older than the watermark minus the join "
+    "bound — without them a stream-stream join buffers FOREVER at "
+    "corpus scale. Inner join + time-bound condition is exactly "
+    "Spark's supported shape; delay is integer seconds (floor-diff "
+    "== boundary-crossing count on both engines).",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (
+            F.unix_timestamp("p_ts").cast("long")
+            - F.unix_timestamp("c_ts").cast("long")
+        ).alias("delay_sec"),
+    )
+    return run_available_now(joined, "append")

@@ -25,12 +25,19 @@ def _canon(cols, rows):
 
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_matches_oracle(name, spark, oracle, sf_dir):
+    from tools.check_correctness import dtype_mismatches
+
     q = sys_path_reg[name]
     sdf = q.build(spark, sf_dir)
     scols, svals = _canon(sdf.columns, sdf.collect())
-    res = oracle.execute(q.oracle)
-    ocols = [d[0] for d in res.description]
-    ocols, ovals = _canon(ocols, res.fetchall())
+    # Arrow fetch, not fetchall(): fetchall canonicalizes HUGEINT to
+    # int and masks the engine dtype drift the driver's hash punishes.
+    otbl = oracle.execute(q.oracle).arrow()
+    drift = dtype_mismatches(sdf.dtypes, otbl.schema)
+    assert not drift, f"{name}: engine dtype drift {drift}"
+    ocols = list(otbl.column_names)
+    orows = [tuple(d[c] for c in ocols) for d in otbl.to_pylist()]
+    ocols, ovals = _canon(ocols, orows)
     assert scols == ocols, f"{name}: column mismatch {scols} != {ocols}"
     assert len(svals) == len(ovals), f"{name}: rowcount {len(svals)} != {len(ovals)}"
     assert svals == ovals, f"{name}: value mismatch"
