@@ -489,3 +489,46 @@ def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             "taxed_revenue",
         ),
     )
+
+
+@declare(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1
+    """,
+    _SEC,
+    "Deterministic per-group mode (most frequent value, "
+    "lexicographic tie-break) via count + top-1 window — built-in "
+    "mode() leaves ties unspecified, which is exactly the "
+    "nondeterminism a retry-safe engine can't ship. Two shuffles "
+    "(count, per-group top-1 over the already-tiny count frame).",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -360,3 +360,64 @@ def val_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         li,
         [Rule("price_outliers", "zscore", {"column": "l_extendedprice", "max_z": 1.5})],
     ).metrics
+
+
+@declare(
+    "val_drift",
+    """
+    WITH b AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'ref'
+                  ELSE 'cur' END AS side,
+             CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin
+      FROM orders
+    ), c AS (
+      SELECT bin,
+             SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY bin
+    ), t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c)
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(abs((n_ref * 2000000 + t_ref) // (2 * t_ref)
+                  - (n_cur * 2000000 + t_cur) // (2 * t_cur))
+             AS BIGINT) AS prop_diff_micro
+    FROM c, t
+    """,
+    _SEC,
+    "Distribution-drift check between two corpus snapshots (the "
+    "data-quality gate a training pipeline runs before swapping in a "
+    "new crawl): histogram both sides on a fixed integer binning, "
+    "then per-bin |proportion delta| in half-up integer micro-units "
+    "— two aggregations plus one broadcast scalar join, no floats "
+    "anywhere, so the drift report is bit-identical on every engine. "
+    "Flag when any bin moves more than the tolerance.",
+)
+def val_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "ref"
+        )
+        .otherwise("cur")
+        .alias("side"),
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    t = c.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "bin",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.abs(
+            F.expr("(n_ref * 2000000 + t_ref) div (2 * t_ref)")
+            - F.expr("(n_cur * 2000000 + t_cur) div (2 * t_cur)")
+        )
+        .cast("long")
+        .alias("prop_diff_micro"),
+    )

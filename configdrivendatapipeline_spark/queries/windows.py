@@ -420,3 +420,49 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         (cd.cast("double") / 1000000).alias("cdist"),
     )
+
+
+@declare(
+    "win_sessionize",
+    """
+    WITH o AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_s) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS session_no
+    FROM o
+    """,
+    _SEC,
+    "Batch sessionization (gaps-and-islands): a session boundary "
+    "wherever the per-user gap exceeds 30 min (strictly greater), "
+    "session_no = running count of boundaries — the batch twin of "
+    "stream_session, as two per-user window passes (lag, cumsum) "
+    "that stay partition-parallel at any user count.",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = (
+        F.unix_micros(F.col("ts"))
+        - F.unix_micros(F.lag("ts").over(w))
+    )
+    new_s = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select("event_id", "user_id", "ts", new_s.alias("new_s"))
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("new_s").over(wc).cast("long").alias("session_no"),
+        )
+    )
