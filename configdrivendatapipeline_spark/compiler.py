@@ -572,6 +572,24 @@ def observed_metrics() -> dict[str, dict]:
     return out
 
 
+@op("watermark")
+def _watermark(spark, dfs, p):
+    """Declare event-time bounded lateness on a streaming frame —
+    the piece that lets downstream stateful ops (windowed aggs,
+    stream-stream joins, dropDuplicates) EVICT state older than
+    watermark−bound instead of buffering history forever. No-op
+    content-wise on batch frames, but we reject those to catch
+    config mistakes early."""
+    df = _one(dfs)
+    if not df.isStreaming:
+        raise ValueError(
+            "watermark: input frame is not streaming; declare "
+            "`streaming: true` on the source (batch frames have no "
+            "event-time watermark)"
+        )
+    return df.withWatermark(p.get("column", "ts"), p["delay"])
+
+
 @op("event_time")
 def _event_time(spark, dfs, p):
     """Normalize an event-time column to TimestampType whatever the

@@ -834,3 +834,125 @@ steps:
     if frames["length_anomaly"].count() != 1:
         raise AssertionError("zscore validate branch produced no metrics row")
     return frames["weights"]
+
+
+@declare(
+    "pipeline_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS c_user,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    _SEC,
+    "YAML pipeline: stream-stream interval join declared entirely in "
+    "config — two streaming sources, per-side watermark steps (the "
+    "new watermark op bounds join state at scale), and a free-form "
+    "join condition carrying the attribution time bound. Proves the "
+    "config surface can express bounded-state streaming topologies, "
+    "not just single-stream aggregations.",
+)
+def pipeline_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.queries import ts_normalize_expr
+    from configdrivendatapipeline_spark.streaming import run_available_now
+
+    ensure_session_confs(spark)
+    raw_t = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    ts_expr = ts_normalize_expr(raw_t)
+    yml = f"""
+pipeline:
+  name: stream_join_family
+sources:
+  clicks:
+    format: parquet
+    path: {sf_dir}/events.parquet
+    streaming: true
+  purchases:
+    format: parquet
+    path: {sf_dir}/events.parquet
+    streaming: true
+steps:
+  - id: c_typed
+    input: clicks
+    op: derive
+    params:
+      columns:
+        c_ts: "{ts_expr}"
+  - id: c_side
+    input: c_typed
+    op: filter
+    params:
+      predicate: "event_type = 'click'"
+  - id: c_shaped
+    input: c_side
+    op: derive
+    params:
+      columns:
+        click_id: "event_id"
+        c_user: "user_id"
+  - id: c_cols
+    input: c_shaped
+    op: select
+    params:
+      columns: [click_id, c_user, c_ts]
+  - id: c_wm
+    input: c_cols
+    op: watermark
+    params:
+      column: c_ts
+      delay: "1 hour"
+  - id: p_typed
+    input: purchases
+    op: derive
+    params:
+      columns:
+        p_ts: "{ts_expr}"
+  - id: p_side
+    input: p_typed
+    op: filter
+    params:
+      predicate: "event_type = 'purchase'"
+  - id: p_shaped
+    input: p_side
+    op: derive
+    params:
+      columns:
+        purchase_id: "event_id"
+        p_user: "user_id"
+  - id: p_cols
+    input: p_shaped
+    op: select
+    params:
+      columns: [purchase_id, p_user, p_ts]
+  - id: p_wm
+    input: p_cols
+    op: watermark
+    params:
+      column: p_ts
+      delay: "1 hour"
+  - id: attributed
+    inputs: [c_wm, p_wm]
+    op: join
+    params:
+      condition: >
+        c_user = p_user AND p_ts >= c_ts
+        AND p_ts <= c_ts + INTERVAL 30 MINUTES
+      how: inner
+  - id: shaped
+    input: attributed
+    op: derive
+    params:
+      columns:
+        delay_sec: "unix_timestamp(p_ts) - unix_timestamp(c_ts)"
+  - id: result
+    input: shaped
+    op: select
+    params:
+      columns: [click_id, purchase_id, c_user, delay_sec]
+"""
+    frames = compile_pipeline(spark, load_pipeline_str(yml))
+    assert frames["result"].isStreaming
+    return run_available_now(frames["result"], "append")

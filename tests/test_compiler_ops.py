@@ -38,7 +38,7 @@ def test_every_op_is_exercised_below():
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
-        "shuffle", "observe", "source_weights",
+        "shuffle", "observe", "source_weights", "watermark",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -555,6 +555,48 @@ sinks:
     m = observed_metrics()
     assert m["nation_stats"] == {"rows": 25, "max_key": 24}
     assert m["never_run"] == {}
+
+
+def test_watermark_rejects_batch_frames(spark, sf_dir):
+    """watermark on a batch source is a config mistake — a silent
+    no-op would hide unbounded state in the eventual streaming run."""
+    with pytest.raises(ValueError, match="not streaming"):
+        run_step(
+            spark,
+            sf_dir,
+            "events",
+            """
+  - {id: wm, input: events, op: watermark, params: {column: ts, delay: "1 hour"}}
+""",
+        )
+
+
+def test_watermark_attaches_on_streaming_frames(spark, sf_dir):
+    """watermark from YAML survives compilation on a streaming source
+    (the eventTime column shows in the analyzed plan)."""
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+    from configdrivendatapipeline_spark.queries import ts_normalize_expr
+
+    raw_t = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes).get("ts")
+    cfg = load_pipeline_str(
+        f"""
+sources:
+  events: {{format: parquet, path: "{sf_dir}/events.parquet", streaming: true}}
+steps:
+  - id: typed
+    input: events
+    op: derive
+    params:
+      columns: {{ts: "{ts_normalize_expr(raw_t)}"}}
+  - id: wm
+    input: typed
+    op: watermark
+    params: {{column: ts, delay: "10 minutes"}}
+"""
+    )
+    frames = compile_pipeline(spark, cfg)
+    assert frames["wm"].isStreaming
+    assert "watermark" in frames["wm"]._jdf.queryExecution().analyzed().toString().lower()
 
 
 def test_duplicate_observe_name_rejected(spark, sf_dir):
