@@ -407,10 +407,21 @@ def val_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("side") == "ref", 1).otherwise(0)).alias("n_ref"),
         F.sum(F.when(F.col("side") == "cur", 1).otherwise(0)).alias("n_cur"),
     )
-    t = c.agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    # Totals via a global window over the BIN frame (≤ #bins rows —
+    # bounded at any data size), not a second aggregate branch: a
+    # crossJoin(agg(c)) recomputes c's subtree and scans the fact
+    # table twice; this plan scans it once.
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy()
+    t = c.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(wt).alias("t_ref"),
+        F.sum("n_cur").over(wt).alias("t_cur"),
     )
-    return c.crossJoin(F.broadcast(t)).select(
+    return t.select(
         "bin",
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cur").cast("long").alias("n_cur"),

@@ -108,3 +108,33 @@ def test_packing_and_shuffle_single_exchange_no_global_sort(spark, sf_dir):
             if l.strip().endswith("Exchange") and "Input" in lines[i + 1]
         ]
         assert ex_inputs and all("text" not in l for l in ex_inputs), name
+
+
+def _nodes(plan: str, op: str) -> int:
+    """Count physical nodes of a type in `formatted` output (the
+    details section lists each node once as '(N) <Op>')."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {re.escape(op)}", plan, re.M))
+
+
+def test_val_drift_scans_fact_table_once(spark, sf_dir):
+    """Totals come from a bounded window over the bin frame — a
+    second aggregate branch would re-scan the fact table."""
+    plan = _plan(spark, sf_dir, "val_drift")
+    assert _nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_sessionize_windows_share_one_shuffle(spark, sf_dir):
+    """lag and cumsum both partition by user_id — one exchange, not
+    one per window pass."""
+    plan = _plan(spark, sf_dir, "win_sessionize")
+    assert _nodes(plan, "Exchange") == 1, plan
+    assert _nodes(plan, "Scan parquet") == 1, plan
+
+
+def test_agg_mode_two_aggregation_shuffles_only(spark, sf_dir):
+    """count shuffle + per-group top-1 over the tiny count frame;
+    anything more means the plan regressed."""
+    plan = _plan(spark, sf_dir, "agg_mode")
+    assert _nodes(plan, "Exchange") <= 2, plan
