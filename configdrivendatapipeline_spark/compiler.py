@@ -623,6 +623,19 @@ def _semdedup(spark, dfs, p):
     )
 
 
+@op("kmeans")
+def _kmeans(spark, dfs, p):
+    from configdrivendatapipeline_spark.llm.similarity import kmeans_assign
+
+    return kmeans_assign(
+        _one(dfs),
+        n_clusters=int(p.get("n_clusters", 8)),
+        refine_iters=int(p.get("refine_iters", 1)),
+        id_col=p.get("id_column", "vec_id"),
+        vec_col=p.get("vector_column", "embedding"),
+    )
+
+
 @op("source_weights")
 def _source_weights(spark, dfs, p):
     from configdrivendatapipeline_spark.llm.sampling import source_weights

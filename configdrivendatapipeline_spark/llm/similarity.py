@@ -464,3 +464,82 @@ def semdedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means cluster assignment over an embedding
+    column — the trained-quantizer path that :func:`ivf_topk`'s
+    training-free centroid pick stands in for, and the clustering
+    step of cluster-then-dedup curation (SemDeDup's real shape).
+
+    Everything is retry-safe and engine-replayable — no RNG state:
+
+    - **seeds**: the ``n_clusters`` lowest-id vectors (k-means++ on a
+      sample in a production tuning pass; the plan shape is identical);
+    - **assignment**: nearest centroid by cosine, ties to the lowest
+      cluster id — an n×k broadcast crossJoin + per-vector top-1
+      window, never a shuffle of the corpus;
+    - **refinement**: per-cluster mean on a 2⁻²⁰ fixed-point grid:
+      components quantize exactly (`floor(v·2²⁰)` is exact for any
+      float v), per-dimension BIGINT sums are order-independent, and
+      the final division produces the identical double on every
+      engine — the float-sum mean would depend on partition order.
+
+    Per iteration: one explode (n·dim rows, 16-byte values) + one
+    aggregation — both partition-parallel; centroids re-assemble via
+    a k·dim-bounded collect_list. Returns (id, cluster, cos_sim) for
+    every vector; ``cluster`` is the seed vector's id.
+    """
+    q = 1 << 20
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    cents = (
+        v.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cluster"), F.col("__v").alias("__c"))
+    )
+
+    def assign(cdf: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cdf)).select(
+            id_col,
+            "__v",
+            "cluster",
+            cosine(F.col("__v"), F.col("__c")).alias("__cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__cos").desc(), F.col("cluster")
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    a = assign(cents)
+    for _ in range(refine_iters):
+        ex = a.select(
+            id_col, "cluster", F.posexplode("__v").alias("dim", "val")
+        )
+        comp = ex.groupBy("cluster", "dim").agg(
+            (
+                F.sum(F.floor(F.col("val") * q).cast("long")).cast("double")
+                / (F.count(F.lit(1)) * q)
+            ).alias("mean")
+        )
+        cents = comp.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+                lambda s: s.getField("mean"),
+            ).alias("__c")
+        )
+        a = assign(cents)
+    return a.select(
+        id_col,
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("__cos", 6).alias("cos_sim"),
+    )

@@ -1476,3 +1476,56 @@ def llm_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.llm import sampling
 
     return sampling.source_weights(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_kmeans",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v
+              ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, s.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ocos_raw('v.embedding', 's.cemb')} DESC,
+                            s.cluster) AS rn
+        FROM v CROSS JOIN seeds s) WHERE rn = 1),
+    qex AS (
+      SELECT a1.cluster, r.i AS dim,
+             CAST(FLOOR(CAST(v.embedding[r.i] AS DOUBLE) * 1048576)
+                  AS BIGINT) AS qv
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, 65) AS r(i)),
+    comp AS (
+      SELECT cluster, dim,
+             CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576) AS mean
+      FROM qex GROUP BY cluster, dim),
+    cents AS (
+      SELECT cluster, list(mean ORDER BY dim) AS cmean
+      FROM comp GROUP BY cluster),
+    a2 AS (
+      SELECT vec_id, cluster, cs FROM (
+        SELECT v.vec_id, c.cluster,
+               {_ocos_raw('v.embedding', 'c.cmean')} AS cs,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ocos_raw('v.embedding', 'c.cmean')} DESC,
+                            c.cluster) AS rn
+        FROM v CROSS JOIN cents c) WHERE rn = 1)
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           ROUND(cs, 6) + 0.0 AS cos_sim
+    FROM a2
+    """,
+    _SEC,
+    "Deterministic k-means over embeddings (8 clusters, one "
+    "refinement iteration): lowest-id seeds, cosine assignment with "
+    "lowest-cluster tie-break, and per-cluster means on a 2^-20 "
+    "fixed-point grid — exact integer sums make the refined "
+    "centroids bit-identical on every engine and retry, where a "
+    "float-sum mean would depend on partition order. The trained-"
+    "quantizer path for IVF routing and the clustering step of "
+    "cluster-then-dedup curation.",
+)
+def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_assign(
+        load(spark, sf_dir, "embeddings"), n_clusters=8, refine_iters=1
+    )

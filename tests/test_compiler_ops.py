@@ -38,7 +38,7 @@ def test_every_op_is_exercised_below():
         "hash_split", "hash_sample", "mixture_sample", "neardup_pairs",
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
-        "shuffle", "observe", "source_weights", "watermark",
+        "shuffle", "observe", "source_weights", "watermark", "kmeans",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -555,6 +555,28 @@ sinks:
     m = observed_metrics()
     assert m["nation_stats"] == {"rows": 25, "max_key": 24}
     assert m["never_run"] == {}
+
+
+def test_kmeans_through_yaml(spark, sf_dir):
+    """kmeans from YAML equals the library function; every vector is
+    assigned and seeds keep their own cluster (cos_sim 1.0 with
+    themselves beats any other centroid or ties to themselves)."""
+    from configdrivendatapipeline_spark.llm.similarity import kmeans_assign
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "embeddings",
+        """
+  - {id: km, input: embeddings, op: kmeans, params: {n_clusters: 4, refine_iters: 1}}
+""",
+    )
+    got = rows(frames["km"])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    want = rows(kmeans_assign(emb, n_clusters=4, refine_iters=1))
+    assert got == want
+    assert len(got) == emb.count()
+    assert len({r[1] for r in got}) <= 4
 
 
 def test_watermark_rejects_batch_frames(spark, sf_dir):
