@@ -187,25 +187,33 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse quantize, probe few lists.
 
-    Training-free coarse quantizer: the ``n_centroids``
-    lowest-id corpus vectors serve as centroids (deterministic; a
-    production build would k-means a sample — the plan shape is
-    identical). Every corpus vector is assigned to its nearest
-    centroid (inverted list); each query scores only its ``n_probe``
-    nearest lists — an equi-join on the list id replaces the
-    crossJoin, scanning ~n_probe/n_centroids of the corpus.
+    Default quantizer is training-free: the ``n_centroids`` lowest-id
+    corpus vectors serve as centroids (deterministic). Pass
+    ``centroids`` — (cluster, __c array<double>), e.g. from
+    :func:`kmeans_centroids` — to route through a TRAINED coarse
+    quantizer instead; the plan shape is identical either way. Every
+    corpus vector is assigned to its nearest centroid (inverted
+    list); each query scores only its ``n_probe`` nearest lists — an
+    equi-join on the list id replaces the crossJoin, scanning
+    ~n_probe/n_centroids of the corpus.
     """
     from pyspark.sql import Window as W
 
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
-    cents = (
-        c.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col("__v").alias("__c"))
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cluster").alias("cent_id"), F.col("__c")
+        )
+    else:
+        cents = (
+            c.orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cent_id"), F.col("__v").alias("__c"))
+        )
     bc = F.broadcast(cents)
 
     # invert: each corpus vector → nearest centroid's list
@@ -496,6 +504,37 @@ def kmeans_assign(
     a k·dim-bounded collect_list. Returns (id, cluster, cos_sim) for
     every vector; ``cluster`` is the seed vector's id.
     """
+    a = _kmeans_iterate(
+        emb, n_clusters, refine_iters, id_col, vec_col
+    )[0]
+    return a.select(
+        id_col,
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("__cos", 6).alias("cos_sim"),
+    )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The refined centroid frame (cluster, __c array<double>) from
+    the same deterministic k-means as :func:`kmeans_assign` — feed to
+    :func:`ivf_topk` as the trained coarse quantizer."""
+    return _kmeans_iterate(emb, n_clusters, refine_iters, id_col, vec_col)[1]
+
+
+def _kmeans_iterate(
+    emb: DataFrame,
+    n_clusters: int,
+    refine_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(assignments with __cos, refined centroids) — shared core."""
     q = 1 << 20
     v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
     cents = (
@@ -538,8 +577,4 @@ def kmeans_assign(
             ).alias("__c")
         )
         a = assign(cents)
-    return a.select(
-        id_col,
-        F.col("cluster").cast("long").alias("cluster"),
-        F.round("__cos", 6).alias("cos_sim"),
-    )
+    return a, cents

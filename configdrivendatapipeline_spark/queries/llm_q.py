@@ -1529,3 +1529,70 @@ def llm_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(
         load(spark, sf_dir, "embeddings"), n_clusters=8, refine_iters=1
     )
+
+
+@declare(
+    "llm_knn_ivf_trained",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v
+              ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, s.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ocos_raw('v.embedding', 's.cemb')} DESC,
+                            s.cluster) AS rn
+        FROM v CROSS JOIN seeds s) WHERE rn = 1),
+    qex AS (
+      SELECT a1.cluster, r.i AS dim,
+             CAST(FLOOR(CAST(v.embedding[r.i] AS DOUBLE) * 1048576)
+                  AS BIGINT) AS qv
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, 65) AS r(i)),
+    comp AS (
+      SELECT cluster, dim,
+             CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576) AS mean
+      FROM qex GROUP BY cluster, dim),
+    cents AS (
+      SELECT cluster AS cent_id, list(mean ORDER BY dim) AS cmean
+      FROM comp GROUP BY cluster),
+    assigned AS (
+      SELECT vec_id, list_id FROM (
+        SELECT v.vec_id, c.cent_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ocos_raw('v.embedding', 'c.cmean')} DESC,
+                            c.cent_id) AS rn
+        FROM v CROSS JOIN cents c) WHERE rn = 1),
+    routed AS (
+      SELECT probe_id, list_id FROM (
+        SELECT p.vec_id AS probe_id, c.cent_id AS list_id,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                   ORDER BY {_ocos_raw('p.embedding', 'c.cmean')} DESC,
+                            c.cent_id) AS rn
+        FROM v p CROSS JOIN cents c WHERE p.vec_id < 5) WHERE rn <= 2),
+    scored AS (
+      SELECT r.probe_id, a.vec_id,
+             {_ocos('av.embedding', 'pv.embedding')} AS cos_sim
+      FROM routed r JOIN assigned a ON a.list_id = r.list_id
+           JOIN v av ON av.vec_id = a.vec_id
+           JOIN v pv ON pv.vec_id = r.probe_id)
+    SELECT probe_id, vec_id, cos_sim, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, vec_id ASC) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+    _SEC,
+    "IVF ANN routed through a TRAINED coarse quantizer: the "
+    "deterministic k-means centroids (llm_kmeans) replace the "
+    "training-free lowest-id pick — the composition a production "
+    "index build runs (train on a sample → quantize the corpus → "
+    "route probes). Same plan shape as llm_knn_ivf; the fixed-point "
+    "centroid math keeps the whole chain oracle-replayable.",
+)
+def llm_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, n_clusters=8, refine_iters=1)
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return similarity.ivf_topk(emb, probes, k=5, n_probe=2, centroids=cents)
