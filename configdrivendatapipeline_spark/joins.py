@@ -1,0 +1,117 @@
+"""Bloom-filter pre-join filtering — the 100 TB semi-join pattern.
+
+A semi-join whose build side is small-ish but whose probe side is
+enormous should not shuffle the probe side at all: compress the build
+keys into a fixed-size Bloom bitmap, broadcast the bitmap (KB, not the
+key set), and drop non-matching probe rows MAP-SIDE before any join or
+shuffle happens. Spark applies this internally as runtime row-level
+filtering; here it is a declared, auditable operator — the false-
+positive rate is part of the output, so a pipeline can decide whether
+the residual exact join is still needed.
+
+Determinism: bit positions derive from ``sampling.hash_bucket`` (md5
+fold), so the identical bitmap is reproducible on every engine, retry
+and in the DuckDB oracle — no JVM-private hash in the contract.
+
+All arithmetic is integer: positions live in [0, n_bits), words are
+32-bit lanes inside BIGINTs (shift amounts < 32 keep every value exact
+and sign-free in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+WORD_BITS = 32
+
+
+def probe_positions(key: Column, n_bits: int, k: int, salt: str) -> list[Column]:
+    """The k Bloom bit positions of ``key`` — k independent md5 salts."""
+    return [hash_bucket(key, f"{salt}:{i}", n_bits) for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 2048,
+    k: int = 3,
+    salt: str = "bloom:v1",
+) -> DataFrame:
+    """Aggregate build-side keys into a 1-row Bloom bitmap frame.
+
+    Output: one row, one ``bloom`` column — array<bigint> of
+    ``n_bits / 32`` words (32 bits used per word). One partial-agg
+    shuffle of W words per partition; the bitmap never grows with the
+    key count, which is the point.
+    """
+    if n_bits % WORD_BITS:
+        raise ValueError(f"n_bits must be a multiple of {WORD_BITS}; got {n_bits}")
+    n_words = n_bits // WORD_BITS
+    keyed = df.select(
+        *[
+            p.alias(f"p{i}")
+            for i, p in enumerate(probe_positions(F.col(key_col), n_bits, k, salt))
+        ]
+    )
+    # Per row, OR the k probes' contributions to word w; bit_or-merge
+    # across rows (partial map-side, exact, order-free).
+    word_aggs = []
+    for w in range(n_words):
+        row_or = " | ".join(
+            f"(CASE WHEN p{i} DIV {WORD_BITS} = {w} THEN "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % {WORD_BITS} AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for i in range(k)
+        )
+        word_aggs.append(F.expr(f"bit_or({row_or})").alias(f"w{w}"))
+    words = keyed.agg(*word_aggs)
+    return words.select(F.array(*[F.col(f"w{w}") for w in range(n_words)]).alias("bloom"))
+
+
+def bloom_might_contain(
+    key: Column, bloom: Column, n_bits: int, k: int, salt: str
+) -> Column:
+    """True iff every probe bit of ``key`` is set in ``bloom``.
+
+    Pure map-side expression — pair it with a broadcast of the 1-row
+    bitmap frame. False positives are possible (rate ≈ (1-e^{-kn/m})^k);
+    false negatives are not.
+    """
+    checks = []
+    for pos in probe_positions(key, n_bits, k, salt):
+        word = F.element_at(bloom, F.shiftright(pos, 5).cast("int") + F.lit(1))
+        checks.append((word.bitwiseAND(_shift_one(pos))) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def _shift_one(pos: Column) -> Column:
+    """``1L << (pos % 32)`` with a column-valued shift amount."""
+    # fn.shiftleft takes a Python int for numBits; the SQL builtin
+    # accepts an expression, reachable via F.call_function? Keep it
+    # arithmetic instead: 2^(pos%32) is exact in double up to 2^31.
+    return F.pow(F.lit(2.0), (pos % WORD_BITS).cast("double")).cast("long")
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    key_col: str,
+    bloom_df: DataFrame,
+    n_bits: int = 2048,
+    k: int = 3,
+    salt: str = "bloom:v1",
+) -> DataFrame:
+    """Attach ``bloom_pass`` to ``fact`` — broadcast bitmap, map-side test.
+
+    The crossJoin is a 1-row broadcast (the bitmap), not a data join;
+    the fact side is never shuffled.
+    """
+    return fact.crossJoin(F.broadcast(bloom_df)).withColumn(
+        "bloom_pass",
+        bloom_might_contain(F.col(key_col), F.col("bloom"), n_bits, k, salt),
+    )

@@ -320,6 +320,20 @@ def odsum(expr: str, alias: str) -> str:
     return f"CAST(FLOOR(({s6} + 5000) / 10000) AS DOUBLE) / 100 AS {alias}"
 
 
+def omd5bucket(key_expr: str, salt: str, buckets: int) -> str:
+    """DuckDB twin of ``llm.sampling.hash_bucket``: fold the first 8
+    hex chars of md5(key ":" salt) to a BIGINT, mod ``buckets`` — md5
+    is the one hash both engines share, so every hash-routed operator
+    (splits, shards, Bloom probes) is replayable bit-for-bit."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5("
+        f"CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {buckets}"
+    )
+
+
 def davg(col: Column | str, alias: str) -> Column:
     """Order- and engine-independent AVG rounded to cents.
 

@@ -874,16 +874,9 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, threshold=0.5, tokens_col="sh")
 
 
-# DuckDB twin of sampling.hash_bucket: fold the first 8 hex chars of
-# md5(key ":" salt) — md5 is the one hash both engines share.
-def _obucket_md5(key_expr: str, salt: str, buckets: int) -> str:
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        "list_transform(string_split(substr(md5("
-        f"CAST({key_expr} AS VARCHAR) || ':{salt}'), 1, 8), ''), "
-        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
-        f"(a, b) -> a * 16 + b) % {buckets}"
-    )
+# DuckDB twin of sampling.hash_bucket — shared definition lives in
+# queries/__init__ (omd5bucket) so join/layout oracles reuse it.
+from configdrivendatapipeline_spark.queries import omd5bucket as _obucket_md5  # noqa: E402
 
 
 @declare(

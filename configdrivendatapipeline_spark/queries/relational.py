@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from configdrivendatapipeline_spark.queries import declare, dsum, load, odsum
+from configdrivendatapipeline_spark.queries import declare, dsum, load, odsum, omd5bucket
 
 _P = "2.2"
 _J = "2.3"
@@ -629,3 +629,91 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "SortMergeJoin" not in plan:
         raise AssertionError(f"bucketed join did not sort-merge:\n{plan}")
     return joined
+
+
+# ---------------------------------------------------------------------------
+# §2.3 extra: Bloom-filter pre-join (runtime row-level filtering,
+# declared and auditable)
+# ---------------------------------------------------------------------------
+
+def _obloom_probes(key_expr: str, src: str, n_bits: int, k: int, salt: str) -> str:
+    """UNION-ALL CTE body: one (row key, probe position) arm per salt."""
+    return " UNION ALL ".join(
+        f"SELECT *, {omd5bucket(key_expr, f'{salt}:{i}', n_bits)} AS pos FROM {src}"
+        for i in range(k)
+    )
+
+
+@declare(
+    "join_bloom",
+    f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    kp AS ({_obloom_probes('c_custkey', 'keys', 2048, 3, 'bloom:v1')}),
+    words AS (
+      SELECT pos // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+      FROM kp GROUP BY pos // 32),
+    op AS ({_obloom_probes('o_custkey', 'orders', 2048, 3, 'bloom:v1')}),
+    checked AS (
+      SELECT o_orderkey, ANY_VALUE(o_custkey) AS o_custkey,
+             ANY_VALUE(o_orderpriority) AS o_orderpriority,
+             bool_and((COALESCE(word, 0) & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT))) <> 0)
+               AS bloom_pass
+      FROM op LEFT JOIN words ON words.w = op.pos // 32
+      GROUP BY o_orderkey),
+    flagged AS (
+      SELECT c.o_orderpriority, c.bloom_pass,
+             (k.c_custkey IS NOT NULL) AS is_member
+      FROM checked c LEFT JOIN keys k ON k.c_custkey = c.o_custkey)
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE bloom_pass) AS n_bloom_pass,
+           COUNT(*) FILTER (WHERE bloom_pass AND is_member) AS n_member,
+           COUNT(*) FILTER (WHERE bloom_pass AND NOT is_member) AS n_false_pos
+    FROM flagged GROUP BY o_orderpriority
+    """,
+    _J,
+    "Bloom-filter pre-join: BUILDING-segment customer keys compress "
+    "into a broadcast 2048-bit / 3-probe bitmap (md5-derived "
+    "positions — engine- and retry-stable); orders are tested "
+    "MAP-SIDE, so at 100 TB the fact side sheds non-matching rows "
+    "before any shuffle — the bitmap is O(bits) regardless of key "
+    "count, where a broadcast of the key set itself would grow "
+    "unboundedly. Output audits the trade: per-priority pass / true-"
+    "member / false-positive counts (FP rate ≈ (1-e^(-kn/m))^k) let "
+    "a pipeline decide whether the residual exact join must run.",
+)
+def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark import joins
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    bloom = joins.bloom_build(dim, "c_custkey", n_bits=2048, k=3, salt="bloom:v1")
+    fact = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    passed = joins.bloom_prefilter(
+        fact, "o_custkey", bloom, n_bits=2048, k=3, salt="bloom:v1"
+    )
+    member = passed.join(
+        F.broadcast(dim.withColumn("is_member", F.lit(True))),
+        passed.o_custkey == dim.c_custkey,
+        "left",
+    ).select(
+        "o_orderpriority",
+        "bloom_pass",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    one = F.lit(1)
+    return member.groupBy("o_orderpriority").agg(
+        F.count(one).alias("n_orders"),
+        F.count(F.when(F.col("bloom_pass"), one)).alias("n_bloom_pass"),
+        F.count(F.when(F.col("bloom_pass") & F.col("is_member"), one)).alias("n_member"),
+        F.count(F.when(F.col("bloom_pass") & ~F.col("is_member"), one)).alias(
+            "n_false_pos"
+        ),
+    )
