@@ -1,0 +1,78 @@
+"""Z-order (Morton-curve) data layout — multi-dimensional clustering
+for file skipping.
+
+A table sorted by one column prunes scans on THAT column only; a
+100 TB fact table queried by both customer and date needs per-file
+min/max ranges bounded in BOTH dimensions. Interleaving the bits of
+the quantized dimensions into one Morton code and clustering by it
+bounds every dimension's spread within a file to ~range/2^(bits/ndims)
+— parquet/Delta-style min-max skipping then works for predicates on
+any participating column.
+
+Everything is exact integer arithmetic (quantize by integer division,
+interleave by literal shifts), so the layout is reproducible across
+engines, retries and the DuckDB oracle. At scale the z-value is a pure
+map-side expression; the only movement is the final
+``repartitionByRange(zval)`` write (one range shuffle — the same cost
+as any global sort-for-layout, but buying skipping in ALL dimensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize(col: str, lo: str, hi: str, bits: int) -> Column:
+    """Map column ``col`` in [lo, hi] onto the integer grid
+    [0, 2^bits) — exact: ((col - lo) * 2^bits) div (hi - lo + 1).
+    Integer ``div``, never ``/`` + floor: exact on longs, identical in
+    both engines (double division can round across an integer
+    boundary once operands leave the 2^53 grid)."""
+    return F.expr(
+        f"((CAST({col} AS BIGINT) - CAST({lo} AS BIGINT)) * {1 << bits}) div "
+        f"(CAST({hi} AS BIGINT) - CAST({lo} AS BIGINT) + 1)"
+    )
+
+
+def interleave(qcols: list[Column], bits: int) -> Column:
+    """Morton code: bit i of quantized column c lands at position
+    ``i * len(qcols) + c``. All shift amounts are Python literals, so
+    the whole code is one codegen'd integer expression."""
+    n = len(qcols)
+    z = F.lit(0).cast("long")
+    for c, q in enumerate(qcols):
+        for i in range(bits):
+            bit = F.shiftright(q, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * n + c)
+    return z
+
+
+def with_zorder(
+    df: DataFrame, cols: list[str], bits: int = 8, out: str = "zval"
+) -> DataFrame:
+    """Attach the Morton code of ``cols`` (integer-valued columns).
+
+    Per-column min/max come from ONE global aggregate broadcast back
+    as a 1-row frame — at lake scale these are catalog statistics and
+    the aggregate disappears entirely.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.max(c).alias(f"__hi_{c}"))
+    stats = df.agg(*aggs)
+    joined = df.crossJoin(F.broadcast(stats))
+    qcols = [quantize(c, f"__lo_{c}", f"__hi_{c}", bits) for c in cols]
+    return joined.withColumn(out, interleave(qcols, bits)).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def zorder_write_layout(df: DataFrame, cols: list[str], bits: int = 8) -> DataFrame:
+    """The write-side plan: range-partition by z-value so each output
+    file covers one contiguous Morton range (callers chain
+    ``.write.parquet``). Kept separate from the stats query so the
+    shuffle is only paid on the actual write path."""
+    z = with_zorder(df, cols, bits)
+    return z.repartitionByRange("zval")

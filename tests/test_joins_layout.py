@@ -1,0 +1,81 @@
+"""Unit/property tests for the Bloom pre-join and z-order layout
+modules (the declared queries are covered differentially; these pin
+the module-level guarantees the oracles can't express)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark import joins, layout
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every build-side key must pass its own bloom test — the Bloom
+    contract that makes the pre-filter safe to apply before a join."""
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .distinct()
+    )
+    bloom = joins.bloom_build(dim, "c_custkey")
+    tested = joins.bloom_prefilter(dim, "c_custkey", bloom)
+    assert tested.filter(~F.col("bloom_pass")).count() == 0
+
+
+def test_bloom_bitmap_is_fixed_size(spark, sf_dir):
+    """The bitmap is O(n_bits), independent of the key count — one
+    row, n_bits/32 words."""
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    rows = joins.bloom_build(dim, "c_custkey", n_bits=1024, k=2).collect()
+    assert len(rows) == 1
+    assert len(rows[0]["bloom"]) == 1024 // 32
+
+
+def test_bloom_rejects_unaligned_bits(spark):
+    import pytest
+
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        joins.bloom_build(df, "id", n_bits=100)
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """Each 256-cell must span ≤ range/16 (+quantization slack) in
+    BOTH dimensions — the property that makes min-max skipping work
+    for either predicate."""
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("day"),
+    )
+    z = layout.with_zorder(base, ["ck", "day"], bits=8)
+    cells = (
+        z.groupBy(F.shiftright("zval", 8).alias("cell"))
+        .agg(
+            (F.max("ck") - F.min("ck")).alias("ck_span"),
+            (F.max("day") - F.min("day")).alias("day_span"),
+        )
+        .collect()
+    )
+    tot = base.agg(
+        (F.max("ck") - F.min("ck") + 1).alias("rx"),
+        (F.max("day") - F.min("day") + 1).alias("ry"),
+    ).first()
+    for row in cells:
+        assert row["ck_span"] <= tot["rx"] // 16 + 2, row
+        assert row["day_span"] <= tot["ry"] // 16 + 2, row
+
+
+def test_zorder_write_layout_range_partitions(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.col("o_orderkey").cast("long").alias("ok"),
+    )
+    out = layout.zorder_write_layout(base, ["ck", "ok"], bits=4)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain()
+    assert "rangepartitioning" in buf.getvalue().lower()
