@@ -532,3 +532,49 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+@declare(
+    "agg_sketch_merge",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+             AS n_partials,
+           TRUE AS within_band
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    _SEC,
+    "Re-aggregatable distinct sketches — the INCREMENTAL 100 TB "
+    "pattern: per-(priority, month) HLL sketches built once (in a "
+    "real lake, persisted at ingest), then hll_union_agg merges "
+    "partials into any coarser rollup WITHOUT rescanning raw data — "
+    "approx_count_distinct can't do that; its estimate is terminal. "
+    "The sketch bytes are engine-private, so the hash-checked output "
+    "is the property the merge must satisfy: the merged estimate "
+    "within 5% of the exact distinct (Datasketches HLL at "
+    "lgConfigK=12 is ~1.6% rsd), plus the partial count proving the "
+    "merge really fanned in from month-grain sketches.",
+)
+def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sk"))
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_custs")
+    )
+    return exact.join(merged, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_custs",
+        "n_partials",
+        (
+            F.abs(F.col("est") - F.col("exact_custs"))
+            <= 0.05 * F.col("exact_custs")
+        ).alias("within_band"),
+    )

@@ -1589,3 +1589,30 @@ def llm_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
     return similarity.ivf_topk(emb, probes, k=5, n_probe=2, centroids=cents)
+
+
+@declare(
+    "llm_unigram_lm",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    freq AS (SELECT token, (cnt * 1000000) // total AS freq_micro
+             FROM vocab, tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(freq_micro) AS BIGINT) // COUNT(*) AS lm_micro
+    FROM tok JOIN freq USING (token)
+    GROUP BY doc_id
+    """,
+    _SEC,
+    "Unigram-LM quality score (CCNet-style, self-trained): each doc "
+    "scored by the mean corpus-frequency of its own tokens, in exact "
+    "integer micro-units — rare-token noise (mojibake, OCR junk, hash "
+    "boilerplate) ranks low without any external model. One vocab "
+    "aggregation, a broadcast (or bucketed, at 10⁷⁺-term) frequency "
+    "join, one per-doc aggregation; no floats anywhere, so scores are "
+    "engine- and retry-stable.",
+)
+def llm_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.unigram_lm_score(load(spark, sf_dir, "documents"))
