@@ -197,6 +197,8 @@ _ROUND6_WINDOW = (
     "layout_zorder",
     "llm_unigram_lm",
     "agg_sketch_merge",
+    "stream_stream_left_join",
+    "stream_dedup_watermark",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

@@ -457,3 +457,107 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delay_sec"),
     )
     return run_available_now(joined, "append")
+
+
+@declare(
+    "stream_stream_left_join",
+    """
+    WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    m AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM p))
+                   - INTERVAL 10 MINUTE AS wm),
+    j AS (
+      SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+             c.user_id, c.ts AS c_ts,
+             CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS delay_sec
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT click_id, purchase_id, user_id, delay_sec
+    FROM j, m
+    WHERE purchase_id IS NOT NULL
+       OR c_ts + INTERVAL 30 MINUTE < wm
+    """,
+    _SEC,
+    "Stream-stream LEFT OUTER interval join: every click emits — "
+    "matched rows immediately, unmatched clicks null-extended once "
+    "the watermark proves no purchase can still arrive (wm > c_ts + "
+    "join bound). That's the attribution shape production needs "
+    "(count the non-converting clicks too), and the part batch joins "
+    "get for free but streaming must earn via watermark-driven state "
+    "eviction. The oracle replays the exact emission rule INCLUDING "
+    "the multi-watermark min policy: each side's watermark node only "
+    "sees its own filtered stream, so the global watermark is "
+    "min(max click ts, max purchase ts) − 10 min — unmatched clicks "
+    "emit iff c_ts + 30 min < that.",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("click_id"),
+        F.col("purchase_id"),
+        F.col("c_user").alias("user_id"),
+        (
+            F.unix_timestamp("p_ts").cast("long")
+            - F.unix_timestamp("c_ts").cast("long")
+        ).alias("delay_sec"),
+    )
+    return run_available_now(joined, "append")
+
+
+@declare(
+    "stream_dedup_watermark",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    _SEC,
+    "Exactly-once with BOUNDED state: dropDuplicatesWithinWatermark "
+    "keeps each event_id only as long as a duplicate could still "
+    "arrive (the watermark delay), then evicts — plain dropDuplicates "
+    "state grows forever on an unbounded stream, which is the "
+    "difference between a demo and a pipeline that survives week 2 "
+    "at corpus scale. The doubled feed's duplicates all arrive "
+    "within the window, so the recovered set is exactly the original "
+    "events.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "events_doubled_wm")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    if not os.path.exists(path + ".staged"):
+        ev.unionByName(ev).write.mode("overwrite").parquet(path)
+        open(path + ".staged", "w").close()
+    static = spark.read.parquet(path)
+    from configdrivendatapipeline_spark.queries import normalize_ts
+
+    sdf = normalize_ts(spark.readStream.schema(static.schema).parquet(path))
+    dedup = (
+        sdf.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return run_available_now(dedup, "append")
