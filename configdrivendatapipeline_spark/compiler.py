@@ -676,6 +676,41 @@ def _pack(spark, dfs, p):
 # --- skew escape hatches -------------------------------------------------------
 
 
+@op("bloom_prefilter")
+def _bloom_prefilter(spark, dfs, p):
+    """Map-side Bloom pre-filter of a fact stream against a key set:
+    build a fixed-size bitmap from input 2, broadcast it, keep fact
+    rows whose key might be present. ``exact: true`` keeps the
+    bloom_pass flag instead of filtering, for audit steps."""
+    from configdrivendatapipeline_spark import joins
+
+    if len(dfs) != 2:
+        raise ValueError("bloom_prefilter expects exactly 2 inputs (fact, keys)")
+    fact, keys = dfs
+    n_bits = int(p.get("n_bits", 2048))
+    k = int(p.get("k", 3))
+    salt = p.get("salt", "bloom:v1")
+    bloom = joins.bloom_build(keys, p["key"], n_bits=n_bits, k=k, salt=salt)
+    out = joins.bloom_prefilter(
+        fact, p.get("fact_key", p["key"]), bloom, n_bits=n_bits, k=k, salt=salt
+    )
+    if p.get("keep_flag"):
+        return out.drop("bloom")
+    return out.filter(F.col("bloom_pass")).drop("bloom_pass", "bloom")
+
+
+@op("zorder")
+def _zorder(spark, dfs, p):
+    """Z-order write layout: Morton-code the given integer columns and
+    range-partition by the code so every output file is bounded in all
+    participating dimensions (see layout.py)."""
+    from configdrivendatapipeline_spark import layout
+
+    return layout.zorder_write_layout(
+        _one(dfs), list(p["columns"]), bits=int(p.get("bits", 8))
+    )
+
+
 @op("salted_join")
 def _salted_join(spark, dfs, p):
     from configdrivendatapipeline_spark.skew import salted_join

@@ -956,3 +956,72 @@ steps:
     frames = compile_pipeline(spark, load_pipeline_str(yml))
     assert frames["result"].isStreaming
     return run_available_now(frames["result"], "append")
+
+
+@declare(
+    "pipeline_bloom",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    _SEC,
+    "YAML pipeline: bloom_prefilter (broadcast bitmap, map-side fact "
+    "filter) → residual exact join → aggregate. The bloom layer is "
+    "semantically transparent — false positives are removed by the "
+    "residual join, so the oracle is the plain semi-join aggregate — "
+    "but at 100 TB the fact stream sheds ~all non-matching rows "
+    "before the join shuffle.",
+)
+def pipeline_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: bloom_family
+sources:
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+steps:
+  - id: building
+    input: customer
+    op: filter
+    params:
+      predicate: "c_mktsegment = 'BUILDING'"
+  - id: keys
+    input: building
+    op: select
+    params:
+      columns: [c_custkey]
+  - id: prefiltered
+    inputs: [orders, keys]
+    op: bloom_prefilter
+    params:
+      key: c_custkey
+      fact_key: o_custkey
+  - id: joined
+    inputs: [prefiltered, keys]
+    op: join
+    params:
+      condition: "o_custkey = c_custkey"
+      how: inner
+      broadcast: true
+  - id: by_priority
+    input: joined
+    op: aggregate
+    params:
+      group_by: [o_orderpriority]
+      aggs:
+        n_orders: "count(o_orderkey)"
+  - id: ranked
+    input: by_priority
+    op: sort
+    params:
+      by: [o_orderpriority]
+"""
+    return _run(spark, yml, "ranked")

@@ -39,6 +39,7 @@ def test_every_op_is_exercised_below():
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
         "shuffle", "observe", "source_weights", "watermark", "kmeans",
+        "bloom_prefilter", "zorder",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -692,3 +693,50 @@ def test_sink_cluster_and_sort_layout(spark, sf_dir, tmp_path):
         ):
             seen.setdefault(s, set()).add(f)
     assert all(len(fs) == 1 for fs in seen.values()), seen
+
+
+def test_bloom_prefilter_through_yaml(spark, sf_dir):
+    """Config-declared bloom pre-filter: keeps every true match (no
+    false negatives) and in keep_flag mode exposes the audit column."""
+    frames = run_step(
+        spark,
+        sf_dir,
+        "orders",
+        """
+  - {id: seg, input: customer, op: filter, params: {predicate: "c_mktsegment = 'BUILDING'"}}
+  - {id: keys, input: seg, op: select, params: {columns: [c_custkey]}}
+  - {id: pre, inputs: [orders, keys], op: bloom_prefilter,
+     params: {key: c_custkey, fact_key: o_custkey}}
+  - {id: audit, inputs: [orders, keys], op: bloom_prefilter,
+     params: {key: c_custkey, fact_key: o_custkey, keep_flag: true}}
+""",
+        extra_sources=f'  customer: {{format: parquet, path: "{sf_dir}/customer.parquet"}}\n',
+    )
+    from pyspark.sql import functions as F
+
+    keys = {r[0] for r in frames["keys"].collect()}
+    kept = frames["pre"]
+    true_matches = frames["orders"].filter(F.col("o_custkey").isin(keys))
+    # no false negatives: every truly-matching order survives
+    assert kept.count() >= true_matches.count()
+    assert (
+        true_matches.join(kept, "o_orderkey", "left_anti").count() == 0
+    )
+    assert "bloom_pass" in frames["audit"].columns
+    assert "bloom" not in frames["audit"].columns
+
+
+def test_zorder_through_yaml(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "orders",
+        """
+  - {id: keyed, input: orders, op: derive,
+     params: {columns: {ck: "CAST(o_custkey AS BIGINT)", ok: "CAST(o_orderkey AS BIGINT)"}}}
+  - {id: laid, input: keyed, op: zorder, params: {columns: [ck, ok], bits: 4}}
+""",
+    )
+    out = frames["laid"]
+    assert "zval" in out.columns
+    assert out.count() == frames["orders"].count()
