@@ -76,3 +76,58 @@ def zorder_write_layout(df: DataFrame, cols: list[str], bits: int = 8) -> DataFr
     shuffle is only paid on the actual write path."""
     z = with_zorder(df, cols, bits)
     return z.repartitionByRange("zval")
+
+
+def compaction_plan(
+    df: DataFrame, partition_cols: list[str], target_rows: int
+) -> DataFrame:
+    """Small-file compaction planner: per logical partition, the row
+    count and how many target-size files a compacting rewrite should
+    produce (``ceil(n_rows / target_rows)``).
+
+    The small-file problem is THE silent killer of lake scans: a
+    100 TB table accreted from streaming micro-batches easily holds
+    millions of KB-sized files, and scan cost becomes file-open cost.
+    The plan is one partial-combine aggregation (counts only — no data
+    movement); :func:`compact_write` executes it.
+    """
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive; got {target_rows}")
+    return (
+        df.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            *partition_cols,
+            "n_rows",
+            F.expr(f"(n_rows + {target_rows - 1}) div {target_rows}").alias(
+                "n_files"
+            ),
+        )
+    )
+
+
+def compact_write(
+    df: DataFrame,
+    partition_cols: list[str],
+    target_rows: int,
+    key_col: str,
+    salt: str = "compact:v1",
+) -> DataFrame:
+    """Execute a compaction plan: spread each logical partition's rows
+    across its planned file count via a deterministic hash bucket, then
+    shuffle once on (partition, bucket) so each output task writes one
+    target-size file. Callers chain ``.write.partitionBy(*partition_cols)``.
+
+    The bucket is md5-derived (retry- and engine-stable), NOT round-
+    robin — a retried task reproduces the same file contents, which
+    exactly-once sinks require.
+    """
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+    plan = compaction_plan(df, partition_cols, target_rows).select(
+        *partition_cols, "n_files"
+    )
+    out = df.join(F.broadcast(plan), partition_cols)
+    big = hash_bucket(F.col(key_col), salt, 1 << 30)
+    out = out.withColumn("file_bucket", big % F.col("n_files")).drop("n_files")
+    return out.repartition(*[F.col(c) for c in partition_cols], F.col("file_bucket"))

@@ -199,6 +199,9 @@ _ROUND6_WINDOW = (
     "agg_sketch_merge",
     "stream_stream_left_join",
     "stream_dedup_watermark",
+    "pipeline_bloom",
+    "val_skew",
+    "layout_compact",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

@@ -340,3 +340,28 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("day_lo"),
         F.max("day").alias("day_hi"),
     )
+
+
+@declare(
+    "layout_compact",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           (COUNT(*) + 999) // 1000 AS n_files
+    FROM orders GROUP BY o_orderpriority
+    """,
+    _SEC,
+    "Small-file compaction planner: per logical partition, the file "
+    "count a target-size rewrite should produce (ceil(rows/target)). "
+    "Counts-only aggregation — the plan costs one partial-combine "
+    "pass regardless of table size; compact_write executes it with "
+    "ONE shuffle on (partition, md5 bucket), so retried tasks "
+    "reproduce identical files (round-robin repartition would not). "
+    "At 100 TB the small-file problem is scan-open cost — this is "
+    "the maintenance op that keeps file counts proportional to data.",
+)
+def layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark import layout
+
+    return layout.compaction_plan(
+        load(spark, sf_dir, "orders"), ["o_orderpriority"], target_rows=1000
+    )

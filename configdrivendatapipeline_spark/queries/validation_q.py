@@ -432,3 +432,34 @@ def val_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("prop_diff_micro"),
     )
+
+
+@declare(
+    "val_skew",
+    """
+    WITH counts AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_suppkey),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+                 COUNT(*) AS n_keys FROM counts),
+    hot AS (SELECT key, n_rows FROM counts
+            ORDER BY n_rows DESC, key LIMIT 10)
+    SELECT ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rank,
+           CAST(key AS VARCHAR) AS key, n_rows,
+           (n_rows * 1000000) // total_rows AS share_micro,
+           (n_rows * n_keys * 1000000) // total_rows AS skew_ratio_micro
+    FROM hot, t
+    """,
+    _SEC,
+    "Key-skew diagnostic — the measurement you run BEFORE choosing "
+    "salting/AQE for a join or agg key: top-10 hottest lineitem "
+    "supplier keys with corpus share and hot-key-to-mean ratio in "
+    "exact micro-units (1e6 = uniform). One partial-combine "
+    "aggregation + partition-parallel TakeOrdered; the ranking "
+    "window only ever sees the 10 surviving rows, so no global "
+    "single-partition pass exists at any scale.",
+)
+def val_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.skew import skew_stats
+
+    return skew_stats(load(spark, sf_dir, "lineitem"), "l_suppkey", top_k=10)

@@ -93,3 +93,47 @@ def salted_agg(
         p2_exprs.append(merge(F.col(f"__p_{name}")).alias(name))
     phase1 = salted.groupBy(*keys, "__salt").agg(*p1_exprs)
     return phase1.groupBy(*keys).agg(*p2_exprs)
+
+
+def skew_stats(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Key-skew diagnostic: the measurement you run BEFORE deciding
+    whether a join/agg on ``key_col`` needs salting or AQE skew
+    handling at all.
+
+    Emits the top-k hottest keys with their row counts and corpus
+    share in exact integer micro-units, plus ``skew_ratio_micro`` —
+    each hot key's count relative to the mean rows-per-key (1e6 = a
+    perfectly uniform key). One partial-combine aggregation over the
+    keys, two broadcast scalars, a top-k window over the (tiny)
+    per-key frame — nothing here scales with row count except the one
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    # Take-ordered top-k FIRST (partition-parallel TakeOrdered — no
+    # global single-partition window over every key), then rank the
+    # k surviving rows; the window only ever sees top_k rows.
+    hot = counts.orderBy(F.col("n_rows").desc(), F.col("key").asc()).limit(top_k)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        hot.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            F.col("key").cast("string").alias("key"),
+            "n_rows",
+            F.expr("(n_rows * 1000000) div total_rows").alias("share_micro"),
+            F.expr("(n_rows * n_keys * 1000000) div total_rows").alias(
+                "skew_ratio_micro"
+            ),
+        )
+    )

@@ -79,3 +79,54 @@ def test_zorder_write_layout_range_partitions(spark, sf_dir):
     with redirect_stdout(buf):
         out.explain()
     assert "rangepartitioning" in buf.getvalue().lower()
+
+
+def test_compact_write_respects_plan(spark, sf_dir):
+    """compact_write's (partition, bucket) spread matches the plan:
+    every bucket < the partition's planned file count, and buckets are
+    deterministic across invocations."""
+    from configdrivendatapipeline_spark.layout import compact_write, compaction_plan
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = {
+        r["o_orderpriority"]: r["n_files"]
+        for r in compaction_plan(df, ["o_orderpriority"], 300).collect()
+    }
+    out = compact_write(df, ["o_orderpriority"], 300, key_col="o_orderkey")
+    rows1 = {
+        (r["o_orderkey"], r["file_bucket"])
+        for r in out.select("o_orderkey", "o_orderpriority", "file_bucket").collect()
+    }
+    for r in out.select("o_orderpriority", "file_bucket").distinct().collect():
+        assert 0 <= r["file_bucket"] < plan[r["o_orderpriority"]]
+    out2 = compact_write(df, ["o_orderpriority"], 300, key_col="o_orderkey")
+    rows2 = {
+        (r["o_orderkey"], r["file_bucket"])
+        for r in out2.select("o_orderkey", "o_orderpriority", "file_bucket").collect()
+    }
+    assert rows1 == rows2
+
+
+def test_compaction_plan_rejects_bad_target(spark):
+    import pytest
+
+    from configdrivendatapipeline_spark.layout import compaction_plan
+
+    with pytest.raises(ValueError):
+        compaction_plan(spark.range(5), [], 0)
+
+
+def test_skew_stats_shares_sum_sanely(spark, sf_dir):
+    """Top-k shares are ranked, in-range, and the hottest key's ratio
+    exceeds 1e6 iff it is hotter than the mean key."""
+    from configdrivendatapipeline_spark.skew import skew_stats
+
+    got = skew_stats(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_suppkey", top_k=5
+    ).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    ns = [r["n_rows"] for r in got]
+    assert ns == sorted(ns, reverse=True)
+    for r in got:
+        assert 0 <= r["share_micro"] <= 1_000_000
+        assert r["skew_ratio_micro"] >= 1_000_000  # top keys ≥ mean
