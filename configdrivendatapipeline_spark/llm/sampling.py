@@ -224,3 +224,34 @@ def hash_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "pos", "sort_key")
     )
+
+
+def stratified_n(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "strat:v1",
+) -> DataFrame:
+    """Exactly-n-per-stratum sample (balanced eval sets, per-source
+    golden subsets): rank rows inside each stratum by md5(id:salt) and
+    keep the first n. Hash-order ranking is the deterministic stand-in
+    for "uniformly random without replacement" — reproducible across
+    engines and retries, and re-running with a larger n EXTENDS the
+    sample (prefix property), the same contract hash_sample gives
+    fractions. One window partitioned by the strata — partition-
+    parallel; no stratum ever routes through a global sort.
+    """
+    from pyspark.sql import Window
+
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive; got {n_per_stratum}")
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    w = (
+        Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -337,3 +337,51 @@ def unigram_lm_score(
             F.expr("sum_fm div n_tokens").alias("lm_micro"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram conditional-probability quality score — the next rung
+    above :func:`unigram_lm_score`: a document of individually-common
+    tokens in implausible ORDER ("the the of and") scores low because
+    each transition P(w_i | w_{i-1}) = count(w_{i-1} w_i) /
+    count(w_{i-1}) is rare, which the unigram score cannot see.
+
+    Same exact-integer discipline: per-transition probability in
+    micro-units via integer div, per-doc score the integer mean over
+    its transitions. Docs with fewer than two tokens have no
+    transitions and are absent from the output (callers left-join
+    and default, exactly like any feature table).
+
+    Scale: bigram and unigram count tables are two partial-combine
+    aggregations; the joins back are broadcastable at real-corpus
+    bigram vocabularies (~10⁸ rows would switch to a bucketed join —
+    same plan shape); scoring is one groupBy(doc).
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("t")).filter(
+        # sequence(1, n-1) DESCENDS when n < 2 — guard, don't rely on it
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+    uni = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ucnt"))
+    )
+    bgc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bc"))
+    scored = (
+        bi.join(F.broadcast(bgc), ["w1", "w2"])
+        .join(F.broadcast(uni), bi.w1 == uni.tok)
+        .select(id_col, F.expr("(bc * 1000000) div ucnt").alias("cm"))
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("cm").alias("s"))
+        .select(id_col, "n_bigrams", F.expr("s div n_bigrams").alias("lm2_micro"))
+    )

@@ -202,6 +202,8 @@ _ROUND6_WINDOW = (
     "pipeline_bloom",
     "val_skew",
     "layout_compact",
+    "llm_bigram_lm",
+    "llm_stratified_n",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

@@ -1616,3 +1616,64 @@ def llm_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.unigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bi AS (
+      SELECT doc_id,
+             unnest(list_transform(range(2, len(t) + 1),
+                                   i -> struct_pack(w1 := t[i-1], w2 := t[i]))) AS b
+      FROM toks),
+    bx AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+    uni AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    uc AS (SELECT tok, COUNT(*) AS ucnt FROM uni GROUP BY tok),
+    bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bx GROUP BY w1, w2),
+    sc AS (
+      SELECT doc_id, (bc * 1000000) // ucnt AS cm
+      FROM bx JOIN bgc USING (w1, w2) JOIN uc ON uc.tok = bx.w1)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(cm) AS BIGINT) // COUNT(*) AS lm2_micro
+    FROM sc GROUP BY doc_id
+    """,
+    _SEC,
+    "Bigram conditional-probability quality score: P(w_i | w_{i-1}) "
+    "per transition in exact integer micro-units, per-doc integer "
+    "mean — catches common-tokens-in-implausible-ORDER junk the "
+    "unigram score cannot. Two count aggregations + broadcastable "
+    "(bucketed at 10⁸-bigram scale) joins; one per-doc aggregation.",
+)
+def llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.bigram_lm_score(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_stratified_n",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat:v1'), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT doc_id, source, lang FROM ranked WHERE rn <= 5
+    """,
+    _SEC,
+    "Exactly-n-per-stratum sample (balanced eval sets): rank each "
+    "(source, lang) stratum by md5(id) and keep the first 5 — "
+    "deterministic across engines/retries, and a larger n EXTENDS "
+    "the sample (prefix property) instead of resampling. One window "
+    "partitioned by the strata; partition-parallel at any corpus "
+    "size.",
+)
+def llm_stratified_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return sampling.stratified_n(docs, ["source", "lang"], 5)

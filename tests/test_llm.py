@@ -527,3 +527,47 @@ def test_resize_nearest_matches_index_arithmetic():
     decoded = multimodal.decode_ppm(big)
     assert decoded.shape == (540, 640, 3)
     assert multimodal.resize_nearest(decoded, 64, 54).shape == (54, 64, 3)
+
+
+def test_stratified_n_prefix_property(spark, sf_dir):
+    """A smaller-n stratified sample is a strict prefix (subset) of a
+    larger-n one with the same salt, and each stratum yields exactly
+    min(n, stratum_size) rows."""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.sampling import stratified_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    s3 = {r["doc_id"] for r in stratified_n(docs, ["source", "lang"], 3).collect()}
+    s5 = {r["doc_id"] for r in stratified_n(docs, ["source", "lang"], 5).collect()}
+    assert s3 <= s5
+    sizes = {
+        (r["source"], r["lang"]): r["n"]
+        for r in docs.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = (
+        stratified_n(docs, ["source", "lang"], 3)
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for r in got:
+        assert r["n"] == min(3, sizes[(r["source"], r["lang"])])
+
+
+def test_bigram_lm_flags_shuffled_order(spark):
+    """Transition-probability scoring must rank a natural-order
+    sentence above the same TOKENS in scrambled order — the property
+    that distinguishes it from the unigram score."""
+    from configdrivendatapipeline_spark.llm.textstats import bigram_lm_score
+
+    rows = [
+        # natural bigrams, repeated so transitions are corpus-common
+        *[(i, "the cat sat on the mat") for i in range(10)],
+        (100, "mat the on sat cat the"),  # same tokens, scrambled
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lm2_micro"] for r in bigram_lm_score(df).collect()}
+    assert got[0] > got[100]
