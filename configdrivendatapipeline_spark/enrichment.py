@@ -196,3 +196,36 @@ def merge_upsert(
         else:
             out_cols.append(target[c])
     return joined.select(*out_cols)
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    op_col: str,
+    delete_op: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a CDC change log with latest-wins semantics: per key,
+    keep only the newest change; a delete tombstone as the newest
+    change removes the key entirely.
+
+    This is the read-side of every lakehouse CDC sink (Debezium →
+    merge): one window partitioned by key (partition-parallel — the
+    shuffle is on the key, exactly like the MERGE it replaces would
+    shuffle), ordered by event time with explicit tie-break columns so
+    two changes in the same instant resolve identically on every
+    engine and retry.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != delete_op)
+        .drop("__rn")
+    )

@@ -385,3 +385,24 @@ def bigram_lm_score(
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("cm").alias("s"))
         .select(id_col, "n_bigrams", F.expr("s div n_bigrams").alias("lm2_micro"))
     )
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out: str = "clean_text"
+) -> DataFrame:
+    """Web-corpus markup cleaning: remove HTML/XML tags, decode the
+    five core entities, collapse runs of whitespace. Pure map-side
+    regexp chain (JVM regex, whole-stage codegen — never a Python
+    UDF); the same patterns run verbatim in the oracle, so the clean
+    is engine-exact. Tag stripping is regex-based boilerplate removal
+    (the CommonCrawl-style fast path), not an HTML parser — nested
+    CDATA/script edge cases belong to a real extractor upstream."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    for ent, rep in (
+        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"),
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out, c)

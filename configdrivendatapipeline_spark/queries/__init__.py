@@ -204,6 +204,9 @@ _ROUND6_WINDOW = (
     "layout_compact",
     "llm_bigram_lm",
     "llm_stratified_n",
+    "enr_cdc_apply",
+    "llm_markup_strip",
+    "join_shuffle_hash",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

@@ -205,3 +205,45 @@ def enr_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return enrichment.merge_upsert(o, updates, key=["o_orderkey"])
+
+
+@declare(
+    "enr_cdc_apply",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS value_micro,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_id, event_type, value_micro
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    _SEC,
+    "CDC change-log apply, latest-wins: per user keep only the newest "
+    "event; a tombstone ('error') as the newest change deletes the "
+    "key — the read-side of a Debezium-style CDC sink. One window "
+    "shuffled on the key (the same shuffle the MERGE it replaces "
+    "would pay), event-time order with an explicit event_id tie-break "
+    "so same-instant changes resolve identically on every engine and "
+    "retry.",
+)
+def enr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.enrichment import cdc_apply
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("value_micro"),
+        "ts",
+    )
+    return cdc_apply(
+        ev,
+        key_cols=["user_id"],
+        ts_col="ts",
+        op_col="event_type",
+        delete_op="error",
+        tiebreak_cols=["event_id"],
+    ).select("user_id", "event_id", "event_type", "value_micro")

@@ -1677,3 +1677,56 @@ def llm_stratified_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return sampling.stratified_n(docs, ["source", "lang"], 5)
+
+
+@declare(
+    "llm_markup_strip",
+    """
+    WITH wrapped AS (
+      SELECT doc_id,
+             '<html><body class="doc">' ||
+             replace(text, ' ', ' <b>&amp;</b> ') ||
+             '</body></html>' AS raw,
+             text
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                 '&amp;', '&', 'g'),
+               '\\s+', ' ', 'g')) AS clean_text
+      FROM wrapped)
+    SELECT doc_id,
+           (clean_text = replace(text, ' ', ' & ')) AS tags_gone,
+           CAST(len(text) AS BIGINT) AS n_orig,
+           CAST(len(clean_text) AS BIGINT) AS n_clean
+    FROM cleaned
+    """,
+    _SEC,
+    "Markup stripping (web-corpus boilerplate fast path): HTML tags "
+    "out, entities decoded, whitespace collapsed — one map-side JVM "
+    "regexp chain, no Python UDF. The fixture manufactures markup "
+    "around known text, so the oracle can assert the EXACT round-"
+    "trip (tags_gone), not just run the regex: a wrong pattern "
+    "flips booleans and fails the hash.",
+)
+def llm_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = docs.withColumn(
+        "raw",
+        F.concat(
+            F.lit('<html><body class="doc">'),
+            F.regexp_replace("text", " ", " <b>&amp;</b> "),
+            F.lit("</body></html>"),
+        ),
+    )
+    cleaned = textstats.strip_markup(wrapped, "raw")
+    return cleaned.select(
+        "doc_id",
+        (
+            F.col("clean_text") == F.regexp_replace("text", " ", " & ")
+        ).alias("tags_gone"),
+        F.length("text").cast("long").alias("n_orig"),
+        F.length("clean_text").cast("long").alias("n_clean"),
+    )

@@ -717,3 +717,42 @@ def join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_pos"
         ),
     )
+
+
+@declare(
+    "join_shuffle_hash",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    _J,
+    "Shuffle-hash join, pinned by hint and ASSERTED in the physical "
+    "plan: for a mid-size build side that exceeds the broadcast "
+    "threshold but fits executor memory, hashing beats sort-merge by "
+    "skipping both sort passes — the physical strategy you reach for "
+    "at 100 TB when the dim is 10 GB, not 10 MB. The builder fails "
+    "loudly if Catalyst silently falls back to sort-merge, so the "
+    "claimed plan IS the executed plan.",
+)
+def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    from contextlib import redirect_stdout
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(
+        c.hint("shuffle_hash"), o.o_custkey == c.c_custkey
+    ).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_orderkey").cast("long")).alias("sum_keys"),
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue()
+    if "ShuffledHashJoin" not in plan:
+        raise AssertionError(f"hint did not pin a shuffled hash join:\n{plan}")
+    return joined
