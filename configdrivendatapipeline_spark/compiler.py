@@ -711,6 +711,20 @@ def _zorder(spark, dfs, p):
     )
 
 
+@op("compact")
+def _compact(spark, dfs, p):
+    """Small-file compaction: ``plan: true`` returns the per-partition
+    file-count plan; otherwise rewrites the frame so each output task
+    holds one target-size file (see layout.compact_write)."""
+    from configdrivendatapipeline_spark import layout
+
+    cols = list(p["partition_by"])
+    target = int(p.get("target_rows", 1_000_000))
+    if p.get("plan"):
+        return layout.compaction_plan(_one(dfs), cols, target)
+    return layout.compact_write(_one(dfs), cols, target, key_col=p["key"])
+
+
 @op("salted_join")
 def _salted_join(spark, dfs, p):
     from configdrivendatapipeline_spark.skew import salted_join

@@ -39,7 +39,7 @@ def test_every_op_is_exercised_below():
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
         "shuffle", "observe", "source_weights", "watermark", "kmeans",
-        "bloom_prefilter", "zorder",
+        "bloom_prefilter", "zorder", "compact",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -740,3 +740,24 @@ def test_zorder_through_yaml(spark, sf_dir):
     out = frames["laid"]
     assert "zval" in out.columns
     assert out.count() == frames["orders"].count()
+
+
+def test_compact_through_yaml(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "orders",
+        """
+  - {id: plan, input: orders, op: compact,
+     params: {partition_by: [o_orderpriority], target_rows: 300, plan: true}}
+  - {id: rewritten, input: orders, op: compact,
+     params: {partition_by: [o_orderpriority], target_rows: 300, key: o_orderkey}}
+""",
+    )
+    plan = {r[0]: (r[1], r[2]) for r in frames["plan"].collect()}
+    total = frames["orders"].count()
+    assert sum(n for n, _ in plan.values()) == total
+    for n, files in plan.values():
+        assert files == -(-n // 300)  # ceil
+    assert frames["rewritten"].count() == total
+    assert "file_bucket" in frames["rewritten"].columns
