@@ -207,6 +207,8 @@ _ROUND6_WINDOW = (
     "enr_cdc_apply",
     "llm_markup_strip",
     "join_shuffle_hash",
+    "win_funnel",
+    "win_retention",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

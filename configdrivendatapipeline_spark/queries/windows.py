@@ -466,3 +466,129 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_s").over(wc).cast("long").alias("session_no"),
         )
     )
+
+
+@declare(
+    "win_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.s_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_click_after,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after,
+           ((SELECT COUNT(*) FROM c) * 1000000)
+             // (SELECT COUNT(*) FROM s) AS conv_click_micro,
+           ((SELECT COUNT(*) FROM p) * 1000000)
+             // GREATEST((SELECT COUNT(*) FROM c), 1) AS conv_purchase_micro
+    """,
+    _SEC,
+    "Ordered event funnel (signup → later click → later purchase): "
+    "per-stage earliest-qualifying timestamps via user-keyed "
+    "aggregations chained by strictly-AFTER semi-joins — every stage "
+    "shuffles on user_id only (the same key, so AQE reuses the "
+    "partitioning), never on time. Conversion rates in exact "
+    "micro-units. The product analytics query every event pipeline "
+    "ends at.",
+)
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+    return counts.select(
+        "n_signup",
+        "n_click_after",
+        "n_purchase_after",
+        F.expr("(n_click_after * 1000000) div n_signup").alias("conv_click_micro"),
+        F.expr(
+            "(n_purchase_after * 1000000) div greatest(n_click_after, 1)"
+        ).alias("conv_purchase_micro"),
+    )
+
+
+@declare(
+    "win_retention",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS act_day FROM events),
+    flags AS (
+      SELECT f.user_id, f.cohort_day,
+             MAX(CASE WHEN a.act_day = f.cohort_day + INTERVAL 7 DAY
+                      THEN 1 ELSE 0 END) AS r7
+      FROM first_day f JOIN activity a ON a.user_id = f.user_id
+      GROUP BY f.user_id, f.cohort_day)
+    SELECT cohort_day, COUNT(*) AS n_users,
+           CAST(SUM(r7) AS BIGINT) AS n_retained_d7,
+           (CAST(SUM(r7) AS BIGINT) * 1000000) // COUNT(*)
+             AS retention_d7_micro
+    FROM flags GROUP BY cohort_day
+    """,
+    _SEC,
+    "Day-7 cohort retention: users bucketed by first-seen day, "
+    "retained iff active exactly 7 days later — the growth metric "
+    "behind every engagement dashboard. Two user-keyed aggregations "
+    "+ one user-keyed join (partitioning reused), retention in exact "
+    "micro-units; no per-day driver loop, the whole cohort table is "
+    "one plan.",
+)
+def win_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("act_day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("act_day").alias("cohort_day"))
+    activity = ev.distinct()
+    flags = (
+        first_day.join(activity, "user_id")
+        .groupBy("user_id", "cohort_day")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("act_day") == F.date_add(F.col("cohort_day"), 7), 1
+                ).otherwise(0)
+            ).alias("r7")
+        )
+    )
+    return flags.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("r7").cast("long").alias("n_retained_d7"),
+    ).select(
+        "cohort_day",
+        "n_users",
+        "n_retained_d7",
+        F.expr("(n_retained_d7 * 1000000) div n_users").alias("retention_d7_micro"),
+    )
