@@ -477,3 +477,56 @@ def resize_ppm_features(df: DataFrame, max_side: int = 6) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=_RESIZE_SCHEMA)
+
+
+_RMS_SCHEMA = "doc_id BIGINT, frame_idx INT, energy BIGINT"
+
+
+def decode_wav_rms_frames(df: DataFrame, frame_len: int = 160) -> DataFrame:
+    """Frame-level audio energy (the front half of every VAD /
+    loudness-normalization stage): real RIFF decode, then per-frame
+    sum of squared int16 samples — 160 samples = 10 ms at 16 kHz.
+    Exact integer output, analytically hash-verified against the
+    closed-form sample formula. Arrow-batched mapInPandas; rows
+    explode per frame AFTER decode inside the kernel, so the binary
+    payload crosses the Python boundary once."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _sr = decode_wav(buf)
+                s = samples.astype(np.int64)
+                n_frames = len(s) // frame_len
+                for fi in range(n_frames):
+                    seg = s[fi * frame_len : (fi + 1) * frame_len]
+                    rows.append((int(doc_id), fi, int((seg * seg).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=_RMS_SCHEMA)
+
+
+_MOTION_SCHEMA = "doc_id BIGINT, frame_pair INT, motion BIGINT"
+
+
+def decode_y4m_motion(df: DataFrame) -> DataFrame:
+    """Frame-to-frame motion energy (the scene-cut / static-clip
+    detector of every video curation pipeline): real container decode,
+    then sum |Y-plane(f+1) − Y-plane(f)| per consecutive pair. Exact
+    integers, analytically verifiable because the fixture's plane
+    bytes have a closed form."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                frames, _dims = decode_y4m(buf)
+                for fi in range(len(frames) - 1):
+                    a = frames[fi][0].astype(np.int64)
+                    b = frames[fi + 1][0].astype(np.int64)
+                    rows.append((int(doc_id), fi, int(np.abs(b - a).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_pair", "motion"])
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=_MOTION_SCHEMA)

@@ -209,6 +209,8 @@ _ROUND6_WINDOW = (
     "join_shuffle_hash",
     "win_funnel",
     "win_retention",
+    "mm_audio_rms",
+    "mm_video_motion",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

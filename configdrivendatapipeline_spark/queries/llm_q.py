@@ -1730,3 +1730,79 @@ def llm_markup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_orig"),
         F.length("clean_text").cast("long").alias("n_clean"),
     )
+
+
+@declare(
+    "mm_audio_rms",
+    """
+    WITH d AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+    ), fr AS (
+      SELECT d.doc_id, f.range AS frame_idx
+      FROM d, range(0, 9) f
+      WHERE f.range < d.n // 160
+    ), e AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             SUM(
+               ((((fr.doc_id * 7 + (fr.frame_idx * 160 + i.range) * 13) % 4096) - 2048)
+                * (((fr.doc_id * 7 + (fr.frame_idx * 160 + i.range) * 13) % 4096) - 2048))
+             ) AS energy
+      FROM fr, range(0, 160) i
+      GROUP BY fr.doc_id, fr.frame_idx
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(energy AS BIGINT) AS energy
+    FROM e
+    """,
+    _SEC,
+    "Frame-level audio energy through the REAL WAV decode kernel: "
+    "per-10ms-frame sum of squared int16 samples — the front half of "
+    "every VAD / loudness-normalization stage. Frames explode AFTER "
+    "decode inside the Arrow kernel, so each binary payload crosses "
+    "the Python boundary exactly once; exact integers, analytically "
+    "hash-verified against the closed-form sample pattern.",
+)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_payload(docs)
+    return multimodal.decode_wav_rms_frames(payloads)
+
+
+@declare(
+    "mm_video_motion",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 3 AS w,
+             4 + doc_id % 2 AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents
+    ), pr AS (
+      SELECT d.doc_id, d.w, d.h, f.range AS frame_pair
+      FROM d, range(0, 6) f
+      WHERE f.range < d.nf - 1
+    ), m AS (
+      SELECT pr.doc_id, pr.frame_pair,
+             SUM(abs(
+               ((pr.doc_id * 17 + (pr.frame_pair + 1) * 29 + i.range * 3) % 256)
+               - ((pr.doc_id * 17 + pr.frame_pair * 29 + i.range * 3) % 256)
+             )) AS motion
+      FROM pr, range(0, 30) i
+      WHERE i.range < pr.w * pr.h
+      GROUP BY pr.doc_id, pr.frame_pair
+    )
+    SELECT doc_id, CAST(frame_pair AS INT) AS frame_pair,
+           CAST(motion AS BIGINT) AS motion
+    FROM m
+    """,
+    _SEC,
+    "Frame-to-frame motion energy through the REAL Y4M decode "
+    "kernel: sum |Y(f+1) − Y(f)| per consecutive luma pair — the "
+    "scene-cut / static-clip signal every video curation pipeline "
+    "filters on. Exact integers, hash-verified analytically from "
+    "the fixture's closed-form plane bytes.",
+)
+def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_y4m_payload(docs)
+    return multimodal.decode_y4m_motion(payloads)
