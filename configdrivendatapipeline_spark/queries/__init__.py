@@ -211,6 +211,8 @@ _ROUND6_WINDOW = (
     "win_retention",
     "mm_audio_rms",
     "mm_video_motion",
+    "sql_recursive",
+    "agg_trend",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

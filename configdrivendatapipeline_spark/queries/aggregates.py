@@ -578,3 +578,58 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_custs")
         ).alias("within_band"),
     )
+
+
+@declare(
+    "agg_trend",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             CAST(datediff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS BIGINT) AS x,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY user_id)
+    SELECT user_id, n,
+           ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+             AS slope_micro_per_day
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx <> 0
+    """,
+    _SEC,
+    "Per-group linear trend (least-squares slope) in EXACT integer "
+    "arithmetic: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) over day-index "
+    "x and micro-unit y, emitted as micro-units/day via integer div. "
+    "The built-in regr_slope sums doubles order-dependently — a "
+    "retried partition can flip the last bit; integer sums cannot. "
+    "One partial-combine aggregation per group, map-side products.",
+)
+def agg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("x"),
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("y"),
+    )
+    s = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.filter(
+        (F.col("n") >= 2) & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
+    ).select(
+        "user_id",
+        "n",
+        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").alias(
+            "slope_micro_per_day"
+        ),
+    )

@@ -166,3 +166,41 @@ steps:
 """
     )
     return compile_pipeline(spark, cfg)["seg_summary"]
+
+
+@declare(
+    "sql_recursive",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE_TRUNC('month', MIN(o_orderdate)) FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < (SELECT DATE_TRUNC('month', MAX(o_orderdate)) FROM orders))
+    SELECT CAST(m AS DATE) AS month, COUNT(o.o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders o ON DATE_TRUNC('month', o.o_orderdate) = months.m
+    GROUP BY m
+    """,
+    _SEC,
+    "Recursive CTE (Spark 4 WITH RECURSIVE): calendar densification — "
+    "generate every month between the first and last order and count "
+    "orders per month INCLUDING empty ones, the gap-aware series a "
+    "plain GROUP BY cannot produce. The recursion is O(months) rows "
+    "on the driver-side plan, never data-sized; the join back to the "
+    "fact is one broadcastable month dimension.",
+)
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("cddp_orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE_TRUNC('month', MIN(o_orderdate)) FROM cddp_orders_rec
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < (SELECT DATE_TRUNC('month', MAX(o_orderdate))
+                     FROM cddp_orders_rec))
+        SELECT CAST(m AS DATE) AS month, COUNT(o.o_orderkey) AS n_orders
+        FROM months LEFT JOIN cddp_orders_rec o
+          ON DATE_TRUNC('month', o.o_orderdate) = months.m
+        GROUP BY m
+        """
+    )
