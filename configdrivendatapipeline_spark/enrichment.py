@@ -229,3 +229,41 @@ def cdc_apply(
         .filter(F.col(op_col) != delete_op)
         .drop("__rn")
     )
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental materialized-view maintenance for distributive
+    aggregates: merge a persisted (group → counts/sums) state with the
+    same aggregate computed over only the NEW rows — the update never
+    rescans history, which is the entire economics of incremental ETL
+    at 100 TB (a day's delta is ~0.3% of a year's table).
+
+    Counts and sums are distributive, so merge = outer-join on the
+    group key + coalesced addition; avg/stddev derive from (n, Σx,
+    Σx²) the same way. One shuffle on the group key, sized by
+    |state| + |delta|, not by history.
+    """
+    s = state.select(
+        *group_cols,
+        *[F.col(c).alias(f"__s_{c}") for c in [count_col, *sum_cols]],
+    )
+    d = delta.select(
+        *group_cols,
+        *[F.col(c).alias(f"__d_{c}") for c in [count_col, *sum_cols]],
+    )
+    merged = s.join(d, group_cols, "full_outer")
+    out_cols = [F.col(c) for c in group_cols]
+    for c in [count_col, *sum_cols]:
+        out_cols.append(
+            (
+                F.coalesce(F.col(f"__s_{c}"), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+        )
+    return merged.select(*out_cols)

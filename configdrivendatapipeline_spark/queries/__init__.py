@@ -213,6 +213,8 @@ _ROUND6_WINDOW = (
     "mm_video_motion",
     "sql_recursive",
     "agg_trend",
+    "enr_incremental_mv",
+    "join_temporal",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

@@ -247,3 +247,52 @@ def enr_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_op="error",
         tiebreak_cols=["event_id"],
     ).select("user_id", "event_id", "event_type", "value_micro")
+
+
+@declare(
+    "enr_incremental_mv",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    _SEC,
+    "Incremental materialized-view maintenance: the per-priority "
+    "aggregate state computed over history (orders before the cut) "
+    "is merged with the aggregate of ONLY the new rows — full-outer "
+    "join on the group key + coalesced addition, one shuffle sized "
+    "by |state|+|delta|, history never rescanned. The oracle is the "
+    "FULL recomputation, so the hash proves incremental == "
+    "from-scratch, the invariant every incremental ETL pipeline "
+    "must hold. Sums in exact integer cents.",
+)
+def enr_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.enrichment import merge_agg_state
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    cut = "1997-01-01 00:00:00"
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("okey").alias("sum_keys"),
+            F.sum("cents").alias("sum_price_cents"),
+        )
+
+    state = agg(o.filter(F.col("o_orderdate") < cut))
+    delta_agg = agg(o.filter(F.col("o_orderdate") >= cut))
+    return merge_agg_state(
+        state,
+        delta_agg,
+        ["o_orderpriority"],
+        ["sum_keys", "sum_price_cents"],
+    )

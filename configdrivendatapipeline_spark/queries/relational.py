@@ -756,3 +756,55 @@ def join_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "ShuffledHashJoin" not in plan:
         raise AssertionError(f"hint did not pin a shuffled hash join:\n{plan}")
     return joined
+
+
+@declare(
+    "join_temporal",
+    """
+    WITH versions AS (
+      SELECT user_id, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version_no
+      FROM events WHERE event_type = 'signup'),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(v.version_no AS BIGINT) AS version_no
+    FROM purchases p JOIN versions v
+      ON v.user_id = p.user_id
+     AND p.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR p.ts < v.valid_to)
+    """,
+    _J,
+    "Temporal (SCD2-validity) join: each purchase matched to the dim "
+    "VERSION valid at its event time — valid_from/valid_to windows "
+    "derived with one lead() pass, then an equi-join on the natural "
+    "key with the validity range as a residual predicate. This is "
+    "the fact-to-versioned-dim join every warehouse needs after "
+    "enr_scd2 builds the dim; both sides shuffle once on user_id and "
+    "the range check is row-local, so the plan is a plain keyed join "
+    "at any scale (never a time-range cross product).",
+)
+def join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("ts").alias("valid_from"), "event_id")
+        .withColumn("valid_to", F.lead("valid_from").over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")))
+        .withColumn("version_no", F.row_number().over(
+            Window.partitionBy("user_id").orderBy("valid_from", "event_id")).cast("long"))
+        .drop("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return purchases.join(
+        versions,
+        (purchases.user_id == versions.user_id)
+        & (purchases.ts >= versions.valid_from)
+        & (versions.valid_to.isNull() | (purchases.ts < versions.valid_to)),
+    ).select("purchase_id", purchases.user_id.alias("user_id"), "version_no")
