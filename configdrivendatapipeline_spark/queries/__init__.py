@@ -215,6 +215,8 @@ _ROUND6_WINDOW = (
     "agg_trend",
     "enr_incremental_mv",
     "join_temporal",
+    "llm_bpe_train",
+    "llm_bpe_encode",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

@@ -1806,3 +1806,96 @@ def mm_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_y4m_payload(docs)
     return multimodal.decode_y4m_motion(payloads)
+
+
+def _obpe_ctes(n_merges: int) -> list:
+    """Chained-CTE DuckDB replay of bpe.bpe_train: stage k counts
+    adjacent symbol pairs, takes the (count desc, pair asc) top-1,
+    and applies the literal non-overlapping replace — MATERIALIZED so
+    the k-deep chain stays linear, not exponentially inlined. The
+    word column rides along so encode-side oracles can join back."""
+    toks = "string_split(trim(sym), ' ')"
+    pairs = (
+        f"list_transform(range(2, len({toks}) + 1), "
+        f"i -> {toks}[i-1] || ' ' || {toks}[i])"
+    )
+    ctes = [
+        "w AS MATERIALIZED (SELECT word, COUNT(*) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS word FROM documents"
+        ") GROUP BY word)",
+        "v0 AS MATERIALIZED (SELECT word, cnt, ' ' || "
+        "array_to_string(string_split(word, ''), ' ') || ' ' AS sym FROM w)",
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT pr, CAST(SUM(cnt) AS BIGINT) AS n "
+            f"FROM (SELECT cnt, unnest({pairs}) AS pr FROM v{k} "
+            f"WHERE len({toks}) >= 2) GROUP BY pr)"
+        )
+        ctes.append(
+            f"t{k} AS MATERIALIZED (SELECT pr, n FROM p{k} "
+            f"ORDER BY n DESC, pr LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k + 1} AS MATERIALIZED (SELECT word, cnt, "
+            f"replace(sym, ' ' || t.pr || ' ', "
+            f"' ' || replace(t.pr, ' ', '') || ' ') AS sym "
+            f"FROM v{k}, t{k} t)"
+        )
+    return ctes
+
+
+def _obpe_sql(n_merges: int) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS step, pr AS pair, n FROM t{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(_obpe_ctes(n_merges)) + "\n" + sel
+
+
+@declare(
+    "llm_bpe_train",
+    _obpe_sql(20),
+    _SEC,
+    "BPE vocabulary TRAINING on the corpus — the tokenizer-building "
+    "step of an LLM pipeline: 20 merges learned from character-level "
+    "symbols, most-frequent pair first, lexicographic tie-break. The "
+    "corpus is scanned ONCE (word-count aggregation); every merge "
+    "iteration runs on the weighted vocab (10⁵–10⁷ rows at web "
+    "scale, never corpus-sized), mirroring the k-means loop shape. "
+    "Merge application is literal left-to-right non-overlapping "
+    "replace — semantics identical in Spark and DuckDB, so the "
+    "entire 20-step training run is hash-verified stage by stage.",
+)
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.bpe import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=20)
+
+
+@declare(
+    "llm_bpe_encode",
+    "WITH "
+    + ",\n".join(_obpe_ctes(20))
+    + """,
+    dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    SELECT dw.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(len(string_split(trim(v.sym), ' '))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM dw JOIN v20 v ON v.word = dw.word
+    GROUP BY dw.doc_id
+    """,
+    _SEC,
+    "BPE ENCODE with the corpus-trained merges: per-doc token counts "
+    "after applying all 20 learned merges — the sizing pass context "
+    "packing and cost estimation need. The merge chain is evaluated "
+    "on the DISTINCT word table only (vocab-sized), then a broadcast "
+    "word → count map joins back to the corpus, so encoding cost "
+    "scales with corpus size, never with vocab × corpus.",
+)
+def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.bpe import bpe_encode_counts, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [r["pair"] for r in bpe_train(docs, n_merges=20).collect()]
+    return bpe_encode_counts(docs, merges)

