@@ -725,6 +725,22 @@ def _compact(spark, dfs, p):
     return layout.compact_write(_one(dfs), cols, target, key_col=p["key"])
 
 
+@op("cdc_apply")
+def _cdc_apply(spark, dfs, p):
+    """Latest-wins CDC change-log replay with delete tombstones (see
+    enrichment.cdc_apply)."""
+    from configdrivendatapipeline_spark.enrichment import cdc_apply
+
+    return cdc_apply(
+        _one(dfs),
+        key_cols=list(p["keys"]),
+        ts_col=p["ts"],
+        op_col=p["op_column"],
+        delete_op=p.get("delete_op", "delete"),
+        tiebreak_cols=list(p.get("tiebreak", [])),
+    )
+
+
 @op("salted_join")
 def _salted_join(spark, dfs, p):
     from configdrivendatapipeline_spark.skew import salted_join

@@ -217,6 +217,7 @@ _ROUND6_WINDOW = (
     "join_temporal",
     "llm_bpe_train",
     "llm_bpe_encode",
+    "llm_curation_verdict",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

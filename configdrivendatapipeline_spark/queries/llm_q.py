@@ -1899,3 +1899,47 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = [r["pair"] for r in bpe_train(docs, n_merges=20).collect()]
     return bpe_encode_counts(docs, merges)
+
+
+@declare(
+    "llm_curation_verdict",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    freq AS (SELECT token, (cnt * 1000000) // total AS freq_micro
+             FROM vocab, tot),
+    sc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(freq_micro) AS BIGINT) // COUNT(*) AS lm_micro
+      FROM tok JOIN freq USING (token) GROUP BY doc_id)
+    SELECT doc_id, n_tokens, lm_micro,
+           (n_tokens >= 20 AND lm_micro >= 33100) AS keep,
+           concat_ws(',',
+             CASE WHEN n_tokens < 20 THEN 'short_doc' END,
+             CASE WHEN lm_micro < 33100 THEN 'low_lm' END) AS reasons
+    FROM sc
+    """,
+    _SEC,
+    "Curation verdict — the decision layer every filter feeds: each "
+    "doc gets keep/drop plus an auditable machine-readable reason "
+    "list (short_doc, low_lm), composed from the exact-integer "
+    "signals. Dropping WITH reasons is what makes a corpus refresh "
+    "reviewable — a bare filter can't tell you what a threshold "
+    "change would do. Same two aggregations as the LM score; the "
+    "verdict itself is map-side.",
+)
+def llm_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = textstats.unigram_lm_score(load(spark, sf_dir, "documents"))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "lm_micro",
+        ((F.col("n_tokens") >= 20) & (F.col("lm_micro") >= 33100)).alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_tokens") < 20, "short_doc"),
+            F.when(F.col("lm_micro") < 33100, "low_lm"),
+        ).alias("reasons"),
+    )

@@ -39,7 +39,7 @@ def test_every_op_is_exercised_below():
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
         "shuffle", "observe", "source_weights", "watermark", "kmeans",
-        "bloom_prefilter", "zorder", "compact",
+        "bloom_prefilter", "zorder", "compact", "cdc_apply",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -761,3 +761,36 @@ def test_compact_through_yaml(spark, sf_dir):
         assert files == -(-n // 300)  # ceil
     assert frames["rewritten"].count() == total
     assert "file_bucket" in frames["rewritten"].columns
+
+
+def test_cdc_apply_through_yaml(spark, sf_dir):
+    """Config-declared CDC replay equals the library function and
+    drops tombstoned keys."""
+    from configdrivendatapipeline_spark.enrichment import cdc_apply
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "events",
+        """
+  - {id: applied, input: events, op: cdc_apply,
+     params: {keys: [user_id], ts: ts, op_column: event_type,
+              delete_op: error, tiebreak: [event_id]}}
+""",
+    )
+    got = rows(frames["applied"].select("user_id", "event_id"))
+    want = rows(
+        cdc_apply(
+            frames["events"],
+            key_cols=["user_id"],
+            ts_col="ts",
+            op_col="event_type",
+            delete_op="error",
+            tiebreak_cols=["event_id"],
+        ).select("user_id", "event_id")
+    )
+    assert got == want
+    # every surviving user's newest event is not a tombstone
+    from pyspark.sql import functions as F
+
+    assert frames["applied"].filter(F.col("event_type") == "error").count() == 0
