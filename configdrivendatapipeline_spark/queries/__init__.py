@@ -218,6 +218,8 @@ _ROUND6_WINDOW = (
     "llm_bpe_train",
     "llm_bpe_encode",
     "llm_curation_verdict",
+    "val_checksum",
+    "win_gapfill_locf",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

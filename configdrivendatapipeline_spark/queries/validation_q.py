@@ -463,3 +463,44 @@ def val_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.skew import skew_stats
 
     return skew_stats(load(spark, sf_dir, "lineitem"), "l_suppkey", top_k=10)
+
+
+@declare(
+    "val_checksum",
+    f"""
+    SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM({{h}}) AS BIGINT) AS content_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    """.format(
+        h="list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5("
+        "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|' || "
+        "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)"
+        "), 1, 12), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    ),
+    _SEC,
+    "Order-independent content checksum per partition: SUM of a "
+    "48-bit md5 fold over each row's canonical string — the "
+    "replica-reconciliation primitive that compares a 100 TB table "
+    "against its copy by exchanging ONE row per partition instead of "
+    "the data. Addition commutes, so partition order, retries and "
+    "engine never change the sum; any single-row divergence shifts "
+    "it. Map-side fold + one partial-combine aggregation.",
+)
+def val_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.expr("CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING)"),
+    )
+    h12 = F.substring(F.md5(canon), 1, 12)
+    rowhash = F.conv(h12, 16, 10).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(rowhash).alias("content_sum"),
+    )

@@ -592,3 +592,77 @@ def win_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_retained_d7",
         F.expr("(n_retained_d7 * 1000000) div n_users").alias("retention_d7_micro"),
     )
+
+
+@declare(
+    "win_gapfill_locf",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    obs AS (SELECT user_id, day, vu FROM daily WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    joined AS (
+      SELECT g.user_id, g.day, o.vu,
+             (o.vu IS NOT NULL) AS observed
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day)
+    SELECT user_id, day,
+           last_value(vu IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_micro,
+           observed
+    FROM joined
+    """,
+    _SEC,
+    "Per-entity calendar gap-fill with last-observation-carried-"
+    "forward: each user's observation grid is densified only between "
+    "THEIR first and last day (sequence explode — never a global "
+    "users × days cross product), missing days take the prior "
+    "observed value via an ignore-nulls running last_value. The "
+    "time-series regularization every downstream resampler assumes; "
+    "one user-partitioned window, values in exact micro-units.",
+)
+def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily_w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("vu"),
+        )
+        .withColumn("rn", F.row_number().over(daily_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "vu")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    joined = grid.join(obs, ["user_id", "day"], "left").select(
+        "user_id", "day", "vu", F.col("vu").isNotNull().alias("observed")
+    )
+    locf = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("vu", ignorenulls=True).over(locf).alias("value_micro"),
+        "observed",
+    )
