@@ -578,3 +578,51 @@ def _kmeans_iterate(
         )
         a = assign(cents)
     return a, cents
+
+
+def label_outliers(
+    emb: DataFrame,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semantic outlier detection: flag vectors far (cosine below
+    ``threshold``) from their OWN group's centroid — the
+    embedding-space quality gate that catches mislabeled or
+    off-distribution samples a text heuristic can't see.
+
+    Centroids use the same 2^-20 fixed-point mean as k-means (exact
+    integer sums → order-independent, engine-identical), so the flag
+    is retry-stable. One explode+aggregate for the centroids (labels
+    are few — the centroid frame broadcasts), one map-side cosine per
+    vector. Nothing pairwise, nothing quadratic.
+    """
+    q = 1 << 20
+    v = emb.select(
+        F.col(id_col), F.col(label_col), as_double(vec_col).alias("__v")
+    )
+    ex = v.select(label_col, F.posexplode("__v").alias("dim", "val"))
+    comp = ex.groupBy(label_col, "dim").agg(
+        (
+            F.sum(F.floor(F.col("val") * q).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * q)
+        ).alias("mean")
+    )
+    cents = comp.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mean"))),
+            lambda s: s.getField("mean"),
+        ).alias("__c")
+    )
+    scored = v.join(F.broadcast(cents), label_col).select(
+        id_col,
+        label_col,
+        cosine(F.col("__v"), F.col("__c")).alias("__cs"),
+    )
+    return scored.select(
+        id_col,
+        F.col(label_col).cast("long").alias(label_col),
+        (F.round("__cs", 6) + F.lit(0.0)).alias("cos_centroid"),
+        (F.col("__cs") < threshold).alias("is_outlier"),
+    )

@@ -220,6 +220,7 @@ _ROUND6_WINDOW = (
     "llm_curation_verdict",
     "val_checksum",
     "win_gapfill_locf",
+    "llm_embed_outliers",
     # the round-5 FAIL, fixed (oracle CAST to BIGINT)
     "llm_seq_packing",
     # oldest-evidence rotation: every id whose only driver row is r1

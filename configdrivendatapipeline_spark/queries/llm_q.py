@@ -1943,3 +1943,50 @@ def llm_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lm_micro") < 33100, "low_lm"),
         ).alias("reasons"),
     )
+
+
+_OCENT_COS = (
+    "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * c.cmean[i])), (s, x) -> s + x) / "
+    "(sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), "
+    "(s, x) -> s + x)) * "
+    "sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+    "i -> c.cmean[i] * c.cmean[i])), (s, x) -> s + x)))"
+)
+
+
+@declare(
+    "llm_embed_outliers",
+    f"""
+    WITH qex AS (
+      SELECT label, r.i AS dim,
+             CAST(FLOOR(CAST(embedding[r.i] AS DOUBLE) * 1048576) AS BIGINT)
+               AS qv
+      FROM embeddings CROSS JOIN range(1, 65) r(i)),
+    comp AS (
+      SELECT label, dim,
+             CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576) AS mean
+      FROM qex GROUP BY label, dim),
+    cents AS (
+      SELECT label, list(mean ORDER BY dim) AS cmean
+      FROM comp GROUP BY label),
+    coss AS (
+      SELECT e.vec_id, e.label, {_OCENT_COS} AS cs
+      FROM embeddings e JOIN cents c USING (label))
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           ROUND(cs, 6) + 0.0 AS cos_centroid,
+           (cs < 0.0) AS is_outlier
+    FROM coss
+    """,
+    _SEC,
+    "Embedding-space outlier detection: each vector scored by cosine "
+    "to its OWN label's centroid (2^-20 fixed-point mean — exact "
+    "integer sums, order-independent like k-means refinement); "
+    "vectors below 0 flag as mislabeled / off-distribution — the "
+    "semantic quality gate text heuristics can't express. One "
+    "explode+aggregate for centroids, broadcast join, map-side "
+    "cosine; nothing pairwise.",
+)
+def llm_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_outliers(load(spark, sf_dir, "embeddings"))
