@@ -235,6 +235,12 @@ _ROUND6_WINDOW = (
     "mm_resize_plan",
     "llm_chunking",
     "llm_pii_redact",
+    # round-6 late additions: next round's never-checked cohort (kept
+    # BELOW the r1-evidence rotation so the ~50-query driver budget
+    # re-proves the oldest ids first)
+    "agg_histogram",
+    "llm_fuzzy_match",
+    "fn_bits",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -633,3 +633,41 @@ def agg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_micro_per_day"
         ),
     )
+
+
+@declare(
+    "agg_histogram",
+    """
+    WITH b AS (
+      SELECT CASE WHEN l_extendedprice >= 110000 THEN 10
+                  ELSE CAST(FLOOR((l_extendedprice - 0) / 11000) AS BIGINT)
+             END AS bin
+      FROM lineitem)
+    SELECT bin,
+           CAST(0 + bin * 11000 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n_rows
+    FROM b GROUP BY bin
+    """,
+    _SEC,
+    "Equi-width histogram (11 bins over extended price, open-ended "
+    "top bin): the profiling primitive behind range-partition sizing "
+    "and drift baselines. Bin assignment is one map-side floor-div "
+    "expression feeding a partial-combine count — a histogram at "
+    "100 TB costs one scan, same as any aggregate.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    width, lo, top = 11000, 0, 110000
+    bin_c = F.when(F.col("l_extendedprice") >= top, F.lit(10).cast("long")).otherwise(
+        F.floor((F.col("l_extendedprice") - lo) / width).cast("long")
+    )
+    return (
+        li.select(bin_c.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * width).cast("double").alias("bin_lo"),
+            "n_rows",
+        )
+    )

@@ -446,3 +446,38 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_int"),
         F.to_json(F.struct(parsed.getField("k").alias("k"))).alias("props_roundtrip"),
     )
+
+
+@declare(
+    "fn_bits",
+    """
+    SELECT l_orderkey, l_partkey,
+           (l_orderkey & l_partkey) AS b_and,
+           (l_orderkey | l_partkey) AS b_or,
+           xor(l_orderkey, l_partkey) AS b_xor,
+           (l_partkey << 3) AS shl,
+           (l_partkey >> 2) AS shr,
+           CAST(bit_count(l_orderkey) AS INT) AS popcnt
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+    _SEC,
+    "Bitwise function group (&, |, xor, shifts, popcount) — the "
+    "primitives bitmap indexes, bloom words and feature flags are "
+    "built from. All map-side integer codegen; note DuckDB's ^ is "
+    "exponentiation, so the oracle spells xor() while Spark SQL's "
+    "^ IS xor — exactly the cross-engine trap a declared oracle "
+    "catches.",
+)
+def fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        F.expr("l_orderkey & l_partkey").alias("b_and"),
+        F.expr("l_orderkey | l_partkey").alias("b_or"),
+        F.expr("l_orderkey ^ l_partkey").alias("b_xor"),
+        F.expr("shiftleft(l_partkey, 3)").alias("shl"),
+        F.expr("shiftright(l_partkey, 2)").alias("shr"),
+        F.bit_count("l_orderkey").alias("popcnt"),
+    )
