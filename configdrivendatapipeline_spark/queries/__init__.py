@@ -241,6 +241,8 @@ _ROUND6_WINDOW = (
     "agg_histogram",
     "llm_fuzzy_match",
     "fn_bits",
+    "llm_url_filter",
+    "win_pareto",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2037,3 +2037,60 @@ def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 3)
         .select("name_a", "name_b", "dist")
     )
+
+
+@declare(
+    "llm_url_filter",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+               CAST(doc_id AS VARCHAR) || '?lang=' || lang AS url,
+             source, lang
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+             regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param
+      FROM urls)
+    SELECT doc_id, host, path, lang_param
+    FROM parsed
+    WHERE scheme = 'https'
+      AND host NOT IN ('src0.example.com', 'src13.example.com')
+    """,
+    _SEC,
+    "URL parsing + domain blocklist — the first gate of every web "
+    "corpus (CommonCrawl pipelines drop whole domains before reading "
+    "a byte of body text): scheme/host/path/param extraction via "
+    "anchored regexes that run identically in both engines (no "
+    "parse_url dependency), then a NOT IN blocklist that broadcasts "
+    "at any blocklist size. Pure map-side; at 100 TB this predicate "
+    "belongs in the scan filter, which is exactly where Catalyst "
+    "pushes it.",
+)
+def llm_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?lang="),
+            F.col("lang"),
+        ).alias("url"),
+    )
+    parsed = urls.select(
+        "doc_id",
+        F.regexp_extract("url", r"^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("lang_param"),
+    )
+    return parsed.filter(
+        (F.col("scheme") == "https")
+        & ~F.col("host").isin("src0.example.com", "src13.example.com")
+    ).select("doc_id", "host", "path", "lang_param")

@@ -666,3 +666,74 @@ def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("vu", ignorenulls=True).over(locf).alias("value_micro"),
         "observed",
     )
+
+
+@declare(
+    "win_pareto",
+    """
+    WITH cust AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey),
+    ranked AS (
+      SELECT c_nationkey, o_custkey, rev_cents,
+             SUM(rev_cents) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY rev_cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+             SUM(rev_cents) OVER (PARTITION BY c_nationkey) AS tot_cents
+      FROM cust)
+    SELECT c_nationkey, o_custkey, rev_cents,
+           CAST((CAST(cum_cents AS BIGINT) * 1000000)
+                // CAST(tot_cents AS BIGINT) AS BIGINT) AS cum_share_micro,
+           CASE WHEN (CAST(cum_cents AS BIGINT) * 1000000)
+                     // CAST(tot_cents AS BIGINT) <= 800000 THEN 'A'
+                WHEN (CAST(cum_cents AS BIGINT) * 1000000)
+                     // CAST(tot_cents AS BIGINT) <= 950000 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM ranked
+    """,
+    _SEC,
+    "Pareto / ABC classification per nation: customers ranked by "
+    "revenue, cumulative share in exact integer micro-units, A/B/C "
+    "at 80/95% — the concentration analysis behind tiering and "
+    "skew-aware planning. Both windows share ONE per-nation "
+    "partitioning (one shuffle); revenue sums are exact cents so "
+    "the running total can never drift across engines or retries.",
+)
+def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).alias("rev_cents")
+        )
+    )
+    run = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev_cents").desc(), F.col("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("c_nationkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "o_custkey",
+        "rev_cents",
+        F.sum("rev_cents").over(run).alias("cum_cents"),
+        F.sum("rev_cents").over(tot).alias("tot_cents"),
+    )
+    share = F.expr("(cum_cents * 1000000) div tot_cents")
+    return ranked.select(
+        "c_nationkey",
+        "o_custkey",
+        "rev_cents",
+        share.cast("long").alias("cum_share_micro"),
+        F.when(share <= 800000, "A")
+        .when(share <= 950000, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
