@@ -243,6 +243,10 @@ _ROUND6_WINDOW = (
     "fn_bits",
     "llm_url_filter",
     "win_pareto",
+    "enr_winsorize",
+    "llm_chat_template",
+    "fn_struct",
+    "agg_weighted_avg",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

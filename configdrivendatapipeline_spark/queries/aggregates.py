@@ -671,3 +671,36 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@declare(
+    "agg_weighted_avg",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+           (CAST(SUM(CAST(l_quantity AS BIGINT) *
+                     CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT))
+             // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             AS wavg_price_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    _SEC,
+    "Quantity-weighted average price in EXACT integer cents: "
+    "Σ(qty·cents) div Σqty — both sums are map-side partial-combined "
+    "BIGINTs, so the weighted mean is identical on every partition "
+    "order and retry, where a double-weighted avg() drifts in the "
+    "last bits. The unit-economics aggregate every pricing dashboard "
+    "runs.",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum("qty").alias("total_qty"),
+        F.expr("sum(qty * cents) div sum(qty)").alias("wavg_price_cents"),
+    )

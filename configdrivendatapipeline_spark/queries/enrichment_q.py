@@ -296,3 +296,46 @@ def enr_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderpriority"],
         ["sum_keys", "sum_price_cents"],
     )
+
+
+@declare(
+    "enr_winsorize",
+    """
+    WITH lim AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           CAST(ROUND(GREATEST(lim.lo, LEAST(lim.hi, l.l_extendedprice)), 2)
+                AS DOUBLE) AS price_w,
+           (l.l_extendedprice < lim.lo OR l.l_extendedprice > lim.hi)
+             AS clipped
+    FROM lineitem l JOIN lim USING (l_returnflag)
+    """,
+    _SEC,
+    "Winsorization: clip each group's price tails at its own exact "
+    "P5/P95 — the robust-statistics prep that keeps one fat-finger "
+    "row from wrecking a mean or a model feature. Limits come from "
+    "ONE aggregate (tiny frame, broadcast back); the clip itself is "
+    "map-side greatest/least, and the clipped flag makes the "
+    "mutation auditable.",
+)
+def enr_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    lim = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.05).alias("lo"),
+        F.percentile("l_extendedprice", 0.95).alias("hi"),
+    )
+    return li.join(F.broadcast(lim), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            F.greatest("lo", F.least("hi", F.col("l_extendedprice"))), 2
+        ).cast("double").alias("price_w"),
+        (
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi"))
+        ).alias("clipped"),
+    )

@@ -2094,3 +2094,40 @@ def llm_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("scheme") == "https")
         & ~F.col("host").isin("src0.example.com", "src13.example.com")
     ).select("doc_id", "host", "path", "lang_param")
+
+
+@declare(
+    "llm_chat_template",
+    """
+    SELECT doc_id,
+           '<|system|>You are a helpful assistant.<|end|>' ||
+           '<|user|>Summarize the following document (' ||
+           CAST(len(string_split(text, ' ')) AS VARCHAR) ||
+           ' words):\n' || text || '<|end|><|assistant|>' AS prompt,
+           CAST(len(string_split(text, ' ')) AS BIGINT) + 12 AS approx_tokens
+    FROM documents
+    WHERE lang = 'en'
+    """,
+    _SEC,
+    "Chat-template rendering — the SFT/eval data-prep step that "
+    "turns raw documents into model-ready prompt strings with role "
+    "markers and a token budget estimate. Pure map-side string "
+    "assembly (template literals + per-row fields), so at 100 TB it "
+    "rides the same scan as any projection; budget arithmetic stays "
+    "integer.",
+)
+def llm_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<|system|>You are a helpful assistant.<|end|>"),
+            F.lit("<|user|>Summarize the following document ("),
+            n_words.cast("string"),
+            F.lit(" words):\n"),
+            F.col("text"),
+            F.lit("<|end|><|assistant|>"),
+        ).alias("prompt"),
+        (n_words + 12).alias("approx_tokens"),
+    )

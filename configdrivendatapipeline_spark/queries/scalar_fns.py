@@ -481,3 +481,52 @@ def fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(l_partkey, 2)").alias("shr"),
         F.bit_count("l_orderkey").alias("popcnt"),
     )
+
+
+@declare(
+    "fn_struct",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(pri := o_orderpriority, price := o_totalprice)
+               AS meta,
+             [struct_pack(k := 'status', v := o_orderstatus),
+              struct_pack(k := 'priority', v := o_orderpriority)] AS kvs
+      FROM orders)
+    SELECT o_orderkey,
+           meta.pri AS pri,
+           CAST(ROUND(meta.price, 2) AS DOUBLE) AS price,
+           kvs[1].v AS status,
+           kvs[2].v AS prio_kv,
+           CAST(len(kvs) AS INT) AS n_kvs
+    FROM s
+    """,
+    _SEC,
+    "Struct (nested record) surface: build, field-access, and "
+    "array-of-struct indexing — the shape every semi-structured "
+    "event schema uses. Structs stay IN-PLAN only (built and "
+    "consumed inside one projection — whole-stage codegen flattens "
+    "them away); outputs re-emit as scalars per the house rule that "
+    "nested-typed OUTPUT columns don't hash cross-engine.",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_totalprice").alias("price"),
+        ).alias("meta"),
+        F.array(
+            F.struct(F.lit("status").alias("k"), F.col("o_orderstatus").alias("v")),
+            F.struct(F.lit("priority").alias("k"), F.col("o_orderpriority").alias("v")),
+        ).alias("kvs"),
+    )
+    return s.select(
+        "o_orderkey",
+        F.col("meta.pri").alias("pri"),
+        F.round(F.col("meta.price"), 2).cast("double").alias("price"),
+        F.element_at("kvs", 1).getField("v").alias("status"),
+        F.element_at("kvs", 2).getField("v").alias("prio_kv"),
+        F.size("kvs").alias("n_kvs"),
+    )
