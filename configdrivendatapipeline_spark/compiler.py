@@ -725,6 +725,19 @@ def _compact(spark, dfs, p):
     return layout.compact_write(_one(dfs), cols, target, key_col=p["key"])
 
 
+@op("lm_score")
+def _lm_score(spark, dfs, p):
+    """Self-trained unigram-LM quality score (see
+    textstats.unigram_lm_score); joins the score columns back onto
+    the input rows so downstream filters can gate on them."""
+    from configdrivendatapipeline_spark.llm.textstats import unigram_lm_score
+
+    df = _one(dfs)
+    id_col = p.get("id_column", "doc_id")
+    scores = unigram_lm_score(df, id_col=id_col, text_col=p.get("text_column", "text"))
+    return df.join(scores, id_col)
+
+
 @op("cdc_apply")
 def _cdc_apply(spark, dfs, p):
     """Latest-wins CDC change-log replay with delete tombstones (see

@@ -247,6 +247,7 @@ _ROUND6_WINDOW = (
     "llm_chat_template",
     "fn_struct",
     "agg_weighted_avg",
+    "pipeline_lm_curation",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1025,3 +1025,70 @@ steps:
       by: [o_orderpriority]
 """
     return _run(spark, yml, "ranked")
+
+
+@declare(
+    "pipeline_lm_curation",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    freq AS (SELECT token, (cnt * 1000000) // total AS freq_micro
+             FROM vocab, tot),
+    sc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(freq_micro) AS BIGINT) // COUNT(*) AS lm_micro
+      FROM tok JOIN freq USING (token) GROUP BY doc_id)
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens
+    FROM documents d JOIN sc s USING (doc_id)
+    WHERE s.lm_micro >= 33100 AND s.n_tokens >= 20
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    _SEC,
+    "YAML pipeline: lm_score (self-trained unigram quality) → "
+    "threshold gate → per-source corpus accounting — the quality-"
+    "filtered token budget table a data-mixture planner starts "
+    "from, reachable entirely from config.",
+)
+def pipeline_lm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: lm_curation
+sources:
+  documents:
+    format: parquet
+    path: {sf_dir}/documents.parquet
+steps:
+  - id: scored
+    input: documents
+    op: lm_score
+    params: {{}}
+  - id: gated
+    input: scored
+    op: filter
+    params:
+      predicate: "lm_micro >= 33100 AND n_tokens >= 20"
+  - id: by_source
+    input: gated
+    op: aggregate
+    params:
+      group_by: [source]
+      aggs:
+        n_docs: "count(doc_id)"
+        total_tokens: "sum(n_tokens)"
+  - id: typed
+    input: by_source
+    op: derive
+    params:
+      columns:
+        total_tokens: "CAST(total_tokens AS BIGINT)"
+  - id: ranked
+    input: typed
+    op: sort
+    params:
+      by: [source]
+"""
+    return _run(spark, yml, "ranked")

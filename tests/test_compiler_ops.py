@@ -39,7 +39,7 @@ def test_every_op_is_exercised_below():
         "jaccard_pairs", "decontaminate", "cross_dedup", "repetition_stats",
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
         "shuffle", "observe", "source_weights", "watermark", "kmeans",
-        "bloom_prefilter", "zorder", "compact", "cdc_apply",
+        "bloom_prefilter", "zorder", "compact", "cdc_apply", "lm_score",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -794,3 +794,23 @@ def test_cdc_apply_through_yaml(spark, sf_dir):
     from pyspark.sql import functions as F
 
     assert frames["applied"].filter(F.col("event_type") == "error").count() == 0
+
+
+def test_lm_score_through_yaml(spark, sf_dir):
+    from configdrivendatapipeline_spark.llm.textstats import unigram_lm_score
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: scored, input: documents, op: lm_score, params: {}}
+  - {id: gated, input: scored, op: filter, params: {predicate: "lm_micro >= 33100 AND n_tokens >= 20"}}
+""",
+    )
+    got = rows(frames["scored"].select("doc_id", "lm_micro"))
+    want = rows(
+        unigram_lm_score(frames["documents"]).select("doc_id", "lm_micro")
+    )
+    assert got == want
+    assert 0 < frames["gated"].count() < frames["scored"].count()
