@@ -248,6 +248,8 @@ _ROUND6_WINDOW = (
     "fn_struct",
     "agg_weighted_avg",
     "pipeline_lm_curation",
+    "src_partition_pruning",
+    "join_null_safe",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

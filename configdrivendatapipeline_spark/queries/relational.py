@@ -808,3 +808,42 @@ def join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (purchases.ts >= versions.valid_from)
         & (versions.valid_to.isNull() | (purchases.ts < versions.valid_to)),
     ).select("purchase_id", purchases.user_id.alias("user_id"), "version_no")
+
+
+@declare(
+    "join_null_safe",
+    """
+    WITH f AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '3-MEDIUM') AS pri_key
+      FROM orders),
+    d AS (
+      SELECT DISTINCT NULLIF(o_orderpriority, '3-MEDIUM') AS pri_key,
+             COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'UNSPECIFIED')
+               AS pri_label
+      FROM orders)
+    SELECT f.o_orderkey, d.pri_label
+    FROM f JOIN d ON f.pri_key IS NOT DISTINCT FROM d.pri_key
+    """,
+    _J,
+    "Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of silently dropping — the semantics "
+    "dimension lookups need when 'unknown' is itself a dimension "
+    "member. Spark plans <=> as a HASH join key exactly like =, so "
+    "the null bucket shuffles to ONE partition — fine for a dim "
+    "join (bounded dim), and the reason a fact-fact null-safe join "
+    "should pre-split its null keys like any other skew.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    key = F.expr("NULLIF(o_orderpriority, '3-MEDIUM')")
+    f = o.select("o_orderkey", key.alias("pri_key"))
+    d = (
+        o.select(
+            key.alias("pri_key"),
+            F.coalesce(key, F.lit("UNSPECIFIED")).alias("pri_label"),
+        )
+        .distinct()
+    )
+    return f.join(
+        F.broadcast(d), f.pri_key.eqNullSafe(d.pri_key)
+    ).select("o_orderkey", "pri_label")

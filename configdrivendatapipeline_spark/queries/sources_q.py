@@ -365,3 +365,48 @@ def layout_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.compaction_plan(
         load(spark, sf_dir, "orders"), ["o_orderpriority"], target_rows=1000
     )
+
+
+@declare(
+    "src_partition_pruning",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    _SEC,
+    "Hive-partitioned read WITH PRUNING PROVEN: the staged table is "
+    "partitioned by priority, the read filters one partition, and "
+    "the builder inspects the physical plan's partition count — it "
+    "FAILS unless the scan touches exactly one of five directories. "
+    "At 100 TB partition pruning is the difference between reading "
+    "20 TB and 100 TB; asserting it in-plan keeps a regression from "
+    "shipping silently.",
+)
+def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io as _io
+    from contextlib import redirect_stdout
+
+    path = _scratch(sf_dir, "orders_by_priority")
+    marker = path + ".staged"
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+        open(marker, "w").close()
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    if "PartitionFilters: []" in plan or "o_orderpriority" not in plan:
+        raise AssertionError(f"partition filter not pushed:\n{plan}")
+    return df
