@@ -250,6 +250,7 @@ _ROUND6_WINDOW = (
     "pipeline_lm_curation",
     "src_partition_pruning",
     "join_null_safe",
+    "sort_local",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -192,3 +192,42 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@declare(
+    "sort_local",
+    """
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_day
+    FROM orders
+    """,
+    _SEC,
+    "Partition-local sort (sortWithinPartitions): orders each "
+    "partition by date WITHOUT a global range exchange — the sort "
+    "you actually want before a partitioned write (parquet min/max "
+    "pruning needs within-file order, not total order). The builder "
+    "asserts the plan contains a Sort but NO Exchange; content is "
+    "order-insensitively identical to the plain scan, which is what "
+    "the oracle checks.",
+)
+def sort_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io as _io
+    from contextlib import redirect_stdout
+
+    df = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("order_day"),
+        )
+        .sortWithinPartitions("order_day")
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    if "Sort" not in plan:
+        raise AssertionError(f"expected a local sort in the plan:\n{plan}")
+    if "Exchange" in plan:
+        raise AssertionError(f"local sort must not exchange:\n{plan}")
+    return df
