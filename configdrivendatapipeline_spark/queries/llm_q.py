@@ -1894,11 +1894,13 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scales with corpus size, never with vocab × corpus.",
 )
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from configdrivendatapipeline_spark.llm.bpe import bpe_encode_counts, bpe_train
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    merges = [r["pair"] for r in bpe_train(docs, n_merges=20).collect()]
-    return bpe_encode_counts(docs, merges)
+    return bpe_encode_counts(docs, bpe_train_merges(docs, n_merges=20))
 
 
 @declare(

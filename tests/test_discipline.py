@@ -29,6 +29,10 @@ ALLOWED = {
     # collect of a single MAX(ts) aggregate row to pick the time cut.
     # Harness-only (the streamed plan itself never materializes).
     ("queries/streaming_q.py", "collect"),
+    # BPE training: one 1-row top-pair reduction per merge iteration
+    # (bounded by n_merges, like the k-means convergence scalar) —
+    # the corpus is scanned once; iterations run on the vocab table.
+    ("llm/bpe.py", "collect"),
 }
 
 
