@@ -530,3 +530,42 @@ def decode_y4m_motion(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_pair", "motion"])
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=_MOTION_SCHEMA)
+
+
+_PHASH_SCHEMA = "doc_id BIGINT, phash_hi BIGINT, phash_lo BIGINT, n_dark INT"
+
+
+def ppm_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL image decode — the image
+    near-duplicate signature every multimodal curation pipeline keys
+    on (identical hash → same image under resize/re-encode; small
+    hamming distance → near-dup). All integer: gray = (r+g+b)//3,
+    8×8 nearest-neighbor downsample via exact index maps, mean
+    threshold, row-major 64-bit pack. Arrow-batched mapInPandas; the
+    hash is 8 bytes per image no matter the source resolution, which
+    is what makes dedup JOINABLE at 100 TB."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(buf).astype(np.int64)
+                gray = img.sum(axis=2) // 3
+                h, w = gray.shape
+                ri = (np.arange(8, dtype=np.int64) * h) // 8
+                ci = (np.arange(8, dtype=np.int64) * w) // 8
+                g8 = gray[ri][:, ci]
+                mean = int(g8.sum()) // 64
+                bits = (g8 > mean).astype(np.int64).ravel()  # row-major
+                sh = np.arange(32, dtype=np.int64)
+                # two 32-bit halves: a packed bit 63 would overflow
+                # SIGNED 64-bit identically badly in numpy and SQL
+                lo = int((bits[:32] << sh).sum())
+                hi = int((bits[32:] << sh).sum())
+                rows.append((int(doc_id), hi, lo, int(64 - bits.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "phash_hi", "phash_lo", "n_dark"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=_PHASH_SCHEMA)

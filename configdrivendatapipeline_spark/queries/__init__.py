@@ -251,6 +251,7 @@ _ROUND6_WINDOW = (
     "src_partition_pruning",
     "join_null_safe",
     "sort_local",
+    "mm_image_phash",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

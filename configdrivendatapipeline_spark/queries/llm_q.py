@@ -2133,3 +2133,55 @@ def llm_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prompt"),
         (n_words + 12).alias("approx_tokens"),
     )
+
+
+def _ogray(r: str, c: str) -> str:
+    base = f"(doc_id * 31 + ({r}) * 7 + ({c}) * 3)"
+    return (
+        f"(({base} % 256) + (({base} + 11) % 256) + (({base} + 22) % 256)) // 3"
+    )
+
+
+@declare(
+    "mm_image_phash",
+    f"""
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h, i.range AS i, j.range AS j,
+             {_ogray('(i.range * h) // 8', '(j.range * w) // 8')} AS g
+      FROM d, range(0, 8) i, range(0, 8) j),
+    stats AS (
+      SELECT doc_id, CAST(SUM(g) AS BIGINT) // 64 AS mean
+      FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id,
+             CASE WHEN c.g > s.mean THEN 1 ELSE 0 END AS b,
+             c.i * 8 + c.j AS k
+      FROM cells c JOIN stats s USING (doc_id))
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN k >= 32
+                    THEN CAST(b AS BIGINT) << CAST(k - 32 AS INT)
+                    ELSE 0 END) AS BIGINT) AS phash_hi,
+           CAST(SUM(CASE WHEN k < 32
+                    THEN CAST(b AS BIGINT) << CAST(k AS INT)
+                    ELSE 0 END) AS BIGINT) AS phash_lo,
+           CAST(64 - SUM(b) AS INT) AS n_dark
+    FROM bits GROUP BY doc_id
+    """,
+    _SEC,
+    "Perceptual average-hash through the REAL PPM decode kernel: "
+    "integer gray, exact 8×8 nearest-neighbor downsample, mean "
+    "threshold, row-major pack into two 32-bit halves (a signed "
+    "64-bit pack would overflow on bit 63 in BOTH engines) — the "
+    "resize-robust image "
+    "near-dup signature (join on hash, or hamming-band for near). "
+    "8 bytes per image regardless of resolution; the oracle "
+    "recomputes every bit analytically from the fixture's pixel "
+    "closed form.",
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_ppm_payload(docs)
+    return multimodal.ppm_ahash(payloads)
