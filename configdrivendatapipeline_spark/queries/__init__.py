@@ -252,6 +252,7 @@ _ROUND6_WINDOW = (
     "join_null_safe",
     "sort_local",
     "mm_image_phash",
+    "mm_audio_fingerprint",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

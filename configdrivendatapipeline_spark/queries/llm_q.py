@@ -2185,3 +2185,42 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_ppm_payload(docs)
     return multimodal.ppm_ahash(payloads)
+
+
+@declare(
+    "mm_audio_fingerprint",
+    """
+    WITH d AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+    ), fr AS (
+      SELECT d.doc_id, d.n // 160 AS n_frames, f.range AS frame_idx
+      FROM d, range(0, 9) f
+      WHERE f.range < d.n // 160
+    ), e AS (
+      SELECT fr.doc_id, fr.n_frames, fr.frame_idx,
+             SUM(
+               ((((fr.doc_id * 7 + (fr.frame_idx * 160 + i.range) * 13) % 4096) - 2048)
+                * (((fr.doc_id * 7 + (fr.frame_idx * 160 + i.range) * 13) % 4096) - 2048))
+             ) AS energy
+      FROM fr, range(0, 160) i
+      GROUP BY fr.doc_id, fr.n_frames, fr.frame_idx
+    ), deltas AS (
+      SELECT a.doc_id, a.n_frames, a.frame_idx AS k,
+             CASE WHEN b.energy > a.energy THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b
+        ON b.doc_id = a.doc_id AND b.frame_idx = a.frame_idx + 1)
+    SELECT doc_id, CAST(n_frames AS INT) AS n_frames,
+           CAST(SUM(CAST(bit AS BIGINT) << CAST(k AS INT)) AS BIGINT) AS afp
+    FROM deltas GROUP BY doc_id, n_frames
+    """,
+    _SEC,
+    "Acoustic fingerprint via the real WAV decode kernel: per-frame "
+    "energy deltas packed as sign bits — gain-invariant (scaling "
+    "samples preserves every comparison), which is why audio dedup "
+    "keys on deltas, not levels. Bit-exact analytic oracle from the "
+    "closed-form sample pattern, like the image phash.",
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_payload(docs)
+    return multimodal.wav_fingerprint(payloads)
