@@ -130,3 +130,24 @@ def test_skew_stats_shares_sum_sanely(spark, sf_dir):
     for r in got:
         assert 0 <= r["share_micro"] <= 1_000_000
         assert r["skew_ratio_micro"] >= 1_000_000  # top keys ≥ mean
+
+
+def test_plan_lint_detects_global_windows():
+    """The plan-lint heuristics themselves: partitioned and
+    partition-only windows pass, order-only (global) windows and
+    cartesian products flag."""
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    from plan_lint import lint_plan
+
+    partitioned = "Window [sum(x) windowspecdefinition(k#1, ts#2 ASC NULLS FIRST, specifiedwindowframe(...)) AS s#9]"
+    part_only = "Window [sum(x) windowspecdefinition(k#1, specifiedwindowframe(...)) AS s#9]"
+    global_w = "Window [row_number() windowspecdefinition(ts#2 ASC NULLS FIRST, specifiedwindowframe(...)) AS r#9]"
+    frame_only = "Window [sum(x) windowspecdefinition(specifiedwindowframe(...)) AS s#9]"
+    assert lint_plan("q", partitioned) == []
+    assert lint_plan("q", part_only) == []
+    assert lint_plan("q", global_w) == ["GLOBAL_WINDOW"]
+    assert lint_plan("q", frame_only) == ["GLOBAL_WINDOW"]
+    assert lint_plan("q", "CartesianProduct\n") == ["CartesianProduct"]
+    assert lint_plan("join_cross", "CartesianProduct\n") == []

@@ -1,0 +1,135 @@
+"""Plan lint: sweep EVERY declared query's physical plan for the
+antipatterns that kill 100 TB jobs, not just the handful pinned in
+tests/test_plans.py.
+
+Flags:
+- CartesianProduct          (non-broadcast cross product)
+- BatchEvalPython           (row-at-a-time Python UDF in the plan)
+- global Window             (Window with an empty PARTITION BY over a
+                             non-constant row count — single-partition
+                             bottleneck; known-bounded frames are
+                             allowlisted with justification)
+
+Usage: python tools/plan_lint.py [--sf DIR] [names...]
+Exit 1 if anything outside the allowlist is flagged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: (query, pattern) pairs that are EXPECTED, each with a reason.
+ALLOW = {
+    # §2.3 contract op IS a cross join (bounded demonstrator).
+    ("join_cross", "CartesianProduct"),
+    # §2.12 contract ops ARE the row-Python UDF/UDTF demonstrators.
+    ("udf_python", "BatchEvalPython"),
+    ("udtf_python", "BatchEvalPython"),
+    # exact-ANN baselines broadcast a ≤8-row probe/centroid side; the
+    # "cartesian" is bounded by that constant side.
+    ("llm_cosine_topk", "CartesianProduct"),
+    ("llm_knn_ivf", "CartesianProduct"),
+    ("llm_knn_ivf_trained", "CartesianProduct"),
+    ("llm_kmeans", "CartesianProduct"),
+    # global windows over provably tiny frames:
+    # val_skew ranks AFTER a top-k TakeOrdered (≤ k rows).
+    ("val_skew", "GLOBAL_WINDOW"),
+    # win_ntile/percent_rank two-pass rewrites window over per-group
+    # AGGREGATES (≤ n_groups rows), not data rows.
+    ("win_ntile", "GLOBAL_WINDOW"),
+    ("win_percent_rank", "GLOBAL_WINDOW"),
+    ("win_cume_dist", "GLOBAL_WINDOW"),
+    # sort_multi ranks a LIMIT-100 frame (bounded by the limit).
+    ("sort_multi", "GLOBAL_WINDOW"),
+    # val_drift's global totals run over per-bin aggregates
+    # (≤ n_bins rows, documented "bounded global window totals").
+    ("val_drift", "GLOBAL_WINDOW"),
+}
+
+
+def lint_plan(name: str, plan: str) -> list[str]:
+    hits = []
+    if "CartesianProduct" in plan and (name, "CartesianProduct") not in ALLOW:
+        hits.append("CartesianProduct")
+    if "BatchEvalPython" in plan and (name, "BatchEvalPython") not in ALLOW:
+        hits.append("BatchEvalPython")
+    # windowspecdefinition(part..., ord ASC/DESC ..., frame): a spec
+    # whose FIRST argument is already an ordered expr (ASC/DESC) or
+    # the frame itself has NO partition columns — every row routes
+    # through one task.
+    if (name, "GLOBAL_WINDOW") not in ALLOW:
+        for m in _iter_specs(plan):
+            first = m.split(",", 1)[0]
+            if (
+                "ASC" in first
+                or "DESC" in first
+                or first.strip().startswith("specifiedwindowframe")
+            ):
+                hits.append("GLOBAL_WINDOW")
+                break
+    return hits
+
+
+def _iter_specs(plan: str):
+    """Yield the argument text of each windowspecdefinition(...)."""
+    key = "windowspecdefinition("
+    start = 0
+    while True:
+        i = plan.find(key, start)
+        if i < 0:
+            return
+        j, depth = i + len(key), 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        yield plan[i + len(key) : j - 1]
+        start = j
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from configdrivendatapipeline_spark.queries import registry
+    from configdrivendatapipeline_spark.session import get_spark
+
+    reg = registry()
+    names = args.names or list(reg)
+    spark = get_spark("plan-lint", shuffle_partitions=8)
+    flagged: dict[str, list[str]] = {}
+    errors: dict[str, str] = {}
+    for name in names:
+        try:
+            df = reg[name].build(spark, args.sf)
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain("formatted")
+            simple = io.StringIO()
+            with redirect_stdout(simple):
+                df.explain()
+            hits = lint_plan(name, buf.getvalue() + "\n" + simple.getvalue())
+            if hits:
+                flagged[name] = hits
+        except Exception as e:  # noqa: BLE001 — report, keep sweeping
+            errors[name] = str(e).splitlines()[0][:160]
+    for name, hits in sorted(flagged.items()):
+        print(f"FLAG  {name}: {', '.join(hits)}")
+    for name, err in sorted(errors.items()):
+        print(f"ERR   {name}: {err}")
+    print(f"{len(flagged)} flagged, {len(errors)} errors (of {len(names)})")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
