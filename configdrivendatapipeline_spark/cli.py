@@ -23,14 +23,29 @@ def main(argv: list[str] | None = None) -> int:
     for c in ("run", "validate", "show", "explain"):
         s = sub.add_parser(c)
         s.add_argument("config")
+        s.add_argument(
+            "--param",
+            action="append",
+            default=[],
+            metavar="NAME=VALUE",
+            help="override a declared pipeline parameter",
+        )
         if c in ("show", "explain"):
             s.add_argument("name")
         if c == "show":
             s.add_argument("-n", type=int, default=20)
     args = ap.parse_args(argv)
 
+    params = {}
+    for kv in args.param:
+        if "=" not in kv:
+            print(f"config error: --param wants NAME=VALUE, got {kv!r}", file=sys.stderr)
+            return 2
+        k, v = kv.split("=", 1)
+        params[k] = v
+
     try:
-        cfg = load_pipeline(args.config)
+        cfg = load_pipeline(args.config, params=params)
     except FileNotFoundError:
         print(f"config error: no such file: {args.config}", file=sys.stderr)
         return 2

@@ -35,15 +35,126 @@ _STEP_KEYS = {"id", "op", "input", "inputs", "params"}
 _SINK_KEYS = {"input", "format", "path", "mode", "partition_by", "cluster_by", "sort_by", "options"}
 
 
-def load_pipeline(path: str) -> PipelineConfig:
+def load_pipeline(path: str, params: dict | None = None) -> PipelineConfig:
     """Parse + validate a pipeline YAML file."""
     with open(path) as f:
-        return _build(yaml.safe_load(f), origin=path)
+        return _build(_expand(yaml.safe_load(f), params, path), origin=path)
 
 
-def load_pipeline_str(text: str) -> PipelineConfig:
+def load_pipeline_str(text: str, params: dict | None = None) -> PipelineConfig:
     """Parse + validate a pipeline YAML string (tests, notebooks)."""
-    return _build(yaml.safe_load(text), origin="<string>")
+    return _build(_expand(yaml.safe_load(text), params, "<string>"), origin="<string>")
+
+
+# ---------------------------------------------------------------------------
+# Template expansion (runs BEFORE validation): parameters / when / foreach
+# ---------------------------------------------------------------------------
+
+_PARAM_RE = __import__("re").compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def _subst(value: Any, params: dict, origin: str) -> Any:
+    """Recursively substitute ``${name}`` in every string value."""
+    if isinstance(value, str):
+        def repl(m):
+            k = m.group(1)
+            if k not in params:
+                raise ConfigError(f"{origin}: unknown parameter ${{{k}}}")
+            return str(params[k])
+        return _PARAM_RE.sub(repl, value)
+    if isinstance(value, dict):
+        return {k: _subst(v, params, origin) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_subst(v, params, origin) for v in value]
+    return value
+
+
+def _truthy(expr: str, origin: str) -> bool:
+    """Evaluate a (post-substitution) condition: ``A == B``,
+    ``A != B``, or a bare true/false literal. Deliberately tiny — a
+    config conditional is a gate, not a language."""
+    e = expr.strip()
+    for op_, want in (("==", True), ("!=", False)):
+        if op_ in e:
+            lhs, rhs = (s.strip().strip("'\"") for s in e.split(op_, 1))
+            return (lhs == rhs) is want
+    if e.lower() in ("true", "1", "yes"):
+        return True
+    if e.lower() in ("false", "0", "no", ""):
+        return False
+    raise ConfigError(f"{origin}: cannot evaluate condition {expr!r}")
+
+
+def _expand(doc: Any, overrides: dict | None, origin: str) -> Any:
+    """parameters / when / foreach — config-level control flow.
+
+    - ``parameters: {name: default}`` declares substitutable values;
+      callers override via ``load_pipeline(..., params={...})`` (the
+      CLI's ``--param name=value``). ``${name}`` substitutes in every
+      string, including paths, predicates and step ids.
+    - ``when: "<cond>"`` on a step keeps it only when the condition
+      (after substitution) holds; a surviving step referencing a
+      dropped one fails validation loudly rather than silently
+      rewiring. Sinks gate the same way.
+    - ``foreach: {var: v, values: [...]}`` stamps one copy of the
+      step per value with ``${v}`` substituted and the id suffixed
+      ``_<value>`` — ADF's ForEach, resolved at COMPILE time so the
+      expanded DAG is still one static Catalyst plan.
+    """
+    if not isinstance(doc, dict):
+        return doc
+    declared = doc.pop("parameters", None) or {}
+    if not isinstance(declared, dict):
+        raise ConfigError(f"{origin}: 'parameters' must be a mapping")
+    params = {str(k): v for k, v in declared.items()}
+    for k, v in (overrides or {}).items():
+        if k not in params:
+            raise ConfigError(f"{origin}: override for undeclared parameter {k!r}")
+        params[k] = v
+
+    out = dict(doc)
+    steps_out: list = []
+    for raw in doc.get("steps") or []:
+        if not isinstance(raw, dict):
+            steps_out.append(raw)
+            continue
+        raw = dict(raw)
+        fe = raw.pop("foreach", None)
+        cond = raw.pop("when", None)
+        if cond is not None:
+            if not _truthy(str(_subst(cond, params, origin)), origin):
+                continue
+        if fe is not None:
+            if not isinstance(fe, dict) or "var" not in fe or "values" not in fe:
+                raise ConfigError(
+                    f"{origin}: foreach needs 'var' and 'values'"
+                )
+            values = _subst(fe["values"], params, origin)
+            if isinstance(values, str):
+                values = [v for v in values.split(",") if v]
+            for v in values:
+                scoped = dict(params)
+                scoped[str(fe["var"])] = v
+                stamped = _subst(raw, scoped, origin)
+                stamped["id"] = f"{stamped['id']}_{v}"
+                steps_out.append(stamped)
+        else:
+            steps_out.append(_subst(raw, params, origin))
+    out["steps"] = steps_out
+
+    sinks_out = []
+    for raw in doc.get("sinks") or []:
+        if isinstance(raw, dict):
+            raw = dict(raw)
+            cond = raw.pop("when", None)
+            if cond is not None and not _truthy(
+                str(_subst(cond, params, origin)), origin
+            ):
+                continue
+        sinks_out.append(_subst(raw, params, origin))
+    out["sinks"] = sinks_out
+    out["sources"] = _subst(doc.get("sources") or {}, params, origin)
+    return out
 
 
 def _build(doc: Any, origin: str) -> PipelineConfig:

@@ -253,6 +253,7 @@ _ROUND6_WINDOW = (
     "sort_local",
     "mm_image_phash",
     "mm_audio_fingerprint",
+    "pipeline_params",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1092,3 +1092,91 @@ steps:
       by: [source]
 """
     return _run(spark, yml, "ranked")
+
+
+@declare(
+    "pipeline_params",
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    _SEC,
+    "YAML control flow: a parameterized segment (${seg} substitution) "
+    "gates the customer filter, foreach stamps one branch per order "
+    "status at COMPILE time (the expanded DAG is still one static "
+    "Catalyst plan — ADF's ForEach without runtime orchestration), "
+    "and a when:-gated debug branch drops out under the default "
+    "parameters. The oracle is the equivalent single query.",
+)
+def pipeline_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+parameters:
+  seg: BUILDING
+  mode: fast
+pipeline:
+  name: control_flow
+sources:
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+steps:
+  - id: seg_keys
+    input: customer
+    op: filter
+    params:
+      predicate: "c_mktsegment = '${{seg}}'"
+  - id: keys
+    input: seg_keys
+    op: select
+    params:
+      columns: [c_custkey]
+  - id: seg_orders
+    inputs: [orders, keys]
+    op: join
+    params:
+      condition: "o_custkey = c_custkey"
+      how: left_semi
+      broadcast: true
+  - id: branch
+    input: seg_orders
+    op: filter
+    params:
+      predicate: "o_orderstatus = '${{st}}'"
+    foreach: {{var: st, values: [O, F]}}
+  - id: debug_all
+    input: seg_orders
+    op: distinct
+    params: {{}}
+    when: "${{mode}} == full"
+  - id: merged
+    inputs: [branch_O, branch_F]
+    op: union
+    params: {{}}
+  - id: counted
+    input: merged
+    op: aggregate
+    params:
+      group_by: [o_orderstatus]
+      aggs:
+        n_orders: "count(o_orderkey)"
+  - id: shaped
+    input: counted
+    op: rename
+    params:
+      mapping:
+        o_orderstatus: status
+  - id: ranked
+    input: shaped
+    op: sort
+    params:
+      by: [status]
+"""
+    return _run(spark, yml, "ranked")

@@ -200,3 +200,95 @@ def test_all_example_yamls_compile(spark):
         assert frames, f"{y.name}: no frames compiled"
         for step_id, df in frames.items():
             assert df.columns, f"{y.name}:{step_id}: empty schema"
+
+
+def test_parameters_substitute_and_override():
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+
+    yml = """
+parameters:
+  seg: BUILDING
+sources:
+  c: {format: parquet, path: "/tmp/x.parquet"}
+steps:
+  - {id: f, input: c, op: filter, params: {predicate: "c_mktsegment = '${seg}'"}}
+"""
+    cfg = load_pipeline_str(yml)
+    assert "'BUILDING'" in cfg.steps[0].params["predicate"]
+    cfg2 = load_pipeline_str(yml, params={"seg": "AUTOMOBILE"})
+    assert "'AUTOMOBILE'" in cfg2.steps[0].params["predicate"]
+
+
+def test_override_of_undeclared_parameter_rejected():
+    import pytest
+
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+    from configdrivendatapipeline_spark.config.loader import ConfigError
+
+    yml = """
+sources:
+  c: {format: parquet, path: "/tmp/x.parquet"}
+steps:
+  - {id: f, input: c, op: distinct, params: {}}
+"""
+    with pytest.raises(ConfigError):
+        load_pipeline_str(yml, params={"nope": 1})
+
+
+def test_unknown_parameter_reference_rejected():
+    import pytest
+
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+    from configdrivendatapipeline_spark.config.loader import ConfigError
+
+    yml = """
+sources:
+  c: {format: parquet, path: "${missing}/x.parquet"}
+steps:
+  - {id: f, input: c, op: distinct, params: {}}
+"""
+    with pytest.raises(ConfigError):
+        load_pipeline_str(yml)
+
+
+def test_when_drops_step_and_dropped_reference_fails_loudly():
+    import pytest
+
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+    from configdrivendatapipeline_spark.config.loader import ConfigError
+
+    yml = """
+parameters:
+  mode: fast
+sources:
+  c: {format: parquet, path: "/tmp/x.parquet"}
+steps:
+  - {id: debug, input: c, op: distinct, params: {}, when: "${mode} == full"}
+  - {id: keep, input: c, op: distinct, params: {}}
+"""
+    cfg = load_pipeline_str(yml)
+    assert [s.id for s in cfg.steps] == ["keep"]
+    yml_bad = yml + """  - {id: broken, input: debug, op: distinct, params: {}}
+"""
+    with pytest.raises(ConfigError):
+        load_pipeline_str(yml_bad)
+
+
+def test_foreach_stamps_steps_per_value():
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+
+    yml = """
+sources:
+  o: {format: parquet, path: "/tmp/o.parquet"}
+steps:
+  - id: by_status
+    input: o
+    op: filter
+    params: {predicate: "o_orderstatus = '${st}'"}
+    foreach: {var: st, values: [O, F]}
+"""
+    cfg = load_pipeline_str(yml)
+    assert [s.id for s in cfg.steps] == ["by_status_F", "by_status_O"]
+    preds = {s.id: s.params["predicate"] for s in cfg.steps}
+    assert preds["by_status_O"] == "o_orderstatus = 'O'"
+    assert preds["by_status_F"] == "o_orderstatus = 'F'"
