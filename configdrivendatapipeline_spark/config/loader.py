@@ -37,13 +37,101 @@ _SINK_KEYS = {"input", "format", "path", "mode", "partition_by", "cluster_by", "
 
 def load_pipeline(path: str, params: dict | None = None) -> PipelineConfig:
     """Parse + validate a pipeline YAML file."""
+    import os
+
     with open(path) as f:
-        return _build(_expand(yaml.safe_load(f), params, path), origin=path)
+        doc = yaml.safe_load(f)
+    doc = _resolve_includes(doc, os.path.dirname(os.path.abspath(path)), path)
+    return _build(_expand(doc, params, path), origin=path)
 
 
-def load_pipeline_str(text: str, params: dict | None = None) -> PipelineConfig:
+def load_pipeline_str(
+    text: str, params: dict | None = None, base_dir: str = "."
+) -> PipelineConfig:
     """Parse + validate a pipeline YAML string (tests, notebooks)."""
-    return _build(_expand(yaml.safe_load(text), params, "<string>"), origin="<string>")
+    doc = yaml.safe_load(text)
+    doc = _resolve_includes(doc, base_dir, "<string>")
+    return _build(_expand(doc, params, "<string>"), origin="<string>")
+
+
+def _resolve_includes(doc: Any, base_dir: str, origin: str, depth: int = 0) -> Any:
+    """``include:`` — pipeline composition (ADF ExecutePipeline):
+    merge another pipeline file's sources/steps/sinks into this one.
+
+    ```yaml
+    include:
+      - path: fragments/cleaning.yaml
+        prefix: clean          # namespaces the fragment's step ids
+        params: {seg: AUTO}    # overrides the fragment's parameters
+    ```
+
+    The fragment expands with its OWN parameters first, then its step
+    ids (and references to them) take the ``prefix_`` namespace so
+    two fragments never collide; sources merge by name and must agree
+    exactly if shared. Resolution is recursive with a depth cap.
+    """
+    import os
+
+    if not isinstance(doc, dict) or "include" not in doc:
+        return doc
+    if depth > 8:
+        raise ConfigError(f"{origin}: include nesting deeper than 8")
+    doc = dict(doc)
+    includes = doc.pop("include") or []
+    if not isinstance(includes, list):
+        raise ConfigError(f"{origin}: 'include' must be a list")
+    merged_sources = dict(doc.get("sources") or {})
+    merged_steps = list(doc.get("steps") or [])
+    merged_sinks = list(doc.get("sinks") or [])
+    inc_steps_all: list = []
+    inc_sinks_all: list = []
+    for i, inc in enumerate(includes):
+        if not isinstance(inc, dict) or "path" not in inc:
+            raise ConfigError(f"{origin}: include[{i}] needs a 'path'")
+        ipath = inc["path"]
+        if not os.path.isabs(ipath):
+            ipath = os.path.join(base_dir, ipath)
+        try:
+            with open(ipath) as f:
+                idoc = yaml.safe_load(f)
+        except FileNotFoundError:
+            raise ConfigError(f"{origin}: include[{i}]: no such file {ipath!r}")
+        idoc = _resolve_includes(
+            idoc, os.path.dirname(os.path.abspath(ipath)), ipath, depth + 1
+        )
+        idoc = _expand(idoc, inc.get("params"), ipath)
+        prefix = inc.get("prefix")
+        isteps = list(idoc.get("steps") or [])
+        isinks = list(idoc.get("sinks") or [])
+        if prefix:
+            own_ids = {s.get("id") for s in isteps if isinstance(s, dict)}
+
+            def ns(name: str) -> str:
+                return f"{prefix}_{name}" if name in own_ids else name
+
+            for s in isteps:
+                s["id"] = f"{prefix}_{s['id']}"
+                if "input" in s:
+                    s["input"] = ns(s["input"])
+                if "inputs" in s:
+                    s["inputs"] = [ns(x) for x in s["inputs"]]
+            for sk in isinks:
+                if isinstance(sk, dict) and "input" in sk:
+                    sk["input"] = ns(sk["input"])
+        for sname, scfg in (idoc.get("sources") or {}).items():
+            if sname in merged_sources and merged_sources[sname] != scfg:
+                raise ConfigError(
+                    f"{origin}: include[{i}]: source {sname!r} conflicts "
+                    "with an existing source of the same name"
+                )
+            merged_sources.setdefault(sname, scfg)
+        inc_steps_all.extend(isteps)
+        inc_sinks_all.extend(isinks)
+    doc["sources"] = merged_sources
+    # fragment steps come FIRST so the parent can reference them
+    doc["steps"] = inc_steps_all + merged_steps
+    doc["sinks"] = inc_sinks_all + merged_sinks
+    return doc
 
 
 # ---------------------------------------------------------------------------

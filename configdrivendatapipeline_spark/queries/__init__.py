@@ -254,6 +254,7 @@ _ROUND6_WINDOW = (
     "mm_image_phash",
     "mm_audio_fingerprint",
     "pipeline_params",
+    "pipeline_include",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

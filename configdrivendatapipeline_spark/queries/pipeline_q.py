@@ -1180,3 +1180,92 @@ steps:
       by: [status]
 """
     return _run(spark, yml, "ranked")
+
+
+@declare(
+    "pipeline_include",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_acctbal > 0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    _SEC,
+    "YAML pipeline COMPOSITION (ADF ExecutePipeline): a reusable "
+    "cleaning fragment — its own parameters, sources and steps — is "
+    "include:d under a namespace prefix and the parent pipeline "
+    "builds on its output; the merged DAG still compiles to one "
+    "static Catalyst plan. The oracle is the equivalent single "
+    "query.",
+)
+def pipeline_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    frag_dir = os.path.join(tempfile.gettempdir(), "cddp_fragments", tag)
+    os.makedirs(frag_dir, exist_ok=True)
+    frag = os.path.join(frag_dir, "solvent_customers.yaml")
+    with open(frag, "w") as f:
+        f.write(
+            f"""
+parameters:
+  min_bal: "0"
+sources:
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+steps:
+  - id: solvent
+    input: customer
+    op: filter
+    params:
+      predicate: "c_acctbal > ${{min_bal}}"
+  - id: keyed
+    input: solvent
+    op: select
+    params:
+      columns: [c_custkey, c_mktsegment]
+"""
+        )
+    yml = f"""
+include:
+  - path: solvent_customers.yaml
+    prefix: clean
+pipeline:
+  name: composed
+sources:
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+steps:
+  - id: joined
+    inputs: [orders, clean_keyed]
+    op: join
+    params:
+      condition: "o_custkey = c_custkey"
+      how: inner
+      broadcast: true
+  - id: counted
+    input: joined
+    op: aggregate
+    params:
+      group_by: [c_mktsegment]
+      aggs:
+        n_orders: "count(o_orderkey)"
+  - id: ranked
+    input: counted
+    op: sort
+    params:
+      by: [c_mktsegment]
+"""
+    from configdrivendatapipeline_spark.compiler import compile_pipeline
+    from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+
+    ensure_session_confs(spark)
+    frames = compile_pipeline(
+        spark, load_pipeline_str(yml, base_dir=frag_dir)
+    )
+    return frames["ranked"]

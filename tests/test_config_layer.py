@@ -292,3 +292,92 @@ steps:
     preds = {s.id: s.params["predicate"] for s in cfg.steps}
     assert preds["by_status_O"] == "o_orderstatus = 'O'"
     assert preds["by_status_F"] == "o_orderstatus = 'F'"
+
+
+def test_include_composes_with_namespace(tmp_path):
+    from configdrivendatapipeline_spark.config import load_pipeline
+
+    frag = tmp_path / "cleaning.yaml"
+    frag.write_text(
+        """
+parameters:
+  seg: BUILDING
+sources:
+  customer: {format: parquet, path: "/tmp/c.parquet"}
+steps:
+  - {id: seg_only, input: customer, op: filter,
+     params: {predicate: "c_mktsegment = '${seg}'"}}
+  - {id: keys, input: seg_only, op: select, params: {columns: [c_custkey]}}
+"""
+    )
+    parent = tmp_path / "main.yaml"
+    parent.write_text(
+        """
+include:
+  - path: cleaning.yaml
+    prefix: clean
+    params: {seg: AUTOMOBILE}
+sources:
+  customer: {format: parquet, path: "/tmp/c.parquet"}
+steps:
+  - {id: final, input: clean_keys, op: distinct, params: {}}
+"""
+    )
+    cfg = load_pipeline(str(parent))
+    ids = [s.id for s in cfg.steps]
+    assert ids == ["clean_seg_only", "clean_keys", "final"]
+    by = {s.id: s for s in cfg.steps}
+    assert "'AUTOMOBILE'" in by["clean_seg_only"].params["predicate"]
+    assert by["clean_keys"].inputs == ("clean_seg_only",)
+    assert by["final"].inputs == ("clean_keys",)
+
+
+def test_include_source_conflict_rejected(tmp_path):
+    import pytest
+
+    from configdrivendatapipeline_spark.config import load_pipeline
+    from configdrivendatapipeline_spark.config.loader import ConfigError
+
+    frag = tmp_path / "frag.yaml"
+    frag.write_text(
+        """
+sources:
+  customer: {format: parquet, path: "/tmp/OTHER.parquet"}
+steps:
+  - {id: a, input: customer, op: distinct, params: {}}
+"""
+    )
+    parent = tmp_path / "main.yaml"
+    parent.write_text(
+        """
+include:
+  - {path: frag.yaml, prefix: f}
+sources:
+  customer: {format: parquet, path: "/tmp/c.parquet"}
+steps:
+  - {id: final, input: f_a, op: distinct, params: {}}
+"""
+    )
+    with pytest.raises(ConfigError):
+        load_pipeline(str(parent))
+
+
+def test_include_missing_file_rejected(tmp_path):
+    import pytest
+
+    from configdrivendatapipeline_spark.config import load_pipeline
+    from configdrivendatapipeline_spark.config.loader import ConfigError
+
+    parent = tmp_path / "main.yaml"
+    parent.write_text(
+        """
+include:
+  - {path: nope.yaml}
+sources:
+  c: {format: parquet, path: "/tmp/c.parquet"}
+steps:
+  - {id: s, input: c, op: distinct, params: {}}
+"""
+    )
+    with pytest.raises(ConfigError):
+        load_pipeline(str(parent))
