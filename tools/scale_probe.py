@@ -1,0 +1,120 @@
+"""Scale probe: run headline queries at sf0.1 AND a 5x key-offset
+replication of it, in one session, and report the wall-clock ratio.
+
+The point is evidence for the 100 TB claim that local benchmarks
+can't give directly: a plan whose cost is dominated by per-row work
+scales ~linearly (ratio ≈ 5 minus amortized fixed overhead); a plan
+hiding something quadratic or driver-bound blows past it. Staged
+under /tmp (driver fixtures are read-only); replicas offset every key
+column so join fan-outs stay EXACTLY 1:1 per replica — the dataset is
+5x the rows with identical per-key selectivity, not 5x the skew.
+
+Usage: python tools/scale_probe.py [--factor 5] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+
+#: key columns to offset per replica (FKs move together, so every
+#: join keeps its exact base-data fan-out inside each replica).
+OFFSETS = {
+    "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000, "l_suppkey": 1_000_000},
+    "customer": {"c_custkey": 1_000_000},
+    "supplier": {"s_suppkey": 1_000_000},
+    "part": {"p_partkey": 1_000_000},
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+    "nation": {},
+    "region": {},
+}
+
+DEFAULT_QUERIES = [
+    "agg_groupby",
+    "join_multiway_star",
+    "agg_count_distinct",
+    "llm_exact_dedup",
+    "llm_cosine_topk",
+    "llm_unigram_lm",
+    "join_bloom",
+    "layout_zorder",
+    "win_pareto",
+    "enr_cdc_apply",
+]
+
+
+def stage(spark, factor: int) -> str:
+    from pyspark.sql import functions as F
+
+    ident = f"{BASE_SF}:{factor}:{os.stat(BASE_SF + '/orders.parquet').st_mtime_ns}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    out = os.path.join(tempfile.gettempdir(), "cddp_scale", tag)
+    marker = out + ".staged"
+    if os.path.exists(marker):
+        return out
+    for table, offs in OFFSETS.items():
+        src = f"{BASE_SF}/{table}.parquet"
+        if not os.path.exists(src):
+            continue
+        df = spark.read.parquet(src)
+        if offs:
+            parts = []
+            for i in range(factor):
+                rep = df
+                for col, step in offs.items():
+                    rep = rep.withColumn(
+                        col, (F.col(col) + F.lit(i * step)).cast("long")
+                    )
+                parts.append(rep)
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+        else:
+            big = df  # dims shared across replicas
+        big.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    open(marker, "w").close()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=5)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from configdrivendatapipeline_spark.queries import registry
+    from configdrivendatapipeline_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    reg = registry()
+    names = args.names or DEFAULT_QUERIES
+    scaled = stage(spark, args.factor)
+
+    def run(name: str, sf_dir: str) -> float:
+        df = reg[name].build(spark, sf_dir)
+        t0 = time.monotonic()
+        df.count()
+        return time.monotonic() - t0
+
+    print(f"{'query':24s} {'sf0.1':>8s} {f'x{args.factor}':>8s} {'ratio':>6s}")
+    for name in names:
+        run(name, BASE_SF)  # warm (codegen, file listing)
+        base = min(run(name, BASE_SF) for _ in range(2))
+        big = min(run(name, scaled) for _ in range(2))
+        print(f"{name:24s} {base:8.2f} {big:8.2f} {big / base:6.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
