@@ -80,7 +80,13 @@ def _resolve_includes(doc: Any, base_dir: str, origin: str, depth: int = 0) -> A
     includes = doc.pop("include") or []
     if not isinstance(includes, list):
         raise ConfigError(f"{origin}: 'include' must be a list")
-    merged_sources = dict(doc.get("sources") or {})
+    raw_sources = doc.get("sources") or {}
+    if not isinstance(raw_sources, dict):
+        raise ConfigError(f"{origin}: 'sources' must be a mapping")
+    for key in ("steps", "sinks"):
+        if not isinstance(doc.get(key) or [], list):
+            raise ConfigError(f"{origin}: {key!r} must be a list")
+    merged_sources = dict(raw_sources)
     merged_steps = list(doc.get("steps") or [])
     merged_sinks = list(doc.get("sinks") or [])
     inc_steps_all: list = []
@@ -191,6 +197,14 @@ def _expand(doc: Any, overrides: dict | None, origin: str) -> Any:
     """
     if not isinstance(doc, dict):
         return doc
+    for key, want in (("steps", list), ("sinks", list), ("sources", dict)):
+        got = doc.get(key)
+        if got is not None and not isinstance(got, want):
+            raise ConfigError(
+                f"{origin}: {key!r} must be a {want.__name__}"
+            )
+    if doc.get("pipeline") is not None and not isinstance(doc["pipeline"], dict):
+        raise ConfigError(f"{origin}: 'pipeline' must be a mapping")
     declared = doc.pop("parameters", None) or {}
     if not isinstance(declared, dict):
         raise ConfigError(f"{origin}: 'parameters' must be a mapping")

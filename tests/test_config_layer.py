@@ -381,3 +381,46 @@ steps:
     )
     with pytest.raises(ConfigError):
         load_pipeline(str(parent))
+
+
+def test_loader_never_leaks_raw_exceptions():
+    """Fuzz the loader with structurally-mangled documents: every
+    failure must surface as ConfigError (actionable, with path
+    context), never a raw KeyError/TypeError/AttributeError from
+    inside the loader."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+    from configdrivendatapipeline_spark.config.loader import ConfigError
+
+    scalar = st.one_of(
+        st.none(), st.booleans(), st.integers(), st.text(max_size=8)
+    )
+    value = st.recursive(
+        scalar,
+        lambda c: st.one_of(
+            st.lists(c, max_size=3),
+            st.dictionaries(st.text(max_size=6), c, max_size=3),
+        ),
+        max_leaves=12,
+    )
+    doc = st.dictionaries(
+        st.sampled_from(
+            ["pipeline", "parameters", "sources", "steps", "sinks", "include", "junk"]
+        ),
+        value,
+        max_size=5,
+    )
+
+    @settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+    @given(doc)
+    def run(d):
+        import yaml
+
+        try:
+            load_pipeline_str(yaml.safe_dump(d))
+        except ConfigError:
+            pass  # the contract: malformed config → ConfigError
+
+    run()
