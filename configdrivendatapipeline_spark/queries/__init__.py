@@ -255,6 +255,7 @@ _ROUND6_WINDOW = (
     "mm_audio_fingerprint",
     "pipeline_params",
     "pipeline_include",
+    "src_csv_corrupt",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -410,3 +410,56 @@ def src_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "PartitionFilters: []" in plan or "o_orderpriority" not in plan:
         raise AssertionError(f"partition filter not pushed:\n{plan}")
     return df
+
+
+@declare(
+    "src_csv_corrupt",
+    """
+    SELECT doc_id, lang, TRUE AS parsed_ok FROM documents
+    WHERE doc_id % 10 <> 3
+    UNION ALL
+    SELECT doc_id, NULL AS lang, FALSE AS parsed_ok FROM documents
+    WHERE doc_id % 10 = 3
+    """,
+    _SEC,
+    "Malformed-input tolerance on the CSV read path: the staged file "
+    "deliberately corrupts every doc_id%10==3 row (wrong arity), and "
+    "the PERMISSIVE reader must land exactly those rows in the "
+    "corrupt-record column while parsing the rest — at 100 TB you "
+    "quarantine bad lines and keep the scan moving; FAILFAST would "
+    "lose the job to one truncated upload. The oracle states the "
+    "EXPECTED good/bad split analytically, so a reader that "
+    "mis-parses either way fails the hash, not just a count.",
+)
+def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = _scratch(sf_dir, "docs_corrupt_csv")
+    marker = path + ".staged"
+    if not os.path.exists(marker):
+        # good rows: "id,lang"; corrupted rows: missing the delimiter
+        # (wrong arity) so the int cast of field 0 fails
+        line = F.when(
+            F.col("doc_id") % 10 == 3,
+            F.concat(F.lit("BAD"), F.col("doc_id").cast("string"), F.lit("BAD")),
+        ).otherwise(
+            F.concat(F.col("doc_id").cast("string"), F.lit(","), F.col("lang"))
+        )
+        docs.select(line.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(path)
+        open(marker, "w").close()
+    schema = "doc_id BIGINT, lang STRING, _corrupt STRING"
+    read = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return read.select(
+        F.coalesce(
+            "doc_id",
+            F.regexp_extract("_corrupt", r"BAD(\d+)BAD", 1).cast("bigint"),
+        ).alias("doc_id"),
+        F.when(F.col("_corrupt").isNull(), F.col("lang")).alias("lang"),
+        F.col("_corrupt").isNull().alias("parsed_ok"),
+    )
