@@ -256,6 +256,7 @@ _ROUND6_WINDOW = (
     "pipeline_params",
     "pipeline_include",
     "src_csv_corrupt",
+    "win_streaks",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -737,3 +737,48 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc"),
     )
+
+
+@declare(
+    "win_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    keyed AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS island
+      FROM days),
+    streaks AS (
+      SELECT user_id, island, COUNT(*) AS len,
+             MIN(day) AS streak_start
+      FROM keyed GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           MIN(streak_start) AS first_day
+    FROM streaks GROUP BY user_id
+    """,
+    _SEC,
+    "Consecutive-day activity streaks (gaps-and-islands on the "
+    "calendar): day minus per-user row_number is constant exactly "
+    "within a run of consecutive days, so one window + two "
+    "aggregations yield every user's longest streak — the engagement "
+    "metric behind every retention dashboard's 'streak' badge. All "
+    "stages share the user_id partitioning; nothing global.",
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = days.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = keyed.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("streak_start")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.min("streak_start").alias("first_day"),
+    )
