@@ -257,6 +257,7 @@ _ROUND6_WINDOW = (
     "pipeline_include",
     "src_csv_corrupt",
     "win_streaks",
+    "src_schema_evolution",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -463,3 +463,53 @@ def src_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("_corrupt").isNull(), F.col("lang")).alias("lang"),
         F.col("_corrupt").isNull().alias("parsed_ok"),
     )
+
+
+@declare(
+    "src_schema_evolution",
+    """
+    SELECT doc_id, lang, NULL AS quality_tier FROM documents
+    WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang,
+           CASE WHEN len(string_split(text, ' ')) >= 40 THEN 'long'
+                ELSE 'short' END AS quality_tier
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    _SEC,
+    "Schema evolution across file batches: an early batch written "
+    "WITHOUT quality_tier and a later batch WITH it are read through "
+    "mergeSchema — old rows surface NULL for the added column, new "
+    "rows keep their values, nothing is dropped or failed. This is "
+    "how a year of accreted lake files actually looks; the oracle "
+    "states the per-batch expectation exactly.",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "docs_schema_evolved")
+    marker = path + ".staged"
+    if not os.path.exists(marker):
+        (
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select("doc_id", "lang")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        (
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .select(
+                "doc_id",
+                "lang",
+                F.when(
+                    F.size(F.split("text", " ")) >= 40, "long"
+                ).otherwise("short").alias("quality_tier"),
+            )
+            .write.mode("append")
+            .parquet(path)
+        )
+        open(marker, "w").close()
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .select("doc_id", "lang", "quality_tier")
+    )
