@@ -258,6 +258,7 @@ _ROUND6_WINDOW = (
     "src_csv_corrupt",
     "win_streaks",
     "src_schema_evolution",
+    "llm_dataset_card",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2224,3 +2224,55 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     payloads = multimodal.attach_wav_payload(docs)
     return multimodal.wav_fingerprint(payloads)
+
+
+@declare(
+    "llm_dataset_card",
+    """
+    WITH base AS (
+      SELECT doc_id, source, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(text) AS content_hash
+      FROM documents),
+    per_source AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT content_hash) AS n_unique,
+             COUNT(*) FILTER (WHERE lang = 'en') AS n_en
+      FROM base GROUP BY source)
+    SELECT source, n_docs, total_tokens,
+           ((n_docs - n_unique) * 1000000) // n_docs AS dup_rate_micro,
+           (n_en * 1000000) // n_docs AS en_share_micro
+    FROM per_source
+    """,
+    _SEC,
+    "Dataset card — the per-source accounting table a corpus release "
+    "ships: document and token totals, exact-duplicate rate (content "
+    "hash) and language share, all in exact integer micro-units. One "
+    "scan, one aggregation per source; the report any mixture "
+    "planner, dedup budget or datasheet starts from.",
+)
+def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("content_hash").alias("n_unique"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr("((n_docs - n_unique) * 1000000) div n_docs").alias(
+            "dup_rate_micro"
+        ),
+        F.expr("(n_en * 1000000) div n_docs").alias("en_share_micro"),
+    )
