@@ -823,3 +823,21 @@ def run_pipeline(spark: SparkSession, cfg: PipelineConfig) -> dict[str, DataFram
         else:
             write_sink(df, wcfg)
     return frames
+
+
+def lineage_frame(spark: SparkSession, cfg: PipelineConfig):
+    """The pipeline's lineage edges as a DataFrame — config
+    introspection as data, so governance tooling can query "what
+    feeds this sink?" with the same engine that runs the pipeline.
+    One row per (step, input) edge plus one per sink; config-sized by
+    definition (a few hundred rows for the largest real DAG)."""
+    rows = []
+    for step in cfg.steps:
+        for inp in step.inputs:
+            kind = "source" if inp in cfg.sources else "step"
+            rows.append((step.id, step.op, inp, kind))
+    for i, sink in enumerate(cfg.sinks):
+        rows.append((f"sink[{i}]", f"sink:{sink.format}", sink.input, "step"))
+    return spark.createDataFrame(
+        rows, "node STRING, op STRING, input STRING, input_kind STRING"
+    )

@@ -259,6 +259,7 @@ _ROUND6_WINDOW = (
     "win_streaks",
     "src_schema_evolution",
     "llm_dataset_card",
+    "pipeline_lineage",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1269,3 +1269,70 @@ steps:
         spark, load_pipeline_str(yml, base_dir=frag_dir)
     )
     return frames["ranked"]
+
+
+@declare(
+    "pipeline_lineage",
+    """
+    SELECT * FROM (VALUES
+      ('seg',     'filter',       'customer', 'source'),
+      ('keys',    'select',       'seg',      'step'),
+      ('joined',  'join',         'orders',   'source'),
+      ('joined',  'join',         'keys',     'step'),
+      ('counted', 'aggregate',    'joined',   'step'),
+      ('sink[0]', 'sink:parquet', 'counted',  'step')
+    ) AS t(node, op, input, input_kind)
+    """,
+    _SEC,
+    "Pipeline lineage as data: the compiled DAG's (node, op, input) "
+    "edges emitted as a DataFrame so governance tooling can answer "
+    "'what feeds this sink?' with the same engine that runs the "
+    "pipeline. Config-sized by definition; the oracle states the "
+    "exact expected edge set for the declared document.",
+)
+def pipeline_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.compiler import lineage_frame
+    from configdrivendatapipeline_spark.config.loader import load_pipeline_str
+
+    yml = f"""
+pipeline:
+  name: lineage_demo
+sources:
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+steps:
+  - id: seg
+    input: customer
+    op: filter
+    params:
+      predicate: "c_mktsegment = 'BUILDING'"
+  - id: keys
+    input: seg
+    op: select
+    params:
+      columns: [c_custkey]
+  - id: joined
+    inputs: [orders, keys]
+    op: join
+    params:
+      condition: "o_custkey = c_custkey"
+      how: left_semi
+  - id: counted
+    input: joined
+    op: aggregate
+    params:
+      group_by: [o_orderpriority]
+      aggs:
+        n: "count(o_orderkey)"
+sinks:
+  - input: counted
+    format: parquet
+    path: /tmp/cddp_out/lineage_demo
+    mode: overwrite
+"""
+    ensure_session_confs(spark)
+    return lineage_frame(spark, load_pipeline_str(yml))
