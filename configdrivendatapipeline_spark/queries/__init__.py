@@ -107,7 +107,7 @@ def ensure_session_confs(spark: SparkSession) -> None:
 
 #: (session, sf_dir, table) → reader DataFrame. Plans are immutable
 #: and the test parquet never changes mid-run, so re-deriving the
-#: schema per query (150 queries × ~4 tables × ~50 ms of footer
+#: schema per query (240+ queries × ~4 tables × ~50 ms of footer
 #: reads) is pure overhead. The session object itself is held in the
 #: value to guard against id() reuse after a session is collected.
 _LOAD_CACHE: dict = {}

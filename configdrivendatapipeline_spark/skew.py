@@ -106,8 +106,8 @@ def skew_stats(
     share in exact integer micro-units, plus ``skew_ratio_micro`` —
     each hot key's count relative to the mean rows-per-key (1e6 = a
     perfectly uniform key). One partial-combine aggregation over the
-    keys, two broadcast scalars, a top-k window over the (tiny)
-    per-key frame — nothing here scales with row count except the one
+    keys, one broadcast 1-row totals frame, a rank window over the
+    top-k survivors only — nothing here scales with row count except the one
     aggregate.
     """
     from pyspark.sql import Window
