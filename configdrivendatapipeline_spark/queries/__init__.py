@@ -260,6 +260,8 @@ _ROUND6_WINDOW = (
     "src_schema_evolution",
     "llm_dataset_card",
     "pipeline_lineage",
+    "join_dpp",
+    "llm_char_stats",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

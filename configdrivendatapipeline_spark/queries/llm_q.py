@@ -2276,3 +2276,52 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(n_en * 1000000) div n_docs").alias("en_share_micro"),
     )
+
+
+@declare(
+    "llm_char_stats",
+    """
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+             AS distinct_chars,
+           (CAST(len(list_distinct(string_split(text, ''))) AS BIGINT)
+             * 1000000) // len(text) AS char_diversity_micro,
+           (CAST(len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+             AS BIGINT) * 1000000) // len(text) AS digit_share_micro,
+           (CAST(len(text) - len(regexp_replace(text, ' ', '', 'g'))
+             AS BIGINT) * 1000000) // len(text) AS space_share_micro
+    FROM documents
+    WHERE len(text) > 0
+    """,
+    _SEC,
+    "Character-level quality signals: alphabet diversity (distinct "
+    "chars / length — near-zero for aaaa-spam, near-max for base64 "
+    "blobs), digit and whitespace shares, all exact integer "
+    "micro-units. The log-free stand-in for character entropy: "
+    "IEEE log() is not bit-identical across engines, integer ratios "
+    "are — same junk caught, zero hash risk. Pure map-side.",
+)
+def llm_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # Integer `div` everywhere, never double `/` + cast: exact on
+    # longs at any corpus size (house discipline).
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(F.split("text", ""))).cast("long").alias(
+            "distinct_chars"
+        ),
+        F.expr(
+            "(CAST(size(array_distinct(split(text, ''))) AS BIGINT) * 1000000)"
+            " div length(text)"
+        ).alias("char_diversity_micro"),
+        F.expr(
+            "(CAST(length(text) - length(regexp_replace(text, '[0-9]', ''))"
+            " AS BIGINT) * 1000000) div length(text)"
+        ).alias("digit_share_micro"),
+        F.expr(
+            "(CAST(length(text) - length(regexp_replace(text, ' ', ''))"
+            " AS BIGINT) * 1000000) div length(text)"
+        ).alias("space_share_micro"),
+    )

@@ -513,3 +513,61 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
         .select("doc_id", "lang", "quality_tier")
     )
+
+
+@declare(
+    "join_dpp",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    JOIN (SELECT DISTINCT o_orderpriority AS pri FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) d
+      ON o.o_orderpriority = d.pri
+    GROUP BY o.o_orderpriority
+    """,
+    _SEC,
+    "DYNAMIC partition pruning, asserted in-plan: the fact table is "
+    "partitioned on priority, the dim filter is only known at RUN "
+    "time (it comes from another query), and Spark must inject a "
+    "dynamic pruning subquery into the fact scan so only matching "
+    "partitions are read — the optimization that turns star-schema "
+    "scans from full-table to selected-partition at 100 TB. The "
+    "builder fails unless the scan carries a dynamicpruning "
+    "expression.",
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io as _io
+    from contextlib import redirect_stdout
+
+    path = _scratch(sf_dir, "orders_by_priority")
+    marker = path + ".staged"
+    if not os.path.exists(marker):
+        (
+            load(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+        open(marker, "w").close()
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_orderpriority").alias("pri"))
+        .distinct()
+    )
+    joined = (
+        fact.join(dim.hint("merge"), fact.o_orderpriority == dim.pri)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    plan = buf.getvalue().lower()
+    if "dynamicpruning" not in plan:
+        raise AssertionError(
+            f"expected a dynamic pruning subquery on the fact scan:\n{plan[:4000]}"
+        )
+    return joined
