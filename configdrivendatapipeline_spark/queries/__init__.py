@@ -262,6 +262,7 @@ _ROUND6_WINDOW = (
     "pipeline_lineage",
     "join_dpp",
     "llm_char_stats",
+    "agg_arg_extrema",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

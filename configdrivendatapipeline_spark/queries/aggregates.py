@@ -704,3 +704,41 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("total_qty"),
         F.expr("sum(qty * cents) div sum(qty)").alias("wavg_price_cents"),
     )
+
+
+@declare(
+    "agg_arg_extrema",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+      FROM orders)
+    SELECT a.o_orderpriority,
+           a.o_orderkey AS max_price_order,
+           b.o_orderkey AS min_price_order
+    FROM (SELECT * FROM ranked WHERE rmax = 1) a
+    JOIN (SELECT * FROM ranked WHERE rmin = 1) b USING (o_orderpriority)
+    """,
+    _SEC,
+    "Argument extrema (max_by / min_by): WHICH order carries each "
+    "priority's highest and lowest price — one aggregation instead "
+    "of the window-and-filter dance, with an EXPLICIT composite "
+    "tie-break (struct(price, key)): bare max_by leaves ties "
+    "unspecified, the same nondeterminism trap as mode(). The "
+    "oracle states the semantics via the ranked formulation.",
+)
+def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("max_price_order"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("min_price_order"),
+    )
