@@ -263,6 +263,7 @@ _ROUND6_WINDOW = (
     "join_dpp",
     "llm_char_stats",
     "agg_arg_extrema",
+    "fn_try_arith",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -530,3 +530,41 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("kvs", 2).getField("v").alias("prio_kv"),
         F.size("kvs").alias("n_kvs"),
     )
+
+
+@declare(
+    "fn_try_arith",
+    """
+    WITH v AS (
+      SELECT l_orderkey,
+             CAST(l_orderkey AS BIGINT) * 1000000000 AS big,
+             CAST(l_partkey AS BIGINT) AS small
+      FROM lineitem WHERE l_linenumber = 1)
+    SELECT l_orderkey,
+           CASE WHEN big <= (9223372036854775807 // GREATEST(small, 1))
+                THEN big * small ELSE NULL END AS prod_safe,
+           CASE WHEN small <> 0 THEN big // small ELSE NULL END AS div_safe,
+           big + small AS sum_ok
+    FROM v
+    """,
+    _SEC,
+    "Overflow- and zero-safe arithmetic (try_multiply / try_divide): "
+    "NULL instead of a job-killing exception when a product leaves "
+    "BIGINT range or a divisor is zero — at 100 TB one poisoned row "
+    "must not fail the stage; quarantine NULLs downstream instead. "
+    "The oracle replays the exact overflow boundary analytically, so "
+    "the NULL SET (not just counts) is hash-checked.",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    v = li.select(
+        "l_orderkey",
+        (F.col("l_orderkey").cast("long") * F.lit(1_000_000_000)).alias("big"),
+        F.col("l_partkey").cast("long").alias("small"),
+    )
+    return v.select(
+        "l_orderkey",
+        F.expr("try_multiply(big, small)").alias("prod_safe"),
+        F.expr("try_divide(big, small)").cast("long").alias("div_safe"),
+        F.expr("try_add(big, small)").alias("sum_ok"),
+    )
