@@ -264,6 +264,7 @@ _ROUND6_WINDOW = (
     "llm_char_stats",
     "agg_arg_extrema",
     "fn_try_arith",
+    "agg_bitmap_distinct",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

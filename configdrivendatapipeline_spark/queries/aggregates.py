@@ -742,3 +742,37 @@ def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
         ).alias("min_price_order"),
     )
+
+
+@declare(
+    "agg_bitmap_distinct",
+    """
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    _SEC,
+    "EXACT distinct via bitmap aggregation (bitmap_bucket_number / "
+    "bitmap_bit_position / bitmap_construct_agg / bitmap_count): "
+    "dense-ish integer keys compress into fixed 4KB bucket bitmaps "
+    "that OR-merge map-side, so the shuffle carries bitmaps instead "
+    "of exploding one row per (group, key) the way expand-distinct "
+    "does — exactness of HLL-free counting with sketch-like shuffle "
+    "volume. The oracle is COUNT(DISTINCT): equal output proves the "
+    "bitmap path IS exact, not approximate.",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    per_bucket = (
+        o.select(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+            F.expr("bitmap_bit_position(o_custkey)").alias("pos"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt"))
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum("cnt").alias("n_custs")
+    )
