@@ -265,6 +265,7 @@ _ROUND6_WINDOW = (
     "agg_arg_extrema",
     "fn_try_arith",
     "agg_bitmap_distinct",
+    "enr_scd3",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -339,3 +339,45 @@ def enr_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("l_extendedprice") > F.col("hi"))
         ).alias("clipped"),
     )
+
+
+@declare(
+    "enr_scd3",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    cur AS (SELECT user_id, event_type AS current_type FROM ranked WHERE rn = 1),
+    prev AS (SELECT user_id, event_type AS previous_type FROM ranked WHERE rn = 2)
+    SELECT c.user_id, c.current_type, p.previous_type
+    FROM cur c LEFT JOIN prev p ON p.user_id = c.user_id
+    """,
+    _SEC,
+    "SCD type 3 — current value plus ONE previous value as columns, "
+    "the footprint-bounded alternative to SCD2's full history (one "
+    "row per key forever, no validity ranges): latest and "
+    "second-latest change per key from one ordered window with "
+    "explicit tie-breaks. The 'what changed since last quarter' "
+    "shape BI asks for without paying history storage.",
+)
+def enr_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    cur = ranked.filter(F.col("rn") == 1).select(
+        "user_id", F.col("event_type").alias("current_type")
+    )
+    prev = ranked.filter(F.col("rn") == 2).select(
+        "user_id", F.col("event_type").alias("previous_type")
+    )
+    return cur.join(prev, "user_id", "left").select(
+        "user_id", "current_type", "previous_type"
+    )
