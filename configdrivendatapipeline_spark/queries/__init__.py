@@ -266,6 +266,7 @@ _ROUND6_WINDOW = (
     "fn_try_arith",
     "agg_bitmap_distinct",
     "enr_scd3",
+    "stream_parquet_sink",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

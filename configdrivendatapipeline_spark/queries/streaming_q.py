@@ -561,3 +561,42 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     )
     return run_available_now(dedup, "append")
+
+
+@declare(
+    "stream_parquet_sink",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+    _SEC,
+    "Streaming PARQUET sink with a real checkpoint — the production "
+    "write path (the memory sink elsewhere is a test harness): "
+    "availableNow drains the source through a checkpointed file "
+    "sink, then a BATCH read of the sink directory must equal the "
+    "filtered source exactly — proving the sink committed exactly "
+    "once and atomically (half-written files would duplicate or "
+    "drop rows and fail the hash). Checkpoint + _spark_metadata is "
+    "what makes a crashed streaming job resume without re-emitting.",
+)
+def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _scratch(sf_dir, "stream_parquet_out")
+    ckpt = _scratch(sf_dir, "stream_parquet_ckpt")
+    marker = out + ".done"
+    if not os.path.exists(marker):
+        sdf = (
+            stream_events(spark, sf_dir)
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .select("event_id", "user_id", "event_type")
+        )
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(marker, "w").close()
+    return spark.read.parquet(out)
