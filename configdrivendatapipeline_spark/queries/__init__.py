@@ -267,6 +267,7 @@ _ROUND6_WINDOW = (
     "agg_bitmap_distinct",
     "enr_scd3",
     "stream_parquet_sink",
+    "src_text_wholefile",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

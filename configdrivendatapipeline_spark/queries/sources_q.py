@@ -571,3 +571,51 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected a dynamic pruning subquery on the fact scan:\n{plan[:4000]}"
         )
     return joined
+
+
+@declare(
+    "src_text_wholefile",
+    """
+    SELECT doc_id, text AS content,
+           CAST(len(text) AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+    _SEC,
+    "Whole-file text ingestion (file-per-document corpus layout): "
+    "each staged .txt becomes ONE row via wholetext mode — newlines "
+    "preserved, no line splitting — with the doc id recovered from "
+    "the file name. This is how scraped corpora actually arrive "
+    "before parquet-ification; at scale the same read runs over "
+    "millions of objects with Spark's file-listing parallelism. "
+    "Oracle states the exact expected contents per file.",
+)
+def src_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    path = _scratch(sf_dir, "docs_wholefile")
+    marker = path + ".staged"
+    if not os.path.exists(marker):
+        # Fixture staging reads the parquet via pyarrow directly —
+        # no Spark driver materialization in the engine package.
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        os.makedirs(path, exist_ok=True)
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if doc_id % 50 == 0:
+                with open(os.path.join(path, f"{doc_id}.txt"), "w") as f:
+                    f.write(text)
+        open(marker, "w").close()
+    read = (
+        spark.read.option("wholetext", "true")
+        .text(path)
+        .withColumn("fname", F.element_at(F.split(F.input_file_name(), "/"), -1))
+    )
+    return read.select(
+        F.regexp_extract("fname", r"(\d+)\.txt", 1).cast("bigint").alias("doc_id"),
+        F.col("value").alias("content"),
+        F.length("value").cast("long").alias("n_chars"),
+    )
