@@ -268,6 +268,8 @@ _ROUND6_WINDOW = (
     "enr_scd3",
     "stream_parquet_sink",
     "src_text_wholefile",
+    "join_lateral",
+    "fn_base64",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

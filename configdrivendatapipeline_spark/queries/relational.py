@@ -847,3 +847,37 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.join(
         F.broadcast(d), f.pri_key.eqNullSafe(d.pri_key)
     ).select("o_orderkey", "pri_label")
+
+
+@declare(
+    "join_lateral",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2) o
+    """,
+    _J,
+    "LATERAL (correlated) join: each customer's top-2 orders by "
+    "price via a per-row correlated subquery with ORDER BY + LIMIT — "
+    "the SQL-standard spelling of top-n-per-entity. Catalyst "
+    "DECORRELATES it into the same keyed window/join plan the "
+    "explicit win_topk_per_group builds, so the convenient syntax "
+    "costs nothing at scale — no per-row subquery execution exists "
+    "in the physical plan.",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cddp_lat_cust")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("cddp_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM cddp_lat_cust c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM cddp_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2) o
+        """
+    )

@@ -568,3 +568,32 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_divide(big, small)").cast("long").alias("div_safe"),
         F.expr("try_add(big, small)").alias("sum_ok"),
     )
+
+
+@declare(
+    "fn_base64",
+    """
+    SELECT doc_id,
+           base64(CAST(lang AS BLOB)) AS lang_b64,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           (lang = CAST(from_base64(base64(CAST(lang AS BLOB))) AS VARCHAR))
+             AS roundtrip_ok
+    FROM documents
+    """,
+    _SEC,
+    "Binary/base64 surface: encode, byte length, and a decode "
+    "round-trip asserted per row — the transport encoding every "
+    "opaque-payload column crosses system boundaries with. A wrong "
+    "padding or charset flips roundtrip_ok and fails the hash.",
+)
+def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.col("lang").cast("binary")).alias("lang_b64"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        (
+            F.col("lang")
+            == F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string")
+        ).alias("roundtrip_ok"),
+    )
