@@ -270,6 +270,7 @@ _ROUND6_WINDOW = (
     "src_text_wholefile",
     "join_lateral",
     "fn_base64",
+    "win_moving_median",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

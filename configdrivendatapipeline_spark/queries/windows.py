@@ -782,3 +782,52 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_streaks"),
         F.min("streak_start").alias("first_day"),
     )
+
+
+@declare(
+    "win_moving_median",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+    SELECT user_id, event_id,
+           CAST(quantile_cont(cents, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 1000000
+             AS BIGINT) AS med_micro
+    FROM v
+    """,
+    _SEC,
+    "Moving median (3-event window per user) — the robust smoother "
+    "a noisy metric stream needs where a moving AVERAGE chases "
+    "outliers. Spark has no frame-median builtin, so it composes: "
+    "collect_list over the frame → sort_array → exact middle (odd) "
+    "or midpoint (even), all on integer cents so the midpoint *1e6 "
+    "is exact in both engines. The frame is 3 elements — the "
+    "composition is O(frame), never O(partition).",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("cents").over(w))
+    n = F.size(frame)
+    odd = F.element_at(frame, (n + 1) / 2)
+    lo = F.element_at(frame, (n / 2).cast("int"))
+    hi = F.element_at(frame, (n / 2).cast("int") + 1)
+    med_micro = F.when(
+        n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int")) * 1_000_000
+    ).otherwise((lo + hi) * 500_000)
+    return v.select(
+        "user_id", "event_id", med_micro.cast("long").alias("med_micro")
+    )
