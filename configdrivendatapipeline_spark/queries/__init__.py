@@ -271,6 +271,7 @@ _ROUND6_WINDOW = (
     "join_lateral",
     "fn_base64",
     "win_moving_median",
+    "llm_ngram_novelty",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

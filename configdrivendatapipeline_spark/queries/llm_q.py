@@ -2325,3 +2325,52 @@ def llm_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) * 1000000) div length(text)"
         ).alias("space_share_micro"),
     )
+
+
+@declare(
+    "llm_ngram_novelty",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+            unnest(list_distinct(list_transform(
+              range(0, greatest(len(toks) - 3, 0) + 1),
+              i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+          FROM d),
+    gdf AS (SELECT gram, COUNT(*) AS n_docs FROM s GROUP BY gram)
+    SELECT s.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(*) FILTER (WHERE gdf.n_docs = 1) AS n_novel,
+           (COUNT(*) FILTER (WHERE gdf.n_docs = 1) * 1000000)
+             // COUNT(*) AS novelty_micro
+    FROM s JOIN gdf USING (gram)
+    GROUP BY s.doc_id
+    """,
+    _SEC,
+    "N-gram novelty: the share of a document's distinct 3-gram "
+    "shingles that appear in NO other document — the corpus-"
+    "diversity / memorization-risk signal (near-zero novelty means "
+    "the doc is stitched from boilerplate the model will see "
+    "hundreds of times). One shingle explode, one gram-frequency "
+    "aggregation, one broadcastable join back; exact integer "
+    "micro-units.",
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = dedup.with_shingles(
+        load(spark, sf_dir, "documents"), "text", k=3, out="sh"
+    )
+    s = docs.select("doc_id", F.explode("sh").alias("gram"))
+    gdf = s.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        s.join(F.broadcast(gdf), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("n_docs") == 1, 1)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr("(n_novel * 1000000) div n_grams").alias("novelty_micro"),
+        )
+    )
