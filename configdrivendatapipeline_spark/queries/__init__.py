@@ -272,6 +272,7 @@ _ROUND6_WINDOW = (
     "fn_base64",
     "win_moving_median",
     "llm_ngram_novelty",
+    "enr_json_flatten",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -381,3 +381,54 @@ def enr_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.join(prev, "user_id", "left").select(
         "user_id", "current_type", "previous_type"
     )
+
+
+@declare(
+    "enr_json_flatten",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 <> 0 THEN source END AS src,
+           CASE WHEN doc_id % 7 <> 0 THEN lang END AS lang_out,
+           CASE WHEN doc_id % 7 <> 0
+                THEN CAST(len(string_split(text, ' ')) AS BIGINT) END
+             AS n_tokens,
+           (doc_id % 7 = 0) AS was_corrupt
+    FROM documents
+    """,
+    _SEC,
+    "JSON flatten with explicit schema + corrupt tolerance: payloads "
+    "are manufactured as JSON (every 7th deliberately truncated), "
+    "from_json with a PINNED schema parses the good ones to typed "
+    "columns and NULLs the bad ones instead of failing the stage — "
+    "schema-on-read the way an event firehose actually lands. The "
+    "oracle states the expected typed values and the exact corrupt "
+    "set analytically.",
+)
+def enr_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit('{"src":"'),
+        F.col("source"),
+        F.lit('","lang":"'),
+        F.col("lang"),
+        F.lit('","n_tokens":'),
+        F.size(F.split("text", " ")).cast("string"),
+        F.lit("}"),
+    )
+    # every 7th row: truncate the JSON mid-object (unparseable)
+    raw = F.when(
+        F.col("doc_id") % 7 == 0, F.substring(payload, 1, 10)
+    ).otherwise(payload)
+    schema = "src STRING, lang STRING, n_tokens BIGINT"
+    parsed = docs.select(
+        "doc_id", F.from_json(raw, schema).alias("j")
+    )
+    return parsed.select(
+        "doc_id",
+        F.col("j.src").alias("src"),
+        F.col("j.lang").alias("lang_out"),
+        F.col("j.n_tokens").alias("n_tokens"),
+        # PERMISSIVE from_json yields an all-NULL struct (not a NULL
+        # struct) on corrupt input — flag via a never-null field
+        F.col("j.src").isNull().alias("was_corrupt"),
+    )
