@@ -1,0 +1,137 @@
+"""BPE vocabulary training over the corpus — the tokenizer-building
+step of an LLM data pipeline, expressed Spark-first.
+
+The corpus is scanned ONCE (word-frequency aggregation); every merge
+iteration then runs on the weighted VOCAB table, which is small by
+construction (10⁵–10⁷ distinct words even at web scale) — so the
+iterative part never touches corpus-sized data, exactly like the
+k-means refinement loop. Each iteration is one aggregation + one
+1-row reduction; the chosen pair comes back to the driver as a scalar
+(the merge TABLE is the training output and is tiny by definition).
+
+Merge application is defined as literal, left-to-right,
+non-overlapping replacement on the space-joined symbol string — the
+semantics `replace()` has in BOTH Spark and DuckDB, which is what
+makes the whole training run hash-verifiable against a SQL oracle.
+(Canonical BPE re-scans after each replacement; the non-overlapping
+variant differs only on aba-style self-overlaps and is deterministic,
+which matters more here.) Ties break lexicographically — engine- and
+retry-stable where "first seen" would not be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: adjacent symbol pairs of the (trimmed, space-joined) symbol string
+_PAIRS = (
+    "transform(sequence(2, size(split(trim(sym), ' '))), "
+    "i -> concat(element_at(split(trim(sym), ' '), i - 1), ' ', "
+    "element_at(split(trim(sym), ' '), i)))"
+)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    merge table (step, pair, n) — the artifact a tokenizer ships."""
+    from configdrivendatapipeline_spark.llm.textstats import tokens
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        "cnt",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+        ).alias("sym"),
+    ).persist()
+    vocab.count()  # materialize: the corpus scan happens exactly once
+    merges: list[tuple[int, str, int]] = []
+    current = vocab
+    try:
+        for step in range(n_merges):
+            top = (
+                # guard BEFORE building pairs: sequence(2, 1) would
+                # DESCEND on single-symbol words, not come back empty
+                current.filter(F.size(F.split(F.trim("sym"), " ")) >= 2)
+                .select("cnt", F.explode(F.expr(_PAIRS)).alias("pr"))
+                .groupBy("pr")
+                .agg(F.sum("cnt").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("pr").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pr, n = top[0]["pr"], int(top[0]["n"])
+            merges.append((step, pr, n))
+            merged = pr.replace(" ", "")
+            current = current.withColumn(
+                "sym",
+                F.replace(
+                    F.col("sym"), F.lit(f" {pr} "), F.lit(f" {merged} ")
+                ),
+            )
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step INT, pair STRING, n BIGINT"
+    )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge list and emit per-doc BPE token counts —
+    the sizing pass (context packing, cost estimation) a tokenizer
+    exists for. Applies merges to the DISTINCT word table (vocab-
+    sized), then broadcast-joins the word → token-count map back to
+    the corpus: the per-word merge chain is never evaluated per
+    occurrence, which is what makes encode cheap at 100 TB."""
+    from configdrivendatapipeline_spark.llm.textstats import tokens
+
+    words = df.select(F.explode(tokens(text_col)).alias("word")).distinct()
+    sym = words.select(
+        "word",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+        ).alias("sym"),
+    )
+    for pr in merges:
+        merged = pr.replace(" ", "")
+        sym = sym.withColumn(
+            "sym",
+            F.replace(F.col("sym"), F.lit(f" {pr} "), F.lit(f" {merged} ")),
+        )
+    word_tokens = sym.select(
+        "word", F.size(F.split(F.trim("sym"), " ")).cast("long").alias("wtok")
+    )
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    return (
+        toks.join(F.broadcast(word_tokens), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wtok").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 20
+) -> list:
+    """Train and return the merge PAIR list (the tokenizer artifact —
+    driver-sized by definition: a model parameter list, not row
+    data). Callers feed it straight to :func:`bpe_encode_counts`."""
+    return [r["pair"] for r in bpe_train(df, text_col, n_merges).collect()]
