@@ -273,6 +273,7 @@ _ROUND6_WINDOW = (
     "win_moving_median",
     "llm_ngram_novelty",
     "enr_json_flatten",
+    "llm_license_filter",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2374,3 +2374,47 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_novel * 1000000) div n_grams").alias("novelty_micro"),
         )
     )
+
+
+@declare(
+    "llm_license_filter",
+    """
+    WITH staged AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'Licensed under the Apache License, Version 2.0. ' || text
+                  ELSE text END AS body
+      FROM documents)
+    SELECT doc_id, source,
+           regexp_matches(body,
+             '(?i)(licensed under|all rights reserved|creative commons|\\bGPL\\b)')
+             AS has_license,
+           (doc_id % 11 = 0) AS expected
+    FROM staged
+    """,
+    _SEC,
+    "License/copyright detection — the compliance gate a code/text "
+    "corpus runs before training: a case-insensitive pattern bank "
+    "over the body, map-side (JVM regex, pushdown-eligible). The "
+    "fixture injects a license header into every 11th doc, and the "
+    "oracle emits BOTH the detector verdict and the known ground "
+    "truth — a false positive or miss diverges the columns and "
+    "fails the hash.",
+)
+def llm_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit("Licensed under the Apache License, Version 2.0. "),
+            F.col("text"),
+        ),
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        body.rlike(
+            r"(?i)(licensed under|all rights reserved|creative commons|\bGPL\b)"
+        ).alias("has_license"),
+        (F.col("doc_id") % 11 == 0).alias("expected"),
+    )

@@ -151,3 +151,30 @@ def test_plan_lint_detects_global_windows():
     assert lint_plan("q", frame_only) == ["GLOBAL_WINDOW"]
     assert lint_plan("q", "CartesianProduct\n") == ["CartesianProduct"]
     assert lint_plan("join_cross", "CartesianProduct\n") == []
+
+
+def test_morton_interleave_is_bijective():
+    """Pure-Python replay of the interleave formula: distinct (x, y)
+    grid points must map to distinct z-values and decode back exactly
+    — the property that makes z-cells disjoint."""
+    def z(x, y, bits=8):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (2 * i)
+            out |= ((y >> i) & 1) << (2 * i + 1)
+        return out
+
+    def unz(v, bits=8):
+        x = y = 0
+        for i in range(bits):
+            x |= ((v >> (2 * i)) & 1) << i
+            y |= ((v >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    seen = set()
+    for x in range(0, 256, 7):
+        for y in range(0, 256, 11):
+            v = z(x, y)
+            assert v not in seen
+            seen.add(v)
+            assert unz(v) == (x, y)
