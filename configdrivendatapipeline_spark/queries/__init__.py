@@ -274,6 +274,7 @@ _ROUND6_WINDOW = (
     "llm_ngram_novelty",
     "enr_json_flatten",
     "llm_license_filter",
+    "llm_topic_keywords",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",
