@@ -275,6 +275,8 @@ _ROUND6_WINDOW = (
     "enr_json_flatten",
     "llm_license_filter",
     "llm_topic_keywords",
+    "join_range_bucketed",
+    "val_monotonic",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

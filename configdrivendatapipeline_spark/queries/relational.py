@@ -881,3 +881,55 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           LIMIT 2) o
         """
     )
+
+
+@declare(
+    "join_range_bucketed",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events WHERE event_type = 'purchase')
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           CAST(b.sec - a.sec AS BIGINT) AS gap_sec
+    FROM e a JOIN e b
+      ON b.sec >= a.sec AND b.sec - a.sec <= 30 AND a.event_id < b.event_id
+    """,
+    _J,
+    "PURE range join (no equi key) made scalable by time bucketing: "
+    "purchases within 30 s of each other pair via an EQUI-join on "
+    "30 s buckets (each left row probes its own and the next bucket) "
+    "with the exact range as a residual filter — the classic rewrite "
+    "that turns an O(n²) theta join into a bounded-bucket hash join; "
+    "candidates per row are bounded by bucket occupancy, never by "
+    "table size. The oracle states the raw theta-join semantics.",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_timestamp("ts").cast("long").alias("sec"))
+    )
+    a = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("sec").alias("sec_a"),
+        F.explode(
+            F.array(F.expr("sec div 30"), F.expr("sec div 30 + 1"))
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("sec").alias("sec_b"),
+        F.expr("sec div 30").alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(
+            (F.col("sec_b") >= F.col("sec_a"))
+            & (F.col("sec_b") - F.col("sec_a") <= 30)
+            & (F.col("id_a") < F.col("id_b"))
+        )
+        .select(
+            "id_a", "id_b", (F.col("sec_b") - F.col("sec_a")).alias("gap_sec")
+        )
+        # no dedup needed: a pair matches exactly one b-side bucket
+        # (b's own), so the explode can never double-emit it
+    )

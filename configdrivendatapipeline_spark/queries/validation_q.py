@@ -504,3 +504,41 @@ def val_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(rowhash).alias("content_sum"),
     )
+
+
+@declare(
+    "val_monotonic",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             LAG(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE prev_id IS NOT NULL AND event_id < prev_id)
+             AS n_violations,
+           bool_and(prev_id IS NULL OR event_id >= prev_id) AS is_monotonic
+    FROM seq GROUP BY user_id
+    """,
+    _SEC,
+    "Sequence-monotonicity validation: per user, do event ids "
+    "increase along event time? — the ordering sanity check every "
+    "CDC/event ingest needs (a violation means reordered or replayed "
+    "delivery). One keyed window + aggregation; emits violation "
+    "COUNTS, not just a flag, so triage knows how bad it is.",
+)
+def val_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_id", "ts").withColumn(
+        "prev_id", F.lag("event_id").over(w)
+    )
+    viol = F.col("prev_id").isNotNull() & (F.col("event_id") < F.col("prev_id"))
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(viol, 1)).alias("n_violations"),
+        F.bool_and(~viol).alias("is_monotonic"),
+    )
