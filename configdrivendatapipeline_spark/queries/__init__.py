@@ -277,6 +277,7 @@ _ROUND6_WINDOW = (
     "llm_topic_keywords",
     "join_range_bucketed",
     "val_monotonic",
+    "pipeline_e2e_curation",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

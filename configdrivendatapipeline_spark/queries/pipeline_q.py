@@ -1336,3 +1336,106 @@ sinks:
 """
     ensure_session_confs(spark)
     return lineage_frame(spark, load_pipeline_str(yml))
+
+
+_OQ = (
+    "(CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 40 ELSE 0 END "
+    " + CASE WHEN len(list_filter(toks, t -> "
+    "list_contains(['the','a','of','and','is'], t))) * 100 >= len(toks) * 2 "
+    " AND len(list_filter(toks, t -> "
+    "list_contains(['the','a','of','and','is'], t))) * 100 <= len(toks) * 40 "
+    "THEN 30 ELSE 0 END "
+    " + CASE WHEN len(list_distinct(toks)) * 100 >= len(toks) * 30 "
+    "THEN 30 ELSE 0 END)"
+)
+
+
+@declare(
+    "pipeline_e2e_curation",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS toks
+      FROM documents),
+    gated AS (
+      SELECT doc_id, source, text FROM d WHERE {_OQ} >= 70),
+    deduped AS (
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                 PARTITION BY text
+                 ORDER BY doc_id) AS rn
+        FROM gated) WHERE rn = 1),
+    sampled AS (
+      SELECT doc_id, source FROM deduped
+      WHERE {{bucket}} < 5000)
+    SELECT source, COUNT(*) AS n_docs
+    FROM sampled GROUP BY source ORDER BY source
+    """.format(
+        bucket=(
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(string_split(substr(md5("
+            "CAST(doc_id AS VARCHAR) || ':sample:v1'), 1, 8), ''), "
+            "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+            "(a, b) -> a * 16 + b) % 10000"
+        )
+    ),
+    _SEC,
+    "END-TO-END curation pipeline from ONE config document: quality "
+    "gate → exact content dedup → deterministic 50% sample → "
+    "per-source accounting — four curation stages composed through "
+    "the compiler into a single Catalyst plan, hash-verified against "
+    "one SQL replay of the whole chain. This is the corpus-refresh "
+    "job the engine exists to run.",
+)
+def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: e2e_curation
+sources:
+  documents:
+    format: parquet
+    path: {sf_dir}/documents.parquet
+steps:
+  - id: gated
+    input: documents
+    op: text_quality
+    params:
+      min_quality: 70
+      keep_text: true
+  - id: deduped
+    input: gated
+    op: dedup_exact
+    params:
+      text_column: text
+      id_column: doc_id
+  - id: sampled
+    input: deduped
+    op: hash_sample
+    params:
+      fraction: 0.5
+      id_column: doc_id
+  - id: src_cols
+    input: documents
+    op: select
+    params:
+      columns: [doc_id, source]
+  - id: with_src
+    inputs: [sampled, src_cols]
+    op: join
+    params:
+      "on": [doc_id]
+      how: inner
+  - id: by_source
+    input: with_src
+    op: aggregate
+    params:
+      group_by: [source]
+      aggs:
+        n_docs: "count(doc_id)"
+  - id: ranked
+    input: by_source
+    op: sort
+    params:
+      by: [source]
+"""
+    return _run(spark, yml, "ranked")
