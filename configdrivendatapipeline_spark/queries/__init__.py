@@ -278,6 +278,8 @@ _ROUND6_WINDOW = (
     "join_range_bucketed",
     "val_monotonic",
     "pipeline_e2e_curation",
+    "val_outlier_mad",
+    "fn_collate",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

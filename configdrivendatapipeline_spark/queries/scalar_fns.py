@@ -597,3 +597,37 @@ def fn_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.unbase64(F.base64(F.col("lang").cast("binary"))).cast("string")
         ).alias("roundtrip_ok"),
     )
+
+
+@declare(
+    "fn_collate",
+    """
+    WITH v AS (
+      SELECT doc_id, source, upper(source) AS shouty FROM documents)
+    SELECT lower(shouty) AS source_ci, COUNT(*) AS n_docs
+    FROM v
+    WHERE lower(shouty) = lower(source)
+    GROUP BY lower(shouty)
+    """,
+    _SEC,
+    "Collation-aware comparison (Spark 4 COLLATE UTF8_LCASE): "
+    "case-insensitive equality and grouping WITHOUT materializing "
+    "lower() copies of every string — the collation rides the type, "
+    "so the optimizer still prunes and pushes down. The oracle "
+    "states the lower()-normalized semantics the collation must "
+    "reproduce; outputs are emitted normalized so both engines hash "
+    "identically.",
+)
+def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id",
+        "source",
+        F.upper("source").alias("shouty"),
+    )
+    ci = F.expr("shouty COLLATE UTF8_LCASE")
+    return (
+        v.filter(ci == F.col("source"))
+        .groupBy(F.lower("shouty").alias("source_ci"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -542,3 +542,61 @@ def val_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(viol, 1)).alias("n_violations"),
         F.bool_and(~viol).alias("is_monotonic"),
     )
+
+
+@declare(
+    "val_outlier_mad",
+    """
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem),
+    med AS (
+      SELECT l_returnflag, quantile_cont(cents, 0.5) AS med_cents
+      FROM v GROUP BY l_returnflag),
+    dev AS (
+      SELECT v.l_returnflag, v.cents,
+             abs(v.cents - m.med_cents) AS adev
+      FROM v JOIN med m USING (l_returnflag)),
+    mad AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad_cents
+      FROM dev GROUP BY l_returnflag)
+    SELECT d.l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE d.adev > 10 * m.mad_cents) AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+    _SEC,
+    "Robust outlier detection via Median Absolute Deviation: flag "
+    "rows beyond 10 MADs of the group median — unlike the z-score "
+    "rule (val_anomaly), the THRESHOLD itself cannot be dragged by "
+    "the outliers it hunts, which is what makes MAD the fat-tail "
+    "default. Two exact-percentile aggregations + broadcast scalar "
+    "joins; everything on integer cents.",
+)
+def val_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag",
+        F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    med = v.groupBy("l_returnflag").agg(
+        F.percentile("cents", 0.5).alias("med_cents")
+    )
+    dev = v.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("cents") - F.col("med_cents")).alias("adev")
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.percentile("adev", 0.5).alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(F.col("adev") > 10 * F.col("mad_cents"), 1)
+            ).alias("n_outliers"),
+        )
+    )
