@@ -486,6 +486,48 @@ def cross_corpus_dedup(
     ).drop("__k")
 
 
+def snapshot_diff(
+    curr: DataFrame,
+    prev: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive: per
+    document id, whether it was added, removed, changed, or unchanged
+    between two corpus snapshots, plus a content key for the surviving
+    payload. A corpus release pairs this with the dataset card so a
+    consumer can audit exactly what moved between versions.
+
+    Each side is projected down to (id, content hashes) BEFORE the
+    full-outer join, so the shuffle carries 48 bytes per row instead
+    of document payloads — at 100 TB both sides would read
+    pre-materialized manifest hash columns, never the text itself.
+    One shuffle on the id; change detection compares the 256-bit
+    hashes, never the payloads.
+    """
+    c = curr.select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col), 256).alias("__c_hash"),
+        F.md5(F.col(text_col)).alias("__c_key"),
+    )
+    p = prev.select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col), 256).alias("__p_hash"),
+        F.md5(F.col(text_col)).alias("__p_key"),
+    )
+    status = (
+        F.when(F.col("__c_hash").isNull(), "removed")
+        .when(F.col("__p_hash").isNull(), "added")
+        .when(F.col("__c_hash") != F.col("__p_hash"), "changed")
+        .otherwise("unchanged")
+    )
+    return c.join(p, "__id", "full_outer").select(
+        F.col("__id").alias(id_col),
+        status.alias("status"),
+        F.coalesce("__c_key", "__p_key").alias("content_key"),
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

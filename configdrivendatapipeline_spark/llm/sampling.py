@@ -226,6 +226,108 @@ def hash_shuffle(
     )
 
 
+def _isqrt_expr(x: str) -> str:
+    """SQL for the exact integer square root of a non-negative BIGINT
+    expression (x < 2⁵²): seed with floor(sqrt(double)) — correctly
+    rounded IEEE sqrt puts the seed within ±1 of the true isqrt — then
+    correct both directions with integer comparisons. Engine-exact
+    where raw floor(sqrt(x)) is one ulp away from a hash mismatch at
+    perfect-square boundaries."""
+    s0 = f"CAST(FLOOR(SQRT(CAST(({x}) AS DOUBLE))) AS BIGINT)"
+    return (
+        f"({s0} + (CASE WHEN ({s0} + 1) * ({s0} + 1) <= ({x}) THEN 1 ELSE 0 END)"
+        f" - (CASE WHEN {s0} * {s0} > ({x}) THEN 1 ELSE 0 END))"
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "temp:v1",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling at α = 1/2 (the
+    multilingual-corpus rebalancing of mBERT/XLM-R: sample strata
+    proportionally to n^α so head languages stop drowning the tail).
+
+    Down-sampling-only formulation: the smallest stratum keeps
+    everything and every other stratum keeps a deterministic
+    √(n_min/n) fraction, so post-sample counts are ∝ √n. The keep
+    fraction is computed as an EXACT integer on the 1/10000 md5 grid —
+    cut = isqrt((grid² · n_min) div n) with a corrected integer sqrt —
+    so the decision replays bit-for-bit on any engine or retry (a
+    float sqrt cut is one ulp from flipping a row at perfect-square
+    boundaries). One count aggregation + a broadcast scalar min + a
+    broadcast cuts join; membership itself is map-side, same contract
+    as :func:`mixture_sample` but with the fractions DERIVED from the
+    data rather than supplied.
+    """
+    c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    mn = c.agg(F.min("n_docs").alias("mn"))
+    cuts = (
+        c.crossJoin(F.broadcast(mn))
+        .select(
+            group_col,
+            "n_docs",
+            F.expr(
+                _isqrt_expr("(100000000 * mn) div n_docs")
+            ).alias("keep_cut"),
+        )
+    )
+    b = hash_bucket(F.col(id_col), salt, 10_000).alias("bucket")
+    return (
+        df.select(F.col(id_col), F.col(group_col), b)
+        .join(F.broadcast(cuts), group_col)
+        .filter(F.col("bucket") < F.col("keep_cut"))
+        .select(id_col, group_col, "bucket", "n_docs", "keep_cut")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    caps: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048),
+) -> DataFrame:
+    """Length-bucketed batching layout: assign every document to the
+    smallest power-of-two context cap that holds it (overlong docs
+    truncate to the largest cap) and report, per bucket, the padding
+    economics a dynamic-batching trainer needs — document count,
+    payload tokens, padded slots wasted, and the waste ratio in exact
+    integer micro-units.
+
+    This is the other half of :func:`pack_offsets`: packing
+    concatenates (zero padding, document fragments); length bucketing
+    pads within a bucket (whole documents, bounded waste). The whole
+    computation is one map-side projection plus one small aggregation
+    — nothing here grows with corpus size except the scan.
+    """
+    if list(caps) != sorted(set(caps)) or caps[0] <= 0:
+        raise ValueError(f"caps must be positive and strictly increasing; got {caps}")
+    n = F.size(F.split(F.col(text_col), " ")).cast("long")
+    n_eff = F.least(n, F.lit(caps[-1]).cast("long"))
+    cap = F.lit(caps[-1]).cast("long")
+    for c in reversed(caps[:-1]):
+        cap = F.when(n_eff <= c, F.lit(c).cast("long")).otherwise(cap)
+    return (
+        df.select(n_eff.alias("n_tokens"), cap.alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(F.col("bucket_cap") - F.col("n_tokens")).alias("pad_waste"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "tokens_total",
+            "pad_waste",
+            F.expr("(pad_waste * 1000000) div (n_docs * bucket_cap)").alias(
+                "waste_micro"
+            ),
+        )
+    )
+
+
 def stratified_n(
     df: DataFrame,
     strata_cols: list[str],

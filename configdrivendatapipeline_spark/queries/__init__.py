@@ -280,6 +280,9 @@ _ROUND6_WINDOW = (
     "pipeline_e2e_curation",
     "val_outlier_mad",
     "fn_collate",
+    "llm_temperature_sample",
+    "llm_length_buckets",
+    "llm_snapshot_diff",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

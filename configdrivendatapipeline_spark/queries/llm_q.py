@@ -2492,3 +2492,139 @@ def llm_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("source", "term", "lift_micro", "rank")
     )
+
+
+_OISQRT_S0 = "CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)"
+
+
+@declare(
+    "llm_temperature_sample",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n_docs) AS mn FROM c),
+    cuts AS (
+      SELECT lang, n_docs, (100000000 * mn) // n_docs AS x
+      FROM c CROSS JOIN mn),
+    k AS (
+      SELECT lang, n_docs, x, {_OISQRT_S0} AS s0 FROM cuts),
+    k2 AS (
+      SELECT lang, n_docs,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END) AS keep_cut
+      FROM k),
+    b AS (
+      SELECT doc_id, lang,
+             {_obucket_md5('doc_id', 'temp:v1', 10000)} AS bucket
+      FROM documents)
+    SELECT b.doc_id, b.lang, b.bucket, k2.n_docs, k2.keep_cut
+    FROM b JOIN k2 USING (lang)
+    WHERE b.bucket < k2.keep_cut
+    """,
+    _SEC,
+    "Temperature-flattened mixture sampling at alpha = 1/2 (the "
+    "mBERT/XLM-R multilingual rebalance): every language keeps a "
+    "deterministic sqrt(n_min/n) fraction so post-sample counts are "
+    "proportional to sqrt(n) — head languages stop drowning the tail. "
+    "The keep cut is an EXACT integer sqrt on the 1/10000 md5 grid "
+    "(floor(sqrt(double)) corrected by integer comparisons), so the "
+    "per-row decision replays bit-for-bit on any engine or retry. "
+    "One count aggregation + broadcast scalar min + broadcast cuts "
+    "join; membership is map-side.",
+)
+def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.temperature_sample(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_length_buckets",
+    """
+    WITH t AS (
+      SELECT LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 2048)
+               AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT n_tokens,
+             CAST(CASE WHEN n_tokens <= 32 THEN 32
+                       WHEN n_tokens <= 64 THEN 64
+                       WHEN n_tokens <= 128 THEN 128
+                       WHEN n_tokens <= 256 THEN 256
+                       WHEN n_tokens <= 512 THEN 512
+                       WHEN n_tokens <= 1024 THEN 1024
+                       ELSE 2048 END AS BIGINT) AS bucket_cap
+      FROM t)
+    SELECT bucket_cap,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(bucket_cap - n_tokens) AS BIGINT) AS pad_waste,
+           (CAST(SUM(bucket_cap - n_tokens) AS BIGINT) * 1000000)
+             // (CAST(COUNT(*) AS BIGINT) * bucket_cap) AS waste_micro
+    FROM b GROUP BY bucket_cap
+    """,
+    _SEC,
+    "Length-bucketed batching layout: every document lands in the "
+    "smallest power-of-two context cap that holds it (overlong docs "
+    "truncate to 2048) and each bucket reports the padding economics "
+    "a dynamic-batching trainer reads — doc count, payload tokens, "
+    "padded slots wasted, waste ratio in exact integer micro-units. "
+    "The complement of llm_seq_packing: packing concatenates (zero "
+    "padding, fragmented docs), bucketing pads whole docs with "
+    "bounded waste. Map-side projection + one small aggregation.",
+)
+def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.length_buckets(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_snapshot_diff",
+    """
+    WITH prev AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 0),
+    c AS (SELECT doc_id AS id, sha256(text) AS c_hash, md5(text) AS c_key
+          FROM documents),
+    p AS (SELECT doc_id AS id, sha256(text) AS p_hash, md5(text) AS p_key
+          FROM prev)
+    SELECT COALESCE(c.id, p.id) AS doc_id,
+           CASE WHEN c.c_hash IS NULL THEN 'removed'
+                WHEN p.p_hash IS NULL THEN 'added'
+                WHEN c.c_hash <> p.p_hash THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COALESCE(c.c_key, p.p_key) AS content_key
+    FROM c FULL OUTER JOIN p ON c.id = p.id
+    """,
+    _SEC,
+    "Corpus snapshot diff — the dataset-versioning audit between two "
+    "releases: per doc id, added / removed / changed / unchanged plus "
+    "the surviving content key. The manufactured previous snapshot "
+    "drops every id%7==0 doc (added now), edits every id%5==0 doc "
+    "(changed), and carries id%11==0 extras (removed now). Both "
+    "sides project to (id, 256-bit hash) BEFORE the full-outer join "
+    "— the shuffle moves 48-byte rows, never payloads; at 100 TB "
+    "both sides are manifest hash columns.",
+)
+def llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v1"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000)
+        )
+    )
+    return dedup.snapshot_diff(docs, prev)

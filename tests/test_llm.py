@@ -595,3 +595,104 @@ def test_bpe_train_monotone_and_encode_bounds(spark):
         assert r["n_words"] == 4
         # 'aaab' (4 chars) must compress below 4 tokens after merges
         assert r["n_bpe_tokens"] < 4 * 3 + 3
+
+def test_temperature_sample_cuts_and_min_stratum(spark, sf_dir):
+    """keep_cut equals the exact integer sqrt of the grid formula, the
+    smallest language keeps every document, and the kept set is the
+    deterministic bucket-below-cut membership."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.sampling import (
+        hash_bucket,
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_sample(docs).collect()
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    mn = min(sizes.values())
+    cuts = {lang: math.isqrt(100_000_000 * mn // n) for lang, n in sizes.items()}
+    assert {r["lang"]: r["keep_cut"] for r in out} == {
+        lang: cuts[lang] for lang in {r["lang"] for r in out}
+    }
+    # the smallest stratum keeps everything (cut == grid size)
+    min_lang = min(sizes, key=lambda k: (sizes[k], k))
+    assert cuts[min_lang] == 10_000
+    assert sum(1 for r in out if r["lang"] == min_lang) == sizes[min_lang]
+    # membership is exactly bucket < cut
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket(F.col("doc_id"), "temp:v1", 10_000).alias("b")
+        ).collect()
+    }
+    expect = {
+        (r["doc_id"], r["lang"])
+        for r in docs.select("doc_id", "lang").collect()
+        if buckets[r["doc_id"]] < cuts[r["lang"]]
+    }
+    assert {(r["doc_id"], r["lang"]) for r in out} == expect
+
+
+def test_length_buckets_conserve_and_bound_waste(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.sampling import length_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = length_buckets(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    caps = (32, 64, 128, 256, 512, 1024, 2048)
+    for r in rows:
+        assert r["bucket_cap"] in caps
+        assert r["pad_waste"] == r["n_docs"] * r["bucket_cap"] - r["tokens_total"]
+        assert 0 <= r["waste_micro"] < 1_000_000
+        # every doc in the bucket is longer than the next cap down
+        # (else it would have landed there), so waste < half the slots
+        # for power-of-two caps
+        if r["bucket_cap"] > caps[0]:
+            assert r["waste_micro"] < 500_000
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        length_buckets(docs, caps=(64, 32))
+
+
+def test_snapshot_diff_statuses_match_fixture_arithmetic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.dedup import snapshot_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    prev = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v1"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(docs, prev).collect()}
+    for r in docs.select("doc_id").collect():
+        i = r["doc_id"]
+        want = (
+            "added" if i % 7 == 0 else ("changed" if i % 5 == 0 else "unchanged")
+        )
+        assert got[i] == want, i
+        if i % 11 == 0:
+            assert got[i + 1000000] == "removed"
+    n_removed = sum(1 for s in got.values() if s == "removed")
+    assert n_removed == docs.filter(F.col("doc_id") % 11 == 0).count()
