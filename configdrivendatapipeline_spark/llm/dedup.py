@@ -486,6 +486,69 @@ def cross_corpus_dedup(
     ).drop("__k")
 
 
+def graph_rank(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "vec_id",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank over an undirected pair
+    graph — centrality in the near-duplicate graph, the signal that
+    picks the CANONICAL representative of a duplicate neighborhood
+    (keep the most-connected doc, not the lowest id) and surfaces
+    template/boilerplate hubs.
+
+    ``pairs`` is (id_a, id_b) one row per undirected edge; ``nodes``
+    supplies the full id universe so isolated docs score the floor.
+    Ranks are exact integer micro-units: r₀ = 10⁶, each iteration
+    r'(v) = (1-d)·10⁶ + (d·Σ_{u→v} r(u) div deg(u)) with damping and
+    division as integer arithmetic — replayable bit-for-bit on any
+    engine (float PageRank is summation-order-dependent). Dangling
+    and isolated nodes leak their mass (no redistribution term):
+    documented, deterministic, and irrelevant for ranking canonical
+    representatives within a neighborhood.
+
+    Each of the ``iters`` (fixed, small) iterations is one edge join
+    + one aggregation — O(E) shuffle per round, the same cost shape
+    as the label-propagation clustering above; no driver-side loops
+    over data, only over the iteration count.
+    """
+    if iters <= 0 or not (0 <= damping_pct <= 100):
+        raise ValueError(
+            f"need iters > 0 and 0 <= damping_pct <= 100; got "
+            f"{iters}, {damping_pct}"
+        )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ids = nodes.select(F.col(id_col).alias("id"))
+    floor = (100 - damping_pct) * 10_000
+    ranks = ids.select("id", F.lit(1_000_000).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
+        )
+        incoming = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = ids.join(incoming, "id", "left").select(
+            "id",
+            F.expr(
+                f"CAST({floor} + ({damping_pct} * coalesce(s, CAST(0 AS BIGINT)))"
+                f" div 100 AS BIGINT)"
+            ).alias("r"),
+        )
+    return ranks.join(deg, ranks.id == deg.src, "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("d", F.lit(0).cast("long")).alias("n_neighbors"),
+        F.col("r").alias("rank_micro"),
+    )
+
+
 def snapshot_diff(
     curr: DataFrame,
     prev: DataFrame,

@@ -166,6 +166,68 @@ def pack_offsets(
     )
 
 
+def pack_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    shards: int = 8,
+    salt: str = "pack:v1",
+    shuffle_salt: str | None = None,
+) -> DataFrame:
+    """The writer manifest for :func:`pack_offsets`: one row per
+    (document, context window) fragment — which token slice of each
+    doc lands in which pack. This is the table a tokenized-shard
+    writer actually consumes: scan it ordered by (shard, pack_no) and
+    emit ``slice_len`` tokens of each doc starting at ``slice_start``.
+
+    Docs spanning a cut produce one row per pack they touch, so the
+    explode fans out by ceil(n_tokens/budget) per doc — bounded and
+    payload-free (the manifest carries offsets, never text). No
+    shuffle beyond the single packing cumsum; the per-pack fragment
+    arithmetic is map-side integer expressions.
+    """
+    off = pack_offsets(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        shards=shards,
+        salt=salt,
+        shuffle_salt=shuffle_salt,
+    )
+    return (
+        off.select(
+            id_col,
+            "shard",
+            "n_tokens",
+            "tok_offset",
+            F.explode(
+                F.sequence(F.col("pack_first"), F.col("pack_last"))
+            ).alias("pack_no"),
+        )
+        .select(
+            id_col,
+            "shard",
+            "pack_no",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("pack_no") * budget - F.col("tok_offset"),
+            ).alias("slice_start"),
+            (
+                F.least(
+                    F.col("n_tokens"),
+                    (F.col("pack_no") + 1) * budget - F.col("tok_offset"),
+                )
+                - F.greatest(
+                    F.lit(0).cast("long"),
+                    F.col("pack_no") * budget - F.col("tok_offset"),
+                )
+            ).alias("slice_len"),
+        )
+    )
+
+
 def source_weights(
     df: DataFrame,
     group_cols: tuple[str, ...] = ("source", "lang"),

@@ -283,6 +283,8 @@ _ROUND6_WINDOW = (
     "llm_temperature_sample",
     "llm_length_buckets",
     "llm_snapshot_diff",
+    "llm_dup_pagerank",
+    "llm_pack_manifest",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

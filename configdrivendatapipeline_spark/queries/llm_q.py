@@ -2628,3 +2628,107 @@ def llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.snapshot_diff(docs, prev)
+
+
+def _opagerank_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration CTE: integer micro-unit ranks,
+    85% damping, mass from ``prev`` pushed along edges; the outer CAST
+    collapses DuckDB's HUGEINT sum back to the BIGINT Spark emits."""
+    return (
+        f"{out} AS (SELECT n.id, CAST(150000 + (85 * COALESCE("
+        f"SUM(r.r // dg.d), 0)) // 100 AS BIGINT) AS r "
+        f"FROM n LEFT JOIN edges e ON e.dst = n.id "
+        f"LEFT JOIN {prev} r ON r.id = e.src "
+        f"LEFT JOIN deg dg ON dg.src = e.src "
+        f"GROUP BY n.id)"
+    )
+
+
+@declare(
+    "llm_dup_pagerank",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM cb a JOIN cb b ON a.table_id = b.table_id
+                         AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand JOIN v va ON va.vec_id = id_a JOIN v vb ON vb.vec_id = id_b
+      WHERE {_ocos('va.embedding', 'vb.embedding')} >= 0.3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    n AS (SELECT vec_id AS id FROM embeddings),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+    {_opagerank_iter('r0', 'i1')},
+    {_opagerank_iter('i1', 'i2')},
+    {_opagerank_iter('i2', 'i3')}
+    SELECT n.id AS vec_id,
+           CAST(COALESCE(dg.d, 0) AS BIGINT) AS n_neighbors,
+           i3.r AS rank_micro
+    FROM n JOIN i3 ON i3.id = n.id
+    LEFT JOIN deg dg ON dg.src = n.id
+    """,
+    _SEC,
+    "Near-dup graph centrality: 3 unrolled PageRank iterations (85% "
+    "damping) over the LSH-bucketed cosine near-duplicate pair graph "
+    "— the signal that picks the CANONICAL member of a duplicate "
+    "neighborhood (most-connected, not lowest-id) and surfaces "
+    "boilerplate/template hubs. Ranks are exact integer micro-units "
+    "(float PageRank is summation-order-dependent and can never "
+    "hash-match); isolated docs score the 0.15 floor. Each iteration "
+    "is one O(E) edge join + aggregation — the same per-round cost "
+    "shape as connected components; no driver-side data loops.",
+)
+def llm_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.neardup_pairs(emb, threshold=0.3).select("id_a", "id_b")
+    return dedup.graph_rank(pairs, emb, id_col="vec_id", iters=3)
+
+
+@declare(
+    "llm_pack_manifest",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_obucket_md5('doc_id', 'pack:v1', 8)} AS shard
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_offset
+      FROM d
+    ), x AS (
+      SELECT doc_id, shard, n_tokens, tok_offset,
+             UNNEST(generate_series(tok_offset // 2048,
+                    (tok_offset + n_tokens - 1) // 2048)) AS pack_no
+      FROM o)
+    SELECT doc_id, shard,
+           CAST(pack_no AS BIGINT) AS pack_no,
+           CAST(GREATEST(0, pack_no * 2048 - tok_offset) AS BIGINT)
+             AS slice_start,
+           CAST(LEAST(n_tokens, (pack_no + 1) * 2048 - tok_offset)
+                - GREATEST(0, pack_no * 2048 - tok_offset) AS BIGINT)
+             AS slice_len
+    FROM x
+    """,
+    _SEC,
+    "Sequence-packing writer manifest: one row per (doc, context "
+    "window) fragment — which token slice of each doc lands in which "
+    "2048-token pack. The table a tokenized-shard writer consumes: "
+    "scan ordered by (shard, pack_no), emit slice_len tokens from "
+    "slice_start of each doc. Docs straddling a cut fan out one row "
+    "per pack touched (bounded explode, offsets only, never text); "
+    "no shuffle beyond the packing cumsum itself.",
+)
+def llm_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.pack_manifest(load(spark, sf_dir, "documents"))

@@ -696,3 +696,76 @@ def test_snapshot_diff_statuses_match_fixture_arithmetic(spark, sf_dir):
             assert got[i + 1000000] == "removed"
     n_removed = sum(1 for s in got.values() if s == "removed")
     assert n_removed == docs.filter(F.col("doc_id") % 11 == 0).count()
+
+
+def test_pack_manifest_slices_partition_docs_and_fill_packs(spark, sf_dir):
+    """Fragment slices are contiguous, conserve every doc's tokens,
+    and packs are exactly full except each shard's last pack."""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.sampling import (
+        pack_manifest,
+        pack_offsets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    man = pack_manifest(docs, budget=256).collect()
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_offsets(docs, budget=256).collect()
+    }
+    by_doc: dict = {}
+    for r in man:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, frags in by_doc.items():
+        frags.sort(key=lambda r: r["pack_no"])
+        assert sum(r["slice_len"] for r in frags) == toks[doc_id]
+        assert frags[0]["slice_start"] == 0
+        for a, b in zip(frags, frags[1:]):
+            assert b["pack_no"] == a["pack_no"] + 1
+            assert b["slice_start"] == a["slice_start"] + a["slice_len"]
+        assert all(r["slice_len"] > 0 for r in frags)
+    fill: dict = {}
+    for r in man:
+        k = (r["shard"], r["pack_no"])
+        fill[k] = fill.get(k, 0) + r["slice_len"]
+    last = {}
+    for (shard, pack_no) in fill:
+        last[shard] = max(last.get(shard, -1), pack_no)
+    for (shard, pack_no), n in fill.items():
+        if pack_no < last[shard]:
+            assert n == 256, (shard, pack_no, n)
+        else:
+            assert 0 < n <= 256
+
+
+def test_graph_rank_matches_python_reference(spark):
+    from configdrivendatapipeline_spark.llm.dedup import graph_rank
+
+    # path graph 1-2-3 plus isolated node 4: centrality 2 > 1 == 3 > 4
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["vec_id"])
+    got = {
+        r["vec_id"]: (r["n_neighbors"], r["rank_micro"])
+        for r in graph_rank(pairs, nodes, iters=3).collect()
+    }
+    deg = {1: 1, 2: 2, 3: 1, 4: 0}
+    r = {v: 1_000_000 for v in deg}
+    for _ in range(3):
+        nxt = {}
+        for v in deg:
+            inc = 0
+            for (a, b) in [(1, 2), (2, 3)]:
+                for (u, w) in [(a, b), (b, a)]:
+                    if w == v:
+                        inc += r[u] // deg[u]
+            nxt[v] = 150_000 + (85 * inc) // 100
+        r = nxt
+    assert got == {v: (deg[v], r[v]) for v in deg}
+    assert got[2][1] > got[1][1] == got[3][1] > got[4][1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        graph_rank(pairs, nodes, iters=0)
