@@ -673,6 +673,85 @@ def _pack(spark, dfs, p):
     )
 
 
+@op("pack_manifest")
+def _pack_manifest(spark, dfs, p):
+    """Writer manifest for ``pack``: one row per (doc, context window)
+    token slice (see llm.sampling.pack_manifest)."""
+    from configdrivendatapipeline_spark.llm.sampling import pack_manifest
+
+    return pack_manifest(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        budget=int(p.get("budget", 2048)),
+        shards=int(p.get("shards", 8)),
+        salt=p.get("salt", "pack:v1"),
+        shuffle_salt=p.get("shuffle_salt"),
+    )
+
+
+@op("temperature_sample")
+def _temperature_sample(spark, dfs, p):
+    """Temperature-flattened mixture sampling at alpha=1/2 (see
+    llm.sampling.temperature_sample): per-stratum sqrt(n_min/n) keep
+    fractions derived from the data on the exact md5 grid."""
+    from configdrivendatapipeline_spark.llm.sampling import temperature_sample
+
+    return temperature_sample(
+        _one(dfs),
+        group_col=p.get("group_by", "lang"),
+        id_col=p.get("id_column", "doc_id"),
+        salt=p.get("salt", "temp:v1"),
+    )
+
+
+@op("length_buckets")
+def _length_buckets(spark, dfs, p):
+    """Length-bucketed batching layout with per-bucket padding-waste
+    accounting (see llm.sampling.length_buckets)."""
+    from configdrivendatapipeline_spark.llm.sampling import length_buckets
+
+    return length_buckets(
+        _one(dfs),
+        text_col=p.get("text_column", "text"),
+        caps=tuple(p.get("caps", (32, 64, 128, 256, 512, 1024, 2048))),
+    )
+
+
+@op("snapshot_diff")
+def _snapshot_diff(spark, dfs, p):
+    """Corpus snapshot diff: added/removed/changed/unchanged per id
+    between two snapshots (see llm.dedup.snapshot_diff)."""
+    from configdrivendatapipeline_spark.llm.dedup import snapshot_diff
+
+    if len(dfs) != 2:
+        raise ValueError("snapshot_diff expects exactly 2 inputs (current, previous)")
+    return snapshot_diff(
+        dfs[0],
+        dfs[1],
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+    )
+
+
+@op("graph_rank")
+def _graph_rank(spark, dfs, p):
+    """Integer-exact PageRank over an undirected pair graph (see
+    llm.dedup.graph_rank): input 1 = (id_a, id_b) pairs, input 2 =
+    the node universe."""
+    from configdrivendatapipeline_spark.llm.dedup import graph_rank
+
+    if len(dfs) != 2:
+        raise ValueError("graph_rank expects exactly 2 inputs (pairs, nodes)")
+    return graph_rank(
+        dfs[0],
+        dfs[1],
+        id_col=p.get("id_column", "vec_id"),
+        iters=int(p.get("iters", 3)),
+        damping_pct=int(p.get("damping_pct", 85)),
+    )
+
+
 # --- skew escape hatches -------------------------------------------------------
 
 

@@ -1439,3 +1439,106 @@ steps:
       by: [source]
 """
     return _run(spark, yml, "ranked")
+
+
+from configdrivendatapipeline_spark.queries import omd5bucket as _ob  # noqa: E402
+
+
+@declare(
+    "pipeline_training_layout",
+    f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang),
+    mn AS (SELECT MIN(n_docs) AS mn FROM c),
+    cuts AS (
+      SELECT lang, (100000000 * mn) // n_docs AS x FROM c CROSS JOIN mn),
+    s AS (
+      SELECT lang, x,
+             CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+      FROM cuts),
+    k2 AS (
+      SELECT lang,
+             s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN 1 ELSE 0 END)
+                - (CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END) AS keep_cut
+      FROM s),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d JOIN k2 USING (lang)
+      WHERE {_ob('d.doc_id', 'temp:v1', 10000)} < k2.keep_cut),
+    d2 AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_ob('doc_id', 'pack:v1', 8)} AS shard
+      FROM kept),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_offset
+      FROM d2),
+    x AS (
+      SELECT shard, n_tokens, tok_offset,
+             UNNEST(generate_series(tok_offset // 512,
+                    (tok_offset + n_tokens - 1) // 512)) AS pack_no
+      FROM o),
+    m AS (
+      SELECT shard, pack_no,
+             CAST(LEAST(n_tokens, (pack_no + 1) * 512 - tok_offset)
+                  - GREATEST(0, pack_no * 512 - tok_offset) AS BIGINT)
+               AS slice_len
+      FROM x)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_fragments,
+           CAST(COUNT(DISTINCT pack_no) AS BIGINT) AS n_packs,
+           CAST(SUM(slice_len) AS BIGINT) AS tokens_total,
+           CAST(MAX(pack_no) AS BIGINT) AS max_pack
+    FROM m GROUP BY shard
+    """,
+    _SEC,
+    "YAML pipeline: the training-data layout DAG (examples/"
+    "training_layout.yaml) — temperature_sample (alpha=1/2 language "
+    "rebalance) → semi-join back to payloads → pack_manifest "
+    "(512-token context windows) → per-shard accounting — the whole "
+    "tokenize-and-lay-out tail of a pretraining data pipeline, "
+    "config-declared end-to-end and hash-checked against a composed "
+    "SQL twin.",
+)
+def pipeline_training_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: training_layout
+sources:
+  documents:
+    format: parquet
+    path: {sf_dir}/documents.parquet
+steps:
+  - id: sampled
+    input: documents
+    op: temperature_sample
+    params: {{group_by: lang, salt: "temp:v1"}}
+  - id: sampled_ids
+    input: sampled
+    op: select
+    params: {{columns: [doc_id]}}
+  - id: kept_docs
+    inputs: [documents, sampled_ids]
+    op: join
+    params: {{"on": [doc_id], how: left_semi}}
+  - id: manifest
+    input: kept_docs
+    op: pack_manifest
+    params: {{budget: 512}}
+  - id: shard_stats
+    input: manifest
+    op: aggregate
+    params:
+      group_by: [shard]
+      aggs:
+        n_fragments: "count(1)"
+        n_packs: "count(distinct pack_no)"
+        tokens_total: "sum(slice_len)"
+        max_pack: "max(pack_no)"
+"""
+    return _run(spark, yml, "shard_stats")

@@ -40,6 +40,8 @@ def test_every_op_is_exercised_below():
         "quantize_int8", "knn_join", "semdedup", "pack", "event_time",
         "shuffle", "observe", "source_weights", "watermark", "kmeans",
         "bloom_prefilter", "zorder", "compact", "cdc_apply", "lm_score",
+        "pack_manifest", "temperature_sample", "length_buckets",
+        "snapshot_diff", "graph_rank",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -814,3 +816,53 @@ def test_lm_score_through_yaml(spark, sf_dir):
     )
     assert got == want
     assert 0 < frames["gated"].count() < frames["scored"].count()
+
+
+def test_training_layout_ops(spark, sf_dir):
+    """temperature_sample / length_buckets / pack_manifest /
+    snapshot_diff / graph_rank reachable from YAML, equal to the
+    direct library calls."""
+    from configdrivendatapipeline_spark.llm import dedup, sampling
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: tsamp, input: documents, op: temperature_sample, params: {group_by: lang}}
+  - {id: lbuck, input: documents, op: length_buckets, params: {text_column: text}}
+  - {id: manif, input: documents, op: pack_manifest, params: {budget: 256}}
+  - {id: prev, input: documents, op: filter, params: {predicate: "doc_id % 2 = 0"}}
+  - {id: sdiff, inputs: [documents, prev], op: snapshot_diff, params: {}}
+""",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rows(frames["tsamp"]) == rows(sampling.temperature_sample(docs))
+    assert rows(frames["lbuck"]) == rows(sampling.length_buckets(docs))
+    assert rows(frames["manif"]) == rows(sampling.pack_manifest(docs, budget=256))
+    prev = docs.filter(F.col("doc_id") % 2 == 0)
+    assert rows(frames["sdiff"]) == rows(dedup.snapshot_diff(docs, prev))
+
+
+def test_graph_rank_op(spark, sf_dir):
+    from configdrivendatapipeline_spark.llm import dedup
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], ["vec_id"])
+    pairs.write.mode("overwrite").parquet("/tmp/cddp_test_pairs.parquet")
+    nodes.write.mode("overwrite").parquet("/tmp/cddp_test_nodes.parquet")
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: ranked, inputs: [pairs, nodes], op: graph_rank, params: {iters: 2}}
+""",
+        extra_sources=(
+            '  pairs: {format: parquet, path: "/tmp/cddp_test_pairs.parquet"}\n'
+            '  nodes: {format: parquet, path: "/tmp/cddp_test_nodes.parquet"}\n'
+        ),
+    )
+    assert rows(frames["ranked"]) == rows(
+        dedup.graph_rank(pairs, nodes, iters=2)
+    )
