@@ -101,6 +101,25 @@ def bpe_encode_counts(
     occurrence, which is what makes encode cheap at 100 TB."""
     from configdrivendatapipeline_spark.llm.textstats import tokens
 
+    word_tokens = _word_token_counts(df, merges, text_col)
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+    return (
+        toks.join(F.broadcast(word_tokens), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wtok").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _word_token_counts(
+    df: DataFrame, merges: list[str], text_col: str
+) -> DataFrame:
+    """word → post-merge BPE token count, evaluated on the DISTINCT
+    word table only (vocab-sized — the broadcastable encode map)."""
+    from configdrivendatapipeline_spark.llm.textstats import tokens
+
     words = df.select(F.explode(tokens(text_col)).alias("word")).distinct()
     sym = words.select(
         "word",
@@ -114,16 +133,46 @@ def bpe_encode_counts(
             "sym",
             F.replace(F.col("sym"), F.lit(f" {pr} "), F.lit(f" {merged} ")),
         )
-    word_tokens = sym.select(
+    return sym.select(
         "word", F.size(F.split(F.trim("sym"), " ")).cast("long").alias("wtok")
     )
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[str],
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per stratum: BPE tokens emitted per
+    whitespace word, in exact integer micro-units — the
+    tokenizer-equity audit a multilingual corpus runs (a tokenizer
+    trained on the head languages fragments the tail into many more
+    tokens per word, silently taxing those languages' context budget
+    and training cost).
+
+    Same cost shape as encode: the merge chain runs on the DISTINCT
+    word table only, a broadcast word → token-count map joins back,
+    and the rollup is one small aggregation per stratum.
+    """
+    from configdrivendatapipeline_spark.llm.textstats import tokens
+
+    word_tokens = _word_token_counts(df, merges, text_col)
+    toks = df.select(F.col(group_col), F.explode(tokens(text_col)).alias("word"))
     return (
         toks.join(F.broadcast(word_tokens), "word")
-        .groupBy(id_col)
+        .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("wtok").alias("n_bpe_tokens"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("(n_bpe_tokens * 1000000) div n_words").alias(
+                "fertility_micro"
+            ),
         )
     )
 

@@ -285,6 +285,10 @@ _ROUND6_WINDOW = (
     "llm_snapshot_diff",
     "llm_dup_pagerank",
     "llm_pack_manifest",
+    "pipeline_training_layout",
+    "val_benford",
+    "llm_tokenizer_fertility",
+    "win_running_distinct",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

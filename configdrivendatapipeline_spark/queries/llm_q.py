@@ -2732,3 +2732,40 @@ def llm_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.llm import sampling
 
     return sampling.pack_manifest(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_tokenizer_fertility",
+    "WITH "
+    + ",\n".join(_obpe_ctes(20))
+    + """,
+    dw AS (SELECT d.lang, unnest(string_split(d.text, ' ')) AS word
+           FROM documents d),
+    g AS (
+      SELECT dw.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(string_split(trim(v.sym), ' '))) AS BIGINT)
+               AS n_bpe_tokens
+      FROM dw JOIN v20 v ON v.word = dw.word
+      GROUP BY dw.lang)
+    SELECT lang, n_words, n_bpe_tokens,
+           (n_bpe_tokens * 1000000) // n_words AS fertility_micro
+    FROM g
+    """,
+    _SEC,
+    "Tokenizer fertility per language: BPE tokens per whitespace "
+    "word after the 20 corpus-trained merges, exact integer "
+    "micro-units — the tokenizer-equity audit of a multilingual "
+    "corpus (a head-language tokenizer fragments tail languages "
+    "into more tokens per word, silently taxing their context "
+    "budget and compute share). Merge chain on the DISTINCT word "
+    "table only, broadcast map join back, one per-language rollup.",
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_fertility,
+        bpe_train_merges,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bpe_fertility(docs, bpe_train_merges(docs, n_merges=20))

@@ -600,3 +600,45 @@ def val_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+_OBENFORD_CASE = (
+    "CAST(CASE first_digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 "
+    "WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181 "
+    "WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153 "
+    "WHEN 9 THEN 45757 END AS BIGINT)"
+)
+
+
+@declare(
+    "val_benford",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_rows
+          FROM d GROUP BY first_digit),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c)
+    SELECT first_digit, n_rows,
+           (n_rows * 1000000) // total AS share_micro,
+           {_OBENFORD_CASE} AS benford_micro,
+           ABS((n_rows * 1000000) // total - {_OBENFORD_CASE})
+             AS benford_dev_micro
+    FROM c CROSS JOIN t
+    """,
+    _SEC,
+    "Benford's-law leading-digit profile of order totals — the "
+    "fabricated-data / unit-rescale tripwire for financial columns: "
+    "per digit, observed share vs the fixed Benford expectation in "
+    "exact integer micro-units. The digit comes from the INTEGER "
+    "cents string (leading digits are scale-10-invariant), never a "
+    "double's engine-specific rendering; the expectations are fixed "
+    "constants because runtime log10 is not cross-engine bit-stable. "
+    "Map-side digit extraction, one 9-group aggregation, broadcast "
+    "total.",
+)
+def val_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.validation import benford_profile
+
+    return benford_profile(load(spark, sf_dir, "orders"), "o_totalprice")

@@ -831,3 +831,57 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "user_id", "event_id", med_micro.cast("long").alias("med_micro")
     )
+
+
+@declare(
+    "win_running_distinct",
+    """
+    WITH f AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey, o_orderpriority
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(is_first) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_so_far
+    FROM f
+    """,
+    _SEC,
+    "Running COUNT(DISTINCT) per group — how many distinct order "
+    "priorities each customer has used up to each order. Windowed "
+    "DISTINCT aggregates aren't supported by either engine, so this "
+    "is the standard exact rewrite: a first-occurrence flag "
+    "(row_number = 1 over (group, value)) cumulatively summed over "
+    "the group — two per-customer windows sharing one shuffle key, "
+    "never a global window or a quadratic self-join.",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w_first = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "is_first"
+        ),
+    )
+    return flagged.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        F.sum("is_first").over(w_run).cast("long").alias("distinct_so_far"),
+    )

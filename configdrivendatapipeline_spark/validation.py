@@ -319,3 +319,55 @@ def profile_columns(df: DataFrame, columns: list[str]) -> DataFrame:
         for c in columns
     ]
     return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+#: round(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+#: leading-digit shares. Fixed constants (not computed with log at
+#: runtime) because IEEE log is not cross-engine bit-stable and the
+#: law's values are universal anyway.
+BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def benford_profile(df: DataFrame, column: str) -> DataFrame:
+    """Benford's-law leading-digit profile of a positive numeric
+    column — the classic fabricated-data / unit-mix-up tripwire for
+    financial and measurement pipelines: organically-grown magnitudes
+    follow log-uniform leading digits; injected constants, unit
+    rescalings, or synthetic padding show up as large deviations.
+
+    One map-side digit extraction + one 9-group aggregation + a
+    broadcast 1-row total — nothing scales beyond the scan. The
+    leading digit is taken from the INTEGER cents string (leading
+    digits are invariant under the ×100 power-of-ten rescale), never
+    from a double's string rendering, which engines format
+    differently. Shares and deviations are exact integer micro-units
+    against the fixed Benford constants.
+    """
+    digit = F.expr(
+        f"CAST(substring(CAST(CAST(FLOOR({column} * 100) AS BIGINT) AS STRING),"
+        f" 1, 1) AS BIGINT)"
+    )
+    counts = (
+        df.filter(F.col(column) > 0)
+        .select(digit.alias("first_digit"))
+        .groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = counts.agg(F.sum("n_rows").cast("long").alias("total"))
+    bexp = F.lit(None).cast("long")
+    for d, micro in enumerate(BENFORD_MICRO, start=1):
+        bexp = F.when(F.col("first_digit") == d, F.lit(micro).cast("long")).otherwise(bexp)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share_micro", F.expr("(n_rows * 1000000) div total"))
+        .withColumn("benford_micro", bexp)
+        .select(
+            "first_digit",
+            "n_rows",
+            "share_micro",
+            "benford_micro",
+            F.abs(F.col("share_micro") - F.col("benford_micro")).alias(
+                "benford_dev_micro"
+            ),
+        )
+    )

@@ -769,3 +769,33 @@ def test_graph_rank_matches_python_reference(spark):
 
     with _pytest.raises(ValueError):
         graph_rank(pairs, nodes, iters=0)
+
+
+def test_bpe_fertility_rolls_up_encode_and_floors_at_one(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_encode_counts,
+        bpe_fertility,
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train_merges(docs, n_merges=5)
+    fert = bpe_fertility(docs, merges).collect()
+    # every word encodes to >= 1 token, so fertility >= 1.0
+    assert all(r["fertility_micro"] >= 1_000_000 for r in fert)
+    # the per-lang totals are exactly the per-doc encode totals rolled up
+    enc = bpe_encode_counts(docs, merges)
+    langs = docs.select("doc_id", "lang")
+    want = {
+        (r["lang"], r["n_words"], r["n_bpe_tokens"])
+        for r in enc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .collect()
+    }
+    assert {(r["lang"], r["n_words"], r["n_bpe_tokens"]) for r in fert} == want

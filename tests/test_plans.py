@@ -177,3 +177,53 @@ def test_unigram_lm_two_shuffles_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "llm_unigram_lm")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_benford_constants_and_share_conservation(spark, sf_dir):
+    import math
+
+    from configdrivendatapipeline_spark.validation import (
+        BENFORD_MICRO,
+        benford_profile,
+    )
+
+    for d, micro in enumerate(BENFORD_MICRO, start=1):
+        assert micro == round(math.log10(1 + 1 / d) * 1_000_000)
+    rows = benford_profile(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_totalprice"
+    ).collect()
+    assert {r["first_digit"] for r in rows} <= set(range(1, 10))
+    total = sum(r["n_rows"] for r in rows)
+    # floor-divided shares undershoot by < 1 micro each
+    s = sum(r["share_micro"] for r in rows)
+    assert 1_000_000 - 9 <= s <= 1_000_000
+    for r in rows:
+        assert r["benford_dev_micro"] == abs(
+            r["share_micro"] - r["benford_micro"]
+        )
+
+
+def test_running_distinct_matches_final_count_and_monotone(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.queries.windows import (
+        win_running_distinct,
+    )
+
+    out = win_running_distinct(spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    finals = {
+        r["o_custkey"]: r["n"]
+        for r in o.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("n"))
+        .collect()
+    }
+    by_cust: dict = {}
+    for r in out:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for ck, rs in by_cust.items():
+        rs.sort(key=lambda r: (r["o_orderdate"], r["o_orderkey"]))
+        vals = [r["distinct_so_far"] for r in rs]
+        assert vals[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(vals, vals[1:]))
+        assert vals[-1] == finals[ck]
