@@ -48,6 +48,65 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_hash_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """(id, hs array<long>) — the distinct 32-bit k-shingle hash set
+    of each document, computed entirely row-local (zero shuffle).
+
+    Shingle hashes WITHOUT materializing shingle strings: hash each
+    token once, then combine k consecutive token-hashes arithmetically
+    (odd-multiplier mix, masked per term so ANSI long arithmetic can't
+    overflow) — skips building and re-hashing ~n·k characters of
+    concatenated shingle text per doc. Token-hash primitive: xxhash64
+    (fastest, JVM-native) is the production default; "md5_32" (first
+    8 hex chars of md5 as an int) is the same 32-bit family but
+    replayable bit-for-bit by any SQL engine — the cross-engine
+    verification member. This set is the ground truth MinHash
+    estimates Jaccard over (see :func:`minhash_signatures` /
+    ``minhash_calibration``).
+    """
+    spark = df.sparkSession
+    src = df.select(id_col, text_col)
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target, id_col)
+    toks = F.split(F.col(text_col), " ")
+    if token_hash == "md5_32":
+        th = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        )
+    else:
+        th = F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)))
+    mixers = [
+        F.lit(((j + 1) * 2654435761) % (2**29) | 1) for j in range(shingle_k)
+    ]
+
+    def shingle_hash(i: Column) -> Column:
+        acc = None
+        for j in range(shingle_k):
+            term = (F.coalesce(F.get(F.col("__th"), i + j), F.lit(0)) * mixers[j]).bitwiseAND(
+                F.lit(0xFFFFFFFFFFFF)
+            )
+            acc = term if acc is None else acc + term
+        return acc.bitwiseAND(F.lit(0xFFFFFFFF))
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("__th")) - shingle_k, F.lit(0)))
+    return (
+        src.select(id_col, th.alias("__th"))
+        .filter(F.size("__th") > 0)
+        .select(
+            id_col,
+            F.array_distinct(F.transform(idx, shingle_hash)).alias("hs"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -73,51 +132,7 @@ def minhash_signatures(
     source arrives in fewer splits than cores (single small file
     locally; already-split at lake scale).
     """
-    spark = df.sparkSession
-    src = df.select(id_col, text_col)
-    target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        src = src.repartition(target, id_col)
-    # Shingle hashes WITHOUT materializing shingle strings: hash each
-    # token once (xxhash64, 32-bit mask), then combine k consecutive
-    # token-hashes arithmetically (odd-multiplier mix, masked per term
-    # so ANSI long arithmetic can't overflow). Skips building and
-    # re-hashing ~n·k characters of concatenated shingle text per doc
-    # — the former hot spot of the signature stage.
-    # Token-hash primitive: xxhash64 (fastest, JVM-native) is the
-    # production default; "md5_32" (first 8 hex chars of md5 as an
-    # int) is the same 32-bit family but replayable bit-for-bit by
-    # any SQL engine — the cross-engine verification member.
-    toks = F.split(F.col(text_col), " ")
-    if token_hash == "md5_32":
-        th = F.transform(
-            toks,
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-        )
-    else:
-        th = F.transform(toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit(0xFFFFFFFF)))
-    mixers = [
-        F.lit(((j + 1) * 2654435761) % (2**29) | 1) for j in range(shingle_k)
-    ]
-
-    def shingle_hash(i: Column) -> Column:
-        acc = None
-        for j in range(shingle_k):
-            term = (F.coalesce(F.get(F.col("__th"), i + j), F.lit(0)) * mixers[j]).bitwiseAND(
-                F.lit(0xFFFFFFFFFFFF)
-            )
-            acc = term if acc is None else acc + term
-        return acc.bitwiseAND(F.lit(0xFFFFFFFF))
-
-    idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("__th")) - shingle_k, F.lit(0)))
-    hashed = (
-        src.select(id_col, th.alias("__th"))
-        .filter(F.size("__th") > 0)
-        .select(
-            id_col,
-            F.array_distinct(F.transform(idx, shingle_hash)).alias("hs"),
-        )
-    )
+    hashed = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
     mask32 = F.lit(0xFFFFFFFF)
 
     def sig_i(i: Column) -> Column:
@@ -272,6 +287,87 @@ def lsh_candidate_pairs(
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     return pairs.distinct()
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """Estimator calibration audit for the MinHash dedup path: for
+    every LSH candidate pair, the MinHash Jaccard ESTIMATE (matching
+    signature slots / H) next to the EXACT shingle-set Jaccard and
+    their signed error — all in integer micro-units. This is the
+    evidence a dedup rollout reads before trusting (H, bands)
+    parameters: a fat error tail means more permutations or a higher
+    band threshold before the dedup verdicts are trustworthy.
+
+    Cost shape: signatures and shingle sets are the same zero-shuffle
+    map stages the dedup path already runs; candidates are the same
+    capped bucket pairs; scoring joins the candidate list (bounded,
+    never O(n²)) back to two per-id maps — four id-keyed joins over
+    pair-sized data. Arrays stay internal; the output is scalar.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_k, token_hash
+    )
+    pairs = lsh_candidate_pairs(
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        sig_len=n_hashes,
+        band_key="concat" if token_hash == "md5_32" else "xxhash64",
+    )
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
+    j = (
+        pairs.join(
+            sigs.select(
+                F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+            ),
+            "id_b",
+        )
+        .join(
+            hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")),
+            "id_a",
+        )
+        .join(
+            hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")),
+            "id_b",
+        )
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    scored = j.select(
+        "id_a",
+        "id_b",
+        matches.alias("__m"),
+        inter.alias("__i"),
+        (F.size("hs_a") + F.size("hs_b")).cast("long").alias("__ab"),
+    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        F.expr(f"(__m * 1000000) div {n_hashes}").alias("est_micro"),
+        F.expr("(__i * 1000000) div (__ab - __i)").alias("exact_micro"),
+        (
+            F.expr(f"(__m * 1000000) div {n_hashes}")
+            - F.expr("(__i * 1000000) div (__ab - __i)")
+        ).alias("err_micro"),
+    )
 
 
 def jaccard_pairs(

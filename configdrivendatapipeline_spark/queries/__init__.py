@@ -289,6 +289,7 @@ _ROUND6_WINDOW = (
     "val_benford",
     "llm_tokenizer_fertility",
     "win_running_distinct",
+    "llm_minhash_calibration",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -113,11 +113,19 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "content_key", "n_copies")
 
 
-def _minhash_oracle(n_hashes: int = 32, shingle_k: int = 3, bands: int = 8) -> str:
+def _minhash_oracle(
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    calibrate: bool = False,
+) -> str:
     """DuckDB replay of the FULL minhash pipeline (md5_32 token-hash
     member): token hash → shingle mix → affine permutation mins →
     banding → capped bucket pairs. Every constant mirrors
-    ``dedup.minhash_signatures`` / ``_banded`` exactly."""
+    ``dedup.minhash_signatures`` / ``_banded`` exactly. With
+    ``calibrate`` the candidate pairs are additionally scored with
+    the MinHash estimate vs exact shingle-set Jaccard (the
+    ``minhash_calibration`` twin)."""
     m48, m32 = (1 << 48) - 1, (1 << 32) - 1
     md5_32 = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -146,7 +154,7 @@ def _minhash_oracle(n_hashes: int = 32, shingle_k: int = 3, bands: int = 8) -> s
         + " AS bkey FROM sigs"
         for b in range(bands)
     )
-    return f"""
+    prefix = f"""
     WITH th AS (
       SELECT doc_id,
              list_transform(string_split(text, ' '), s -> {md5_32}) AS th
@@ -162,14 +170,39 @@ def _minhash_oracle(n_hashes: int = 32, shingle_k: int = 3, bands: int = 8) -> s
     ), bandrows AS ({band_rows}
     ), bs AS (
       SELECT band_id, bkey, COUNT(*) AS m FROM bandrows GROUP BY 1, 2
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bandrows a
-    JOIN bandrows b ON a.band_id = b.band_id AND a.bkey = b.bkey
-                   AND a.doc_id < b.doc_id
-    JOIN bs ON bs.band_id = a.band_id AND bs.bkey = a.bkey
-    WHERE bs.m <= 1000
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band_id = b.band_id AND a.bkey = b.bkey
+                     AND a.doc_id < b.doc_id
+      JOIN bs ON bs.band_id = a.band_id AND bs.bkey = a.bkey
+      WHERE bs.m <= 1000
+    )"""
+    if not calibrate:
+        return prefix + "\n    SELECT id_a, id_b FROM cand"
+    est = "(CAST(" + " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)"
+        for i in range(n_hashes)
+    ) + f" AS BIGINT) * 1000000) // {n_hashes}"
+    inter = "CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT)"
+    uni = f"(CAST(len(ha.hs) AS BIGINT) + CAST(len(hb.hs) AS BIGINT) - {inter})"
+    exact = f"({inter} * 1000000) // {uni}"
+    return (
+        prefix
+        + f"""
+    SELECT id_a, id_b, est_micro, exact_micro,
+           est_micro - exact_micro AS err_micro
+    FROM (
+      SELECT c.id_a, c.id_b,
+             {est} AS est_micro,
+             {exact} AS exact_micro
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+      JOIN hs ha ON ha.doc_id = c.id_a
+      JOIN hs hb ON hb.doc_id = c.id_b)
     """
+    )
 
 
 @declare(
@@ -2769,3 +2802,24 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return bpe_fertility(docs, bpe_train_merges(docs, n_merges=20))
+
+
+@declare(
+    "llm_minhash_calibration",
+    _minhash_oracle(calibrate=True),
+    _SEC,
+    "MinHash estimator calibration audit: for every LSH candidate "
+    "pair, the MinHash(32) Jaccard ESTIMATE (matching signature "
+    "slots / 32) beside the EXACT shingle-set Jaccard and the signed "
+    "error, in integer micro-units — the evidence that validates the "
+    "(H, bands) dedup parameters before trusting their verdicts at "
+    "corpus scale. Same zero-shuffle signature/shingle map stages "
+    "and capped bucket pairs as the dedup path; scoring is four "
+    "id-keyed joins over pair-sized data, arrays never leave the "
+    "plan. Runs the md5_32 token-hash family member so the oracle "
+    "replays the whole estimate bit-for-bit.",
+)
+def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_calibration(
+        load(spark, sf_dir, "documents"), token_hash="md5_32"
+    )

@@ -799,3 +799,34 @@ def test_bpe_fertility_rolls_up_encode_and_floors_at_one(spark, sf_dir):
         .collect()
     }
     assert {(r["lang"], r["n_words"], r["n_bpe_tokens"]) for r in fert} == want
+
+
+def test_minhash_calibration_exact_on_planted_dup_and_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.dedup import minhash_calibration
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different document about spark query planning"),
+        (4, "the quick brown fox jumps over the lazy cat again and again"),
+    ]
+    df = spark.createDataFrame(base, ["doc_id", "text"])
+    rows = minhash_calibration(df, token_hash="md5_32").collect()
+    got = {(r["id_a"], r["id_b"]): r for r in rows}
+    # the planted exact duplicate must be a candidate with perfect scores
+    r12 = got[(1, 2)]
+    assert r12["est_micro"] == 1_000_000
+    assert r12["exact_micro"] == 1_000_000
+    assert r12["err_micro"] == 0
+    for r in rows:
+        assert 0 <= r["est_micro"] <= 1_000_000
+        assert 0 <= r["exact_micro"] <= 1_000_000
+        assert r["err_micro"] == r["est_micro"] - r["exact_micro"]
+    # both token-hash family members produce the same PAIR SET
+    xx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_calibration(df, token_hash="xxhash64").collect()
+    }
+    assert (1, 2) in xx
