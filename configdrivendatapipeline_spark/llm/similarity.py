@@ -580,6 +580,97 @@ def _kmeans_iterate(
     return a, cents
 
 
+def centroid_drift(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding centroid drift between two deterministic halves of
+    the corpus (id parity — at a real deployment the halves are two
+    snapshot dates or model versions): per label, the cosine between
+    the two half-centroids plus an EXACT integer drift magnitude.
+    This is the embedding-space regression tripwire — a re-embedded
+    corpus or upstream distribution shift moves centroids long before
+    per-vector outlier flags fire.
+
+    Centroid components use the same 2^-20 fixed-point sums as
+    k-means (order-independent BIGINT, engine-identical); the exact
+    magnitude Σ_dim |s_a·n_b − s_b·n_a| is pure integer arithmetic
+    (the cross-multiplied mean difference, scale n_a·n_b·2²⁰), so it
+    hash-matches even where any float distance would not. One
+    explode + one (label, dim) aggregation + a label-sized rollup —
+    labels present in only one half are excluded (no centroid to
+    compare; the mean divisor is floored at 1 so ANSI mode cannot
+    raise on those pre-filter rows).
+    """
+    q = 1 << 20
+    v = emb.select(
+        F.col(label_col),
+        (F.col(id_col) % 2).alias("__half"),
+        as_double(vec_col).alias("__v"),
+    )
+    ex = v.select(
+        label_col, "__half", F.posexplode("__v").alias("dim", "val")
+    ).withColumn("fx", F.floor(F.col("val") * q).cast("long"))
+    comp = ex.groupBy(label_col, "dim").agg(
+        F.sum(F.when(F.col("__half") == 0, F.col("fx")).otherwise(0)).alias("s_a"),
+        F.sum(F.when(F.col("__half") == 1, F.col("fx")).otherwise(0)).alias("s_b"),
+        F.sum(F.when(F.col("__half") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("__half") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    lab = (
+        comp.groupBy(label_col)
+        .agg(
+            F.max("n_a").alias("n_first"),
+            F.max("n_b").alias("n_second"),
+            F.sum(
+                F.abs(F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a"))
+            ).alias("drift_l1"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            (
+                                F.col("s_a").cast("double")
+                                / (F.greatest(F.col("n_a"), F.lit(1))
+                                   * F.lit(float(q)))
+                            ).alias("m"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("m"),
+            ).alias("__ca"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "dim",
+                            (
+                                F.col("s_b").cast("double")
+                                / (F.greatest(F.col("n_b"), F.lit(1))
+                                   * F.lit(float(q)))
+                            ).alias("m"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("m"),
+            ).alias("__cb"),
+        )
+        .filter((F.col("n_first") > 0) & (F.col("n_second") > 0))
+    )
+    return lab.select(
+        F.col(label_col).cast("long").alias(label_col),
+        "n_first",
+        "n_second",
+        "drift_l1",
+        (F.round(cosine(F.col("__ca"), F.col("__cb")), 6) + F.lit(0.0)).alias(
+            "cos_drift"
+        ),
+    )
+
+
 def label_outliers(
     emb: DataFrame,
     threshold: float = 0.0,

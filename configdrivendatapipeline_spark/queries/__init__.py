@@ -290,6 +290,8 @@ _ROUND6_WINDOW = (
     "llm_tokenizer_fertility",
     "win_running_distinct",
     "llm_minhash_calibration",
+    "llm_embed_drift",
+    "stream_content_dedup",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

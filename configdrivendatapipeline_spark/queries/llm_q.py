@@ -2823,3 +2823,50 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_calibration(
         load(spark, sf_dir, "documents"), token_hash="md5_32"
     )
+
+
+@declare(
+    "llm_embed_drift",
+    f"""
+    WITH v AS (
+      SELECT vec_id % 2 AS half, label, embedding FROM embeddings),
+    ex AS (
+      SELECT label, half,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+                              AS BIGINT))) AS fx
+      FROM v),
+    comp AS (
+      SELECT label, dim,
+             CAST(SUM(CASE WHEN half = 0 THEN fx ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN half = 1 THEN fx ELSE 0 END) AS BIGINT) AS s_b,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM ex GROUP BY label, dim),
+    lab AS (
+      SELECT label,
+             MAX(n_a) AS n_first, MAX(n_b) AS n_second,
+             CAST(SUM(ABS(s_a * n_b - s_b * n_a)) AS BIGINT) AS drift_l1,
+             list(CAST(s_a AS DOUBLE) / (n_a * 1048576.0) ORDER BY dim) AS ca,
+             list(CAST(s_b AS DOUBLE) / (n_b * 1048576.0) ORDER BY dim) AS cb
+      FROM comp GROUP BY label
+      HAVING MAX(n_a) > 0 AND MAX(n_b) > 0)
+    SELECT CAST(label AS BIGINT) AS label, n_first, n_second, drift_l1,
+           {_ocos('ca', 'cb')} AS cos_drift
+    FROM lab
+    """,
+    _SEC,
+    "Embedding centroid drift between two deterministic corpus "
+    "halves (id parity — snapshot dates or model versions in a real "
+    "deployment): per label, the cosine between half-centroids plus "
+    "the EXACT integer drift magnitude sum|s_a*n_b - s_b*n_a| on the "
+    "2^-20 fixed-point grid — the embedding-space regression "
+    "tripwire that fires on re-embedding or upstream shift before "
+    "per-vector outlier flags do. One explode + (label, dim) "
+    "aggregation + label-sized rollup; integer sums are order-"
+    "independent so the magnitude hash-matches where float distances "
+    "cannot.",
+)
+def llm_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.centroid_drift(load(spark, sf_dir, "embeddings"))

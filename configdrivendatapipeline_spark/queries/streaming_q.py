@@ -28,12 +28,12 @@ _SEC = "2.10"
 _VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
 
 
-def _scratch(sf_dir: str, name: str) -> str:
+def _scratch(sf_dir: str, name: str, src_table: str = "events") -> str:
     """Scratch dir keyed on the source file's identity (path + mtime +
     size), not just its path: the driver has regenerated
     events.parquet in place between rounds, and a path-keyed stage
     marker would silently replay the previous round's rows."""
-    src = f"{sf_dir}/events.parquet"
+    src = f"{sf_dir}/{src_table}.parquet"
     try:
         st = os.stat(src)
         ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
@@ -600,3 +600,39 @@ def stream_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         open(marker, "w").close()
     return spark.read.parquet(out)
+
+
+@declare(
+    "stream_content_dedup",
+    """
+    SELECT DISTINCT md5(text) AS content_key, LENGTH(text) AS n_chars
+    FROM documents
+    """,
+    _SEC,
+    "Streaming content-hash dedup — the LLM ingest front door in "
+    "streaming form: a doubled, re-keyed document feed (every text "
+    "arrives under two ids) drained through dropDuplicates on the "
+    "content key recovers exactly the distinct contents. The output "
+    "carries only columns every copy agrees on (content key, length) "
+    "so the result is arrival-order-independent — which copy's id "
+    "'won' is irrelevant and never emitted. State is one row per "
+    "distinct content; at a real deployment the state store is "
+    "RocksDB and the key is the 128-bit hash, not the text.",
+)
+def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "docs_doubled", src_table="documents")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    feed.write.mode("overwrite").parquet(path)
+    static = spark.read.parquet(path)
+    sdf = spark.readStream.schema(static.schema).parquet(path)
+    deduped = (
+        sdf.select(
+            F.md5("text").alias("content_key"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .dropDuplicates(["content_key"])
+    )
+    return run_available_now(deduped, "append")

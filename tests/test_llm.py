@@ -830,3 +830,33 @@ def test_minhash_calibration_exact_on_planted_dup_and_bounded(spark):
         for r in minhash_calibration(df, token_hash="xxhash64").collect()
     }
     assert (1, 2) in xx
+
+
+def test_centroid_drift_zero_on_mirrored_halves(spark):
+    from configdrivendatapipeline_spark.llm.similarity import centroid_drift
+
+    # even/odd ids carry IDENTICAL vectors per label -> zero drift
+    rows = []
+    for label in (0, 1):
+        for k in range(4):
+            vec = [float(label + 1), float(k % 2), 0.5]
+            rows.append((2 * (label * 4 + k), label, vec))      # half 0
+            rows.append((2 * (label * 4 + k) + 1, label, vec))  # half 1
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r["label"]: r for r in centroid_drift(emb).collect()}
+    assert set(out) == {0, 1}
+    for r in out.values():
+        assert r["n_first"] == 4 and r["n_second"] == 4
+        assert r["drift_l1"] == 0
+        assert r["cos_drift"] == 1.0
+    # moving one half's vectors must produce positive drift
+    rows2 = [
+        (i, lab, [v + (0.25 if i % 2 else 0.0) for v in vec])
+        for (i, lab, vec) in rows
+    ]
+    emb2 = spark.createDataFrame(rows2, ["vec_id", "label", "embedding"])
+    out2 = centroid_drift(emb2).collect()
+    assert all(r["drift_l1"] > 0 for r in out2)
+    # a label present in only one half is excluded
+    emb3 = emb.filter("not (label = 1 and vec_id % 2 = 1)")
+    assert {r["label"] for r in centroid_drift(emb3).collect()} == {0}
