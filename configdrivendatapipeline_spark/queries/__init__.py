@@ -292,6 +292,7 @@ _ROUND6_WINDOW = (
     "llm_minhash_calibration",
     "llm_embed_drift",
     "stream_content_dedup",
+    "win_ewma",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -885,3 +885,78 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.sum("is_first").over(w_run).cast("long").alias("distinct_so_far"),
     )
+
+
+@declare(
+    "win_ewma",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, cents,
+             LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+             LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+             LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+             LAG(cents, 7) OVER w AS c7,
+             LEAST(ROW_NUMBER() OVER w, 8) AS m
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, CAST(m AS BIGINT) AS n_in_frame,
+           ((cents * 128 + COALESCE(c1, 0) * 64 + COALESCE(c2, 0) * 32
+             + COALESCE(c3, 0) * 16 + COALESCE(c4, 0) * 8
+             + COALESCE(c5, 0) * 4 + COALESCE(c6, 0) * 2
+             + COALESCE(c7, 0)) * 1000000)
+           // (256 - CASE m WHEN 1 THEN 128 WHEN 2 THEN 64 WHEN 3 THEN 32
+                            WHEN 4 THEN 16 WHEN 5 THEN 8 WHEN 6 THEN 4
+                            WHEN 7 THEN 2 ELSE 1 END) AS ewma_micro
+    FROM l
+    """,
+    _SEC,
+    "Exponentially-weighted moving average (half-life smoothing, "
+    "alpha = 1/2, 8-event trailing frame) per user — EXACT integer "
+    "arithmetic throughout: half-life weights are powers of two, so "
+    "the weighted sum is rearranged to fixed exponents "
+    "(128·x_n + 64·x_{n-1} + …) over the truncated-frame weight "
+    "total 256 − 2^(8−m), and the micro-unit quotient is one integer "
+    "division — no float pow, no fold order, nothing an engine can "
+    "round differently. Eight LAGs + one row_number share a single "
+    "per-user window (one shuffle); frames near the partition start "
+    "truncate exactly like pandas ewm(adjust=True).",
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = v.select(
+        "user_id",
+        "event_id",
+        "cents",
+        *[F.lag("cents", k).over(w).alias(f"c{k}") for k in range(1, 8)],
+        F.least(F.row_number().over(w), F.lit(8)).alias("m"),
+    )
+    num = F.col("cents") * 128
+    for k in range(1, 8):
+        num = num + F.coalesce(F.col(f"c{k}"), F.lit(0)) * (2 ** (7 - k))
+    den = F.lit(256) - F.expr(
+        "CASE m WHEN 1 THEN 128 WHEN 2 THEN 64 WHEN 3 THEN 32 "
+        "WHEN 4 THEN 16 WHEN 5 THEN 8 WHEN 6 THEN 4 WHEN 7 THEN 2 "
+        "ELSE 1 END"
+    )
+    return lagged.select(
+        "user_id",
+        "event_id",
+        F.col("m").cast("long").alias("n_in_frame"),
+        num.alias("__num"),
+        den.cast("long").alias("__den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "n_in_frame",
+        F.expr("(__num * 1000000) div __den").alias("ewma_micro"),
+    )

@@ -227,3 +227,31 @@ def test_running_distinct_matches_final_count_and_monotone(spark, sf_dir):
         assert vals[0] == 1
         assert all(b - a in (0, 1) for a, b in zip(vals, vals[1:]))
         assert vals[-1] == finals[ck]
+
+
+def test_ewma_matches_python_reference(spark, sf_dir):
+    from configdrivendatapipeline_spark.queries.windows import win_ewma
+
+    out = {
+        (r["user_id"], r["event_id"]): (r["n_in_frame"], r["ewma_micro"])
+        for r in win_ewma(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    import math
+
+    by_user: dict = {}
+    for r in ev:
+        cents = math.floor(r["value"] * 100 + 0.5)
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], cents)
+        )
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        hist: list = []
+        for (_, eid, cents) in rows:
+            hist.append(cents)
+            frame = hist[-8:]
+            m = len(frame)
+            num = sum(c * (1 << (7 - k)) for k, c in enumerate(reversed(frame)))
+            den = 256 - (1 << (8 - m))
+            assert out[(uid, eid)] == (m, (num * 1_000_000) // den), (uid, eid)
