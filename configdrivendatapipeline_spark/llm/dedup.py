@@ -370,6 +370,81 @@ def minhash_calibration(
     )
 
 
+def lsh_recall(
+    df: DataFrame,
+    threshold_micro: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+    bands: int = 8,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """One-row recall/precision audit of the banded-LSH candidate set
+    against GROUND TRUTH: pairs whose exact shingle-set Jaccard is ≥
+    the threshold. Complements :func:`minhash_calibration` (per-pair
+    estimate error) with the aggregate answer a dedup rollout needs:
+    of the true near-dups, how many did banding surface, and how much
+    of the candidate budget was spent on non-dups?
+
+    The truth side joins exploded shingle hashes pairwise — the
+    deliberately-exhaustive verifier, run on a sample or a small SF,
+    never the production path (the threshold comparison is cross-
+    multiplied integers, so truth membership is engine-exact). The
+    candidate side is the production banding itself. Counts roll up
+    through 1-row broadcast frames.
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes, shingle_k, token_hash
+    )
+    cand = lsh_candidate_pairs(
+        sigs,
+        id_col=id_col,
+        bands=bands,
+        sig_len=n_hashes,
+        band_key="concat" if token_hash == "md5_32" else "xxhash64",
+    )
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
+    ex = hs.select(F.col(id_col).alias("id"), F.explode("hs").alias("h"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = hs.select(F.col(id_col).alias("id"), F.size("hs").cast("long").alias("n"))
+    truth = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(
+            F.col("n_inter") * 1_000_000
+            >= F.lit(threshold_micro) * (F.col("na") + F.col("nb") - F.col("n_inter"))
+        )
+        .select("id_a", "id_b")
+    )
+    tc = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    cc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    hit = truth.join(cand, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        tc.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(hit))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.expr("(n_hit * 1000000) div greatest(n_true, 1)").alias(
+                "recall_micro"
+            ),
+            F.expr("(n_hit * 1000000) div greatest(n_candidates, 1)").alias(
+                "precision_micro"
+            ),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -293,6 +293,7 @@ _ROUND6_WINDOW = (
     "llm_embed_drift",
     "stream_content_dedup",
     "win_ewma",
+    "llm_lsh_recall",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

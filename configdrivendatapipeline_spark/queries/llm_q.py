@@ -118,6 +118,7 @@ def _minhash_oracle(
     shingle_k: int = 3,
     bands: int = 8,
     calibrate: bool = False,
+    recall_t_micro: int | None = None,
 ) -> str:
     """DuckDB replay of the FULL minhash pipeline (md5_32 token-hash
     member): token hash → shingle mix → affine permutation mins →
@@ -178,6 +179,30 @@ def _minhash_oracle(
       JOIN bs ON bs.band_id = a.band_id AND bs.bkey = a.bkey
       WHERE bs.m <= 1000
     )"""
+    if recall_t_micro is not None:
+        return (
+            prefix
+            + f""",
+    ex AS (SELECT doc_id AS id, unnest(hs) AS h FROM hs),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.h = b.h AND a.id < b.id
+      GROUP BY a.id, b.id),
+    sizes AS (SELECT doc_id AS id, CAST(len(hs) AS BIGINT) AS n FROM hs),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE n_inter * 1000000 >= {recall_t_micro} * (sa.n + sb.n - n_inter)),
+    hit AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+            FROM cand c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b),
+    tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth),
+    cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cand)
+    SELECT tc.n AS n_true, cc.n AS n_candidates, hit.n AS n_hit,
+           (hit.n * 1000000) // GREATEST(tc.n, 1) AS recall_micro,
+           (hit.n * 1000000) // GREATEST(cc.n, 1) AS precision_micro
+    FROM tc, cc, hit
+    """
+        )
     if not calibrate:
         return prefix + "\n    SELECT id_a, id_b FROM cand"
     est = "(CAST(" + " + ".join(
@@ -2870,3 +2895,26 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_embed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_drift(load(spark, sf_dir, "embeddings"))
+
+
+@declare(
+    "llm_lsh_recall",
+    _minhash_oracle(recall_t_micro=500_000),
+    _SEC,
+    "LSH banding recall/precision audit: the banded candidate set "
+    "scored against ground truth (exact shingle-set Jaccard >= 0.5, "
+    "cross-multiplied integer comparison) — the aggregate answer a "
+    "dedup rollout needs before trusting (H, bands): how many true "
+    "near-dups did banding surface, and how much candidate budget "
+    "went to non-dups. The truth side is the deliberately-exhaustive "
+    "shingle-hash pair join — a verifier for samples and small SFs, "
+    "never the production path; candidates are the production "
+    "banding itself. One-row result via broadcast count frames. "
+    "md5_32 family member so the oracle replays everything.",
+)
+def llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_recall(
+        load(spark, sf_dir, "documents"),
+        threshold_micro=500_000,
+        token_hash="md5_32",
+    )

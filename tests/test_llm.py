@@ -860,3 +860,24 @@ def test_centroid_drift_zero_on_mirrored_halves(spark):
     # a label present in only one half is excluded
     emb3 = emb.filter("not (label = 1 and vec_id % 2 = 1)")
     assert {r["label"] for r in centroid_drift(emb3).collect()} == {0}
+
+
+def test_lsh_recall_counts_planted_duplicates(spark):
+    from configdrivendatapipeline_spark.llm.dedup import lsh_recall
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    docs = []
+    for i in range(6):
+        # three exact-duplicate pairs + distinct fillers
+        base = " ".join(words[(i // 2):] + words[: (i // 2)])
+        docs.append((i, base))
+    docs.append((100, "completely unrelated text about parquet readers"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    row = lsh_recall(df, threshold_micro=999_999, token_hash="md5_32").collect()[0]
+    # the three exact-dup pairs are the only Jaccard-1.0 pairs, and
+    # identical signatures guarantee banding surfaces every one
+    assert row["n_true"] == 3
+    assert row["n_hit"] == 3
+    assert row["recall_micro"] == 1_000_000
+    assert row["n_candidates"] >= 3
+    assert 0 < row["precision_micro"] <= 1_000_000
