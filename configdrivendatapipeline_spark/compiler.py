@@ -752,6 +752,83 @@ def _graph_rank(spark, dfs, p):
     )
 
 
+@op("minhash_calibration")
+def _minhash_calibration(spark, dfs, p):
+    """Per-candidate-pair MinHash estimate vs exact shingle Jaccard
+    (see llm.dedup.minhash_calibration)."""
+    from configdrivendatapipeline_spark.llm.dedup import minhash_calibration
+
+    return minhash_calibration(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        n_hashes=int(p.get("n_hashes", 32)),
+        shingle_k=int(p.get("shingle_k", 3)),
+        bands=int(p.get("bands", 8)),
+        token_hash=p.get("token_hash", "xxhash64"),
+    )
+
+
+@op("lsh_recall")
+def _lsh_recall(spark, dfs, p):
+    """Aggregate recall/precision of LSH banding vs exact-Jaccard
+    ground truth (see llm.dedup.lsh_recall)."""
+    from configdrivendatapipeline_spark.llm.dedup import lsh_recall
+
+    return lsh_recall(
+        _one(dfs),
+        threshold_micro=int(p.get("threshold_micro", 500_000)),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        n_hashes=int(p.get("n_hashes", 32)),
+        shingle_k=int(p.get("shingle_k", 3)),
+        bands=int(p.get("bands", 8)),
+        token_hash=p.get("token_hash", "xxhash64"),
+    )
+
+
+@op("centroid_drift")
+def _centroid_drift(spark, dfs, p):
+    """Per-label embedding centroid drift between id-parity halves
+    (see llm.similarity.centroid_drift)."""
+    from configdrivendatapipeline_spark.llm.similarity import centroid_drift
+
+    return centroid_drift(
+        _one(dfs),
+        id_col=p.get("id_column", "vec_id"),
+        vec_col=p.get("vector_column", "embedding"),
+        label_col=p.get("label_column", "label"),
+    )
+
+
+@op("benford")
+def _benford(spark, dfs, p):
+    """Benford leading-digit drift profile of a positive numeric
+    column (see validation.benford_profile)."""
+    from configdrivendatapipeline_spark.validation import benford_profile
+
+    return benford_profile(_one(dfs), p["column"])
+
+
+@op("bpe_fertility")
+def _bpe_fertility(spark, dfs, p):
+    """Per-stratum tokenizer fertility with corpus-trained BPE merges
+    (see llm.bpe.bpe_fertility)."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_fertility,
+        bpe_train_merges,
+    )
+
+    df = _one(dfs)
+    merges = bpe_train_merges(df, n_merges=int(p.get("n_merges", 20)))
+    return bpe_fertility(
+        df,
+        merges,
+        group_col=p.get("group_by", "lang"),
+        text_col=p.get("text_column", "text"),
+    )
+
+
 # --- skew escape hatches -------------------------------------------------------
 
 

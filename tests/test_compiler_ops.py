@@ -41,7 +41,8 @@ def test_every_op_is_exercised_below():
         "shuffle", "observe", "source_weights", "watermark", "kmeans",
         "bloom_prefilter", "zorder", "compact", "cdc_apply", "lm_score",
         "pack_manifest", "temperature_sample", "length_buckets",
-        "snapshot_diff", "graph_rank",
+        "snapshot_diff", "graph_rank", "minhash_calibration",
+        "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -866,3 +867,44 @@ def test_graph_rank_op(spark, sf_dir):
     assert rows(frames["ranked"]) == rows(
         dedup.graph_rank(pairs, nodes, iters=2)
     )
+
+
+def test_audit_ops(spark, sf_dir):
+    """minhash_calibration / lsh_recall / centroid_drift / benford /
+    bpe_fertility reachable from YAML, equal to direct library calls."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_fertility,
+        bpe_train_merges,
+    )
+    from configdrivendatapipeline_spark.llm.dedup import (
+        lsh_recall,
+        minhash_calibration,
+    )
+    from configdrivendatapipeline_spark.llm.similarity import centroid_drift
+    from configdrivendatapipeline_spark.validation import benford_profile
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: cal, input: documents, op: minhash_calibration, params: {token_hash: md5_32}}
+  - {id: rec, input: documents, op: lsh_recall, params: {token_hash: md5_32}}
+  - {id: fert, input: documents, op: bpe_fertility, params: {n_merges: 5}}
+  - {id: ben, input: orders, op: benford, params: {column: o_totalprice}}
+  - {id: drift, input: embeddings, op: centroid_drift, params: {}}
+""",
+        extra_sources=(
+            f'  orders: {{format: parquet, path: "{sf_dir}/orders.parquet"}}\n'
+            f'  embeddings: {{format: parquet, path: "{sf_dir}/embeddings.parquet"}}\n'
+        ),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert rows(frames["cal"]) == rows(minhash_calibration(docs, token_hash="md5_32"))
+    assert rows(frames["rec"]) == rows(lsh_recall(docs, token_hash="md5_32"))
+    assert rows(frames["ben"]) == rows(benford_profile(orders, "o_totalprice"))
+    assert rows(frames["drift"]) == rows(centroid_drift(emb))
+    merges = bpe_train_merges(docs, n_merges=5)
+    assert rows(frames["fert"]) == rows(bpe_fertility(docs, merges))
