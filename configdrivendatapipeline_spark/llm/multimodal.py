@@ -605,3 +605,59 @@ def wav_fingerprint(df: DataFrame, frame_len: int = 160) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "afp"])
 
     return df.select("doc_id", "payload").mapInPandas(kernel, schema=_AFP_SCHEMA)
+
+
+def attach_mixed_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a MIXED-modality binary payload per row — the realistic
+    ingest shape where one column carries images, audio, video, and
+    the occasional junk blob: doc_id%3 routes to a real PPM / WAV /
+    Y4M payload (the same generators the per-format queries decode),
+    and every doc_id%29==0 row is deterministic garbage so the router
+    must prove it never misclassifies or crashes on junk."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(ids: pd.Series) -> pd.Series:
+        def mk(i: int) -> bytes:
+            i = int(i)
+            if i % 29 == 0:
+                return b"JUNK" + bytes((i * 17 + k) % 256 for k in range(16))
+            m = i % 3
+            if m == 0:
+                return ppm_bytes(i, 8 + i % 9, 8 + i % 7)
+            if m == 1:
+                return wav_bytes(i, 800 + (i % 5) * 160)
+            return y4m_bytes(i, 4 + i % 3, 4 + i % 2, 3 + i % 4)
+
+        return ids.map(mk)
+
+    return df.select(id_col).withColumn("payload", gen(F.col(id_col)))
+
+
+def route_modality(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Magic-byte modality dispatch over an opaque binary column —
+    the first operator of any multimodal pipeline: classify each
+    payload by its container signature (P6 → image, RIFF → audio,
+    YUV4MPEG2 → video, anything else → unknown) WITHOUT decoding.
+
+    Pure JVM-side prefix comparisons on the binary column (substring
+    + hex literals — no Python, no UDF, no payload copy), so routing
+    costs a few bytes per row regardless of payload size; downstream
+    decode kernels then run only on the rows of their modality —
+    the decode-less pruning the frame sampler already applies within
+    a modality, applied across modalities.
+    """
+    modality = (
+        F.when(F.expr("substring(payload, 1, 2) = X'5036'"), "image")
+        .when(F.expr("substring(payload, 1, 4) = X'52494646'"), "audio")
+        .when(
+            F.expr("substring(payload, 1, 9) = X'595556344D50454732'"),
+            "video",
+        )
+        .otherwise("unknown")
+    )
+    return df.select(
+        id_col,
+        modality.alias("modality"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )

@@ -294,6 +294,7 @@ _ROUND6_WINDOW = (
     "stream_content_dedup",
     "win_ewma",
     "llm_lsh_recall",
+    "mm_modality_router",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

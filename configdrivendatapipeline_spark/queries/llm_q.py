@@ -2918,3 +2918,45 @@ def llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_micro=500_000,
         token_hash="md5_32",
     )
+
+
+@declare(
+    "mm_modality_router",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 29 = 0 THEN 'unknown'
+                  WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             8 + doc_id % 9 AS pw, 8 + doc_id % 7 AS ph,
+             800 + (doc_id % 5) * 160 AS wn,
+             4 + doc_id % 3 AS vw, 4 + doc_id % 2 AS vh,
+             3 + doc_id % 4 AS vf
+      FROM documents)
+    SELECT doc_id, modality,
+           CAST(CASE modality
+             WHEN 'unknown' THEN 20
+             WHEN 'image' THEN 9 + (CASE WHEN pw < 10 THEN 1 ELSE 2 END)
+                               + (CASE WHEN ph < 10 THEN 1 ELSE 2 END)
+                               + 3 * pw * ph
+             WHEN 'audio' THEN 44 + 2 * wn
+             ELSE 35 + vf * (6 + 3 * vw * vh)
+           END AS BIGINT) AS n_bytes
+    FROM d
+    """,
+    _SEC,
+    "Magic-byte modality router over a MIXED binary column — the "
+    "first operator of any multimodal pipeline: classify every "
+    "payload by container signature (P6/RIFF/YUV4MPEG2, junk rows "
+    "to 'unknown') with pure JVM-side prefix comparisons — no "
+    "Python, no decode, no payload copy — so routing costs bytes "
+    "per row and each decode kernel then runs only on its own "
+    "modality. The oracle recomputes modality AND exact payload "
+    "byte size analytically from the deterministic generators "
+    "(header digit-width included), so the router's classification "
+    "is hash-verified end to end.",
+)
+def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.route_modality(multimodal.attach_mixed_payload(docs))

@@ -61,3 +61,32 @@ def test_audio_fingerprint_survives_gain(spark):
     )
     assert got[1]["afp"] == got[2]["afp"]
     assert got[1]["n_frames"] == got[2]["n_frames"] == 5
+
+
+def test_modality_router_classifies_and_survives_junk(spark):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in range(60)], ["doc_id"])
+    routed = mm.route_modality(mm.attach_mixed_payload(ids)).collect()
+    got = {r["doc_id"]: (r["modality"], r["n_bytes"]) for r in routed}
+    for i in range(60):
+        if i % 29 == 0:
+            want = "unknown"
+        else:
+            want = {0: "image", 1: "audio", 2: "video"}[i % 3]
+        assert got[i][0] == want, i
+        # router's byte count equals the actual generated payload size
+        if want == "image":
+            buf = mm.ppm_bytes(i, 8 + i % 9, 8 + i % 7)
+        elif want == "audio":
+            buf = mm.wav_bytes(i, 800 + (i % 5) * 160)
+        elif want == "video":
+            buf = mm.y4m_bytes(i, 4 + i % 3, 4 + i % 2, 3 + i % 4)
+        else:
+            buf = b"JUNK" + bytes((i * 17 + k) % 256 for k in range(16))
+        assert got[i][1] == len(buf), i
+    # routed image payloads genuinely decode
+    img = mm.decode_ppm(mm.ppm_bytes(3, 8 + 3 % 9, 8 + 3 % 7))
+    assert img.shape == (8 + 3 % 7, 8 + 3 % 9, 3)
