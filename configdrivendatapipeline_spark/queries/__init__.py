@@ -295,6 +295,7 @@ _ROUND6_WINDOW = (
     "win_ewma",
     "llm_lsh_recall",
     "mm_modality_router",
+    "llm_dedup_canonical",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2960,3 +2960,78 @@ def llm_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return multimodal.route_modality(multimodal.attach_mixed_payload(docs))
+
+
+@declare(
+    "llm_dedup_canonical",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sizes AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING COUNT(*) / (ANY_VALUE((SELECT n_tok FROM sizes WHERE id = a.id))
+             + ANY_VALUE((SELECT n_tok FROM sizes WHERE id = b.id)) - COUNT(*)) >= 0.95
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ), walk AS (
+      WITH RECURSIVE w(id, anc) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.anc FROM w JOIN edges e ON e.src = w.id
+      ) SELECT * FROM w
+    ), comp AS (
+      SELECT id, MIN(anc) AS component FROM walk GROUP BY id
+    ), n AS (SELECT doc_id AS id FROM documents),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+    {_opagerank_iter('r0', 'i1')},
+    {_opagerank_iter('i1', 'i2')},
+    {_opagerank_iter('i2', 'i3')}
+    SELECT c.id AS doc_id,
+           CAST(c.component AS BIGINT) AS component,
+           CAST(COALESCE(dg.d, 0) AS BIGINT) AS n_neighbors,
+           i3.r AS rank_micro,
+           (ROW_NUMBER() OVER (
+              PARTITION BY c.component
+              ORDER BY i3.r DESC, c.id) = 1) AS is_canonical
+    FROM comp c
+    JOIN i3 ON i3.id = c.id
+    LEFT JOIN deg dg ON dg.src = c.id
+    """,
+    _SEC,
+    "Canonical-representative selection — the dedup DECISION layer: "
+    "connected components over exact-Jaccard>=0.95 edges give each "
+    "doc its duplicate cluster, PageRank over the same edges scores "
+    "centrality, and each cluster's canonical survivor is its "
+    "highest-ranked member (most-connected — the best-quality pick "
+    "where keep-lowest-id is arbitrary), ties to the lowest id. "
+    "Emits every doc with its cluster, rank, and is_canonical flag "
+    "so the drop set is auditable. The edge list is built ONCE and "
+    "feeds both label propagation and the 3 rank iterations — "
+    "O(E)-per-round shuffles; the per-cluster argmax is one window "
+    "over cluster-sized groups.",
+)
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    clusters = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+    ranks = dedup.graph_rank(pairs, docs.select("doc_id"), id_col="doc_id")
+    joined = clusters.join(ranks, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("rank_micro").desc(), F.col("doc_id")
+    )
+    return joined.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        "n_neighbors",
+        "rank_micro",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )

@@ -881,3 +881,25 @@ def test_lsh_recall_counts_planted_duplicates(spark):
     assert row["recall_micro"] == 1_000_000
     assert row["n_candidates"] >= 3
     assert 0 < row["precision_micro"] <= 1_000_000
+
+
+def test_dedup_canonical_one_survivor_per_cluster(spark, sf_dir):
+    from configdrivendatapipeline_spark.queries.llm_q import llm_dedup_canonical
+
+    rows = llm_dedup_canonical(spark, sf_dir).collect()
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        canon = [r for r in members if r["is_canonical"]]
+        assert len(canon) == 1, comp
+        best = canon[0]
+        # the canonical member maximizes (rank, -id) within its cluster
+        for r in members:
+            assert (r["rank_micro"], -r["doc_id"]) <= (
+                best["rank_micro"],
+                -best["doc_id"],
+            )
+        # isolated docs are their own cluster and survive
+        if len(members) == 1:
+            assert members[0]["is_canonical"]
