@@ -296,6 +296,7 @@ _ROUND6_WINDOW = (
     "llm_lsh_recall",
     "mm_modality_router",
     "llm_dedup_canonical",
+    "src_binaryfile",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -3035,3 +3035,68 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_micro",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+@declare(
+    "src_binaryfile",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 29 = 0 THEN 'unknown'
+                  WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             8 + doc_id % 9 AS pw, 8 + doc_id % 7 AS ph,
+             800 + (doc_id % 5) * 160 AS wn,
+             4 + doc_id % 3 AS vw, 4 + doc_id % 2 AS vh,
+             3 + doc_id % 4 AS vf
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id, modality,
+           CAST(CASE modality
+             WHEN 'unknown' THEN 20
+             WHEN 'image' THEN 9 + (CASE WHEN pw < 10 THEN 1 ELSE 2 END)
+                               + (CASE WHEN ph < 10 THEN 1 ELSE 2 END)
+                               + 3 * pw * ph
+             WHEN 'audio' THEN 44 + 2 * wn
+             ELSE 35 + vf * (6 + 3 * vw * vh)
+           END AS BIGINT) AS n_bytes
+    FROM d
+    """,
+    "2.1",
+    "File-per-object multimodal ingest through Spark's built-in "
+    "binaryFile source — the lake layout where each image/audio/clip "
+    "is its own file: stage one payload file per doc, read the "
+    "directory as (path, length, content) rows, parse the id from "
+    "the filename, and route by magic bytes — the router proves the "
+    "CONTENT round-tripped, the length column proves the size. At "
+    "100 TB this reader is how raw media lands before any columnar "
+    "repack; partition parallelism comes from the file listing. "
+    "Oracle recomputes modality and exact byte size analytically.",
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from configdrivendatapipeline_spark.queries.streaming_q import _scratch
+
+    stage = _scratch(sf_dir, "binary_files", src_table="documents")
+    marker = stage + ".staged"
+    if not os.path.exists(marker):
+        docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+        payloads = multimodal.attach_mixed_payload(docs).collect()
+        os.makedirs(stage, exist_ok=True)
+        for r in payloads:
+            with open(os.path.join(stage, f"doc_{r['doc_id']:06d}.bin"), "wb") as f:
+                f.write(bytes(r["payload"]))
+        with open(marker, "w") as f:
+            f.write("ok")
+    read = (
+        spark.read.format("binaryFile")
+        .load(stage)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    return multimodal.route_modality(read)
