@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_FILE_FORMATS = {"parquet", "csv", "json", "text", "orc"}
+_FILE_FORMATS = {"parquet", "csv", "json", "text", "orc", "xml", "binaryFile"}
 
 
 def read_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:

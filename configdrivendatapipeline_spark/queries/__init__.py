@@ -297,6 +297,7 @@ _ROUND6_WINDOW = (
     "mm_modality_router",
     "llm_dedup_canonical",
     "src_binaryfile",
+    "src_xml",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -619,3 +619,39 @@ def src_text_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("content"),
         F.length("value").cast("long").alias("n_chars"),
     )
+
+
+@declare(
+    "src_xml",
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    _SEC,
+    "XML round-trip through the configured source/sink layer "
+    "(Spark 4's built-in XML data source): suppliers written with a "
+    "row tag, read back with an explicit schema (inference would "
+    "widen ints and reorder attributes) — the B2B/legacy-feed "
+    "ingestion path. Same lossless-round-trip proof shape as the "
+    "CSV/JSON/ORC sources.",
+)
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "supplier_xml")
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    write_sink(
+        sup,
+        {
+            "format": "xml",
+            "path": path,
+            "mode": "overwrite",
+            "options": {"rowTag": "supplier"},
+        },
+    )
+    return read_source(
+        spark,
+        {
+            "format": "xml",
+            "path": path,
+            "schema": "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+            "options": {"rowTag": "supplier"},
+        },
+    ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
