@@ -298,6 +298,7 @@ _ROUND6_WINDOW = (
     "llm_dedup_canonical",
     "src_binaryfile",
     "src_xml",
+    "win_gapfill_linear",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -960,3 +960,119 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in_frame",
         F.expr("(__num * 1000000) div __den").alias("ewma_micro"),
     )
+
+
+@declare(
+    "win_gapfill_linear",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    obs AS (SELECT user_id, day, vu FROM daily WHERE rn = 1),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    joined AS (
+      SELECT g.user_id, g.day, o.vu, (o.vu IS NOT NULL) AS observed
+      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day),
+    ctx AS (
+      SELECT user_id, day, vu, observed,
+             last_value(vu IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN vu IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wp AS pd,
+             first_value(vu IGNORE NULLS) OVER wn AS nv,
+             first_value(CASE WHEN vu IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wn AS nd
+      FROM joined
+      WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day,
+           CASE WHEN observed THEN vu
+                ELSE (pv * (date_diff('day', pd, nd) - date_diff('day', pd, day))
+                      + nv * date_diff('day', pd, day))
+                     // date_diff('day', pd, nd)
+           END AS value_micro,
+           observed
+    FROM ctx
+    """,
+    _SEC,
+    "Per-entity calendar gap-fill with LINEAR interpolation — the "
+    "resampling that time-weighted analytics (VWAP, sensor fusion) "
+    "need where carry-forward (win_gapfill_locf) introduces steps: "
+    "missing days take the distance-weighted average of the "
+    "bracketing observations. The interpolant is the weighted form "
+    "(pv*(D-d) + nv*d) div D — a NON-NEGATIVE integer numerator, so "
+    "truncating (Spark div) and flooring (DuckDB //) division agree; "
+    "the naive pv + delta*d/D form would diverge on falling segments. "
+    "Same per-user bounded grid and windows as LOCF — nothing global, "
+    "every missing day has both neighbors by construction.",
+)
+def win_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily_w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("vu"),
+        )
+        .withColumn("rn", F.row_number().over(daily_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "vu")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    joined = grid.join(obs, ["user_id", "day"], "left").select(
+        "user_id", "day", "vu", F.col("vu").isNotNull().alias("observed")
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "vu",
+        "observed",
+        F.last("vu", ignorenulls=True).over(wp).alias("pv"),
+        F.last(
+            F.when(F.col("vu").isNotNull(), F.col("day")), ignorenulls=True
+        ).over(wp).alias("pd"),
+        F.first("vu", ignorenulls=True).over(wn).alias("nv"),
+        F.first(
+            F.when(F.col("vu").isNotNull(), F.col("day")), ignorenulls=True
+        ).over(wn).alias("nd"),
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        F.expr(
+            "CASE WHEN observed THEN vu "
+            "ELSE (pv * (datediff(nd, pd) - datediff(day, pd)) "
+            "      + nv * datediff(day, pd)) div datediff(nd, pd) END"
+        ).alias("value_micro"),
+        "observed",
+    )

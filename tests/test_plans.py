@@ -255,3 +255,37 @@ def test_ewma_matches_python_reference(spark, sf_dir):
             num = sum(c * (1 << (7 - k)) for k, c in enumerate(reversed(frame)))
             den = 256 - (1 << (8 - m))
             assert out[(uid, eid)] == (m, (num * 1_000_000) // den), (uid, eid)
+
+
+def test_gapfill_linear_brackets_and_agrees_on_observed(spark, sf_dir):
+    from configdrivendatapipeline_spark.queries.windows import (
+        win_gapfill_linear,
+        win_gapfill_locf,
+    )
+
+    lin = {
+        (r["user_id"], r["day"]): (r["value_micro"], r["observed"])
+        for r in win_gapfill_linear(spark, sf_dir).collect()
+    }
+    locf = {
+        (r["user_id"], r["day"]): (r["value_micro"], r["observed"])
+        for r in win_gapfill_locf(spark, sf_dir).collect()
+    }
+    assert set(lin) == set(locf)
+    for k, (v, obs) in lin.items():
+        assert v is not None
+        if obs:
+            # observed days agree exactly with LOCF (both emit the obs)
+            assert locf[k][0] == v
+    # every interpolated value lies between its bracketing observations
+    by_user: dict = {}
+    for (uid, day), (v, obs) in lin.items():
+        by_user.setdefault(uid, []).append((day, v, obs))
+    for uid, rows in by_user.items():
+        rows.sort()
+        obs_idx = [i for i, r in enumerate(rows) if r[2]]
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(rows[a][1], rows[b][1])
+            hi = max(rows[a][1], rows[b][1])
+            for i in range(a + 1, b):
+                assert lo - 1 <= rows[i][1] <= hi + 1, (uid, rows[i])
