@@ -299,6 +299,7 @@ _ROUND6_WINDOW = (
     "src_binaryfile",
     "src_xml",
     "win_gapfill_linear",
+    "win_hampel",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1076,3 +1076,93 @@ def win_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_micro"),
         "observed",
     )
+
+
+@declare(
+    "win_hampel",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, cents,
+             list(cents) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fr
+      FROM v),
+    m AS (
+      SELECT user_id, event_id, cents, fr,
+             CASE WHEN len(fr) % 2 = 1
+                  THEN list_sort(fr)[(len(fr) + 1) // 2] * 2
+                  ELSE list_sort(fr)[len(fr) // 2]
+                       + list_sort(fr)[len(fr) // 2 + 1] END AS med2
+      FROM l),
+    d AS (
+      SELECT user_id, event_id, cents, med2,
+             list_sort(list_transform(fr, x -> abs(2 * x - med2))) AS dv
+      FROM m)
+    SELECT user_id, event_id, cents, med2,
+           CASE WHEN len(dv) % 2 = 1
+                THEN dv[(len(dv) + 1) // 2] * 2
+                ELSE dv[len(dv) // 2] + dv[len(dv) // 2 + 1] END AS mad4,
+           2 * abs(2 * cents - med2) >
+             3 * (CASE WHEN len(dv) % 2 = 1
+                       THEN dv[(len(dv) + 1) // 2] * 2
+                       ELSE dv[len(dv) // 2] + dv[len(dv) // 2 + 1] END)
+             AS is_spike
+    FROM d
+    """,
+    _SEC,
+    "Hampel despiking filter (5-event rolling median ± 3·MAD per "
+    "user) — the standard robust spike detector for metric streams "
+    "where a z-score chases its own outliers. Entirely integer: the "
+    "frame median and the MAD are kept DOUBLED (scale 2 and 4) so "
+    "even-length frames never produce halves, and the flag compares "
+    "2·|2x − med2| > 3·mad4 — the original |x−med| > 3·MAD scaled by "
+    "4 with no division at all. Frame composition is O(frame) per "
+    "row (sort_array over 5 elements), one per-user window shuffle — "
+    "the same shape as the moving median.",
+)
+def win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+
+    def med2_of(arr):
+        s = F.sort_array(arr)
+        n = F.size(arr)
+        return F.when(
+            n % 2 == 1, F.element_at(s, ((n + 1) / 2).cast("int")) * 2
+        ).otherwise(
+            F.element_at(s, (n / 2).cast("int"))
+            + F.element_at(s, (n / 2).cast("int") + 1)
+        )
+
+    withfr = v.select(
+        "user_id", "event_id", "cents", F.collect_list("cents").over(w).alias("fr")
+    )
+    withmed = withfr.withColumn("med2", med2_of(F.col("fr")))
+    withdev = withmed.withColumn(
+        "dv",
+        F.transform(F.col("fr"), lambda x: F.abs(2 * x - F.col("med2"))),
+    ).withColumn("mad4", med2_of(F.col("dv")))
+    return withdev.select(
+        "user_id",
+        "event_id",
+        "cents",
+        "med2",
+        "mad4",
+        (2 * F.abs(2 * F.col("cents") - F.col("med2")) > 3 * F.col("mad4")).alias(
+            "is_spike"
+        ),
+    )

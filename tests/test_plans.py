@@ -289,3 +289,29 @@ def test_gapfill_linear_brackets_and_agrees_on_observed(spark, sf_dir):
             hi = max(rows[a][1], rows[b][1])
             for i in range(a + 1, b):
                 assert lo - 1 <= rows[i][1] <= hi + 1, (uid, rows[i])
+
+
+def test_hampel_flags_planted_spike_not_steady_drift(spark):
+    import datetime as dt
+
+    from configdrivendatapipeline_spark.queries.windows import win_hampel
+    from configdrivendatapipeline_spark.queries import _REGISTRY
+
+    # build a tiny staged events table: steady series with one spike
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.1, 10.2, 10.1, 99.0, 10.2, 10.3, 10.2]
+    for i, v in enumerate(vals):
+        rows.append((i, 1, t0 + dt.timedelta(minutes=i), "click", v))
+    df = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "cddp_hampel_fixture")
+    os.makedirs(path, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+    out = {r["event_id"]: r["is_spike"] for r in win_hampel(spark, path).collect()}
+    assert out[4] is True            # the planted spike
+    assert not any(out[i] for i in (0, 1, 2, 3))  # steady ramp is clean
