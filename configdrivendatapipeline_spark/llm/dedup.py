@@ -690,10 +690,17 @@ def graph_rank(
             f"need iters > 0 and 0 <= damping_pct <= 100; got "
             f"{iters}, {damping_pct}"
         )
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # Materialize the edge list once: it is re-read every iteration
+    # (plus the degree pass), and the pair-generation lineage behind
+    # it (LSH banding / PPJoin) is far more expensive than the edges
+    # themselves — same localCheckpoint discipline as the label-
+    # propagation loop above. Bounded: O(E) rows of two longs.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ids = nodes.select(F.col(id_col).alias("id"))

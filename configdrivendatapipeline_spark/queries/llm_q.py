@@ -3021,7 +3021,13 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    # One checkpoint shares the PPJoin pair computation between the
+    # component and rank branches (both iterate over these edges).
+    pairs = (
+        dedup.jaccard_pairs(docs, threshold=0.95)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     clusters = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
     ranks = dedup.graph_rank(pairs, docs.select("doc_id"), id_col="doc_id")
     joined = clusters.join(ranks, "doc_id")
