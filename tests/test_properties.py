@@ -207,3 +207,45 @@ def test_hash_shuffle_is_stable_permutation(spark, sf_dir):
         per_shard.setdefault(shard, set()).add(pos)
     for positions in per_shard.values():
         assert positions == set(range(1, len(positions) + 1))
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(xs=st.lists(st.integers(min_value=0, max_value=(1 << 50)), min_size=1, max_size=25))
+def test_isqrt_expr_exact_for_any_bigint(spark, xs):
+    """The corrected floor(sqrt(double)) SQL expression equals
+    math.isqrt for arbitrary inputs — including perfect squares and
+    off-by-one-ulp neighbourhoods where raw floor(sqrt) drifts."""
+    import math
+
+    from configdrivendatapipeline_spark.llm.sampling import _isqrt_expr
+
+    # deliberately include perfect squares and their neighbours
+    probe = list(xs)
+    for x in xs[:5]:
+        r = math.isqrt(x)
+        probe += [r * r, max(r * r - 1, 0), r * r + 1]
+    df = spark.createDataFrame([(x,) for x in probe], ["x"])
+    got = {r["x"]: r["s"] for r in df.select("x", F.expr(_isqrt_expr("x")).alias("s")).collect()}
+    for x in probe:
+        assert got[x] == math.isqrt(x), x
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=100_000), min_size=1, max_size=6)
+)
+def test_temperature_cuts_order_and_bounds(spark, counts):
+    """Derived keep cuts are monotone-decreasing in stratum size,
+    capped at the grid, and the smallest stratum always keeps all."""
+    import math
+
+    mn = min(counts)
+    cuts = [math.isqrt(100_000_000 * mn // n) for n in counts]
+    for n, c in zip(counts, cuts):
+        assert 0 < c <= 10_000
+        if n == mn:
+            assert c == 10_000
+    for (n1, c1) in zip(counts, cuts):
+        for (n2, c2) in zip(counts, cuts):
+            if n1 <= n2:
+                assert c1 >= c2
