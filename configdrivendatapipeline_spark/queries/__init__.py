@@ -300,6 +300,7 @@ _ROUND6_WINDOW = (
     "src_xml",
     "win_gapfill_linear",
     "win_hampel",
+    "join_asof_nearest",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

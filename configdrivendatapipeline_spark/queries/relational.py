@@ -933,3 +933,57 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no dedup needed: a pair matches exactly one b-side bucket
         # (b's own), so the explode can never double-emit it
     )
+
+
+@declare(
+    "join_asof_nearest",
+    """
+    WITH f AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         d AS (SELECT user_id, ts AS sign_ts FROM events
+               WHERE event_type = 'signup'),
+         j AS (SELECT f.event_id, f.user_id, f.ts, d.sign_ts,
+                      ROW_NUMBER() OVER (
+                        PARTITION BY f.event_id
+                        ORDER BY ABS(date_diff('microsecond', d.sign_ts, f.ts)),
+                                 d.sign_ts) AS rn
+               FROM f LEFT JOIN d ON f.user_id = d.user_id)
+    SELECT event_id, user_id, sign_ts,
+           CASE WHEN sign_ts IS NULL THEN NULL
+                WHEN sign_ts <= ts THEN 'backward'
+                ELSE 'forward' END AS direction
+    FROM j WHERE rn = 1
+    """,
+    _J,
+    "Nearest as-of join (pandas merge_asof direction='nearest'): "
+    "each purchase matched to the user's closest signup in EITHER "
+    "time direction, ties to the earlier one — the variant sensor "
+    "alignment and event attribution need where backward-only "
+    "(join_asof) drops rows that only have a later match. Distance "
+    "is microsecond-exact integer arithmetic; same composition as "
+    "join_asof — equi-join on the user plus one per-event top-1 "
+    "window, one shuffle, no driver loop.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    f = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    d = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("d_user"), F.col("ts").alias("sign_ts")
+    )
+    j = f.join(d, f.user_id == d.d_user, "left")
+    w = Window.partitionBy("event_id").orderBy(
+        F.abs(F.unix_micros("sign_ts") - F.unix_micros("ts")).asc(),
+        F.col("sign_ts").asc(),
+    )
+    direction = (
+        F.when(F.col("sign_ts").isNull(), F.lit(None).cast("string"))
+        .when(F.col("sign_ts") <= F.col("ts"), "backward")
+        .otherwise("forward")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "sign_ts", direction.alias("direction"))
+    )
