@@ -301,6 +301,7 @@ _ROUND6_WINDOW = (
     "win_gapfill_linear",
     "win_hampel",
     "join_asof_nearest",
+    "agg_cohort_matrix",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

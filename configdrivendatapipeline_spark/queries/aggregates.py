@@ -776,3 +776,70 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("o_orderpriority").agg(
         F.sum("cnt").alias("n_custs")
     )
+
+
+@declare(
+    "agg_cohort_matrix",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', e.ts) AS DATE) AS act_week
+      FROM events e),
+    j AS (
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+               AS weeks_since,
+             a.user_id
+      FROM activity a JOIN firsts f ON f.user_id = a.user_id),
+    m AS (
+      SELECT cohort_week, weeks_since,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+      FROM j GROUP BY cohort_week, weeks_since),
+    sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM firsts GROUP BY cohort_week)
+    SELECT m.cohort_week, m.weeks_since, m.n_active, s.cohort_size,
+           (m.n_active * 1000000) // s.cohort_size AS retention_micro
+    FROM m JOIN sizes s ON s.cohort_week = m.cohort_week
+    """,
+    _SEC,
+    "Cohort retention matrix: users grouped by first-activity week, "
+    "each later week reporting how many of that cohort were active "
+    "and the retention share in exact integer micro-units — the "
+    "product-analytics table behind every retention curve (the "
+    "scalar day-7 rate in win_retention is one cell of this). Two "
+    "aggregations + one broadcastable cohort-size join; weeks-since "
+    "is exact integer day arithmetic on Monday-truncated weeks, "
+    "identical in both engines.",
+)
+def agg_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("act_week")
+    ).distinct()
+    j = activity.join(firsts, "user_id").select(
+        "cohort_week",
+        F.expr("CAST(datediff(act_week, cohort_week) div 7 AS BIGINT)").alias(
+            "weeks_since"
+        ),
+        "user_id",
+    )
+    m = j.groupBy("cohort_week", "weeks_since").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return m.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "weeks_since",
+        "n_active",
+        "cohort_size",
+        F.expr("(n_active * 1000000) div cohort_size").alias("retention_micro"),
+    )
