@@ -302,6 +302,8 @@ _ROUND6_WINDOW = (
     "win_hampel",
     "join_asof_nearest",
     "agg_cohort_matrix",
+    "win_drawdown",
+    "agg_gini",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -843,3 +843,69 @@ def agg_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         F.expr("(n_active * 1000000) div cohort_size").alias("retention_micro"),
     )
+
+
+@declare(
+    "agg_gini",
+    """
+    WITH v AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000 AS cents,
+             c_custkey
+      FROM customer),
+    r AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS rnk
+      FROM v),
+    s AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(rnk * cents) AS BIGINT) AS weighted
+      FROM r GROUP BY c_nationkey)
+    SELECT c_nationkey, n, total,
+           (2000000 * weighted) // (n * total)
+             - (1000000 * (n + 1)) // n AS gini_micro
+    FROM s
+    """,
+    _SEC,
+    "Gini concentration coefficient of account balances per nation — "
+    "the inequality/concentration metric behind fairness audits and "
+    "whale-detection (0 = uniform, ->1 = one account holds all). "
+    "Exact integer rank-weighted form G = 2*sum(i*x_i)/(n*sum(x)) - "
+    "(n+1)/n in micro-units: one rank window per nation + one "
+    "aggregation; balances are shifted positive (+1000.00) so the "
+    "standard formula's non-negativity precondition holds and both "
+    "engines' integer divisions agree. Ties rank deterministically "
+    "by custkey.",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    v = c.select(
+        "c_nationkey",
+        (F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)") + 100000).alias(
+            "cents"
+        ),
+        "c_custkey",
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    r = v.select(
+        "c_nationkey", "cents", F.row_number().over(w).cast("long").alias("rnk")
+    )
+    s = r.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("rnk") * F.col("cents")).alias("weighted"),
+    )
+    return s.select(
+        "c_nationkey",
+        "n",
+        "total",
+        F.expr(
+            "(2000000 * weighted) div (n * total)"
+            " - (1000000 * (n + 1)) div n"
+        ).alias("gini_micro"),
+    )

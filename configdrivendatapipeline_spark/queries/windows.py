@@ -1166,3 +1166,68 @@ def win_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_spike"
         ),
     )
+
+
+@declare(
+    "win_drawdown",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu
+      FROM events),
+    cu AS (
+      SELECT user_id, event_id, ts,
+             SUM(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v),
+    c AS (
+      SELECT user_id, event_id, cum,
+             MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM cu)
+    SELECT user_id, event_id,
+           CAST(cum AS BIGINT) AS cum_micro,
+           CAST(peak AS BIGINT) AS peak_micro,
+           CAST(peak - cum AS BIGINT) AS drawdown_micro
+    FROM c
+    """,
+    _SEC,
+    "Running-peak drawdown per user: cumulative value, its running "
+    "maximum, and the gap — the classic risk/engagement-decay "
+    "trajectory metric (max drawdown is one MAX over this). Exact "
+    "integer micro-units end to end (windowed double sums are "
+    "tree-order-dependent); two stacked windows share one per-user "
+    "shuffle key, nothing global.",
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("vu"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("vu").over(w).alias("cum"),
+    )
+    c = c.select(
+        "user_id",
+        "event_id",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+    )
+    return c.select(
+        "user_id",
+        "event_id",
+        F.col("cum").alias("cum_micro"),
+        F.col("peak").alias("peak_micro"),
+        (F.col("peak") - F.col("cum")).alias("drawdown_micro"),
+    )

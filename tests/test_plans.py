@@ -315,3 +315,40 @@ def test_hampel_flags_planted_spike_not_steady_drift(spark):
     out = {r["event_id"]: r["is_spike"] for r in win_hampel(spark, path).collect()}
     assert out[4] is True            # the planted spike
     assert not any(out[i] for i in (0, 1, 2, 3))  # steady ramp is clean
+
+
+def test_gini_extremes(spark, sf_dir):
+    """Gini is ~0 for uniform values and approaches (n-1)/n when one
+    holder owns everything."""
+    from configdrivendatapipeline_spark.queries import _REGISTRY
+
+    uniform = spark.createDataFrame(
+        [(1, 50.0, i) for i in range(10)],
+        ["c_nationkey", "c_acctbal", "c_custkey"],
+    )
+    import os, tempfile
+
+    # two dirs: queries.load() caches per (session, sf_dir, table)
+    path_u = os.path.join(tempfile.gettempdir(), "cddp_gini_uniform")
+    path_c = os.path.join(tempfile.gettempdir(), "cddp_gini_conc")
+    uniform.write.mode("overwrite").parquet(f"{path_u}/customer.parquet")
+    from configdrivendatapipeline_spark.queries.aggregates import agg_gini
+
+    r = agg_gini(spark, path_u).collect()[0]
+    assert abs(r["gini_micro"]) <= 1  # integer-floor wobble only
+    concentrated = spark.createDataFrame(
+        [(1, 0.0, i) for i in range(9)] + [(1, 10000.0, 9)],
+        ["c_nationkey", "c_acctbal", "c_custkey"],
+    )
+    concentrated.write.mode("overwrite").parquet(f"{path_c}/customer.parquet")
+    r = agg_gini(spark, path_c).collect()[0]
+    # analytic value: values (9x 1e5, 1x 1.1e6) cents -> G = 0.45
+    assert r["gini_micro"] == 450_000
+
+
+def test_drawdown_never_negative_and_peak_monotone(spark, sf_dir):
+    from configdrivendatapipeline_spark.queries.windows import win_drawdown
+
+    rows = win_drawdown(spark, sf_dir).collect()
+    assert all(r["drawdown_micro"] >= 0 for r in rows)
+    assert all(r["peak_micro"] >= r["cum_micro"] for r in rows)
