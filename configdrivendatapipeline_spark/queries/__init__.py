@@ -304,6 +304,8 @@ _ROUND6_WINDOW = (
     "agg_cohort_matrix",
     "win_drawdown",
     "agg_gini",
+    "agg_transition_matrix",
+    "agg_twap",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -909,3 +909,108 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - (1000000 * (n + 1)) div n"
         ).alias("gini_micro"),
     )
+
+
+@declare(
+    "agg_transition_matrix",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, ts,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    t AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+      FROM t GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n,
+           (t.n * 1000000) // tot.row_total AS p_micro
+    FROM t JOIN tot ON tot.from_type = t.from_type
+    """,
+    _SEC,
+    "Event-flow transition matrix: P(next event type | current) per "
+    "user stream in exact integer micro-units — the Markov view of "
+    "product flows (where do users go after a click?) that funnels "
+    "only show one path of. One LEAD window per user + one "
+    "aggregation over the (from, to) pairs + a broadcastable "
+    "row-total join; k² output for k event types regardless of "
+    "corpus size.",
+)
+def agg_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    t = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = t.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return t.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(n * 1000000) div row_total").alias("p_micro"),
+    )
+
+
+@declare(
+    "agg_twap",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu,
+             date_diff('second', ts,
+               LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                              ORDER BY ts, event_id)) AS dur_s
+      FROM events),
+    h AS (SELECT user_id, day, vu, dur_s FROM s WHERE dur_s IS NOT NULL),
+    g AS (
+      SELECT user_id, day,
+             CAST(SUM(vu * dur_s) AS BIGINT) AS vt,
+             CAST(SUM(dur_s) AS BIGINT) AS t
+      FROM h GROUP BY user_id, day)
+    SELECT user_id, day, t AS held_seconds,
+           vt // t AS twap_micro
+    FROM g WHERE t > 0
+    """,
+    _SEC,
+    "Time-weighted average value (TWAP) per user-day: each "
+    "observation weighted by how long it was the current value "
+    "(until the next event), in exact integer micro-unit x second "
+    "arithmetic — the averaging financial and sensor analytics need "
+    "where the plain mean over-weights bursts of rapid updates. One "
+    "LEAD window sharing the (user, day) aggregation's shuffle key; "
+    "the last observation of each day (no successor) carries no "
+    "duration, the standard right-open convention.",
+)
+def agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        day.alias("day"),
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("vu"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
+        ).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    g = s.groupBy("user_id", "day").agg(
+        F.sum(F.col("vu") * F.col("dur_s")).alias("vt"),
+        F.sum("dur_s").alias("t"),
+    )
+    return g.filter(F.col("t") > 0).select(
+        "user_id",
+        "day",
+        F.col("t").alias("held_seconds"),
+        F.expr("vt div t").alias("twap_micro"),
+    )
