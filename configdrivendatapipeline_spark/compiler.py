@@ -910,6 +910,27 @@ def _cdc_apply(spark, dfs, p):
     )
 
 
+@op("asof_join")
+def _asof_join(spark, dfs, p):
+    """Generic as-of join (backward/forward/nearest, optional
+    tolerance) — see joins.asof_join."""
+    from configdrivendatapipeline_spark import joins
+
+    if len(dfs) != 2:
+        raise ValueError("asof_join expects exactly 2 inputs (left, right)")
+    return joins.asof_join(
+        dfs[0],
+        dfs[1],
+        by=list(p["by"]),
+        left_key=p["left_key"],
+        left_ts=p.get("left_ts", "ts"),
+        right_ts=p.get("right_ts", "ts"),
+        direction=p.get("direction", "backward"),
+        tolerance_s=p.get("tolerance_s"),
+        take=dict(p.get("take") or {}),
+    )
+
+
 @op("salted_join")
 def _salted_join(spark, dfs, p):
     from configdrivendatapipeline_spark.skew import salted_join

@@ -115,3 +115,69 @@ def bloom_prefilter(
         "bloom_pass",
         bloom_might_contain(F.col(key_col), F.col("bloom"), n_bits, k, salt),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    left_key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
+    take: dict[str, str] | None = None,
+) -> DataFrame:
+    """Generic as-of join: attach to each left row the single best
+    right row sharing the ``by`` keys — latest at-or-before
+    (``backward``), earliest at-or-after (``forward``), or closest in
+    either direction with ties to the earlier row (``nearest``).
+    ``tolerance_s`` bounds the match distance in seconds (unmatched
+    rows null-extend, like pandas merge_asof). ``take`` maps output
+    names to right-side columns; ``left_key`` must uniquely identify
+    left rows (the window partitions on it — never on the full row,
+    which would silently merge duplicate lefts).
+
+    Composition: one equi-join on the by-keys (the range predicate
+    rides along as a join condition, so backward/forward candidates
+    are pruned before the window) + one per-left-row top-1 window —
+    the same one-shuffle shape at any scale; the deterministic
+    tie-break makes retries and engines agree.
+    """
+    from pyspark.sql import Window
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
+    take = dict(take or {})
+    r = right.select(
+        *[F.col(b).alias(f"__by_{b}") for b in by],
+        F.col(right_ts).alias("__rts"),
+        *[F.col(src).alias(f"__take_{out}") for out, src in take.items()],
+    )
+    cond = None
+    for b in by:
+        c = left[b] == r[f"__by_{b}"]
+        cond = c if cond is None else cond & c
+    if direction == "backward":
+        cond = cond & (r["__rts"] <= left[left_ts])
+    elif direction == "forward":
+        cond = cond & (r["__rts"] >= left[left_ts])
+    dist = F.abs(F.unix_micros(F.col("__rts")) - F.unix_micros(left[left_ts]))
+    if tolerance_s is not None:
+        cond = cond & (dist <= int(tolerance_s) * 1_000_000)
+    j = left.join(r, cond, "left")
+    if direction == "backward":
+        order = [F.col("__rts").desc()]
+    elif direction == "forward":
+        order = [F.col("__rts").asc()]
+    else:
+        order = [dist.asc(), F.col("__rts").asc()]
+    w = Window.partitionBy(left_key).orderBy(*order)
+    out = (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__rts", *[f"__by_{b}" for b in by])
+    )
+    for name in take:
+        out = out.withColumnRenamed(f"__take_{name}", name)
+    return out

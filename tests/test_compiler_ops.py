@@ -43,6 +43,7 @@ def test_every_op_is_exercised_below():
         "pack_manifest", "temperature_sample", "length_buckets",
         "snapshot_diff", "graph_rank", "minhash_calibration",
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
+        "asof_join",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -908,3 +909,60 @@ def test_audit_ops(spark, sf_dir):
     assert rows(frames["drift"]) == rows(centroid_drift(emb))
     merges = bpe_train_merges(docs, n_merges=5)
     assert rows(frames["fert"]) == rows(bpe_fertility(docs, merges))
+
+
+def test_asof_join_op_directions(spark, sf_dir):
+    """asof_join from YAML matches the library call for all three
+    directions, agrees with the declared backward query, and honors
+    tolerance."""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark import joins
+    from configdrivendatapipeline_spark.queries import load
+    from configdrivendatapipeline_spark.queries.relational import join_asof
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    for direction in ("backward", "forward", "nearest"):
+        lib = joins.asof_join(
+            left,
+            right,
+            by=["user_id"],
+            left_key="event_id",
+            direction=direction,
+            take={"sign_ts": "ts"},
+        )
+        assert lib.count() == left.count()
+    back = joins.asof_join(
+        left, right, by=["user_id"], left_key="event_id",
+        take={"sign_ts": "ts"},
+    ).select("event_id", "user_id", "sign_ts")
+    assert rows(back) == rows(join_asof(spark, sf_dir))
+    # tolerance: 0 seconds keeps only exact-timestamp matches
+    tight = joins.asof_join(
+        left, right, by=["user_id"], left_key="event_id",
+        tolerance_s=0, take={"sign_ts": "ts"},
+    )
+    assert tight.filter(F.col("sign_ts").isNotNull()).count() <= back.filter(
+        F.col("sign_ts").isNotNull()
+    ).count()
+    # and the YAML surface produces the same frame as the library call
+    frames = run_step(
+        spark,
+        sf_dir,
+        "events",
+        """
+  - {id: l, input: events, op: filter, params: {predicate: "event_type = 'purchase'"}}
+  - {id: ls, input: l, op: select, params: {columns: [event_id, user_id, ts]}}
+  - {id: r, input: events, op: filter, params: {predicate: "event_type = 'signup'"}}
+  - {id: rs, input: r, op: select, params: {columns: [user_id, ts]}}
+  - id: aj
+    inputs: [ls, rs]
+    op: asof_join
+    params: {by: [user_id], left_key: event_id, take: {sign_ts: ts}}
+""",
+    )
+    assert rows(frames["aj"].select("event_id", "user_id", "sign_ts")) == rows(back)
