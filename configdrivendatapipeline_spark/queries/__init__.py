@@ -306,6 +306,7 @@ _ROUND6_WINDOW = (
     "agg_gini",
     "agg_transition_matrix",
     "agg_twap",
+    "agg_autocorr",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1014,3 +1014,71 @@ def agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("held_seconds"),
         F.expr("vt div t").alias("twap_micro"),
     )
+
+
+@declare(
+    "agg_autocorr",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+             LEAD(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS y
+      FROM events),
+    p AS (SELECT user_id, x, y FROM s WHERE y IS NOT NULL),
+    g AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE ROUND(
+                  CAST(n * sxy - sx * sy AS DOUBLE) /
+                  SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+           END AS autocorr
+    FROM g
+    """,
+    _SEC,
+    "Lag-1 Pearson autocorrelation of each user's value stream — the "
+    "is-this-signal-persistent-or-noise diagnostic behind anomaly "
+    "baselines and forecasting readiness. Every sum is an exact "
+    "BIGINT over integer cents (all magnitudes < 2^53, so the "
+    "double conversions in the final closed-form r are bit-identical "
+    "across engines; sqrt is IEEE correctly-rounded); zero-variance "
+    "streams yield NULL rather than a 0/0. One LEAD window + one "
+    "aggregation per user.",
+)
+def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")
+    s = ev.select(
+        "user_id", x.alias("x"), F.lead(x).over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    g = s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return g.select(
+        "user_id",
+        "n",
+        F.expr(
+            "CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 "
+            "THEN NULL "
+            "ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "SQRT(CAST(n * sxx - sx * sx AS DOUBLE) "
+            "     * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 END"
+        ).alias("autocorr"),
+    )

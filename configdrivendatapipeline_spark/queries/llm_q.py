@@ -3088,11 +3088,18 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = stage + ".staged"
     if not os.path.exists(marker):
         docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
-        payloads = multimodal.attach_mixed_payload(docs).collect()
         os.makedirs(stage, exist_ok=True)
-        for r in payloads:
-            with open(os.path.join(stage, f"doc_{r['doc_id']:06d}.bin"), "wb") as f:
-                f.write(bytes(r["payload"]))
+
+        # Stage EXECUTOR-SIDE (foreach, not collect): each task writes
+        # its partition's payload files — the shape a real media dump
+        # to shared storage has; no row data ever lands on the driver.
+        def _write_payload(row) -> None:
+            with open(
+                os.path.join(stage, f"doc_{row['doc_id']:06d}.bin"), "wb"
+            ) as f:
+                f.write(bytes(row["payload"]))
+
+        multimodal.attach_mixed_payload(docs).foreach(_write_payload)
         with open(marker, "w") as f:
             f.write("ok")
     read = (
