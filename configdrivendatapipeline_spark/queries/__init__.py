@@ -307,6 +307,7 @@ _ROUND6_WINDOW = (
     "agg_transition_matrix",
     "agg_twap",
     "agg_autocorr",
+    "llm_cluster_purity",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -3113,3 +3113,95 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return multimodal.route_modality(read)
+
+
+@declare(
+    "llm_cluster_purity",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    seeds AS (SELECT vec_id AS cluster, embedding AS cemb FROM v
+              ORDER BY vec_id LIMIT 8),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, s.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ocos_raw('v.embedding', 's.cemb')} DESC,
+                            s.cluster) AS rn
+        FROM v CROSS JOIN seeds s) WHERE rn = 1),
+    qex AS (
+      SELECT a1.cluster, r.i AS dim,
+             CAST(FLOOR(CAST(v.embedding[r.i] AS DOUBLE) * 1048576)
+                  AS BIGINT) AS qv
+      FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, 65) AS r(i)),
+    comp AS (
+      SELECT cluster, dim,
+             CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576) AS mean
+      FROM qex GROUP BY cluster, dim),
+    cents AS (
+      SELECT cluster, list(mean ORDER BY dim) AS cmean
+      FROM comp GROUP BY cluster),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ocos_raw('v.embedding', 'c.cmean')} DESC,
+                            c.cluster) AS rn
+        FROM v CROSS JOIN cents c) WHERE rn = 1),
+    lab AS (
+      SELECT a2.cluster, e.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM a2 JOIN embeddings e ON e.vec_id = a2.vec_id
+      GROUP BY a2.cluster, e.label),
+    tot AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_total
+            FROM lab GROUP BY cluster),
+    top AS (
+      SELECT cluster, label AS majority_label, n AS n_majority FROM (
+        SELECT cluster, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY n DESC, label) AS rn
+        FROM lab) WHERE rn = 1)
+    SELECT CAST(t.cluster AS BIGINT) AS cluster,
+           CAST(p.majority_label AS BIGINT) AS majority_label,
+           p.n_majority, t.n_total,
+           (p.n_majority * 1000000) // t.n_total AS purity_micro
+    FROM tot t JOIN top p ON p.cluster = t.cluster
+    """,
+    _SEC,
+    "Clustering-quality evaluation: per k-means cluster, its "
+    "majority ground-truth label and purity (majority share) in "
+    "exact integer micro-units — the does-the-clustering-mean-"
+    "anything check a cluster-then-dedup curation run reads before "
+    "trusting cluster-level decisions. Reuses the deterministic "
+    "k-means assignment (lowest-id seeds, fixed-point refinement) so "
+    "the whole evaluation replays bit-for-bit; one (cluster, label) "
+    "aggregation + a k-sized top-1 window on top.",
+)
+def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_assign(emb, n_clusters=8, refine_iters=1).select(
+        "vec_id", "cluster"
+    )
+    lab = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = lab.groupBy("cluster").agg(F.sum("n").alias("n_total"))
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label"))
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").cast("long").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return tot.join(top, "cluster").select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "majority_label",
+        "n_majority",
+        "n_total",
+        F.expr("(n_majority * 1000000) div n_total").alias("purity_micro"),
+    )
