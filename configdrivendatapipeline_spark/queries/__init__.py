@@ -308,6 +308,7 @@ _ROUND6_WINDOW = (
     "agg_twap",
     "agg_autocorr",
     "llm_cluster_purity",
+    "win_cusum",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

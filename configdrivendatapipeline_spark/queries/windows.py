@@ -1231,3 +1231,77 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").alias("peak_micro"),
         (F.col("peak") - F.col("cum")).alias("drawdown_micro"),
     )
+
+
+@declare(
+    "win_cusum",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    mu AS (
+      SELECT user_id,
+             (CAST(SUM(cents) AS BIGINT) * 2 + COUNT(*))
+               // (2 * COUNT(*)) AS target
+      FROM v GROUP BY user_id),
+    c AS (
+      SELECT v.user_id, v.event_id, v.ts, v.cents, mu.target,
+             SUM(v.cents - mu.target) OVER (
+               PARTITION BY v.user_id ORDER BY v.ts, v.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM v JOIN mu ON mu.user_id = v.user_id),
+    m AS (
+      SELECT user_id, event_id, cum,
+             MIN(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo
+      FROM c)
+    SELECT user_id, event_id,
+           CAST(cum - LEAST(lo, 0) AS BIGINT) AS cusum_cents,
+           (cum - LEAST(lo, 0)) > 50000 AS shifted
+    FROM m
+    """,
+    _SEC,
+    "One-sided CUSUM change detection per user: the classic "
+    "upward-shift statistic S_t = max(0, S_{t-1} + (x_t - target)) "
+    "rewritten NON-recursively as cum_t - min(0, prefix-min(cum)) — "
+    "algebraically identical, but expressible as two stacked windows "
+    "where the textbook recurrence cannot be vectorized at all. "
+    "Target is the user's half-up integer mean; everything stays in "
+    "exact cents, flagging runs that drift 500+ above baseline. Two "
+    "windows and one mean join share the per-user shuffle key.",
+)
+def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    mu = v.groupBy("user_id").agg(
+        F.expr("(CAST(SUM(cents) AS BIGINT) * 2 + COUNT(*)) div (2 * COUNT(*))")
+        .alias("target")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = v.join(mu, "user_id").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("cents") - F.col("target")).over(w).alias("cum"),
+    )
+    m = c.select(
+        "user_id", "event_id", "cum", F.min("cum").over(w).alias("lo")
+    )
+    s = F.col("cum") - F.least(F.col("lo"), F.lit(0).cast("long"))
+    return m.select(
+        "user_id",
+        "event_id",
+        s.alias("cusum_cents"),
+        (s > 50000).alias("shifted"),
+    )

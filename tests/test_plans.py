@@ -352,3 +352,30 @@ def test_drawdown_never_negative_and_peak_monotone(spark, sf_dir):
     rows = win_drawdown(spark, sf_dir).collect()
     assert all(r["drawdown_micro"] >= 0 for r in rows)
     assert all(r["peak_micro"] >= r["cum_micro"] for r in rows)
+
+
+def test_cusum_matches_recursive_definition(spark, sf_dir):
+    """The two-window rewrite equals the textbook recurrence
+    S_t = max(0, S_{t-1} + (x_t - target)) on real data."""
+    import math
+
+    from configdrivendatapipeline_spark.queries.windows import win_cusum
+
+    got = {
+        (r["user_id"], r["event_id"]): r["cusum_cents"]
+        for r in win_cusum(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_user: dict = {}
+    for r in ev:
+        cents = math.floor(r["value"] * 100 + 0.5)
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"], cents))
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda t: (t[0], t[1]))
+        total = sum(c for _, _, c in rows)
+        n = len(rows)
+        target = (total * 2 + n) // (2 * n)
+        s = 0
+        for (_, eid, cents) in rows:
+            s = max(0, s + (cents - target))
+            assert got[(uid, eid)] == s, (uid, eid)
