@@ -910,6 +910,15 @@ def _cdc_apply(spark, dfs, p):
     )
 
 
+@op("route_modality")
+def _route_modality(spark, dfs, p):
+    """Magic-byte modality dispatch over a binary payload column (see
+    llm.multimodal.route_modality)."""
+    from configdrivendatapipeline_spark.llm.multimodal import route_modality
+
+    return route_modality(_one(dfs), id_col=p.get("id_column", "doc_id"))
+
+
 @op("asof_join")
 def _asof_join(spark, dfs, p):
     """Generic as-of join (backward/forward/nearest, optional

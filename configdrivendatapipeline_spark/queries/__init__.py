@@ -309,6 +309,7 @@ _ROUND6_WINDOW = (
     "agg_autocorr",
     "llm_cluster_purity",
     "win_cusum",
+    "pipeline_mm_ingest",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

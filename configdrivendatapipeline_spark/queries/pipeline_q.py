@@ -1542,3 +1542,67 @@ steps:
         max_pack: "max(pack_no)"
 """
     return _run(spark, yml, "shard_stats")
+
+
+@declare(
+    "pipeline_mm_ingest",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 29 = 0 THEN 'unknown'
+                  WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS modality
+      FROM documents WHERE doc_id < 60)
+    SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM d GROUP BY modality
+    """,
+    _SEC,
+    "YAML pipeline: the raw-media ingest front door — a binaryFile "
+    "source over a file-per-object directory, ids parsed from "
+    "filenames with a derive step, magic-byte modality routing, and "
+    "per-modality accounting — declared entirely in config and "
+    "hash-checked against the analytic payload oracle. The same "
+    "staged files src_binaryfile proves the content of; this proves "
+    "the CONFIG surface reaches them.",
+)
+def pipeline_mm_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Reuse src_binaryfile's staged directory (stages on first use).
+    from configdrivendatapipeline_spark.queries.llm_q import src_binaryfile
+
+    src_binaryfile(spark, sf_dir)  # ensure files are staged (lazy marker)
+    from configdrivendatapipeline_spark.queries.streaming_q import _scratch
+
+    stage = _scratch(sf_dir, "binary_files", src_table="documents")
+    yml = f"""
+pipeline:
+  name: mm_ingest
+sources:
+  media:
+    format: binaryFile
+    path: {stage}
+steps:
+  - id: with_id
+    input: media
+    op: derive
+    params:
+      columns:
+        doc_id: "CAST(regexp_extract(path, 'doc_(\\\\d+)\\\\.bin', 1) AS BIGINT)"
+        payload: "content"
+  - id: slim
+    input: with_id
+    op: select
+    params: {{columns: [doc_id, payload]}}
+  - id: routed
+    input: slim
+    op: route_modality
+    params: {{}}
+  - id: by_modality
+    input: routed
+    op: aggregate
+    params:
+      group_by: [modality]
+      aggs:
+        n_files: "count(1)"
+"""
+    return _run(spark, yml, "by_modality")

@@ -43,7 +43,7 @@ def test_every_op_is_exercised_below():
         "pack_manifest", "temperature_sample", "length_buckets",
         "snapshot_diff", "graph_rank", "minhash_calibration",
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
-        "asof_join",
+        "asof_join", "route_modality",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -966,3 +966,24 @@ def test_asof_join_op_directions(spark, sf_dir):
 """,
     )
     assert rows(frames["aj"].select("event_id", "user_id", "sign_ts")) == rows(back)
+
+
+def test_route_modality_op(spark, sf_dir):
+    from configdrivendatapipeline_spark.llm import multimodal as mm
+
+    ids = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+    payloads = mm.attach_mixed_payload(ids)
+    payloads.write.mode("overwrite").parquet("/tmp/cddp_test_payloads.parquet")
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: routed, input: media, op: route_modality, params: {}}
+""",
+        extra_sources=(
+            '  media: {format: parquet, path: "/tmp/cddp_test_payloads.parquet"}\n'
+        ),
+    )
+    direct = mm.route_modality(spark.read.parquet("/tmp/cddp_test_payloads.parquet"))
+    assert rows(frames["routed"]) == rows(direct)
