@@ -149,9 +149,14 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     take = dict(take or {})
+    # NTZ-tolerant: unix_micros requires TIMESTAMP; parquet feeds often
+    # arrive TIMESTAMP_NTZ (Spark 4 reads isAdjustedToUTC=false micros
+    # that way) and the cast is value-preserving under the UTC session
+    # zone — the same normalization discipline as queries.normalize_ts.
+    left = left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
     r = right.select(
         *[F.col(b).alias(f"__by_{b}") for b in by],
-        F.col(right_ts).alias("__rts"),
+        F.col(right_ts).cast("timestamp").alias("__rts"),
         *[F.col(src).alias(f"__take_{out}") for out, src in take.items()],
     )
     cond = None
