@@ -310,6 +310,8 @@ _ROUND6_WINDOW = (
     "llm_cluster_purity",
     "win_cusum",
     "pipeline_mm_ingest",
+    "val_kanonymity",
+    "llm_source_overlap",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -3205,3 +3205,86 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.expr("(n_majority * 1000000) div n_total").alias("purity_micro"),
     )
+
+
+@declare(
+    "llm_source_overlap",
+    """
+    WITH d AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) AS gram
+      FROM d),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams
+              FROM s GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM s a JOIN s b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.source_a, i.source_b, i.n_shared,
+           (i.n_shared * 1000000)
+             // (sa.n_grams + sb.n_grams - i.n_shared) AS jaccard_micro
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    WHERE (i.n_shared * 1000000)
+          // (sa.n_grams + sb.n_grams - i.n_shared) >= 50000
+    """,
+    _SEC,
+    "Source-pair n-gram overlap matrix: 3-shingle Jaccard between "
+    "every pair of corpus sources (>= 0.05 shown) in exact integer "
+    "micro-units — the source-level contamination/provenance view "
+    "(two 'different' crawls sharing most shingles are one corpus "
+    "counted twice; a benchmark-shaped source lighting up against "
+    "everything is leakage). The join is on the DISTINCT "
+    "(source, gram) inventory — grows with vocabulary, not corpus "
+    "rows — and output is bounded by source-pair count.",
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
+        )
+    )
+    s = (
+        docs.select("source", F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = s.select(F.col("source").alias("source_a"), "gram")
+    b = s.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, ["gram"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    j = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n_grams").alias("na"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n_grams").alias("nb"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.expr("(n_shared * 1000000) div (na + nb - n_shared)").alias(
+                "jaccard_micro"
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard_micro") >= 50000).select(
+        "source_a", "source_b", "n_shared", "jaccard_micro"
+    )

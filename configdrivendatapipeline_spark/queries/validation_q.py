@@ -642,3 +642,56 @@ def val_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.validation import benford_profile
 
     return benford_profile(load(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@declare(
+    "val_kanonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(COALESCE(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violating_groups,
+             CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n ELSE 0 END), 0)
+                  AS BIGINT) AS n_exposed_rows,
+             CAST(MIN(n) AS BIGINT) AS min_group_size
+      FROM g)
+    SELECT 'k_anonymity_5' AS rule_name, n_groups, n_violating_groups,
+           n_exposed_rows, min_group_size,
+           min_group_size >= 5 AS passed
+    FROM s
+    """,
+    _SEC,
+    "k-anonymity audit (k=5) over the (nation, segment) quasi-"
+    "identifier pair: how many identifier combinations exist, how "
+    "many expose fewer than k individuals, and the worst group size "
+    "— the re-identification-risk gate a dataset release runs before "
+    "publishing joins of demographic columns. One aggregation over "
+    "the quasi-identifier key plus a scalar rollup; the released "
+    "metric row never carries the identifying combos themselves.",
+)
+def val_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < 5, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_exposed_rows"),
+        F.min("n").alias("min_group_size"),
+    )
+    return s.select(
+        F.lit("k_anonymity_5").alias("rule_name"),
+        "n_groups",
+        "n_violating_groups",
+        "n_exposed_rows",
+        "min_group_size",
+        (F.col("min_group_size") >= 5).alias("passed"),
+    )
