@@ -312,6 +312,7 @@ _ROUND6_WINDOW = (
     "pipeline_mm_ingest",
     "val_kanonymity",
     "llm_source_overlap",
+    "llm_cluster_sizes",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -3288,3 +3288,70 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(F.col("jaccard_micro") >= 50000).select(
         "source_a", "source_b", "n_shared", "jaccard_micro"
     )
+
+
+@declare(
+    "llm_cluster_sizes",
+    """
+    WITH tok AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sizes AS (SELECT id, COUNT(*) AS n_tok FROM tok GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+      HAVING COUNT(*) / (ANY_VALUE((SELECT n_tok FROM sizes WHERE id = a.id))
+             + ANY_VALUE((SELECT n_tok FROM sizes WHERE id = b.id)) - COUNT(*)) >= 0.95
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk AS (
+      WITH RECURSIVE w(id, anc) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.anc FROM w JOIN edges e ON e.src = w.id
+      ) SELECT * FROM w
+    ), comp AS (
+      SELECT id, MIN(anc) AS component FROM walk GROUP BY id
+    ), cs AS (
+      SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM comp GROUP BY component),
+    hist AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM cs GROUP BY cluster_size),
+    tot AS (SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS n_docs
+            FROM hist)
+    SELECT h.cluster_size, h.n_clusters,
+           CAST(h.cluster_size * h.n_clusters AS BIGINT) AS n_docs_in_size,
+           ((h.cluster_size - 1) * h.n_clusters * 1000000) // t.n_docs
+             AS removable_share_micro
+    FROM hist h CROSS JOIN tot t
+    """,
+    _SEC,
+    "Duplicate-cluster size distribution: how many clusters exist at "
+    "each size and what share of the corpus each size class would "
+    "shed under keep-one-per-cluster dedup — the BEFORE-running-it "
+    "cost/benefit report (size-1 rows are unique docs; a giant "
+    "cluster is usually boilerplate, not duplication). Rolls up the "
+    "same connected components as llm_dup_clusters into a "
+    "histogram-sized result; removable share is exact integer "
+    "micro-units.",
+)
+def llm_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    comp = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+    cs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = cs.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+    tot = hist.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters")).alias("n_docs")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs_in_size"),
+        F.expr(
+            "((cluster_size - 1) * n_clusters * 1000000) div n_docs"
+        ).alias("removable_share_micro"),
+    )
