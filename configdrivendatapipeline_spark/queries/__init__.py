@@ -313,6 +313,8 @@ _ROUND6_WINDOW = (
     "val_kanonymity",
     "llm_source_overlap",
     "llm_cluster_sizes",
+    "src_python_datasource",
+    "udf_arrow",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

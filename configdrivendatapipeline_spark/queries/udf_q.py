@@ -204,3 +204,66 @@ def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@declare(
+    "src_python_datasource",
+    """
+    WITH ids AS (SELECT unnest(generate_series(0, 199)) AS doc_id)
+    SELECT doc_id,
+           CAST(doc_id // 50 AS INT) AS shard,
+           array_to_string(list_transform(range(0, 5 + doc_id % 10),
+             k -> (['alpha','beta','gamma','delta','epsilon','zeta','eta',
+                    'theta','iota','kappa','lambda','mu','nu','xi',
+                    'omicron','pi'])[(doc_id * 31 + k) % 16 + 1]), ' ')
+             AS text
+    FROM ids
+    """,
+    "2.1",
+    "Custom PYTHON data source (Spark 4 pyspark.sql.datasource API) "
+    "— the modern extension point for sources Spark can't read "
+    "natively (REST APIs, proprietary formats): the reader declares "
+    "its own partitions so Spark schedules one task per shard and "
+    "rows stream from executor-side Python iterators, never the "
+    "driver. The shipped source generates documents as a pure "
+    "function of doc_id, so the ENTIRE source output is replayed "
+    "bit-for-bit by the SQL oracle — the source, not just a query "
+    "over it, is hash-verified.",
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("shards", 4)
+        .option("rows_per_shard", 50)
+        .load()
+    )
+
+
+@declare(
+    "udf_arrow",
+    """
+    SELECT o_orderkey,
+           CAST(LENGTH(o_orderpriority) * 10
+                + CAST(SUBSTR(o_orderpriority, 1, 1) AS INT)
+             AS INTEGER) AS prio_code
+    FROM orders
+    """,
+    _SEC,
+    "Arrow-optimized scalar Python UDF (useArrow=True — Spark 4's "
+    "middle path between row-pickled UDFs and pandas UDFs): same "
+    "per-row Python semantics, but batches cross the JVM boundary "
+    "as Arrow columns, cutting serialization ~5-10x. The demo "
+    "computes a priority code any engine can replay.",
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("int", useArrow=True)
+    def prio_code(p: str) -> int:
+        return len(p) * 10 + int(p[0])
+
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", prio_code(F.col("o_orderpriority")).alias("prio_code")
+    )

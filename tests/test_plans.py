@@ -379,3 +379,24 @@ def test_cusum_matches_recursive_definition(spark, sf_dir):
         for (_, eid, cents) in rows:
             s = max(0, s + (cents - target))
             assert got[(uid, eid)] == s, (uid, eid)
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    from configdrivendatapipeline_spark.io import pydatasource
+
+    pydatasource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("shards", 3)
+        .option("rows_per_shard", 7)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 21
+    assert df.rdd.getNumPartitions() == 3
+    for r in rows:
+        assert r["shard"] == r["doc_id"] // 7
+        assert r["text"] == pydatasource.synthetic_text(r["doc_id"])
+    # re-read is bit-identical (pure function of ids — retry-safe)
+    again = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert again == {r["doc_id"]: r["text"] for r in rows}
