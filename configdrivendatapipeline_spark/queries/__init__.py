@@ -315,6 +315,8 @@ _ROUND6_WINDOW = (
     "llm_cluster_sizes",
     "src_python_datasource",
     "udf_arrow",
+    "udtf_analyze",
+    "fn_variant",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -267,3 +267,92 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", prio_code(F.col("o_orderpriority")).alias("prio_code")
     )
+
+
+@declare(
+    "udtf_analyze",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE doc_id < 50)
+    SELECT doc_id, toks[1] AS tok0, toks[2] AS tok1, toks[3] AS tok2
+    FROM d
+    """,
+    _SEC,
+    "POLYMORPHIC Python UDTF (Spark 4 analyze API): the output "
+    "schema — here tok0..tok{n-1} for a constant n — is computed at "
+    "PLAN time from the call's literal arguments by a static "
+    "analyze() method, the mechanism behind schema-inferring table "
+    "functions (CSV head columns, pivoting UDTFs). n=3 leading "
+    "tokens per doc; short docs null-pad, which the oracle's "
+    "out-of-range list indexing reproduces exactly.",
+)
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstN:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not isinstance(n.value, int) or n.value <= 0:
+                raise ValueError("n must be a positive integer literal")
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok{i}", StringType())
+                        for i in range(n.value)
+                    ]
+                )
+            )
+
+        def eval(self, text: str, n: int):
+            toks = text.split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("cddp_first_n", FirstN)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    view = f"_udtfa_docs_{uuid.uuid4().hex[:8]}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, t.tok0, t.tok1, t.tok2
+        FROM {view} d, LATERAL cddp_first_n(d.text, 3) t
+        """
+    )
+
+
+@declare(
+    "fn_variant",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing_x,
+           (props->>'$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+    "2.7",
+    "VARIANT semi-structured type (Spark 4): parse_json lifts the "
+    "raw props JSON into the binary VARIANT encoding once, then "
+    "variant_get extracts typed paths without re-parsing — the "
+    "open-schema path for telemetry/props columns where from_json's "
+    "fixed schema fights evolution (shredding at the parquet layer "
+    "makes the paths columnar at rest). Extracted values are plain "
+    "typed columns, so the oracle replays them with JSON path "
+    "extraction; a missing path is NULL, not an error.",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.x', 'bigint')").alias("missing_x"),
+        F.expr("variant_get(v, '$.k', 'bigint') IS NOT NULL").alias("has_k"),
+    )
