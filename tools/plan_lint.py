@@ -31,6 +31,9 @@ ALLOW = {
     # §2.12 contract ops ARE the row-Python UDF/UDTF demonstrators.
     ("udf_python", "BatchEvalPython"),
     ("udtf_python", "BatchEvalPython"),
+    # the polymorphic-analyze UDTF demonstrator is likewise a
+    # deliberate row-Python surface (§2.12 family).
+    ("udtf_analyze", "BatchEvalPython"),
     # exact-ANN baselines broadcast a ≤8-row probe/centroid side; the
     # "cartesian" is bounded by that constant side.
     ("llm_cosine_topk", "CartesianProduct"),
