@@ -317,6 +317,7 @@ _ROUND6_WINDOW = (
     "udf_arrow",
     "udtf_analyze",
     "fn_variant",
+    "sql_pipe",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

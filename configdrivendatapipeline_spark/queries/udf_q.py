@@ -356,3 +356,41 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("variant_get(v, '$.x', 'bigint')").alias("missing_x"),
         F.expr("variant_get(v, '$.k', 'bigint') IS NOT NULL").alias("has_k"),
     )
+
+
+@declare(
+    "sql_pipe",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                AS BIGINT) AS total_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderstatus
+    """,
+    _SEC,
+    "SQL pipe syntax (Spark 4 `|>` operators): the linear "
+    "FROM-first query style — FROM ... |> WHERE ... |> AGGREGATE "
+    "... GROUP BY ... — that reads in execution order like a "
+    "DataFrame chain; it parses to the IDENTICAL Catalyst plan as "
+    "the nested SELECT the oracle uses, which the hash match "
+    "proves. Sums are decimal-exact cents.",
+)
+def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    o = load(spark, sf_dir, "orders")
+    view = f"_pipe_orders_{uuid.uuid4().hex[:8]}"
+    o.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                          AS BIGINT) AS total_cents
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n_orders, total_cents
+        """
+    )
