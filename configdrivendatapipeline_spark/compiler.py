@@ -240,7 +240,12 @@ def _sql(spark, dfs, p):
     views = p.get("views") or [f"t{i+1}" for i in range(len(dfs))]
     for name, df in zip(views, dfs):
         df.createOrReplaceTempView(name)
-    return spark.sql(p["query"])
+    # ``args`` binds :name parameter markers server-side — values
+    # never concatenate into SQL text, so a config value can't
+    # change query STRUCTURE (the injection-safe channel; the
+    # ${param} substitution layer is for structure by design).
+    args = p.get("args")
+    return spark.sql(p["query"], args=args) if args else spark.sql(p["query"])
 
 
 # --- validation / enrichment ---------------------------------------------------

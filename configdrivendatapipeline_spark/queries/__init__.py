@@ -318,6 +318,7 @@ _ROUND6_WINDOW = (
     "udtf_analyze",
     "fn_variant",
     "sql_pipe",
+    "sql_params",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

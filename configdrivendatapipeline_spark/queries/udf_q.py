@@ -394,3 +394,36 @@ def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderstatus, n_orders, total_cents
         """
     )
+
+
+@declare(
+    "sql_params",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    WHERE c_acctbal >= 1000.0 AND c_nationkey < 10
+    GROUP BY c_mktsegment
+    """,
+    _SEC,
+    "Parameterized SQL (named :param markers bound via "
+    "spark.sql(args=...)): values bind SERVER-SIDE after parsing, so "
+    "a user- or config-supplied value can never change query "
+    "structure — the injection-safe channel the YAML sql step's "
+    "args param rides on (${param} text substitution remains the "
+    "structure-changing channel by design).",
+)
+def sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    c = load(spark, sf_dir, "customer")
+    view = f"_param_cust_{uuid.uuid4().hex[:8]}"
+    c.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+        FROM {view}
+        WHERE c_acctbal >= :min_bal AND c_nationkey < :max_nation
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 1000.0, "max_nation": 10},
+    )

@@ -987,3 +987,26 @@ def test_route_modality_op(spark, sf_dir):
     )
     direct = mm.route_modality(spark.read.parquet("/tmp/cddp_test_payloads.parquet"))
     assert rows(frames["routed"]) == rows(direct)
+
+
+def test_sql_op_binds_args_server_side(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "customer",
+        """
+  - id: q
+    input: customer
+    op: sql
+    params:
+      views: [cust]
+      query: "SELECT COUNT(*) AS n FROM cust WHERE c_acctbal >= :min_bal"
+      args: {min_bal: 5000.0}
+""",
+    )
+    direct = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") >= 5000.0)
+        .count()
+    )
+    assert frames["q"].collect()[0]["n"] == direct
