@@ -166,6 +166,76 @@ def pack_offsets(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "budget:v1",
+) -> DataFrame:
+    """Token-budget-constrained quality selection: keep the
+    highest-quality documents until half the corpus's tokens are
+    spent — the data-selection step of a compute-bounded training
+    run (you rarely train on everything; you train on the best N
+    tokens).
+
+    Greedy-by-quality is made scale-safe by banding: the 0-100
+    integer quality score gives ≤101 bands, whole bands are taken
+    from the top (the cumulative-band window runs over ≤101 rows —
+    bounded at any corpus size), and only the single MARGINAL band
+    is filled document-by-document, in deterministic md5(id) order
+    on a per-band window (partition-parallel; a global quality sort
+    of the corpus never happens). Everything is exact integers, so
+    membership replays bit-for-bit on any engine or retry.
+    """
+    from pyspark.sql import Window
+
+    from configdrivendatapipeline_spark.llm.textstats import quality_score
+
+    q = quality_score(df, id_col=id_col, text_col=text_col).select(
+        id_col, "n_tokens", "quality"
+    )
+    bands = q.groupBy("quality").agg(F.sum("n_tokens").alias("band_tokens"))
+    wb = (
+        Window.orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cb = bands.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("band_tokens").over(wb), F.lit(0).cast("long")),
+    )
+    tot = bands.agg(F.expr("CAST(SUM(band_tokens) AS BIGINT) div 2").alias("budget"))
+    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    wd = (
+        Window.partitionBy("quality")
+        .orderBy(order_key.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    j = (
+        q.join(F.broadcast(cb), "quality")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "doc_cum",
+            F.coalesce(F.sum("n_tokens").over(wd), F.lit(0).cast("long")),
+        )
+    )
+    full_band = F.col("cum_before") + F.col("band_tokens") <= F.col("budget")
+    partial = (F.col("cum_before") < F.col("budget")) & (
+        F.col("cum_before") + F.col("doc_cum") + F.col("n_tokens")
+        <= F.col("budget")
+    )
+    return (
+        j.filter(full_band | partial)
+        .select(
+            id_col,
+            "quality",
+            "n_tokens",
+            F.when(full_band, "full_band").otherwise("partial_band").alias(
+                "keep_tier"
+            ),
+        )
+    )
+
+
 def pack_manifest(
     df: DataFrame,
     id_col: str = "doc_id",

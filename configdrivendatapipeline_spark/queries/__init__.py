@@ -319,6 +319,7 @@ _ROUND6_WINDOW = (
     "fn_variant",
     "sql_pipe",
     "sql_params",
+    "llm_budget_select",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

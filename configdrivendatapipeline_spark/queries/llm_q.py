@@ -3355,3 +3355,65 @@ def llm_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((cluster_size - 1) * n_clusters * 1000000) div n_docs"
         ).alias("removable_share_micro"),
     )
+
+
+@declare(
+    "llm_budget_select",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+              + CASE WHEN len(list_filter(toks, t ->
+                       list_contains(['the','a','of','and','is'], t))) * 100
+                       >= len(toks) * 2
+                     AND len(list_filter(toks, t ->
+                       list_contains(['the','a','of','and','is'], t))) * 100
+                       <= len(toks) * 40 THEN 30 ELSE 0 END
+              + CASE WHEN len(list_distinct(toks)) * 100 >= len(toks) * 30
+                     THEN 30 ELSE 0 END AS BIGINT) AS quality
+      FROM d),
+    bands AS (
+      SELECT quality, CAST(SUM(n_tokens) AS BIGINT) AS band_tokens
+      FROM q GROUP BY quality),
+    cb AS (
+      SELECT quality, band_tokens,
+             CAST(COALESCE(SUM(band_tokens) OVER (
+               ORDER BY quality DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM bands),
+    tot AS (SELECT CAST(SUM(band_tokens) AS BIGINT) // 2 AS budget FROM bands),
+    j AS (
+      SELECT q.doc_id, q.quality, q.n_tokens,
+             cb.band_tokens, cb.cum_before, t.budget,
+             CAST(COALESCE(SUM(q.n_tokens) OVER (
+               PARTITION BY q.quality
+               ORDER BY md5(CAST(q.doc_id AS VARCHAR) || ':budget:v1'), q.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS doc_cum
+      FROM q JOIN cb USING (quality) CROSS JOIN tot t)
+    SELECT doc_id, quality, n_tokens,
+           CASE WHEN cum_before + band_tokens <= budget THEN 'full_band'
+                ELSE 'partial_band' END AS keep_tier
+    FROM j
+    WHERE cum_before + band_tokens <= budget
+       OR (cum_before < budget
+           AND cum_before + doc_cum + n_tokens <= budget)
+    """,
+    _SEC,
+    "Token-budget-constrained quality selection — the data-selection "
+    "step of a compute-bounded training run: keep the highest-"
+    "quality docs until half the corpus's tokens are spent. "
+    "Greedy-by-quality made scale-safe by BANDING: whole quality "
+    "bands are taken from the top (the band window is bounded by "
+    "the 0-100 score domain at any corpus size) and only the one "
+    "marginal band fills doc-by-doc in deterministic md5 order on a "
+    "per-band window — a global quality sort of the corpus never "
+    "happens. Exact integers end to end.",
+)
+def llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.budget_select(load(spark, sf_dir, "documents"))

@@ -903,3 +903,52 @@ def test_dedup_canonical_one_survivor_per_cluster(spark, sf_dir):
         # isolated docs are their own cluster and survive
         if len(members) == 1:
             assert members[0]["is_canonical"]
+
+
+def test_budget_select_spends_at_most_half_and_prefers_quality(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.llm.sampling import budget_select
+    from configdrivendatapipeline_spark.llm.textstats import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = budget_select(docs).collect()
+    scores = quality_score(docs).collect()
+    total = sum(r["n_tokens"] for r in scores)
+    budget = total // 2
+    spent = sum(r["n_tokens"] for r in kept)
+    assert spent <= budget
+    # greedy: no un-kept doc has strictly higher quality than any kept
+    # partial/boundary band
+    kept_ids = {r["doc_id"] for r in kept}
+    min_kept_q = min(r["quality"] for r in kept)
+    for r in scores:
+        if r["doc_id"] not in kept_ids:
+            assert r["quality"] <= min_kept_q
+    # prefix property: the FIRST md5-ordered excluded doc of the
+    # marginal band would overflow the budget (later, smaller docs are
+    # deliberately not back-filled — membership must be a prefix so
+    # growing the budget only ADDS docs)
+    import hashlib
+
+    def okey(doc_id):
+        return hashlib.md5(f"{doc_id}:budget:v1".encode()).hexdigest()
+
+    marginal_excluded = sorted(
+        (
+            r
+            for r in scores
+            if r["doc_id"] not in kept_ids and r["quality"] == min_kept_q
+        ),
+        key=lambda r: (okey(r["doc_id"]), r["doc_id"]),
+    )
+    if marginal_excluded:
+        kept_marginal = sum(
+            r["n_tokens"] for r in kept if r["quality"] == min_kept_q
+        )
+        full_spent = spent - kept_marginal
+        # cum of kept marginal prefix + first excluded doc > remaining
+        assert (
+            full_spent + kept_marginal + marginal_excluded[0]["n_tokens"]
+            > budget
+        )
