@@ -915,6 +915,35 @@ def _cdc_apply(spark, dfs, p):
     )
 
 
+@op("survivorship")
+def _survivorship(spark, dfs, p):
+    """Per-field golden-record survivorship rules (see
+    enrichment.survivorship). ``rules: {out: [kind, col]}``."""
+    from configdrivendatapipeline_spark.enrichment import survivorship
+
+    rules = {name: (spec[0], spec[1]) for name, spec in p["rules"].items()}
+    return survivorship(
+        _one(dfs),
+        key_cols=list(p["keys"]),
+        priority_col=p["priority"],
+        rules=rules,
+    )
+
+
+@op("budget_select")
+def _budget_select(spark, dfs, p):
+    """Token-budget-constrained quality selection (see
+    llm.sampling.budget_select)."""
+    from configdrivendatapipeline_spark.llm.sampling import budget_select
+
+    return budget_select(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        salt=p.get("salt", "budget:v1"),
+    )
+
+
 @op("route_modality")
 def _route_modality(spark, dfs, p):
     """Magic-byte modality dispatch over a binary payload column (see

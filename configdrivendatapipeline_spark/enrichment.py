@@ -267,3 +267,56 @@ def merge_agg_state(
             ).alias(c)
         )
     return merged.select(*out_cols)
+
+
+def survivorship(
+    df: DataFrame,
+    key_cols: list[str],
+    priority_col: str,
+    rules: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Master-data survivorship: collapse duplicate records of one
+    entity into a single golden record with PER-FIELD rules — the
+    record-mastering step after entity resolution (different sources
+    disagree; each field picks its own winner).
+
+    ``rules`` maps output name → (kind, column) with kind:
+
+    - ``first_non_null``: the value from the lowest ``priority_col``
+      row where the column is non-null (source trust order), ties on
+      priority broken by the value itself — fully deterministic;
+    - ``max`` / ``min``: extremum across all of the entity's records.
+
+    One aggregation on the entity key. first_non_null composes from
+    collect_list → array_sort → element_at over the per-entity
+    variants (collect_list drops nulls by construction) — bounded by
+    the duplicate-group size, never corpus-shaped, and retry-stable
+    where ``first()``/``min_by`` tie-breaks are not.
+    """
+    aggs = []
+    for out, (kind, col) in rules.items():
+        if kind == "first_non_null":
+            expr = F.element_at(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col(col).isNotNull(),
+                            F.struct(
+                                F.col(priority_col).alias("p"),
+                                F.col(col).alias("v"),
+                            ),
+                        )
+                    )
+                ),
+                1,
+            ).getField("v")
+        elif kind == "max":
+            expr = F.max(col)
+        elif kind == "min":
+            expr = F.min(col)
+        else:
+            raise ValueError(
+                f"survivorship supports first_non_null|max|min, got {kind!r}"
+            )
+        aggs.append(expr.alias(out))
+    return df.groupBy(*key_cols).agg(*aggs)

@@ -320,6 +320,7 @@ _ROUND6_WINDOW = (
     "sql_pipe",
     "sql_params",
     "llm_budget_select",
+    "enr_survivorship",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

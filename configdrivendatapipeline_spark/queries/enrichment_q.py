@@ -432,3 +432,82 @@ def enr_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         # struct) on corrupt input — flag via a never-null field
         F.col("j.src").isNull().alias("was_corrupt"),
     )
+
+
+@declare(
+    "enr_survivorship",
+    """
+    WITH variants AS (
+      SELECT c_custkey, 1 AS prio,
+             CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_name END AS name,
+             c_acctbal AS bal, c_mktsegment AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2, NULL, c_acctbal + 100.50, NULL FROM customer
+      UNION ALL
+      SELECT c_custkey, 3, c_name || '*', c_acctbal - 50.25, 'WEB'
+      FROM customer),
+    nn AS (
+      SELECT c_custkey, name,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY prio, name) AS rn
+      FROM variants WHERE name IS NOT NULL),
+    sg AS (
+      SELECT c_custkey, seg,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY prio, seg) AS rn
+      FROM variants WHERE seg IS NOT NULL),
+    mx AS (SELECT c_custkey, MAX(bal) AS best_bal FROM variants
+           GROUP BY c_custkey)
+    SELECT m.c_custkey, n.name AS golden_name, m.best_bal,
+           s.seg AS golden_segment
+    FROM mx m
+    JOIN nn n ON n.c_custkey = m.c_custkey AND n.rn = 1
+    JOIN sg s ON s.c_custkey = m.c_custkey AND s.rn = 1
+    """,
+    _SEC,
+    "Master-data survivorship: three conflicting source variants per "
+    "customer (trust-ordered, with manufactured nulls) collapse to "
+    "one golden record with PER-FIELD rules — name and segment from "
+    "the most-trusted non-null source, balance by extremum — the "
+    "record-mastering step after entity resolution. One aggregation "
+    "on the entity key; first-non-null composes from sorted "
+    "per-entity variant lists (bounded by duplicate-group size), "
+    "deterministic where first()/min_by tie-breaks are not.",
+)
+def enr_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.lit(1).alias("prio"),
+        F.when(F.col("c_custkey") % 10 == 0, None)
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    web = c.select(
+        "c_custkey",
+        F.lit(2).alias("prio"),
+        F.lit(None).cast("string").alias("name"),
+        (F.col("c_acctbal") + 100.50).alias("bal"),
+        F.lit(None).cast("string").alias("seg"),
+    )
+    batch = c.select(
+        "c_custkey",
+        F.lit(3).alias("prio"),
+        F.concat(F.col("c_name"), F.lit("*")).alias("name"),
+        (F.col("c_acctbal") - 50.25).alias("bal"),
+        F.lit("WEB").alias("seg"),
+    )
+    variants = base.unionByName(web).unionByName(batch)
+    return enrichment.survivorship(
+        variants,
+        key_cols=["c_custkey"],
+        priority_col="prio",
+        rules={
+            "golden_name": ("first_non_null", "name"),
+            "best_bal": ("max", "bal"),
+            "golden_segment": ("first_non_null", "seg"),
+        },
+    )

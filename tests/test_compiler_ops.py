@@ -43,7 +43,7 @@ def test_every_op_is_exercised_below():
         "pack_manifest", "temperature_sample", "length_buckets",
         "snapshot_diff", "graph_rank", "minhash_calibration",
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
-        "asof_join", "route_modality",
+        "asof_join", "route_modality", "budget_select", "survivorship",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1010,3 +1010,66 @@ def test_sql_op_binds_args_server_side(spark, sf_dir):
         .count()
     )
     assert frames["q"].collect()[0]["n"] == direct
+
+
+def test_budget_select_op(spark, sf_dir):
+    from configdrivendatapipeline_spark.llm.sampling import budget_select
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: sel, input: documents, op: budget_select, params: {}}
+""",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rows(frames["sel"]) == rows(budget_select(docs))
+
+
+def test_survivorship_op(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.enrichment import survivorship
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    variants = nat.select(
+        "n_nationkey", F.lit(1).alias("prio"),
+        F.when(F.col("n_nationkey") % 3 == 0, None)
+        .otherwise(F.col("n_name")).alias("nm"),
+        F.col("n_regionkey").alias("rk"),
+    ).unionByName(
+        nat.select(
+            "n_nationkey", F.lit(2).alias("prio"),
+            F.lower("n_name").alias("nm"),
+            (F.col("n_regionkey") + 10).alias("rk"),
+        )
+    )
+    variants.write.mode("overwrite").parquet("/tmp/cddp_test_variants.parquet")
+    frames = run_step(
+        spark,
+        sf_dir,
+        "nation",
+        """
+  - id: golden
+    input: v
+    op: survivorship
+    params:
+      keys: [n_nationkey]
+      priority: prio
+      rules: {nm: [first_non_null, nm], rk_max: [max, rk]}
+""",
+        extra_sources=(
+            '  v: {format: parquet, path: "/tmp/cddp_test_variants.parquet"}\n'
+        ),
+    )
+    direct = survivorship(
+        spark.read.parquet("/tmp/cddp_test_variants.parquet"),
+        key_cols=["n_nationkey"], priority_col="prio",
+        rules={"nm": ("first_non_null", "nm"), "rk_max": ("max", "rk")},
+    )
+    assert rows(frames["golden"]) == rows(direct)
+    got = {r["n_nationkey"]: r["nm"] for r in direct.collect()}
+    for r in nat.collect():
+        want = r["n_name"].lower() if r["n_nationkey"] % 3 == 0 else r["n_name"]
+        assert got[r["n_nationkey"]] == want
