@@ -321,6 +321,8 @@ _ROUND6_WINDOW = (
     "sql_params",
     "llm_budget_select",
     "enr_survivorship",
+    "val_reconciliation",
+    "win_rank_change",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -695,3 +695,75 @@ def val_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_group_size",
         (F.col("min_group_size") >= 5).alias("passed"),
     )
+
+
+@declare(
+    "val_reconciliation",
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 100)
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)
+               AS header_cents,
+             COALESCE(li.line_cents, 0) AS line_cents
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey)
+    SELECT 'order_lineitem_reconciliation' AS rule_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CASE WHEN ABS(header_cents - line_cents) > 100
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_mismatched,
+           CAST(MAX(ABS(header_cents - line_cents)) AS BIGINT)
+             AS max_abs_diff_cents,
+           COALESCE(SUM(CASE WHEN ABS(header_cents - line_cents) > 100
+                             THEN 1 ELSE 0 END), 0) = 0 AS passed
+    FROM j
+    """,
+    _SEC,
+    "Cross-table financial reconciliation: every order header total "
+    "against the exact decimal sum of its line items (headerless "
+    "lines and lineless headers count as mismatches via the "
+    "null-extending join), with a 1.00-unit tolerance — the "
+    "books-balance check a warehouse runs between fact grains. One "
+    "aggregation per table + one key join; sums are decimal-exact "
+    "cents so the verdict can't drift with partition order.",
+)
+def val_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 100)"
+                " AS BIGINT)"
+            ).alias("line_cents")
+        )
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,6)) * 100) AS BIGINT)"
+        ).alias("header_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "header_cents",
+        F.coalesce("line_cents", F.lit(0).cast("long")).alias("line_cents"),
+    )
+    diff = F.abs(F.col("header_cents") - F.col("line_cents"))
+    s = j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.coalesce(F.sum(F.when(diff > 100, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(diff).alias("max_abs_diff_cents"),
+    )
+    return s.select(
+        F.lit("order_lineitem_reconciliation").alias("rule_name"),
+        "n_orders",
+        "n_mismatched",
+        "max_abs_diff_cents",
+        (F.col("n_mismatched") == 0).alias("passed"),
+    )

@@ -1305,3 +1305,68 @@ def win_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.alias("cusum_cents"),
         (s > 50000).alias("shifted"),
     )
+
+
+@declare(
+    "win_rank_change",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey, EXTRACT(YEAR FROM o_orderdate)),
+    ranked AS (
+      SELECT o_custkey, yr, cents,
+             CAST(RANK() OVER (PARTITION BY yr
+                               ORDER BY cents DESC, o_custkey) AS BIGINT)
+               AS rnk
+      FROM spend)
+    SELECT a.o_custkey,
+           a.rnk AS rank_prev, b.rnk AS rank_curr,
+           a.rnk - b.rnk AS rank_delta,
+           b.cents - a.cents AS spend_delta_cents
+    FROM ranked a JOIN ranked b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    """,
+    _SEC,
+    "Period-over-period rank movement: each customer's spend rank in "
+    "1996 vs 1997 with rank and spend deltas — the movers/decliners "
+    "report behind churn and account-growth reviews. Two per-period "
+    "rank windows (partitioned by year — parallel, never global "
+    "across periods) + one self-join on the entity; spend is "
+    "decimal-exact cents and ties rank deterministically by key.",
+)
+def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+        )
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100)"
+                " AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("cents").desc(), F.col("o_custkey")
+    )
+    ranked = spend.withColumn("rnk", F.rank().over(w).cast("long"))
+    a = ranked.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("rnk").alias("rank_prev"), F.col("cents").alias("pc")
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        "o_custkey", F.col("rnk").alias("rank_curr"), F.col("cents").alias("cc")
+    )
+    return a.join(b, "o_custkey").select(
+        "o_custkey",
+        "rank_prev",
+        "rank_curr",
+        (F.col("rank_prev") - F.col("rank_curr")).alias("rank_delta"),
+        (F.col("cc") - F.col("pc")).alias("spend_delta_cents"),
+    )
