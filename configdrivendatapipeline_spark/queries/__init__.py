@@ -323,6 +323,7 @@ _ROUND6_WINDOW = (
     "enr_survivorship",
     "val_reconciliation",
     "win_rank_change",
+    "agg_xyz_class",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

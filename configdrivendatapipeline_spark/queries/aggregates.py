@@ -1082,3 +1082,57 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 END"
         ).alias("autocorr"),
     )
+
+
+@declare(
+    "agg_xyz_class",
+    """
+    WITH m AS (
+      SELECT l_partkey,
+             date_trunc('month', l_shipdate) AS mth,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey, date_trunc('month', l_shipdate)),
+    s AS (
+      SELECT l_partkey,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS sqq
+      FROM m GROUP BY l_partkey)
+    SELECT l_partkey, n_months, sq AS total_qty,
+           CAST(n_months * sqq - sq * sq AS BIGINT) AS var_num,
+           CASE WHEN (n_months * sqq - sq * sq) * 4 <= sq * sq THEN 'X'
+                WHEN (n_months * sqq - sq * sq) <= sq * sq THEN 'Y'
+                ELSE 'Z' END AS xyz_class
+    FROM s WHERE sq > 0
+    """,
+    _SEC,
+    "XYZ demand-variability classification per part: monthly demand "
+    "series scored by squared coefficient of variation — X (steady, "
+    "CoV <= 0.5), Y (variable, <= 1.0), Z (erratic) — the "
+    "forecastability partner of Pareto/ABC in inventory analytics. "
+    "The CoV thresholds are CROSS-MULTIPLIED integer comparisons "
+    "(var_num*4 <= sum^2 etc.), so classification is exact on every "
+    "engine — no division, no sqrt, no float variance. Two "
+    "aggregations, both partial-combining on their keys.",
+)
+def agg_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("mth")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    s = m.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+    )
+    var_num = F.col("n_months") * F.col("sqq") - F.col("sq") * F.col("sq")
+    return s.filter(F.col("sq") > 0).select(
+        "l_partkey",
+        "n_months",
+        F.col("sq").alias("total_qty"),
+        var_num.cast("long").alias("var_num"),
+        F.when(var_num * 4 <= F.col("sq") * F.col("sq"), "X")
+        .when(var_num <= F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
