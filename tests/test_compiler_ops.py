@@ -1073,3 +1073,17 @@ def test_survivorship_op(spark, sf_dir):
     for r in nat.collect():
         want = r["n_name"].lower() if r["n_nationkey"] % 3 == 0 else r["n_name"]
         assert got[r["n_nationkey"]] == want
+
+
+def test_every_op_is_documented():
+    """CONFIG.md's op table must cover every registered compiler op —
+    an undocumented op is an unusable product surface."""
+    import pathlib
+    import re
+
+    doc = (
+        pathlib.Path(__file__).parent.parent / "docs" / "CONFIG.md"
+    ).read_text()
+    documented = set(re.findall(r"^\| `([a-z0-9_]+)`", doc, re.M))
+    missing = set(OPS) - documented
+    assert not missing, f"ops missing from docs/CONFIG.md: {sorted(missing)}"
