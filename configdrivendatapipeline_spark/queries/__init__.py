@@ -324,6 +324,7 @@ _ROUND6_WINDOW = (
     "val_reconciliation",
     "win_rank_change",
     "agg_xyz_class",
+    "val_ldiversity",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -767,3 +767,66 @@ def val_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs_diff_cents",
         (F.col("n_mismatched") == 0).alias("passed"),
     )
+
+
+@declare(
+    "val_ldiversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey,
+             CASE WHEN c_acctbal < 0 THEN 'debt'
+                  WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS band,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM customer GROUP BY 1, 2)
+    SELECT 'l_diversity_3' AS rule_name,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_violating_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_sensitive < 3 THEN n_rows ELSE 0 END),
+                0) AS BIGINT) AS n_exposed_rows,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
+           MIN(n_sensitive) >= 3 AS passed
+    FROM g
+    """,
+    _SEC,
+    "l-diversity audit (l=3) — k-anonymity's complement: a group can "
+    "be large yet still leak if everyone in it shares the same "
+    "SENSITIVE value, so each (nation, balance-band) quasi-identifier "
+    "group must contain at least l distinct market segments. Emits "
+    "group counts, exposed rows, and the worst diversity; same "
+    "one-aggregation + scalar-rollup shape as val_kanonymity, and "
+    "the metric row never carries the identifying combos.",
+)
+def val_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    g = c.groupBy("c_nationkey", band.alias("band")).agg(
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_sensitive") < 3, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("n_sensitive") < 3, F.col("n_rows")).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_exposed_rows"),
+        F.min("n_sensitive").alias("min_diversity"),
+    )
+    return s.select(
+        F.lit("l_diversity_3").alias("rule_name"),
+        "n_groups",
+        "n_violating_groups",
+        "n_exposed_rows",
+        "min_diversity",
+        (F.col("min_diversity") >= 3).alias("passed"),
+    )
