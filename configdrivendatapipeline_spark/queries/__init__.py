@@ -325,6 +325,7 @@ _ROUND6_WINDOW = (
     "win_rank_change",
     "agg_xyz_class",
     "val_ldiversity",
+    "stream_quality_gate",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

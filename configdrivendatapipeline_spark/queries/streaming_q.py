@@ -636,3 +636,51 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["content_key"])
     )
     return run_available_now(deduped, "append")
+
+
+@declare(
+    "stream_quality_gate",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t)))
+                 AS n_stopwords,
+             len(list_distinct(toks)) AS n_distinct
+      FROM d)
+    SELECT doc_id, n_tokens, n_stopwords, n_distinct,
+           CAST(CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+            + CASE WHEN n_stopwords * 100 >= n_tokens * 2
+                    AND n_stopwords * 100 <= n_tokens * 40 THEN 30 ELSE 0 END
+            + CASE WHEN n_distinct * 100 >= n_tokens * 30 THEN 30 ELSE 0 END
+               AS BIGINT) AS quality
+    FROM q
+    WHERE (CASE WHEN n_tokens BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+            + CASE WHEN n_stopwords * 100 >= n_tokens * 2
+                    AND n_stopwords * 100 <= n_tokens * 40 THEN 30 ELSE 0 END
+            + CASE WHEN n_distinct * 100 >= n_tokens * 30 THEN 30 ELSE 0 END) >= 70
+    """,
+    _SEC,
+    "Streaming curation quality gate: the batch quality filter "
+    "(length / stopword-ratio / repetition bands, integer arithmetic) "
+    "running unchanged under readStream over a document feed — "
+    "stream/batch parity for the curation front door, so an ingest "
+    "pipeline can gate documents as they arrive with the exact "
+    "semantics the batch backfill applies. Pure map-side expressions: "
+    "no state, no watermark, no shuffle — the cheapest possible "
+    "streaming stage.",
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.textstats import quality_score
+
+    path = _scratch(sf_dir, "docs_quality_feed", src_table="documents")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(path + ".staged"):
+        docs.write.mode("overwrite").parquet(path)
+        with open(path + ".staged", "w") as f:
+            f.write("ok")
+    static = spark.read.parquet(path)
+    sdf = spark.readStream.schema(static.schema).parquet(path)
+    gated = quality_score(sdf).filter(F.col("quality") >= 70)
+    return run_available_now(gated, "append")
