@@ -326,6 +326,7 @@ _ROUND6_WINDOW = (
     "agg_xyz_class",
     "val_ldiversity",
     "stream_quality_gate",
+    "agg_cycle_time",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",
