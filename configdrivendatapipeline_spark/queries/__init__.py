@@ -327,6 +327,7 @@ _ROUND6_WINDOW = (
     "val_ldiversity",
     "stream_quality_gate",
     "agg_cycle_time",
+    "val_split_leakage",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -830,3 +830,78 @@ def val_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_diversity",
         (F.col("min_diversity") >= 3).alias("passed"),
     )
+
+
+@declare(
+    "val_split_leakage",
+    """
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 4 = 0),
+    assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR) || ':split:v1'), 1, 8), ''), c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), (a, b) -> a * 16 + b) % 100 < 90
+                  THEN 'train' ELSE 'test' END AS split
+      FROM doubled),
+    train AS (SELECT DISTINCT sha256(text) AS h FROM assigned
+              WHERE split = 'train'),
+    test AS (SELECT doc_id, sha256(text) AS h FROM assigned
+             WHERE split = 'test'),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked
+      FROM test JOIN train ON train.h = test.h),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM test)
+    SELECT 'split_content_leakage' AS rule_name,
+           t.n_test, l.n_leaked,
+           (l.n_leaked * 1000000) // GREATEST(t.n_test, 1)
+             AS leak_share_micro,
+           l.n_leaked = 0 AS passed
+    FROM tot t CROSS JOIN leak l
+    """,
+    _SEC,
+    "Train/test content-leakage audit: after deterministic hash "
+    "splitting, how many TEST documents share exact content with any "
+    "TRAIN document — the eval-hygiene check that catches duplicated "
+    "payloads straddling the split boundary (the doubled re-keyed "
+    "fixture plants exactly that). One semi-join on the 256-bit "
+    "content hash; pair with llm_decontaminate for the n-gram "
+    "near-match version.",
+)
+def val_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    assigned = doubled.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col("doc_id"), "split:v1", 100) < 90, "train"
+        ).otherwise("test"),
+    )
+    train = (
+        assigned.filter(F.col("split") == "train")
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+    )
+    test = assigned.filter(F.col("split") == "test").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    leak = test.join(train, "h", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_leaked")
+    )
+    tot = test.agg(F.count(F.lit(1)).alias("n_test"))
+    return tot.crossJoin(F.broadcast(leak)).select(
+        F.lit("split_content_leakage").alias("rule_name"),
+        "n_test",
+        "n_leaked",
+        F.expr("(n_leaked * 1000000) div greatest(n_test, 1)").alias(
+            "leak_share_micro"
+        ),
+        (F.col("n_leaked") == 0).alias("passed"),
+    )
