@@ -328,6 +328,7 @@ _ROUND6_WINDOW = (
     "stream_quality_gate",
     "agg_cycle_time",
     "val_split_leakage",
+    "agg_basket_pairs",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1188,3 +1188,78 @@ def agg_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_days_x2"
         ),
     )
+
+
+@declare(
+    "agg_basket_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 100 AS item
+      FROM lineitem),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+            FROM items GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pair
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) >= 20)
+    SELECT p.item_a, p.item_b, p.n_pair,
+           (p.n_pair * 1000000) // n.n_orders AS support_micro,
+           (p.n_pair * n.n_orders * 1000000) // (ca.n_item * cb.n_item)
+             AS lift_micro
+    FROM pairs p
+    JOIN cnt ca ON ca.item = p.item_a
+    JOIN cnt cb ON cb.item = p.item_b
+    CROSS JOIN n
+    """,
+    _SEC,
+    "Market-basket affinity: item pairs co-occurring in the same "
+    "order with support and LIFT in exact integer micro-units — the "
+    "association-rule table behind bought-together recommendations "
+    "(lift > 1e6 means the pair co-occurs more than independence "
+    "predicts). Items are coarsened part classes so pair counts are "
+    "meaningful at fixture scale; the self-join is keyed on the "
+    "order (bounded by basket size squared, never corpus-shaped) "
+    "and a min-support HAVING prunes the tail before the lift join.",
+)
+def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select(
+        "l_orderkey", (F.col("l_partkey") % 100).alias("item")
+    ).distinct()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    cnt = items.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey"), F.col("item").alias("item_a"))
+    b = items.select(F.col("l_orderkey").alias("ok_b"), F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, (a.l_orderkey == b.ok_b) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 20)
+    )
+    return (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("item").alias("item_a"),
+                                   F.col("n_item").alias("na"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("item").alias("item_b"),
+                                   F.col("n_item").alias("nb"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.expr("(n_pair * 1000000) div n_orders").alias("support_micro"),
+            F.expr("(n_pair * n_orders * 1000000) div (na * nb)").alias(
+                "lift_micro"
+            ),
+        )
+    )
