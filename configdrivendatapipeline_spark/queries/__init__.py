@@ -329,6 +329,7 @@ _ROUND6_WINDOW = (
     "agg_cycle_time",
     "val_split_leakage",
     "agg_basket_pairs",
+    "win_seasonal_lite",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1370,3 +1370,101 @@ def win_rank_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("rank_prev") - F.col("rank_curr")).alias("rank_delta"),
         (F.col("cc") - F.col("pc")).alias("spend_delta_cents"),
     )
+
+
+@declare(
+    "win_seasonal_lite",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vu,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    obs AS (SELECT user_id, day, vu FROM daily WHERE rn = 1),
+    fr AS (
+      SELECT user_id, day, vu,
+             COUNT(*) OVER w AS n7,
+             CAST(SUM(vu) OVER w AS BIGINT) AS s7
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    interior AS (
+      SELECT user_id, day, vu, s7,
+             CAST(7 * vu - s7 AS BIGINT) AS d7,
+             CAST(EXTRACT(dow FROM day) AS INT) AS dow
+      FROM fr WHERE n7 = 7),
+    seas AS (
+      SELECT user_id, dow,
+             CAST(SUM(d7) AS BIGINT) AS seas_num,
+             CAST(COUNT(*) AS BIGINT) AS seas_cnt
+      FROM interior GROUP BY user_id, dow)
+    SELECT i.user_id, i.day, i.vu,
+           i.s7 AS trend_x7,
+           i.d7 AS detrended_x7,
+           s.seas_num, s.seas_cnt,
+           CAST(i.d7 * s.seas_cnt - s.seas_num AS BIGINT) AS resid_scaled
+    FROM interior i
+    JOIN seas s ON s.user_id = i.user_id AND s.dow = i.dow
+    """,
+    _SEC,
+    "Additive seasonal decomposition, exact-integer edition: per "
+    "user-day, the 7-day centered trend (kept as the x7 SUM), the "
+    "detrended series d = 7v - trend, the day-of-week seasonal "
+    "component as an exact RATIONAL (num/cnt — never divided, "
+    "because truncating and flooring division DISAGREE on the "
+    "negative values detrending produces), and the residual scaled "
+    "by the seasonal denominator — multiplication only, so every "
+    "engine agrees bit-for-bit. The trend/seasonal/residual triad "
+    "behind anomaly baselines; one per-user frame window + one "
+    "(user, dow) aggregation + one broadcastable join back.",
+)
+def win_seasonal_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily_w = Window.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    obs = (
+        ev.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            "ts",
+            "event_id",
+            F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("vu"),
+        )
+        .withColumn("rn", F.row_number().over(daily_w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "vu")
+    )
+    w7 = Window.partitionBy("user_id").orderBy("day").rowsBetween(-3, 3)
+    fr = obs.select(
+        "user_id",
+        "day",
+        "vu",
+        F.count(F.lit(1)).over(w7).alias("n7"),
+        F.sum("vu").over(w7).alias("s7"),
+    )
+    interior = fr.filter(F.col("n7") == 7).select(
+        "user_id",
+        "day",
+        "vu",
+        "s7",
+        (7 * F.col("vu") - F.col("s7")).alias("d7"),
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+    )
+    seas = interior.groupBy("user_id", "dow").agg(
+        F.sum("d7").alias("seas_num"), F.count(F.lit(1)).alias("seas_cnt")
+    )
+    return interior.join(seas, ["user_id", "dow"]).select(
+        "user_id",
+        "day",
+        "vu",
+        F.col("s7").alias("trend_x7"),
+        F.col("d7").alias("detrended_x7"),
+        "seas_num",
+        "seas_cnt",
+        (F.col("d7") * F.col("seas_cnt") - F.col("seas_num")).alias(
+            "resid_scaled"
+        ),
+    )
