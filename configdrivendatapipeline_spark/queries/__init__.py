@@ -330,6 +330,8 @@ _ROUND6_WINDOW = (
     "val_split_leakage",
     "agg_basket_pairs",
     "win_seasonal_lite",
+    "enr_range_merge",
+    "val_interval_integrity",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -511,3 +511,70 @@ def enr_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "golden_segment": ("first_non_null", "seg"),
         },
     )
+
+
+@declare(
+    "enr_range_merge",
+    """
+    WITH v AS (
+      SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+             o_orderstatus AS attr,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS seq
+      FROM orders),
+    flagged AS (
+      SELECT k, d, attr, seq,
+             CASE WHEN LAG(attr) OVER (PARTITION BY k ORDER BY seq)
+                       IS DISTINCT FROM attr THEN 1 ELSE 0 END AS chg
+      FROM v),
+    grp AS (
+      SELECT k, d, attr,
+             SUM(chg) OVER (PARTITION BY k ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM flagged)
+    SELECT k AS o_custkey, attr AS status,
+           MIN(d) AS valid_from, MAX(d) AS valid_to,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM grp GROUP BY k, attr, g
+    """,
+    _SEC,
+    "Validity-range merge (temporal coalescing): consecutive "
+    "same-attribute rows of a history collapse into one "
+    "[valid_from, valid_to] range — the compaction an SCD table "
+    "needs after ingesting change events that didn't actually change "
+    "anything (the islands half of gaps-and-islands, applied to "
+    "history maintenance). Change flags via LAG's null-safe "
+    "IS DISTINCT FROM, island ids via a running sum, one group-by — "
+    "all on the per-key shuffle key.",
+)
+def enr_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_orderstatus").alias("attr"),
+        F.row_number().over(w).alias("seq"),
+    )
+    ws = Window.partitionBy("k").orderBy("seq")
+    flagged = v.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("attr").over(ws).eqNullSafe(F.col("attr")), 1
+        ).otherwise(0),
+    )
+    wg = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp = flagged.withColumn("g", F.sum("chg").over(wg))
+    return grp.groupBy("k", "attr", "g").agg(
+        F.min("d").alias("valid_from"),
+        F.max("d").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).select(
+        F.col("k").alias("o_custkey"),
+        F.col("attr").alias("status"),
+        "valid_from",
+        "valid_to",
+        "n_merged",
+    )

@@ -905,3 +905,83 @@ def val_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_leaked") == 0).alias("passed"),
     )
+
+
+@declare(
+    "val_interval_integrity",
+    """
+    WITH h AS (
+      SELECT user_id,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_from,
+             ts + INTERVAL '30 minutes' AS valid_to
+      FROM events WHERE event_type = 'signup'),
+    checked AS (
+      SELECT user_id,
+             CASE WHEN next_from IS NULL THEN 'open'
+                  WHEN next_from < valid_to THEN 'overlap'
+                  WHEN next_from > valid_to THEN 'gap'
+                  ELSE 'contiguous' END AS kind
+      FROM h)
+    SELECT 'interval_integrity' AS rule_name,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'overlap' THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_overlaps,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'gap' THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_gaps,
+           CAST(COALESCE(SUM(CASE WHEN kind = 'contiguous' THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS n_contiguous,
+           COALESCE(SUM(CASE WHEN kind = 'overlap' THEN 1 ELSE 0 END), 0) = 0
+             AS passed
+    FROM checked
+    """,
+    _SEC,
+    "Temporal interval integrity: each key's validity history checked "
+    "for OVERLAPS (two versions current at once — the corruption that "
+    "silently double-counts temporal joins) and GAPS (moments with no "
+    "current version), by comparing each interval's end against the "
+    "next interval's start via one LEAD window — the invariant check "
+    "an SCD2/temporal table runs after every merge. The manufactured "
+    "history (fixed-width intervals from event times) genuinely "
+    "contains all three kinds.",
+)
+def val_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    h = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("next_from"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("valid_to"),
+    )
+    kind = (
+        F.when(F.col("next_from").isNull(), "open")
+        .when(F.col("next_from") < F.col("valid_to"), "overlap")
+        .when(F.col("next_from") > F.col("valid_to"), "gap")
+        .otherwise("contiguous")
+    )
+    c = h.select(kind.alias("kind"))
+    s = c.agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "overlap", 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_overlaps"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "gap", 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_gaps"),
+        F.coalesce(
+            F.sum(F.when(F.col("kind") == "contiguous", 1).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("n_contiguous"),
+    )
+    return s.select(
+        F.lit("interval_integrity").alias("rule_name"),
+        "n_intervals",
+        "n_overlaps",
+        "n_gaps",
+        "n_contiguous",
+        (F.col("n_overlaps") == 0).alias("passed"),
+    )
