@@ -915,6 +915,31 @@ def _cdc_apply(spark, dfs, p):
     )
 
 
+@op("kanonymity")
+def _kanonymity(spark, dfs, p):
+    """k-anonymity metrics over quasi-identifier columns (see
+    validation.kanonymity_metrics)."""
+    from configdrivendatapipeline_spark.validation import kanonymity_metrics
+
+    return kanonymity_metrics(
+        _one(dfs), list(p["quasi_identifiers"]), k=int(p.get("k", 5))
+    )
+
+
+@op("ldiversity")
+def _ldiversity(spark, dfs, p):
+    """l-diversity metrics over quasi-identifiers + a sensitive column
+    (see validation.ldiversity_metrics)."""
+    from configdrivendatapipeline_spark.validation import ldiversity_metrics
+
+    return ldiversity_metrics(
+        _one(dfs),
+        list(p["quasi_identifiers"]),
+        sensitive=p["sensitive"],
+        l=int(p.get("l", 3)),
+    )
+
+
 @op("survivorship")
 def _survivorship(spark, dfs, p):
     """Per-field golden-record survivorship rules (see

@@ -332,6 +332,7 @@ _ROUND6_WINDOW = (
     "win_seasonal_lite",
     "enr_range_merge",
     "val_interval_integrity",
+    "pipeline_release_gate",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1606,3 +1606,69 @@ steps:
         n_files: "count(1)"
 """
     return _run(spark, yml, "by_modality")
+
+
+@declare(
+    "pipeline_release_gate",
+    """
+    WITH k AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    krow AS (
+      SELECT 'k_anonymity_5' AS rule_name,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(COALESCE(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violating_groups,
+             CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n ELSE 0 END), 0)
+                  AS BIGINT) AS n_exposed_rows,
+             CAST(MIN(n) AS BIGINT) AS worst,
+             MIN(n) >= 5 AS passed
+      FROM k),
+    l AS (
+      SELECT c_nationkey,
+             CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nd,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_nationkey),
+    lrow AS (
+      SELECT 'l_diversity_3' AS rule_name,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(COALESCE(SUM(CASE WHEN nd < 3 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_violating_groups,
+             CAST(COALESCE(SUM(CASE WHEN nd < 3 THEN n ELSE 0 END), 0)
+                  AS BIGINT) AS n_exposed_rows,
+             CAST(MIN(nd) AS BIGINT) AS worst,
+             MIN(nd) >= 3 AS passed
+      FROM l)
+    SELECT * FROM krow UNION ALL SELECT * FROM lrow
+    """,
+    _SEC,
+    "YAML pipeline: the dataset-release privacy gate — k-anonymity "
+    "and l-diversity metric rows computed from config and unioned "
+    "into one gate table a release job can assert on — declared "
+    "end-to-end and hash-checked against the composed SQL twin. The "
+    "gate rows carry counts only, never the identifying "
+    "combinations.",
+)
+def pipeline_release_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: release_gate
+sources:
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+steps:
+  - id: kanon
+    input: customer
+    op: kanonymity
+    params: {{quasi_identifiers: [c_nationkey, c_mktsegment], k: 5}}
+  - id: ldiv
+    input: customer
+    op: ldiversity
+    params: {{quasi_identifiers: [c_nationkey], sensitive: c_mktsegment, l: 3}}
+  - id: gate
+    inputs: [kanon, ldiv]
+    op: union
+    params: {{}}
+"""
+    return _run(spark, yml, "gate")

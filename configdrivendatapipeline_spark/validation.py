@@ -371,3 +371,64 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
             ),
         )
     )
+
+
+def kanonymity_metrics(
+    df: DataFrame, quasi_identifiers: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity metrics row over arbitrary quasi-identifier
+    columns (see the val_kanonymity declared query for semantics):
+    group sizes on the QI key, scalar rollup, no identifying combos
+    in the output."""
+    g = df.groupBy(*quasi_identifiers).agg(F.count(F.lit(1)).alias("n"))
+    s = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_exposed_rows"),
+        F.min("n").alias("min_group_size"),
+    )
+    return s.select(
+        F.lit(f"k_anonymity_{k}").alias("rule_name"),
+        "n_groups",
+        "n_violating_groups",
+        "n_exposed_rows",
+        F.col("min_group_size").alias("worst"),
+        (F.col("min_group_size") >= k).alias("passed"),
+    )
+
+
+def ldiversity_metrics(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive: str,
+    l: int = 3,
+) -> DataFrame:
+    """l-diversity metrics row: each QI group must contain at least
+    ``l`` distinct values of the sensitive column (see
+    val_ldiversity)."""
+    g = df.groupBy(*quasi_identifiers).agg(
+        F.countDistinct(sensitive).alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s = g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("nd") < l, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_violating_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("nd") < l, F.col("n")).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_exposed_rows"),
+        F.min("nd").alias("min_diversity"),
+    )
+    return s.select(
+        F.lit(f"l_diversity_{l}").alias("rule_name"),
+        "n_groups",
+        "n_violating_groups",
+        "n_exposed_rows",
+        F.col("min_diversity").alias("worst"),
+        (F.col("min_diversity") >= l).alias("passed"),
+    )

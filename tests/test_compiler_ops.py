@@ -44,6 +44,7 @@ def test_every_op_is_exercised_below():
         "snapshot_diff", "graph_rank", "minhash_calibration",
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
         "asof_join", "route_modality", "budget_select", "survivorship",
+        "kanonymity", "ldiversity",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1087,3 +1088,39 @@ def test_every_op_is_documented():
     documented = set(re.findall(r"^\| `([a-z0-9_]+)`", doc, re.M))
     missing = set(OPS) - documented
     assert not missing, f"ops missing from docs/CONFIG.md: {sorted(missing)}"
+
+
+def test_privacy_gate_ops(spark, sf_dir):
+    from configdrivendatapipeline_spark.validation import (
+        kanonymity_metrics,
+        ldiversity_metrics,
+    )
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "customer",
+        """
+  - id: kanon
+    input: customer
+    op: kanonymity
+    params: {quasi_identifiers: [c_nationkey, c_mktsegment], k: 5}
+  - id: ldiv
+    input: customer
+    op: ldiversity
+    params: {quasi_identifiers: [c_nationkey], sensitive: c_mktsegment, l: 3}
+  - id: gate
+    inputs: [kanon, ldiv]
+    op: union
+    params: {}
+""",
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert rows(frames["kanon"]) == rows(
+        kanonymity_metrics(c, ["c_nationkey", "c_mktsegment"], k=5)
+    )
+    assert rows(frames["ldiv"]) == rows(
+        ldiversity_metrics(c, ["c_nationkey"], sensitive="c_mktsegment", l=3)
+    )
+    gate = frames["gate"].collect()
+    assert {r["rule_name"] for r in gate} == {"k_anonymity_5", "l_diversity_3"}
