@@ -740,9 +740,10 @@ def snapshot_diff(
     consumer can audit exactly what moved between versions.
 
     Each side is projected down to (id, content hashes) BEFORE the
-    full-outer join, so the shuffle carries 48 bytes per row instead
-    of document payloads — at 100 TB both sides would read
-    pre-materialized manifest hash columns, never the text itself.
+    full-outer join, so the shuffle carries ~100-byte hash rows
+    (hex sha2 + md5) instead of document payloads — at 100 TB both
+    sides would read pre-materialized manifest hash columns, never
+    the text itself.
     One shuffle on the id; change detection compares the 256-bit
     hashes, never the payloads.
     """

@@ -2667,7 +2667,8 @@ def llm_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drops every id%7==0 doc (added now), edits every id%5==0 doc "
     "(changed), and carries id%11==0 extras (removed now). Both "
     "sides project to (id, 256-bit hash) BEFORE the full-outer join "
-    "— the shuffle moves 48-byte rows, never payloads; at 100 TB "
+    "— the shuffle moves ~100-byte hash rows, never payloads; at "
+    "100 TB "
     "both sides are manifest hash columns.",
 )
 def llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
