@@ -944,7 +944,9 @@ def val_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "next interval's start via one LEAD window — the invariant check "
     "an SCD2/temporal table runs after every merge. The manufactured "
     "history (fixed-width intervals from event times) genuinely "
-    "contains all three kinds.",
+    "contains overlaps and gaps (exact contiguity needs timestamps "
+    "landing precisely on the interval edge, which the fixture's "
+    "continuous times essentially never do).",
 )
 def val_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
