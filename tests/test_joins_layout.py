@@ -178,3 +178,55 @@ def test_morton_interleave_is_bijective():
             assert v not in seen
             seen.add(v)
             assert unz(v) == (x, y)
+
+
+def test_asof_join_nearest_matches_python_reference(spark):
+    import datetime as dt
+
+    from configdrivendatapipeline_spark.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame(
+        [(1, 10, ts(10)), (2, 10, ts(30)), (3, 20, ts(5)), (4, 30, ts(50))],
+        ["eid", "uid", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(10, ts(0)), (10, ts(12)), (10, ts(29)), (20, ts(100))],
+        ["uid", "ts"],
+    )
+    out = {
+        r["eid"]: r["m"]
+        for r in asof_join(
+            left, right, by=["uid"], left_key="eid",
+            direction="nearest", take={"m": "ts"},
+        ).collect()
+    }
+    # eid 1 at :10 -> candidates :0 (10 away), :12 (2), :29 (19) -> :12
+    assert out[1] == ts(12)
+    # eid 2 at :30 -> :29 is 1 away -> :29
+    assert out[2] == ts(29)
+    # eid 3 at :05 -> only :100 for uid 20 (forward match allowed)
+    assert out[3] == ts(100)
+    # eid 4: uid 30 has no right rows -> null-extended
+    assert out[4] is None
+    # tolerance cuts the distant-only match
+    out_tol = {
+        r["eid"]: r["m"]
+        for r in asof_join(
+            left, right, by=["uid"], left_key="eid",
+            direction="nearest", tolerance_s=600, take={"m": "ts"},
+        ).collect()
+    }
+    assert out_tol[3] is None and out_tol[1] == ts(12)
+    # equidistant tie goes to the EARLIER right row
+    left2 = spark.createDataFrame([(9, 10, ts(6))], ["eid", "uid", "ts"])
+    right2 = spark.createDataFrame([(10, ts(4)), (10, ts(8))], ["uid", "ts"])
+    tie = asof_join(
+        left2, right2, by=["uid"], left_key="eid",
+        direction="nearest", take={"m": "ts"},
+    ).collect()[0]
+    assert tie["m"] == ts(4)
