@@ -333,6 +333,8 @@ _ROUND6_WINDOW = (
     "enr_range_merge",
     "val_interval_integrity",
     "pipeline_release_gate",
+    "win_bollinger",
+    "llm_split_aware_dedup",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -3418,3 +3418,85 @@ def llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.llm import sampling
 
     return sampling.budget_select(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_split_aware_dedup",
+    f"""
+    WITH doubled AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE doc_id % 4 = 0),
+    assigned AS (
+      SELECT doc_id, text,
+             CASE WHEN {_obucket_md5('doc_id', 'split:v1', 100)} < 90
+                  THEN 'train' ELSE 'test' END AS split,
+             sha256(text) AS h
+      FROM doubled),
+    test_h AS (SELECT DISTINCT h FROM assigned WHERE split = 'test'),
+    train_rank AS (
+      SELECT doc_id, h,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM assigned WHERE split = 'train')
+    SELECT a.doc_id, a.split,
+           CASE WHEN a.split = 'test' THEN 'keep'
+                WHEN t.h IS NOT NULL THEN 'drop_contaminated'
+                WHEN tr.rn > 1 THEN 'drop_duplicate'
+                ELSE 'keep' END AS action
+    FROM assigned a
+    LEFT JOIN test_h t ON a.split = 'train' AND t.h = a.h
+    LEFT JOIN train_rank tr ON tr.doc_id = a.doc_id AND a.split = 'train'
+    """,
+    _SEC,
+    "Split-aware dedup plan — the decision layer that applies dedup "
+    "WITHOUT corrupting evaluation: test docs are never dropped, "
+    "train docs whose content appears in test drop as contaminated "
+    "(decontamination precedence), and remaining train-train "
+    "duplicates keep the lowest id — naive whole-corpus dedup "
+    "silently deletes eval rows or keeps the train twin of a test "
+    "doc. Two hash-keyed joins and one per-content window over the "
+    "train side; the planted doubled fixture exercises every action.",
+)
+def llm_split_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    assigned = doubled.select(
+        "doc_id",
+        F.when(
+            hash_bucket(F.col("doc_id"), "split:v1", 100) < 90, "train"
+        ).otherwise("test").alias("split"),
+        F.sha2("text", 256).alias("h"),
+    )
+    test_h = (
+        assigned.filter(F.col("split") == "test").select("h").distinct()
+        .withColumn("__in_test", F.lit(True))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    train_rank = (
+        assigned.filter(F.col("split") == "train")
+        .select("doc_id", F.row_number().over(w).alias("rn"))
+    )
+    out = (
+        assigned.join(
+            test_h,
+            (assigned.split == "train") & (assigned.h == test_h.h),
+            "left",
+        )
+        .join(train_rank, "doc_id", "left")
+    )
+    action = (
+        F.when(F.col("split") == "test", "keep")
+        .when(F.col("__in_test").isNotNull(), "drop_contaminated")
+        .when(F.col("rn") > 1, "drop_duplicate")
+        .otherwise("keep")
+    )
+    return out.select("doc_id", "split", action.alias("action"))

@@ -1468,3 +1468,68 @@ def win_seasonal_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resid_scaled"
         ),
     )
+
+
+@declare(
+    "win_bollinger",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x
+      FROM events),
+    f AS (
+      SELECT user_id, event_id, x,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS s,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sq
+      FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT user_id, event_id, x, n,
+           CAST(n * x - s AS BIGINT) AS dev_xn,
+           CAST(n * sq - s * s AS BIGINT) AS var_xnn,
+           (n * x - s) * (n * x - s) > 4 * (n * sq - s * s)
+             AS outside_band
+    FROM f
+    """,
+    _SEC,
+    "Bollinger-band breakout (10-event frame, k=2 sigma) per user — "
+    "the volatility-band signal, flagged with ZERO floating point: "
+    "(x - mean)^2 > k^2 var rearranges to the cross-multiplied "
+    "integer comparison (n x - s)^2 > k^2 (n sq - s^2), so the flag "
+    "is bit-exact on every engine where any sqrt- or division-based "
+    "band would be one ulp from disagreeing. Emits the scaled "
+    "deviation and variance numerators for downstream thresholds; "
+    "one frame window on the per-user shuffle key.",
+)
+def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    f = v.select(
+        "user_id",
+        "event_id",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sq"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var = F.col("n") * F.col("sq") - F.col("s") * F.col("s")
+    return f.select(
+        "user_id",
+        "event_id",
+        "x",
+        "n",
+        dev.cast("long").alias("dev_xn"),
+        var.cast("long").alias("var_xnn"),
+        (dev * dev > 4 * var).alias("outside_band"),
+    )
