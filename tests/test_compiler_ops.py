@@ -1124,3 +1124,31 @@ def test_privacy_gate_ops(spark, sf_dir):
     )
     gate = frames["gate"].collect()
     assert {r["rule_name"] for r in gate} == {"k_anonymity_5", "l_diversity_3"}
+
+
+def test_new_ops_fail_fast_on_bad_params(spark, sf_dir):
+    """Plan-time ValueErrors for invalid knobs — misconfiguration must
+    fail loudly at compile, never produce silently-wrong output."""
+    import pytest as _pytest
+
+    from configdrivendatapipeline_spark.enrichment import survivorship
+    from configdrivendatapipeline_spark.joins import asof_join
+    from configdrivendatapipeline_spark.llm.sampling import (
+        length_buckets,
+        pack_offsets,
+    )
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with _pytest.raises(ValueError, match="first_non_null"):
+        survivorship(
+            nat, key_cols=["n_nationkey"], priority_col="n_regionkey",
+            rules={"x": ("mode", "n_name")},
+        )
+    with _pytest.raises(ValueError, match="backward"):
+        asof_join(nat, nat, by=["n_regionkey"], left_key="n_nationkey",
+                  left_ts="n_name", right_ts="n_name", direction="sideways")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with _pytest.raises(ValueError):
+        length_buckets(docs, caps=(0, 32))
+    with _pytest.raises(ValueError):
+        pack_offsets(docs, budget=0)
