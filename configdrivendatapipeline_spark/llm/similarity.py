@@ -717,3 +717,77 @@ def label_outliers(
         (F.round("__cs", 6) + F.lit(0.0)).alias("cos_centroid"),
         (F.col("__cs") < threshold).alias("is_outlier"),
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_tables: int = 6,
+    planes_per_table: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each anchor's
+    most-similar vector carrying a DIFFERENT label — the negatives
+    that actually teach an embedding model (random negatives are
+    trivially separable; the hard ones sit just across the boundary).
+
+    Candidates come from shared hyperplane-LSH buckets with the label
+    inequality applied IN the join (an equi-join on (table, bucket),
+    never an O(n²) cross-label product); per-anchor top-1 is one
+    window over the bounded candidate set. Anchors with no cross-label
+    bucketmate produce no row — at training time those contribute
+    only easy negatives anyway. Deterministic planes mean the oracle
+    replays the identical candidate set.
+    """
+    v = emb.select(
+        F.col(id_col), F.col(label_col), as_double(vec_col).alias("__v")
+    )
+    banded = v.select(
+        id_col,
+        label_col,
+        F.posexplode(
+            _table_buckets(F.col("__v"), n_tables, planes_per_table)
+        ).alias("table_id", "bucket"),
+    )
+    a = banded.select(
+        "table_id",
+        "bucket",
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    b = banded.select(
+        "table_id",
+        "bucket",
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("neg_label"),
+    )
+    pairs = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label")
+        .dropDuplicates(["anchor_id", "neg_id"])
+    )
+    va = v.select(F.col(id_col).alias("anchor_id"), F.col("__v").alias("__va"))
+    vb = v.select(F.col(id_col).alias("neg_id"), F.col("__v").alias("__vb"))
+    scored = pairs.join(va, "anchor_id").join(vb, "neg_id").select(
+        "anchor_id",
+        "anchor_label",
+        "neg_id",
+        "neg_label",
+        cosine(F.col("__va"), F.col("__vb")).alias("__cs"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("__cs").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "anchor_id",
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            "neg_id",
+            F.col("neg_label").cast("long").alias("neg_label"),
+            (F.round("__cs", 6) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )

@@ -335,6 +335,7 @@ _ROUND6_WINDOW = (
     "pipeline_release_gate",
     "win_bollinger",
     "llm_split_aware_dedup",
+    "llm_hard_negatives",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

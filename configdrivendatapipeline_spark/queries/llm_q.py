@@ -3500,3 +3500,46 @@ def llm_split_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
     )
     return out.select("doc_id", "split", action.alias("action"))
+
+
+@declare(
+    "llm_hard_negatives",
+    f"""
+    WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    cbl AS (
+      SELECT cb.vec_id, cb.table_id, cb.bucket, v.label
+      FROM cb JOIN v ON v.vec_id = cb.vec_id),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, a.label AS anchor_label,
+             b.vec_id AS neg_id, b.label AS neg_label
+      FROM cbl a JOIN cbl b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket
+       AND a.label <> b.label),
+    scored AS (
+      SELECT c.anchor_id, c.anchor_label, c.neg_id, c.neg_label,
+             {_ocos_raw('va.embedding', 'vb.embedding')} AS cs,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.anchor_id
+               ORDER BY {_ocos_raw('va.embedding', 'vb.embedding')} DESC,
+                        c.neg_id) AS rn
+      FROM cand c
+      JOIN v va ON va.vec_id = c.anchor_id
+      JOIN v vb ON vb.vec_id = c.neg_id)
+    SELECT anchor_id, CAST(anchor_label AS BIGINT) AS anchor_label,
+           neg_id, CAST(neg_label AS BIGINT) AS neg_label,
+           ROUND(cs, 6) + 0.0 AS cos_sim
+    FROM scored WHERE rn = 1
+    """,
+    _SEC,
+    "Hard-negative mining for contrastive embedding training: each "
+    "anchor's most-similar DIFFERENT-label vector, candidates from "
+    "shared LSH buckets with the label inequality inside the "
+    "equi-join (never an O(n^2) cross-label product), per-anchor "
+    "top-1 window over the bounded candidate set — the negatives "
+    "that sit just across the decision boundary and actually teach "
+    "the model. Deterministic planes let the oracle replay the "
+    "exact candidate set, so selection is hash-verified.",
+)
+def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.hard_negatives(load(spark, sf_dir, "embeddings"))
