@@ -336,6 +336,7 @@ _ROUND6_WINDOW = (
     "win_bollinger",
     "llm_split_aware_dedup",
     "llm_hard_negatives",
+    "llm_triplets",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

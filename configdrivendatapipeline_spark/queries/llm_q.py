@@ -3543,3 +3543,83 @@ def llm_split_aware_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(load(spark, sf_dir, "embeddings"))
+
+
+@declare(
+    "llm_triplets",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded(6, 4)}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    pcand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS pos_id
+      FROM cb a JOIN cb b ON a.table_id = b.table_id AND a.bucket = b.bucket
+           JOIN lab la ON la.vec_id = a.vec_id
+           JOIN lab lb ON lb.vec_id = b.vec_id
+      WHERE la.label = lb.label AND a.vec_id <> b.vec_id),
+    pos AS (
+      SELECT anchor_id, pos_id, cos_sim AS pos_cos FROM (
+        SELECT c.anchor_id, c.pos_id,
+               {_ocos('va.embedding', 'vb.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY c.anchor_id
+                 ORDER BY {_ocos('va.embedding', 'vb.embedding')} DESC,
+                          c.pos_id) AS rn
+        FROM pcand c JOIN v va ON va.vec_id = c.anchor_id
+                     JOIN v vb ON vb.vec_id = c.pos_id)
+      WHERE rn = 1),
+    ncand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+      FROM cb a JOIN cb b ON a.table_id = b.table_id AND a.bucket = b.bucket
+           JOIN lab la ON la.vec_id = a.vec_id
+           JOIN lab lb ON lb.vec_id = b.vec_id
+      WHERE la.label <> lb.label),
+    neg AS (
+      SELECT anchor_id, neg_id, cos_sim AS neg_cos FROM (
+        SELECT c.anchor_id, c.neg_id,
+               {_ocos('va.embedding', 'vb.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY c.anchor_id
+                 ORDER BY {_ocos_raw('va.embedding', 'vb.embedding')} DESC,
+                          c.neg_id) AS rn
+        FROM ncand c JOIN v va ON va.vec_id = c.anchor_id
+                     JOIN v vb ON vb.vec_id = c.neg_id)
+      WHERE rn = 1)
+    SELECT p.anchor_id, p.pos_id, n.neg_id,
+           p.pos_cos, n.neg_cos,
+           p.pos_cos - n.neg_cos + 0.0 AS margin
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+    _SEC,
+    "Contrastive training triplets: per anchor, the hardest same-"
+    "label positive (its nearest within-label neighbor) and the "
+    "hardest cross-label negative, with the cosine margin between "
+    "them — the (anchor, positive, negative) table a triplet/InfoNCE "
+    "fine-tune consumes, where a NEGATIVE margin pinpoints exactly "
+    "the anchors the current embedding gets wrong. Both sides reuse "
+    "the bounded LSH candidate machinery; one join on the anchor "
+    "stitches them.",
+)
+def llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pos = (
+        similarity.knn_join(
+            emb, k=1, n_tables=6, planes_per_table=4, group_col="label"
+        )
+        .select(
+            F.col("left_id").alias("anchor_id"),
+            F.col("right_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    neg = similarity.hard_negatives(emb).select(
+        "anchor_id",
+        "neg_id",
+        F.col("cos_sim").alias("neg_cos"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "pos_id",
+        "neg_id",
+        "pos_cos",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos") + F.lit(0.0)).alias("margin"),
+    )
