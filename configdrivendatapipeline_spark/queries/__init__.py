@@ -337,6 +337,7 @@ _ROUND6_WINDOW = (
     "llm_split_aware_dedup",
     "llm_hard_negatives",
     "llm_triplets",
+    "llm_curriculum",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -3623,3 +3623,67 @@ def llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_cos",
         (F.col("pos_cos") - F.col("neg_cos") + F.lit(0.0)).alias("margin"),
     )
+
+
+@declare(
+    "llm_curriculum",
+    f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+              + CASE WHEN len(list_filter(toks, t ->
+                       list_contains(['the','a','of','and','is'], t))) * 100
+                       >= len(toks) * 2
+                     AND len(list_filter(toks, t ->
+                       list_contains(['the','a','of','and','is'], t))) * 100
+                       <= len(toks) * 40 THEN 30 ELSE 0 END
+              + CASE WHEN len(list_distinct(toks)) * 100 >= len(toks) * 30
+                     THEN 30 ELSE 0 END AS BIGINT) AS quality
+      FROM d),
+    k AS (
+      SELECT doc_id, quality,
+             {_obucket_md5('doc_id', 'curriculum:v1:shard', 8)} AS shard,
+             md5(CAST(doc_id AS VARCHAR) || ':curriculum:v1') AS tiebreak
+      FROM q)
+    SELECT doc_id, quality, shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shard
+             ORDER BY quality DESC, tiebreak, doc_id) AS BIGINT) AS pos
+    FROM k
+    """,
+    _SEC,
+    "Curriculum training order: every document gets a per-shard "
+    "position ordered best-quality-first with an md5 tiebreak — the "
+    "easy-to-hard (here clean-to-noisy) layout curriculum-learning "
+    "schedules read, built exactly like llm_shuffle's epoch "
+    "permutation but with the quality score as the leading sort key "
+    "so equal-quality docs still decorrelate. Per-shard windows keep "
+    "the ordering partition-parallel; (shard, pos) is the on-disk "
+    "layout.",
+)
+def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+    from configdrivendatapipeline_spark.llm.textstats import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    k = q.select(
+        "doc_id",
+        "quality",
+        hash_bucket(F.col("doc_id"), "curriculum:v1:shard", 8).alias("shard"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":curriculum:v1"))
+        ).alias("tiebreak"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("quality").desc(), F.col("tiebreak"), F.col("doc_id")
+    )
+    return k.select(
+        "doc_id",
+        "quality",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
