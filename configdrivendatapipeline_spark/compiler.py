@@ -915,6 +915,22 @@ def _cdc_apply(spark, dfs, p):
     )
 
 
+@op("hard_negatives")
+def _hard_negatives(spark, dfs, p):
+    """Hardest cross-label neighbor per anchor (see
+    llm.similarity.hard_negatives)."""
+    from configdrivendatapipeline_spark.llm.similarity import hard_negatives
+
+    return hard_negatives(
+        _one(dfs),
+        id_col=p.get("id_column", "vec_id"),
+        vec_col=p.get("vector_column", "embedding"),
+        label_col=p.get("label_column", "label"),
+        n_tables=int(p.get("n_tables", 6)),
+        planes_per_table=int(p.get("planes_per_table", 4)),
+    )
+
+
 @op("kanonymity")
 def _kanonymity(spark, dfs, p):
     """k-anonymity metrics over quasi-identifier columns (see

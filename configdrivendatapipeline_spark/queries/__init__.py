@@ -338,6 +338,7 @@ _ROUND6_WINDOW = (
     "llm_hard_negatives",
     "llm_triplets",
     "llm_curriculum",
+    "pipeline_contrastive",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1672,3 +1672,113 @@ steps:
     params: {{}}
 """
     return _run(spark, yml, "gate")
+
+
+from configdrivendatapipeline_spark.queries.llm_q import (  # noqa: E402
+    _obanded as _obanded_p,
+    _ocos as _ocos_p,
+    _ocos_raw as _ocos_raw_p,
+)
+
+
+@declare(
+    "pipeline_contrastive",
+    f"""
+    WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    cb AS ({_obanded_p(6, 4)}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    pcand AS (
+      SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+      FROM cb a JOIN cb b ON a.table_id = b.table_id AND a.bucket = b.bucket
+           JOIN lab la ON la.vec_id = a.vec_id
+           JOIN lab lb ON lb.vec_id = b.vec_id
+      WHERE la.label = lb.label AND a.vec_id <> b.vec_id),
+    pos AS (
+      SELECT left_id AS anchor_id, right_id AS pos_id, cos_sim AS pos_cos
+      FROM (
+        SELECT c.left_id, c.right_id,
+               {_ocos_p('va.embedding', 'vb.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY c.left_id
+                 ORDER BY {_ocos_p('va.embedding', 'vb.embedding')} DESC,
+                          c.right_id) AS rn
+        FROM pcand c JOIN v va ON va.vec_id = c.left_id
+                     JOIN v vb ON vb.vec_id = c.right_id)
+      WHERE rn = 1),
+    ncand AS (
+      SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+      FROM cb a JOIN cb b ON a.table_id = b.table_id AND a.bucket = b.bucket
+           JOIN lab la ON la.vec_id = a.vec_id
+           JOIN lab lb ON lb.vec_id = b.vec_id
+      WHERE la.label <> lb.label),
+    neg AS (
+      SELECT anchor_id, neg_id, cos_sim AS neg_cos FROM (
+        SELECT c.anchor_id, c.neg_id,
+               {_ocos_p('va.embedding', 'vb.embedding')} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY c.anchor_id
+                 ORDER BY {_ocos_raw_p('va.embedding', 'vb.embedding')} DESC,
+                          c.neg_id) AS rn
+        FROM ncand c JOIN v va ON va.vec_id = c.anchor_id
+                     JOIN v vb ON vb.vec_id = c.neg_id)
+      WHERE rn = 1)
+    SELECT p.anchor_id, p.pos_id, n.neg_id, p.pos_cos, n.neg_cos,
+           p.pos_cos - n.neg_cos + 0.0 AS margin
+    FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+    """,
+    _SEC,
+    "YAML pipeline: contrastive training-data prep declared in "
+    "config — knn_join mines the hardest same-label positive, "
+    "hard_negatives the hardest cross-label negative, a join and a "
+    "derive stitch the (anchor, positive, negative, margin) triplet "
+    "table — hash-checked against the composed SQL twin, proving the "
+    "embedding-training prep is reachable from the product surface.",
+)
+def pipeline_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: contrastive_prep
+sources:
+  embeddings:
+    format: parquet
+    path: {sf_dir}/embeddings.parquet
+steps:
+  - id: pos_raw
+    input: embeddings
+    op: knn_join
+    params: {{k: 1, group_column: label}}
+  - id: pos
+    input: pos_raw
+    op: derive
+    params:
+      columns: {{anchor_id: "left_id", pos_id: "right_id", pos_cos: "cos_sim"}}
+  - id: pos_slim
+    input: pos
+    op: select
+    params: {{columns: [anchor_id, pos_id, pos_cos]}}
+  - id: neg_raw
+    input: embeddings
+    op: hard_negatives
+    params: {{}}
+  - id: neg
+    input: neg_raw
+    op: derive
+    params:
+      columns: {{neg_cos: "cos_sim"}}
+  - id: neg_slim
+    input: neg
+    op: select
+    params: {{columns: [anchor_id, neg_id, neg_cos]}}
+  - id: triplets
+    inputs: [pos_slim, neg_slim]
+    op: join
+    params: {{"on": [anchor_id], how: inner}}
+  - id: with_margin
+    input: triplets
+    op: derive
+    params:
+      columns: {{margin: "pos_cos - neg_cos + 0.0"}}
+  - id: out
+    input: with_margin
+    op: select
+    params: {{columns: [anchor_id, pos_id, neg_id, pos_cos, neg_cos, margin]}}
+"""
+    return _run(spark, yml, "out")

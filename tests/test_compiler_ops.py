@@ -44,7 +44,7 @@ def test_every_op_is_exercised_below():
         "snapshot_diff", "graph_rank", "minhash_calibration",
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
         "asof_join", "route_modality", "budget_select", "survivorship",
-        "kanonymity", "ldiversity",
+        "kanonymity", "ldiversity", "hard_negatives",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1152,3 +1152,21 @@ def test_new_ops_fail_fast_on_bad_params(spark, sf_dir):
         length_buckets(docs, caps=(0, 32))
     with _pytest.raises(ValueError):
         pack_offsets(docs, budget=0)
+
+
+def test_hard_negatives_op(spark, sf_dir):
+    from configdrivendatapipeline_spark.llm.similarity import hard_negatives
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: neg, input: embeddings, op: hard_negatives, params: {}}
+""",
+        extra_sources=(
+            f'  embeddings: {{format: parquet, path: "{sf_dir}/embeddings.parquet"}}\n'
+        ),
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert rows(frames["neg"]) == rows(hard_negatives(emb))
