@@ -339,6 +339,7 @@ _ROUND6_WINDOW = (
     "llm_triplets",
     "llm_curriculum",
     "pipeline_contrastive",
+    "win_nth_value",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

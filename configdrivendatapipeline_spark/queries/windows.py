@@ -1533,3 +1533,34 @@ def win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         var.cast("long").alias("var_xnn"),
         (dev * dev > 4 * var).alias("outside_band"),
     )
+
+
+@declare(
+    "win_nth_value",
+    """
+    SELECT event_id, user_id,
+           nth_value(event_type, 3) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS third_type
+    FROM events
+    """,
+    _SEC,
+    "nth_value window (the generalization first/last can't express): "
+    "each event sees the user's THIRD event type so far — null until "
+    "three exist — the n-th-touchpoint attribution primitive. "
+    "Running frame so the value appears as soon as it is known; "
+    "deterministic (unique ts, event_id) ordering.",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("event_type", 3).over(w).alias("third_type"),
+    )
