@@ -340,6 +340,7 @@ _ROUND6_WINDOW = (
     "llm_curriculum",
     "pipeline_contrastive",
     "win_nth_value",
+    "agg_lorenz",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

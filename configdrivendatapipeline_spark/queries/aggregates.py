@@ -1263,3 +1263,96 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@declare(
+    "agg_lorenz",
+    """
+    WITH v AS (
+      SELECT c_nationkey,
+             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 100000 AS cents,
+             c_custkey
+      FROM customer),
+    r AS (
+      SELECT c_nationkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, c_custkey) AS rnk,
+             COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM v),
+    d AS (
+      SELECT c_nationkey,
+             CAST((rnk * 10 - 1) // n + 1 AS BIGINT) AS decile,
+             cents
+      FROM r),
+    g AS (
+      SELECT c_nationkey, decile,
+             CAST(COUNT(*) AS BIGINT) AS n_accounts,
+             CAST(SUM(cents) AS BIGINT) AS decile_cents
+      FROM d GROUP BY c_nationkey, decile),
+    t AS (
+      SELECT c_nationkey, CAST(SUM(decile_cents) AS BIGINT) AS total_cents
+      FROM g GROUP BY c_nationkey)
+    SELECT g.c_nationkey, g.decile, g.n_accounts,
+           (g.decile_cents * 1000000) // t.total_cents AS share_micro,
+           CAST(SUM(g.decile_cents * 1000000 // t.total_cents) OVER (
+             PARTITION BY g.c_nationkey ORDER BY g.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_share_micro
+    FROM g JOIN t ON t.c_nationkey = g.c_nationkey
+    """,
+    _SEC,
+    "Lorenz-curve deciles per nation — the distribution picture the "
+    "Gini coefficient (agg_gini) compresses to one number: each "
+    "balance decile's share of total balance plus the cumulative "
+    "curve, all exact integer micro-units (deciles from integer rank "
+    "arithmetic floor((10r-1)/n)+1, shares by integer division — "
+    "the per-nation window never goes global). Shifted positive like "
+    "agg_gini so shares are well-defined.",
+)
+def agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    v = c.select(
+        "c_nationkey",
+        (F.expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)") + 100000).alias(
+            "cents"
+        ),
+        "c_custkey",
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    r = v.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    d = r.select(
+        "c_nationkey",
+        F.expr("CAST((rnk * 10 - 1) div n + 1 AS BIGINT)").alias("decile"),
+        "cents",
+    )
+    g = d.groupBy("c_nationkey", "decile").agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    t = g.groupBy("c_nationkey").agg(F.sum("decile_cents").alias("total_cents"))
+    j = g.join(t, "c_nationkey").select(
+        "c_nationkey",
+        "decile",
+        "n_accounts",
+        F.expr("(decile_cents * 1000000) div total_cents").alias("share_micro"),
+    )
+    wc = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "c_nationkey",
+        "decile",
+        "n_accounts",
+        "share_micro",
+        F.sum("share_micro").over(wc).cast("long").alias("cum_share_micro"),
+    )
