@@ -341,6 +341,7 @@ _ROUND6_WINDOW = (
     "pipeline_contrastive",
     "win_nth_value",
     "agg_lorenz",
+    "agg_rfm",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1356,3 +1356,92 @@ def agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_micro",
         F.sum("share_micro").over(wc).cast("long").alias("cum_share_micro"),
     )
+
+
+@declare(
+    "agg_rfm",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100)
+                  AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    anchor AS (SELECT MAX(last_order) AS d0 FROM base),
+    rfm AS (
+      SELECT b.o_custkey,
+             CAST(date_diff('day', b.last_order, a.d0) AS BIGINT) AS recency_days,
+             b.frequency, b.monetary_cents
+      FROM base b CROSS JOIN anchor a),
+    ranked AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             ROW_NUMBER() OVER (ORDER BY recency_days, o_custkey) AS rr,
+             ROW_NUMBER() OVER (ORDER BY frequency DESC, o_custkey) AS rf,
+             ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, o_custkey) AS rm,
+             COUNT(*) OVER () AS n
+      FROM rfm)
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST((rr * 5 - 1) // n + 1 AS BIGINT) AS r_score,
+           CAST((rf * 5 - 1) // n + 1 AS BIGINT) AS f_score,
+           CAST((rm * 5 - 1) // n + 1 AS BIGINT) AS m_score,
+           CAST(((rr * 5 - 1) // n + 1) * 100
+                + ((rf * 5 - 1) // n + 1) * 10
+                + ((rm * 5 - 1) // n + 1) AS BIGINT) AS rfm_segment
+    FROM ranked
+    """,
+    _SEC,
+    "RFM segmentation — the classic CRM model: per customer, days "
+    "since last order (vs the corpus anchor date), order count, and "
+    "decimal-exact spend, each quintile-scored 1-5 by integer rank "
+    "arithmetic (best = 1 for recency, = high for F/M via descending "
+    "ranks) and packed into the familiar three-digit segment code. "
+    "NOTE the global ranking windows: fine for a customer dimension "
+    "(bounded, dimension-sized) — for a corpus-scaled entity use the "
+    "range-repartition rewrite win_ntile demonstrates.",
+)
+def agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(
+            "CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,6))) * 100)"
+            " AS BIGINT)"
+        ).alias("monetary_cents"),
+    )
+    anchor = base.agg(F.max("last_order").alias("d0"))
+    rfm = base.crossJoin(F.broadcast(anchor)).select(
+        "o_custkey",
+        F.datediff("d0", "last_order").cast("long").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")
+    ranked = rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.row_number().over(wr).alias("rr"),
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wm).alias("rm"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    score = lambda c: F.expr(f"CAST(({c} * 5 - 1) div n + 1 AS BIGINT)")  # noqa: E731
+    return ranked.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("rr").alias("r_score"),
+        score("rf").alias("f_score"),
+        score("rm").alias("m_score"),
+        (score("rr") * 100 + score("rf") * 10 + score("rm"))
+        .cast("long")
+        .alias("rfm_segment"),
+    )

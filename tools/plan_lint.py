@@ -53,6 +53,10 @@ ALLOW = {
     # val_drift's global totals run over per-bin aggregates
     # (≤ n_bins rows, documented "bounded global window totals").
     ("val_drift", "GLOBAL_WINDOW"),
+    # agg_rfm's quintile ranks window over the customer DIMENSION
+    # aggregate (dimension-sized, not fact-sized); the docstring
+    # points corpus-scaled entities at the win_ntile rewrite.
+    ("agg_rfm", "GLOBAL_WINDOW"),
     # budget_select's cumulative-band window runs over per-QUALITY
     # aggregates — bounded by the 0-100 score domain (≤ 101 rows) at
     # any corpus size; per-doc windows are quality-partitioned.
