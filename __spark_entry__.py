@@ -35,7 +35,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin for every SQL-expressible operator; rows-only ops
-    (approximate sketches, seed-dependent LSH, watermark late-drop)
-    are intentionally absent per __spark_entry__ contract."""
+    """DuckDB twin for EVERY declared operator — as of round 5 the
+    registry carries zero rows-only entries (approximate sketches
+    emit value+error-band booleans, hash-family ops declare their
+    md5 member), so this dict covers queries() completely."""
     return {name: q.oracle for name, q in registry().items() if q.oracle is not None}
