@@ -181,6 +181,13 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 #: then every id whose only driver evidence is round 1, then the
 #: oldest of the round-2 cohort (oldest-proof rotation; the rest of
 #: r2 rotates in next round).
+#:
+#: ROUND-7 HANDOFF: round 6 added ~100 never-driver-checked ids
+#: (appended below the first-50 budget). All are green in the local
+#: harness at BOTH sf0.01 and sf0.001. Round 7's window should lead
+#: with the accumulated never-checked cohort (everything between
+#: "round-6 late additions" and the r2 block, in list order), then
+#: resume the oldest-evidence rotation.
 _ROUND6_WINDOW = (
     # new in round 6, never driver-checked
     "win_sessionize",
