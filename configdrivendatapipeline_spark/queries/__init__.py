@@ -349,6 +349,7 @@ _ROUND6_WINDOW = (
     "win_nth_value",
     "agg_lorenz",
     "agg_rfm",
+    "llm_oversample",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

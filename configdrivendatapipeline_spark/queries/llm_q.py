@@ -3687,3 +3687,68 @@ def llm_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@declare(
+    "llm_oversample",
+    f"""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source, lang),
+    m AS (SELECT MAX(n_docs) AS mx FROM c),
+    w AS (
+      SELECT c.source, c.lang,
+             (m.mx * 2000000 + c.n_docs) // (2 * c.n_docs) AS up_micro
+      FROM c CROSS JOIN m),
+    d AS (
+      SELECT doc.doc_id, doc.source, doc.lang, w.up_micro,
+             w.up_micro // 1000000
+               + CASE WHEN {_obucket_md5('doc.doc_id', 'oversample:v1', 1000000)}
+                        < w.up_micro % 1000000 THEN 1 ELSE 0 END AS n_copies
+      FROM documents doc
+      JOIN w ON w.source = doc.source AND w.lang = doc.lang)
+    SELECT doc_id, source, lang,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_no
+    FROM d WHERE n_copies > 0
+    """,
+    _SEC,
+    "Deterministic oversampling — the UPSAMPLING half of mixture "
+    "reweighting (mixture_sample downsamples; this materializes the "
+    "balanced corpus): each doc repeats floor(w) times plus one "
+    "extra copy when its md5 grid position falls below w's "
+    "fractional part, so per-stratum expected counts hit the "
+    "inverse-frequency weights exactly while every copy decision "
+    "replays bit-for-bit on any engine or retry (stochastic "
+    "rounding via content hash, never RNG). One aggregation + "
+    "broadcast weights + a bounded per-row explode.",
+)
+def llm_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.sampling import (
+        hash_bucket,
+        source_weights,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    w = source_weights(docs, group_cols=("source", "lang")).select(
+        "source", "lang", F.col("upsample_micro").alias("up_micro")
+    )
+    d = docs.select("doc_id", "source", "lang").join(
+        F.broadcast(w), ["source", "lang"]
+    )
+    n_copies = F.expr("up_micro div 1000000") + F.when(
+        hash_bucket(F.col("doc_id"), "oversample:v1", 1_000_000)
+        < F.expr("up_micro % 1000000"),
+        1,
+    ).otherwise(0)
+    return (
+        d.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("n_copies").cast("long"))
+            ).alias("copy_no"),
+        )
+    )
