@@ -915,6 +915,41 @@ def _cdc_apply(spark, dfs, p):
     )
 
 
+@op("oversample")
+def _oversample(spark, dfs, p):
+    """Deterministic inverse-frequency oversampling: repeat each row
+    per the data-derived upsample weight with hash-grid stochastic
+    rounding (the upsampling half of mixture reweighting)."""
+    from configdrivendatapipeline_spark.llm.sampling import (
+        hash_bucket,
+        source_weights,
+    )
+
+    df = _one(dfs)
+    group_cols = list(p.get("group_by", ("source", "lang")))
+    id_col = p.get("id_column", "doc_id")
+    salt = p.get("salt", "oversample:v1")
+    w = source_weights(df, group_cols=tuple(group_cols)).select(
+        *group_cols, F.col("upsample_micro").alias("__up")
+    )
+    d = df.join(F.broadcast(w), group_cols)
+    n_copies = F.expr("__up div 1000000") + F.when(
+        hash_bucket(F.col(id_col), salt, 1_000_000) < F.expr("__up % 1000000"),
+        1,
+    ).otherwise(0)
+    return (
+        d.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "copy_no",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__n").cast("long"))
+            ),
+        )
+        .drop("__up", "__n")
+    )
+
+
 @op("hard_negatives")
 def _hard_negatives(spark, dfs, p):
     """Hardest cross-label neighbor per anchor (see

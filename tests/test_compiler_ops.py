@@ -44,7 +44,7 @@ def test_every_op_is_exercised_below():
         "snapshot_diff", "graph_rank", "minhash_calibration",
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
         "asof_join", "route_modality", "budget_select", "survivorship",
-        "kanonymity", "ldiversity", "hard_negatives",
+        "kanonymity", "ldiversity", "hard_negatives", "oversample",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1170,3 +1170,29 @@ def test_hard_negatives_op(spark, sf_dir):
     )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assert rows(frames["neg"]) == rows(hard_negatives(emb))
+
+
+def test_oversample_op_hits_expected_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: up, input: documents, op: oversample, params: {}}
+""",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    up = frames["up"]
+    # every original doc appears at least floor(weight) >= 1 times and
+    # the largest stratum stays ~unchanged (weight == 1.0 exactly)
+    n_orig = docs.count()
+    assert up.select("doc_id").distinct().count() == n_orig
+    biggest = (
+        docs.groupBy("source", "lang").count().orderBy(F.desc("count")).first()
+    )
+    got_big = up.filter(
+        (F.col("source") == biggest["source"]) & (F.col("lang") == biggest["lang"])
+    ).count()
+    assert got_big == biggest["count"]
