@@ -350,6 +350,7 @@ _ROUND6_WINDOW = (
     "agg_lorenz",
     "agg_rfm",
     "llm_oversample",
+    "val_embed_norms",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -3752,3 +3752,46 @@ def llm_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("copy_no"),
         )
     )
+
+
+@declare(
+    "val_embed_norms",
+    f"""
+    WITH n AS (
+      SELECT label, ROUND({_ONRM.format(a='embedding')}, 6) AS nrm
+      FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+           CAST(COALESCE(SUM(CASE WHEN nrm < 0.000001 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_zero,
+           MAX(nrm) < 2 * GREATEST(MIN(nrm), 0.000001) AS normish
+    FROM n GROUP BY label
+    """,
+    _SEC,
+    "Embedding-norm hygiene audit: per label, the vector-norm range, "
+    "zero-vector count, and a normalized-ish flag (max within 2x of "
+    "min) — the pre-ANN check that catches unnormalized or "
+    "degenerate embeddings BEFORE cosine similarity silently "
+    "misranks them (cosine of a zero vector is undefined; wildly "
+    "mixed norms usually mean two encoder versions were mixed). One "
+    "map-side norm + one small aggregation.",
+)
+def val_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        similarity.norm(similarity.as_double("embedding")), 6
+    ).alias("nrm")
+    n = emb.select(F.col("label").cast("long").alias("label"), nrm)
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.coalesce(
+            F.sum(F.when(F.col("nrm") < 0.000001, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_zero"),
+        (
+            F.max("nrm")
+            < 2 * F.greatest(F.min("nrm"), F.lit(0.000001))
+        ).alias("normish"),
+    )
