@@ -351,6 +351,7 @@ _ROUND6_WINDOW = (
     "agg_rfm",
     "llm_oversample",
     "val_embed_norms",
+    "val_volume_anomaly",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

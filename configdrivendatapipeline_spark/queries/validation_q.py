@@ -987,3 +987,69 @@ def val_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_contiguous",
         (F.col("n_overlaps") == 0).alias("passed"),
     )
+
+
+@declare(
+    "val_volume_anomaly",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY CAST(ts AS DATE)),
+    m AS (
+      SELECT CASE WHEN COUNT(*) % 2 = 1
+                  THEN list_sort(list(n))[(COUNT(*) + 1) // 2] * 2
+                  ELSE list_sort(list(n))[COUNT(*) // 2]
+                       + list_sort(list(n))[COUNT(*) // 2 + 1] END AS med2
+      FROM d),
+    dev AS (
+      SELECT d.day, d.n, m.med2, ABS(2 * d.n - m.med2) AS dv
+      FROM d CROSS JOIN m),
+    md AS (
+      SELECT CASE WHEN COUNT(*) % 2 = 1
+                  THEN list_sort(list(dv))[(COUNT(*) + 1) // 2] * 2
+                  ELSE list_sort(list(dv))[COUNT(*) // 2]
+                       + list_sort(list(dv))[COUNT(*) // 2 + 1] END AS mad4
+      FROM dev)
+    SELECT dev.day, dev.n,
+           CAST(dev.med2 AS BIGINT) AS med2,
+           CAST(md.mad4 AS BIGINT) AS mad4,
+           2 * dev.dv > 3 * md.mad4 AS is_anomalous
+    FROM dev CROSS JOIN md
+    """,
+    _SEC,
+    "Ingest-volume anomaly detection: each day's event count flagged "
+    "against the corpus-wide median ± 3 MAD — the dropped-feed / "
+    "double-load tripwire every ingestion pipeline monitors. Same "
+    "doubled-integer median/MAD discipline as win_hampel (no halves, "
+    "no division); the list aggregations run over the DAY domain "
+    "(bounded by the calendar, not the corpus), so the 1-row "
+    "median/MAD frames broadcast at any scale.",
+)
+def val_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    def med2_of(col):
+        arr = F.sort_array(F.collect_list(col))
+        cnt = F.size(arr)
+        return F.when(
+            cnt % 2 == 1, F.element_at(arr, ((cnt + 1) / 2).cast("int")) * 2
+        ).otherwise(
+            F.element_at(arr, (cnt / 2).cast("int"))
+            + F.element_at(arr, (cnt / 2).cast("int") + 1)
+        )
+
+    m = d.agg(med2_of(F.col("n")).alias("med2"))
+    dev = d.crossJoin(F.broadcast(m)).withColumn(
+        "dv", F.abs(2 * F.col("n") - F.col("med2"))
+    )
+    md = dev.agg(med2_of(F.col("dv")).alias("mad4"))
+    return dev.crossJoin(F.broadcast(md)).select(
+        "day",
+        "n",
+        F.col("med2").cast("long").alias("med2"),
+        F.col("mad4").cast("long").alias("mad4"),
+        (2 * F.col("dv") > 3 * F.col("mad4")).alias("is_anomalous"),
+    )
