@@ -352,6 +352,7 @@ _ROUND6_WINDOW = (
     "llm_oversample",
     "val_embed_norms",
     "val_volume_anomaly",
+    "llm_calibration_curve",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

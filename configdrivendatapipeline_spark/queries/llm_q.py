@@ -3795,3 +3795,47 @@ def val_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 2 * F.greatest(F.min("nrm"), F.lit(0.000001))
         ).alias("normish"),
     )
+
+
+@declare(
+    "llm_calibration_curve",
+    _minhash_oracle(calibrate=True).replace(
+        """    SELECT id_a, id_b, est_micro, exact_micro,
+           est_micro - exact_micro AS err_micro
+    FROM (""",
+        """    SELECT est_micro // 100000 AS est_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (CAST(SUM(exact_micro) AS BIGINT) * 2 + COUNT(*))
+             // (2 * COUNT(*)) AS mean_exact_micro,
+           (CAST(SUM(est_micro) AS BIGINT) * 2 + COUNT(*))
+             // (2 * COUNT(*)) AS mean_est_micro
+    FROM (""",
+    )
+    + " GROUP BY est_micro // 100000",
+    _SEC,
+    "MinHash reliability curve: candidate pairs bucketed by estimate "
+    "decile with the half-up mean EXACT Jaccard beside the mean "
+    "estimate per bucket — the calibration diagram that shows "
+    "WHERE on the similarity range the estimator over- or "
+    "under-reads (the per-pair audit shows individual errors; this "
+    "shows the systematic bias shape that picks the dedup "
+    "threshold). A ten-row rollup of the calibration output.",
+)
+def llm_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = dedup.minhash_calibration(
+        load(spark, sf_dir, "documents"), token_hash="md5_32"
+    )
+    return (
+        cal.groupBy(F.expr("est_micro div 100000").alias("est_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr(
+                "(CAST(SUM(exact_micro) AS BIGINT) * 2 + COUNT(*))"
+                " div (2 * COUNT(*))"
+            ).alias("mean_exact_micro"),
+            F.expr(
+                "(CAST(SUM(est_micro) AS BIGINT) * 2 + COUNT(*))"
+                " div (2 * COUNT(*))"
+            ).alias("mean_est_micro"),
+        )
+    )
