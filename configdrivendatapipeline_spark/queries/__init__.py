@@ -353,6 +353,7 @@ _ROUND6_WINDOW = (
     "val_embed_norms",
     "val_volume_anomaly",
     "llm_calibration_curve",
+    "llm_shard_balance",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

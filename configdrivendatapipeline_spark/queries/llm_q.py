@@ -3839,3 +3839,53 @@ def llm_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_est_micro"),
         )
     )
+
+
+@declare(
+    "llm_shard_balance",
+    f"""
+    WITH d AS (
+      SELECT {_obucket_md5('doc_id', 'pack:v1', 8)} AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM d GROUP BY shard),
+    t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_shards FROM s)
+    SELECT s.shard, s.n_docs, s.tokens,
+           (s.tokens * t.n_shards * 1000000) // t.total AS balance_micro
+    FROM s CROSS JOIN t
+    """,
+    _SEC,
+    "Packing-shard balance audit: per shard, document and token "
+    "totals plus the balance ratio vs a perfectly uniform split "
+    "(1e6 = exactly fair; a hot shard is the straggler that gates "
+    "the whole training epoch). The observability row the sharded "
+    "layouts (shuffle, packing, curriculum) are trusted against — "
+    "one aggregation + a broadcast totals frame, same shape as "
+    "skew_stats but keyed on the layout's own hash shards.",
+)
+def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        hash_bucket(F.col("doc_id"), "pack:v1", 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    s = d.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    t = s.agg(
+        F.sum("tokens").alias("total"), F.count(F.lit(1)).alias("n_shards")
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "shard",
+        "n_docs",
+        "tokens",
+        F.expr("(tokens * n_shards * 1000000) div total").alias(
+            "balance_micro"
+        ),
+    )
