@@ -354,6 +354,7 @@ _ROUND6_WINDOW = (
     "val_volume_anomaly",
     "llm_calibration_curve",
     "llm_shard_balance",
+    "agg_growth_accounting",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

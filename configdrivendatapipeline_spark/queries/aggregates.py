@@ -1445,3 +1445,90 @@ def agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rfm_segment"),
     )
+
+
+@declare(
+    "agg_growth_accounting",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    seq AS (
+      SELECT user_id, wk,
+             LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+             MIN(wk) OVER (PARTITION BY user_id) AS first_wk
+      FROM act),
+    labeled AS (
+      SELECT wk, user_id,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN date_diff('day', prev_wk, wk) = 7 THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM seq),
+    gains AS (
+      SELECT wk, CAST(COUNT(*) AS BIGINT) AS n,
+             status
+      FROM labeled GROUP BY wk, status),
+    churn AS (
+      SELECT CAST(wk + INTERVAL 7 DAY AS DATE) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             'churned' AS status
+      FROM seq s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM act a
+        WHERE a.user_id = s.user_id
+          AND a.wk = CAST(s.wk + INTERVAL 7 DAY AS DATE))
+        AND CAST(s.wk + INTERVAL 7 DAY AS DATE)
+              <= (SELECT MAX(wk) FROM act)
+      GROUP BY CAST(s.wk + INTERVAL 7 DAY AS DATE))
+    SELECT wk, status, n FROM gains
+    UNION ALL
+    SELECT wk, status, n FROM churn
+    """,
+    _SEC,
+    "Growth accounting — the canonical weekly active-user ledger: "
+    "every active (user, week) classified as new (first week ever), "
+    "retained (active the prior week), or resurrected (returning "
+    "after a gap), plus the churned count (prior-week actives who "
+    "went silent, attributed to the week they missed, capped at the "
+    "observed horizon). One distinct-activity aggregation + per-user "
+    "LAG/MIN windows + an anti-join for churn — the identity "
+    "active(t) = new + retained + resurrected and churn(t) = "
+    "active(t-1) - retained(t) holds exactly.",
+)
+def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    wp = Window.partitionBy("user_id")
+    seq = act.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.min("wk").over(wp).alias("first_wk"),
+    )
+    status = (
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.datediff("wk", "prev_wk") == 7, "retained")
+        .otherwise("resurrected")
+    )
+    gains = seq.groupBy("wk", status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    nxt = seq.select(
+        "user_id", F.date_add("wk", 7).alias("wk")
+    )
+    horizon = act.agg(F.max("wk").alias("mx"))
+    churn = (
+        nxt.join(act, ["user_id", "wk"], "left_anti")
+        .crossJoin(F.broadcast(horizon))
+        .filter(F.col("wk") <= F.col("mx"))
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("wk", F.lit("churned").alias("status"), "n")
+    )
+    return gains.select("wk", "status", "n").unionByName(churn)
