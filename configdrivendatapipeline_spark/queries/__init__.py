@@ -355,6 +355,7 @@ _ROUND6_WINDOW = (
     "llm_calibration_curve",
     "llm_shard_balance",
     "agg_growth_accounting",
+    "llm_release_delta",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

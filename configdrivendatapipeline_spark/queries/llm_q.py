@@ -3889,3 +3889,85 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_micro"
         ),
     )
+
+
+@declare(
+    "llm_release_delta",
+    """
+    WITH prev AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v1' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 11 = 0),
+    c AS (SELECT doc_id AS id, sha256(text) AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM documents),
+    p AS (SELECT doc_id AS id, sha256(text) AS h,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+          FROM prev),
+    d AS (
+      SELECT COALESCE(c.id, p.id) AS id,
+             CASE WHEN c.h IS NULL THEN 'removed'
+                  WHEN p.h IS NULL THEN 'added'
+                  WHEN c.h <> p.h THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             COALESCE(c.tok, 0) AS cur_tok,
+             COALESCE(p.tok, 0) AS prev_tok
+      FROM c FULL OUTER JOIN p ON c.id = p.id)
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cur_tok) AS BIGINT) AS tokens_now,
+           CAST(SUM(cur_tok) - SUM(prev_tok) AS BIGINT) AS token_delta
+    FROM d GROUP BY status
+    """,
+    _SEC,
+    "Release delta card: the snapshot diff rolled into the four-row "
+    "accounting a corpus release note ships — per status, document "
+    "counts, current token totals, and the signed token delta vs "
+    "the previous snapshot (removed rows contribute a negative "
+    "delta, added a positive one; the deltas sum to the corpus-level "
+    "token change exactly). Same ~100-byte manifest-hash join as "
+    "llm_snapshot_diff with token counts riding along.",
+)
+def llm_release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v1"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        )
+    )
+    tok = F.size(F.split("text", " ")).cast("long")
+    c = docs.select(
+        F.col("doc_id").alias("id"),
+        F.sha2("text", 256).alias("c_h"),
+        tok.alias("c_tok"),
+    )
+    p = prev.select(
+        F.col("doc_id").alias("id"),
+        F.sha2("text", 256).alias("p_h"),
+        tok.alias("p_tok"),
+    )
+    d = c.join(p, "id", "full_outer").select(
+        F.when(F.col("c_h").isNull(), "removed")
+        .when(F.col("p_h").isNull(), "added")
+        .when(F.col("c_h") != F.col("p_h"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce("c_tok", F.lit(0).cast("long")).alias("cur_tok"),
+        F.coalesce("p_tok", F.lit(0).cast("long")).alias("prev_tok"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cur_tok").alias("tokens_now"),
+        (F.sum("cur_tok") - F.sum("prev_tok")).alias("token_delta"),
+    )
