@@ -356,6 +356,7 @@ _ROUND6_WINDOW = (
     "llm_shard_balance",
     "agg_growth_accounting",
     "llm_release_delta",
+    "win_time_to_event",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

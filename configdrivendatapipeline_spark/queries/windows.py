@@ -1564,3 +1564,64 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.nth_value("event_type", 3).over(w).alias("third_type"),
     )
+
+
+@declare(
+    "win_time_to_event",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.event_id, c.user_id, p.ts AS purchase_ts,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts ASC) AS rn
+      FROM clicks c LEFT JOIN purchases p
+        ON p.user_id = c.user_id AND p.ts >= c.ts)
+    SELECT c.event_id, c.user_id,
+           CASE WHEN j.purchase_ts IS NULL THEN NULL
+                ELSE date_diff('second', c.ts, j.purchase_ts) END
+             AS seconds_to_purchase,
+           j.purchase_ts IS NOT NULL AS converted
+    FROM clicks c
+    JOIN j ON j.event_id = c.event_id AND j.rn = 1
+    """,
+    _SEC,
+    "Time-to-event: every click matched forward to the user's next "
+    "purchase with the conversion latency in exact seconds (NULL + "
+    "converted=false when none follows) — the event-grain conversion "
+    "signal funnels aggregate away, and the input to any "
+    "time-to-convert distribution. The forward as-of composition "
+    "(range-pruned equi-join + per-click top-1 window) is the same "
+    "one-shuffle shape as join_asof, here through the generic "
+    "joins.asof_join helper.",
+)
+def win_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.joins import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        by=["user_id"],
+        left_key="event_id",
+        direction="forward",
+        take={"purchase_ts": "ts"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(
+            F.col("purchase_ts").isNull(), F.lit(None).cast("long")
+        ).otherwise(
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("ts")
+        ).alias("seconds_to_purchase"),
+        F.col("purchase_ts").isNotNull().alias("converted"),
+    )
