@@ -357,6 +357,7 @@ _ROUND6_WINDOW = (
     "agg_growth_accounting",
     "llm_release_delta",
     "win_time_to_event",
+    "agg_peak_concurrency",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1532,3 +1532,68 @@ def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("wk", F.lit("churned").alias("status"), "n")
     )
     return gains.select("wk", "status", "n").unionByName(churn)
+
+
+@declare(
+    "agg_peak_concurrency",
+    """
+    WITH sess AS (
+      SELECT event_id, CAST(ts AS DATE) AS day, ts AS s,
+             LEAST(ts + INTERVAL '30 minutes',
+                   CAST(CAST(ts AS DATE) + INTERVAL '1 day' AS TIMESTAMP))
+               AS e
+      FROM events),
+    pts AS (
+      SELECT day, s AS t, 1 AS delta, event_id FROM sess
+      UNION ALL
+      SELECT day, e AS t, -1 AS delta, event_id FROM sess),
+    run AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day
+               ORDER BY t, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+      FROM pts)
+    SELECT day, CAST(MAX(cur) AS BIGINT) AS peak_concurrent
+    FROM run GROUP BY day
+    """,
+    _SEC,
+    "Peak concurrency per day: every event opens a 30-minute session, "
+    "the classic +1/-1 sweep counts the maximum simultaneously-open "
+    "sessions — the capacity-planning number behind provisioning. "
+    "Ends process before starts at equal timestamps (delta ascending "
+    "— touching sessions don't double-count) and sessions clamp at "
+    "midnight so the sweep partitions by DAY: the running sum never "
+    "goes global, which is what makes the sweep scale (an unbounded "
+    "global ordering would serialize the corpus through one task).",
+)
+def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    sess = ev.select(
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        F.col("ts").alias("s"),
+        F.least(
+            F.col("ts") + F.expr("INTERVAL 30 MINUTES"),
+            (F.col("ts").cast("date") + F.expr("INTERVAL 1 DAY")).cast(
+                "timestamp"
+            ),
+        ).alias("e"),
+    )
+    pts = sess.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        sess.select(
+            "day", F.col("e").alias("t"), F.lit(-1).alias("delta"), "event_id"
+        )
+    )
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.select("day", F.sum("delta").over(w).alias("cur"))
+    return run.groupBy("day").agg(
+        F.max("cur").cast("long").alias("peak_concurrent")
+    )
