@@ -358,6 +358,7 @@ _ROUND6_WINDOW = (
     "llm_release_delta",
     "win_time_to_event",
     "agg_peak_concurrency",
+    "llm_injection_scan",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",
