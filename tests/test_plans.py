@@ -400,3 +400,37 @@ def test_python_datasource_partitions_and_determinism(spark):
     # re-read is bit-identical (pure function of ids — retry-safe)
     again = {r["doc_id"]: r["text"] for r in df.collect()}
     assert again == {r["doc_id"]: r["text"] for r in rows}
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    """active(t) = new + retained + resurrected and
+    churn(t) = active(t-1) - retained(t) hold exactly."""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.queries.aggregates import (
+        agg_growth_accounting,
+    )
+
+    rows = agg_growth_accounting(spark, sf_dir).collect()
+    by_wk: dict = {}
+    for r in rows:
+        by_wk.setdefault(str(r["wk"]), {})[r["status"]] = r["n"]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    weekly = {
+        str(r["wk"]): r["n"]
+        for r in act.groupBy("wk").agg(F.count("*").alias("n")).collect()
+    }
+    weeks = sorted(weekly)
+    for i, wk in enumerate(weeks):
+        g = by_wk.get(wk, {})
+        assert (
+            g.get("new", 0) + g.get("retained", 0) + g.get("resurrected", 0)
+            == weekly[wk]
+        ), wk
+        if i > 0:
+            assert g.get("churned", 0) == weekly[weeks[i - 1]] - g.get(
+                "retained", 0
+            ), wk
