@@ -434,3 +434,33 @@ def test_growth_accounting_identities(spark, sf_dir):
             assert g.get("churned", 0) == weekly[weeks[i - 1]] - g.get(
                 "retained", 0
             ), wk
+
+
+def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
+    import datetime as dt
+
+    from configdrivendatapipeline_spark.queries.aggregates import (
+        agg_peak_concurrency,
+    )
+
+    got = {
+        str(r["day"]): r["peak_concurrent"]
+        for r in agg_peak_concurrency(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_day: dict = {}
+    for r in ev:
+        day = r["ts"].date()
+        end = min(
+            r["ts"] + dt.timedelta(minutes=30),
+            dt.datetime.combine(day + dt.timedelta(days=1), dt.time()),
+        )
+        by_day.setdefault(day, []).append((r["ts"], 1, r["event_id"]))
+        by_day[day].append((end, -1, r["event_id"]))
+    for day, pts in by_day.items():
+        pts.sort()  # (t, delta, id): ends (-1) before starts at equal t
+        cur = peak = 0
+        for (_, d, _) in pts:
+            cur += d
+            peak = max(peak, cur)
+        assert got[str(day)] == peak, day
