@@ -952,3 +952,38 @@ def test_budget_select_spends_at_most_half_and_prefers_quality(spark, sf_dir):
             full_spent + kept_marginal + marginal_excluded[0]["n_tokens"]
             > budget
         )
+
+
+def test_release_delta_token_conservation(spark, sf_dir):
+    """The per-status token deltas sum exactly to the corpus-level
+    token change between the snapshots."""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.queries.llm_q import llm_release_delta
+
+    rows = llm_release_delta(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    tok = F.size(F.split("text", " ")).cast("long")
+    cur_total = docs.select(F.sum(tok).alias("t")).collect()[0]["t"]
+    prev = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v1"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 1000000
+            )
+        )
+    )
+    prev_total = prev.select(F.sum(tok).alias("t")).collect()[0]["t"]
+    assert sum(r["token_delta"] for r in rows) == cur_total - prev_total
+    assert sum(r["tokens_now"] for r in rows) == cur_total
+    assert {r["status"] for r in rows} == {
+        "added", "removed", "changed", "unchanged",
+    }
