@@ -359,6 +359,7 @@ _ROUND6_WINDOW = (
     "win_time_to_event",
     "agg_peak_concurrency",
     "llm_injection_scan",
+    "agg_wow_growth",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1597,3 +1597,54 @@ def agg_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("cur").cast("long").alias("peak_concurrent")
     )
+
+
+@declare(
+    "agg_wow_growth",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('week', ts)),
+    l AS (
+      SELECT event_type, wk, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev_n
+      FROM w)
+    SELECT event_type, wk, n, prev_n,
+           CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+                ELSE (CASE WHEN n >= prev_n THEN 1 ELSE -1 END)
+                     * ((ABS(n - prev_n) * 1000000) // prev_n) END
+             AS growth_micro
+    FROM l
+    """,
+    _SEC,
+    "Week-over-week growth per event type: weekly counts with the "
+    "signed growth rate vs the prior week in integer micro-units. "
+    "The quotient is SIGN-DECOMPOSED (sign times abs-value division) "
+    "because DuckDB's // floors negative quotients while Spark's div "
+    "truncates them — on a non-negative numerator the two agree, so "
+    "declines round toward zero identically on both engines. The "
+    "first chart of every weekly business review; one aggregation + "
+    "one per-type LAG window.",
+)
+def agg_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lw = Window.partitionBy("event_type").orderBy("wk")
+    l = w.withColumn("prev_n", F.lag("n").over(lw))
+    return l.select(
+        "event_type",
+        "wk",
+        "n",
+        "prev_n",
+        F.expr(
+            "CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL "
+            "ELSE (CASE WHEN n >= prev_n THEN 1 ELSE -1 END)"
+            "     * ((ABS(n - prev_n) * 1000000) div prev_n) END"
+        ).alias("growth_micro"),
+    )
