@@ -14,6 +14,11 @@ Determinism conventions (SURVEY.md §5, FIXTURES.md):
 - collected lists are ``array_sort``-ed; no ``current_timestamp``,
   ``monotonically_increasing_id`` or unordered ``first()``;
 - timestamps are emitted as dates or truncated timestamps only;
+- never integer-divide a POSSIBLY-NEGATIVE numerator: DuckDB's
+  ``//`` floors while Spark's ``div`` truncates, so they disagree on
+  every non-exact negative quotient. Keep numerators provably
+  non-negative (weighted-average forms, abs-based magnitudes) or
+  sign-decompose: ``sign(x) * (abs(x) div d)``;
 - never emit DECIMAL/array/map-typed OUTPUT columns: the driver's
   canonicalizer hashes Spark's ``decimal.Decimal``/list cells
   differently from DuckDB's float64/ndarray rendering even when every
