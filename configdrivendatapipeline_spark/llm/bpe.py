@@ -31,6 +31,16 @@ _PAIRS = (
     "element_at(split(trim(sym), ' '), i)))"
 )
 
+#: Truncate the merge-application lineage every this-many replaces.
+#: Each merge appends one `replace()` to the symbol column's
+#: expression tree; left unchecked, a production 32k-merge vocabulary
+#: yields a 32k-deep expression that breaks the analyzer and codegen
+#: long before data size matters. Chunked `localCheckpoint` bounds
+#: every plan segment to ≤ this depth — the frame being checkpointed
+#: is the VOCAB table (10⁵–10⁷ rows at web scale), so the
+#: materialization cost is trivial next to the corpus scan.
+_CHECKPOINT_EVERY = 50
+
 
 def bpe_train(
     df: DataFrame,
@@ -80,6 +90,9 @@ def bpe_train(
                     F.col("sym"), F.lit(f" {pr} "), F.lit(f" {merged} ")
                 ),
             )
+            if (step + 1) % _CHECKPOINT_EVERY == 0:
+                # bound the replace-chain depth (see _CHECKPOINT_EVERY)
+                current = current.localCheckpoint(eager=True)
     finally:
         vocab.unpersist()
     return spark.createDataFrame(
@@ -127,12 +140,15 @@ def _word_token_counts(
             F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
         ).alias("sym"),
     )
-    for pr in merges:
+    for i, pr in enumerate(merges):
         merged = pr.replace(" ", "")
         sym = sym.withColumn(
             "sym",
             F.replace(F.col("sym"), F.lit(f" {pr} "), F.lit(f" {merged} ")),
         )
+        if (i + 1) % _CHECKPOINT_EVERY == 0 and (i + 1) < len(merges):
+            # bound the replace-chain depth (see _CHECKPOINT_EVERY)
+            sym = sym.localCheckpoint(eager=True)
     return sym.select(
         "word", F.size(F.split(F.trim("sym"), " ")).cast("long").alias("wtok")
     )

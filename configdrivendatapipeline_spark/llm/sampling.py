@@ -180,12 +180,20 @@ def budget_select(
 
     Greedy-by-quality is made scale-safe by banding: the 0-100
     integer quality score gives ≤101 bands, whole bands are taken
-    from the top (the cumulative-band window runs over ≤101 rows —
-    bounded at any corpus size), and only the single MARGINAL band
-    is filled document-by-document, in deterministic md5(id) order
-    on a per-band window (partition-parallel; a global quality sort
-    of the corpus never happens). Everything is exact integers, so
-    membership replays bit-for-bit on any engine or retry.
+    from the top WITHOUT any per-document window (a broadcast
+    semi-join on the band list), and only the single MARGINAL band —
+    the one straddling the budget line — is filled
+    document-by-document in deterministic md5(id) order. That fill
+    is itself sub-sharded by the leading two hex chars of the md5
+    order key (256 shards) with a two-level cumulative sum — the
+    same decomposition :func:`pack_offsets` uses — so no window
+    partition ever holds more than ~1/256 of ONE band, at any
+    corpus size. Because hex-string order is numeric order, the
+    (shard, key) decomposition replays the global md5 order exactly:
+    the selected set is bit-identical to a single global per-band
+    cumsum, which is what the DuckDB oracle runs. Everything is
+    exact integers, so membership replays bit-for-bit on any engine
+    or retry.
     """
     from pyspark.sql import Window
 
@@ -195,6 +203,7 @@ def budget_select(
         id_col, "n_tokens", "quality"
     )
     bands = q.groupBy("quality").agg(F.sum("n_tokens").alias("band_tokens"))
+    # Band-level windows: ≤101 rows by construction (plan-lint exempt).
     wb = (
         Window.orderBy(F.col("quality").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -204,36 +213,63 @@ def budget_select(
         F.coalesce(F.sum("band_tokens").over(wb), F.lit(0).cast("long")),
     )
     tot = bands.agg(F.expr("CAST(SUM(band_tokens) AS BIGINT) div 2").alias("budget"))
+    cbt = cb.crossJoin(F.broadcast(tot))
+    full_bands = cbt.filter(
+        F.col("cum_before") + F.col("band_tokens") <= F.col("budget")
+    ).select("quality")
+    marginal = cbt.filter(
+        (F.col("cum_before") < F.col("budget"))
+        & (F.col("cum_before") + F.col("band_tokens") > F.col("budget"))
+    ).select("quality", "cum_before", "budget")
+    # Full bands: membership is a broadcast join — no window touches
+    # the corpus-sized side at all.
+    full = q.join(F.broadcast(full_bands), "quality").select(
+        F.col(id_col), "quality", "n_tokens",
+        F.lit("full_band").alias("keep_tier"),
+    )
+    # Marginal band (≤1 band of docs): two-level cumsum sharded by the
+    # md5 key's own leading hex chars, so shard order ⊕ in-shard order
+    # IS the global md5 order.
     order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    wd = (
-        Window.partitionBy("quality")
-        .orderBy(order_key.asc(), F.col(id_col).asc())
+    m = (
+        q.join(F.broadcast(marginal), "quality")
+        .withColumn("__okey", order_key)
+        .withColumn(
+            "__mshard", F.conv(F.substring("__okey", 1, 2), 16, 10).cast("int")
+        )
+    )
+    wloc = (
+        Window.partitionBy("__mshard")
+        .orderBy(F.col("__okey").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    j = (
-        q.join(F.broadcast(cb), "quality")
-        .crossJoin(F.broadcast(tot))
-        .withColumn(
-            "doc_cum",
-            F.coalesce(F.sum("n_tokens").over(wd), F.lit(0).cast("long")),
+    m = m.withColumn(
+        "__loc_cum",
+        F.coalesce(F.sum("n_tokens").over(wloc), F.lit(0).cast("long")),
+    )
+    shard_tot = m.groupBy("__mshard").agg(F.sum("n_tokens").alias("__sh_tokens"))
+    # Shard-offset window: ≤256 rows by construction (plan-lint exempt).
+    wsh = (
+        Window.orderBy(F.col("__mshard").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_off = shard_tot.withColumn(
+        "__sh_before",
+        F.coalesce(F.sum("__sh_tokens").over(wsh), F.lit(0).cast("long")),
+    ).select("__mshard", "__sh_before")
+    partial = (
+        m.join(F.broadcast(shard_off), "__mshard")
+        .withColumn("doc_cum", F.col("__sh_before") + F.col("__loc_cum"))
+        .filter(
+            F.col("cum_before") + F.col("doc_cum") + F.col("n_tokens")
+            <= F.col("budget")
         )
-    )
-    full_band = F.col("cum_before") + F.col("band_tokens") <= F.col("budget")
-    partial = (F.col("cum_before") < F.col("budget")) & (
-        F.col("cum_before") + F.col("doc_cum") + F.col("n_tokens")
-        <= F.col("budget")
-    )
-    return (
-        j.filter(full_band | partial)
         .select(
-            id_col,
-            "quality",
-            "n_tokens",
-            F.when(full_band, "full_band").otherwise("partial_band").alias(
-                "keep_tier"
-            ),
+            F.col(id_col), "quality", "n_tokens",
+            F.lit("partial_band").alias("keep_tier"),
         )
     )
+    return full.unionByName(partial)
 
 
 def pack_manifest(

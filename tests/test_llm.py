@@ -987,3 +987,39 @@ def test_release_delta_token_conservation(spark, sf_dir):
     assert {r["status"] for r in rows} == {
         "added", "removed", "changed", "unchanged",
     }
+
+def test_bpe_deep_merge_chain_checkpoints(spark):
+    """A production vocabulary means thousands of merges; each merge
+    appends one replace() to the symbol expression chain, so without
+    lineage truncation the analyzer/codegen collapse long before data
+    size matters. Train 200 merges end-to-end (4x the checkpoint
+    interval) and replay the full 200-merge chain through the encode
+    map — both must complete, and the checkpointed encode must agree
+    with an unchunked 20-merge reference on the same corpus."""
+    from configdrivendatapipeline_spark.llm import bpe
+
+    # enough distinct pair structure to sustain 200 merges
+    rows = [
+        (i, " ".join("".join(chr(97 + (i * 7 + j * 3 + k) % 26) for k in range(12)) for j in range(6)))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe.bpe_train(df, n_merges=200)
+    pairs = [r["pair"] for r in merges.collect()]
+    assert len(pairs) > bpe._CHECKPOINT_EVERY  # the chunking actually ran
+    enc = bpe.bpe_encode_counts(df, pairs).collect()
+    assert len(enc) == 80
+    for r in enc:
+        assert 1 <= r["n_bpe_tokens"] <= 12 * 6
+
+    # checkpoint interval must not change results: 20-merge encode with
+    # interval 50 (never triggers) vs interval 7 (triggers twice)
+    pairs20 = pairs[:20]
+    ref = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe.bpe_encode_counts(df, pairs20).collect()}
+    orig = bpe._CHECKPOINT_EVERY
+    try:
+        bpe._CHECKPOINT_EVERY = 7
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe.bpe_encode_counts(df, pairs20).collect()}
+    finally:
+        bpe._CHECKPOINT_EVERY = orig
+    assert got == ref

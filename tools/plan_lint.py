@@ -57,10 +57,27 @@ ALLOW = {
     # aggregate (dimension-sized, not fact-sized); the docstring
     # points corpus-scaled entities at the win_ntile rewrite.
     ("agg_rfm", "GLOBAL_WINDOW"),
-    # budget_select's cumulative-band window runs over per-QUALITY
-    # aggregates — bounded by the 0-100 score domain (≤ 101 rows) at
-    # any corpus size; per-doc windows are quality-partitioned.
+    # budget_select's two global windows run over per-QUALITY band
+    # aggregates (≤ 101 rows — score domain) and per-shard offsets
+    # (≤ 256 rows — md5 two-hex-char domain); the per-doc cumsum is
+    # sharded 256-way (llm/sampling.py budget_select) so NO
+    # corpus-sized frame ever routes through one window task.
     ("llm_budget_select", "GLOBAL_WINDOW"),
+}
+
+#: For allowlisted GLOBAL_WINDOW queries: the expected NUMBER of
+#: distinct global window specs in the plan. A new unpartitioned
+#: window sneaking into an already-allowed query must re-justify
+#: itself here instead of hiding behind the existing exemption.
+ALLOW_GLOBAL_WINDOW_MAX = {
+    "val_skew": 1,
+    "win_ntile": 2,
+    "win_percent_rank": 1,
+    "win_cume_dist": 1,
+    "sort_multi": 1,
+    "val_drift": 2,
+    "agg_rfm": 4,
+    "llm_budget_select": 2,
 }
 
 
@@ -74,16 +91,27 @@ def lint_plan(name: str, plan: str) -> list[str]:
     # whose FIRST argument is already an ordered expr (ASC/DESC) or
     # the frame itself has NO partition columns — every row routes
     # through one task.
-    if (name, "GLOBAL_WINDOW") not in ALLOW:
-        for m in _iter_specs(plan):
-            first = m.split(",", 1)[0]
-            if (
-                "ASC" in first
-                or "DESC" in first
-                or first.strip().startswith("specifiedwindowframe")
-            ):
-                hits.append("GLOBAL_WINDOW")
-                break
+    import re
+
+    # Dedup specs LOGICALLY: strip Catalyst expr ids (#123L) so a
+    # subtree reused N places in the plan counts as ONE window.
+    n_global = 0
+    for m in {re.sub(r"#\d+L?", "#", s) for s in _iter_specs(plan)}:
+        first = m.split(",", 1)[0]
+        if (
+            "ASC" in first
+            or "DESC" in first
+            or first.strip().startswith("specifiedwindowframe")
+        ):
+            n_global += 1
+    if n_global:
+        if (name, "GLOBAL_WINDOW") not in ALLOW:
+            hits.append("GLOBAL_WINDOW")
+        elif n_global > ALLOW_GLOBAL_WINDOW_MAX.get(name, n_global):
+            hits.append(
+                f"GLOBAL_WINDOW x{n_global} > allowed "
+                f"{ALLOW_GLOBAL_WINDOW_MAX[name]}"
+            )
     return hits
 
 
