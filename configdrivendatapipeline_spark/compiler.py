@@ -32,6 +32,8 @@ OPS: dict[str, OpBuilder] = {}
 
 def op(name: str) -> Callable[[OpBuilder], OpBuilder]:
     def reg(fn: OpBuilder) -> OpBuilder:
+        if name in OPS:
+            raise ValueError(f"duplicate op id: {name}")
         OPS[name] = fn
         return fn
 
@@ -692,6 +694,50 @@ def _pack_manifest(spark, dfs, p):
         shards=int(p.get("shards", 8)),
         salt=p.get("salt", "pack:v1"),
         shuffle_salt=p.get("shuffle_salt"),
+    )
+
+
+@op("bpe_train")
+def _bpe_train(spark, dfs, p):
+    """Train a BPE merge table from the input corpus (see
+    llm.bpe.bpe_train) — emits the (step, pair, n) artifact."""
+    from configdrivendatapipeline_spark.llm.bpe import bpe_train
+
+    return bpe_train(
+        _one(dfs),
+        text_col=p.get("text_column", "text"),
+        n_merges=int(p.get("n_merges", 20)),
+    )
+
+
+@op("bpe_encode")
+def _bpe_encode(spark, dfs, p):
+    """Per-doc BPE token counts. With TWO inputs the second is a
+    trained merge table (the ``bpe_train`` op's output — the
+    production shape: train once, feed every encoder); with one
+    input it self-trains ``n_merges`` merges on the corpus first."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
+
+    if len(dfs) == 2:
+        corpus, mtab = dfs
+        merges = [
+            r["pair"] for r in mtab.orderBy("step").select("step", "pair").collect()
+        ]
+    else:
+        corpus = _one(dfs)
+        merges = bpe_train_merges(
+            corpus,
+            text_col=p.get("text_column", "text"),
+            n_merges=int(p.get("n_merges", 20)),
+        )
+    return bpe_encode_counts(
+        corpus,
+        merges,
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
     )
 
 

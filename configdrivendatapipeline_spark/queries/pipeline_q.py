@@ -1782,3 +1782,127 @@ steps:
     params: {{columns: [anchor_id, pos_id, neg_id, pos_cos, neg_cos, margin]}}
 """
     return _run(spark, yml, "out")
+
+
+from configdrivendatapipeline_spark.queries.llm_q import _obpe_ctes as _obpe_p  # noqa: E402
+
+_OBUDGET_Q = """
+    d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    q AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 40 ELSE 0 END
+              + CASE WHEN len(list_filter(toks, t ->
+                       list_contains(['the','a','of','and','is'], t))) * 100
+                       >= len(toks) * 2
+                     AND len(list_filter(toks, t ->
+                       list_contains(['the','a','of','and','is'], t))) * 100
+                       <= len(toks) * 40 THEN 30 ELSE 0 END
+              + CASE WHEN len(list_distinct(toks)) * 100 >= len(toks) * 30
+                     THEN 30 ELSE 0 END AS BIGINT) AS quality
+      FROM d),
+    bands AS (
+      SELECT quality, CAST(SUM(n_tokens) AS BIGINT) AS band_tokens
+      FROM q GROUP BY quality),
+    cb AS (
+      SELECT quality, band_tokens,
+             CAST(COALESCE(SUM(band_tokens) OVER (
+               ORDER BY quality DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM bands),
+    tot AS (SELECT CAST(SUM(band_tokens) AS BIGINT) // 2 AS budget FROM bands),
+    j AS (
+      SELECT q.doc_id, q.quality, q.n_tokens,
+             cb.band_tokens, cb.cum_before, t.budget,
+             CAST(COALESCE(SUM(q.n_tokens) OVER (
+               PARTITION BY q.quality
+               ORDER BY md5(CAST(q.doc_id AS VARCHAR) || ':budget:v1'), q.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS doc_cum
+      FROM q JOIN cb USING (quality) CROSS JOIN tot t),
+    sel AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN cum_before + band_tokens <= budget THEN 'full_band'
+                  ELSE 'partial_band' END AS keep_tier
+      FROM j
+      WHERE cum_before + band_tokens <= budget
+         OR (cum_before < budget
+             AND cum_before + doc_cum + n_tokens <= budget))
+"""
+
+
+@declare(
+    "pipeline_budget",
+    "WITH "
+    + ",\n".join(_obpe_p(20))
+    + ","
+    + _OBUDGET_Q
+    + """,
+    dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+    enc AS (
+      SELECT dw.doc_id,
+             CAST(SUM(len(string_split(trim(v.sym), ' '))) AS BIGINT)
+               AS n_bpe_tokens
+      FROM dw JOIN v20 v ON v.word = dw.word
+      GROUP BY dw.doc_id)
+    SELECT s.keep_tier,
+           COUNT(*) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS ws_tokens,
+           CAST(SUM(e.n_bpe_tokens) AS BIGINT) AS bpe_tokens
+    FROM sel s JOIN enc e USING (doc_id)
+    GROUP BY s.keep_tier
+    ORDER BY s.keep_tier
+    """,
+    _SEC,
+    "YAML pipeline for the training-prep flagship: bpe_train emits "
+    "the 20-merge tokenizer artifact, bpe_encode consumes it as a "
+    "SECOND INPUT (train once, feed every encoder — the production "
+    "shape), budget_select keeps the best docs until half the "
+    "corpus's tokens are spent, and the tiers roll up to whitespace "
+    "vs BPE token budgets — the sizing card a compute-bounded run "
+    "plans against, reachable entirely from config.",
+)
+def pipeline_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: budget_curation
+sources:
+  documents:
+    format: parquet
+    path: {sf_dir}/documents.parquet
+steps:
+  - id: merges
+    input: documents
+    op: bpe_train
+    params:
+      n_merges: 20
+  - id: encoded
+    inputs: [documents, merges]
+    op: bpe_encode
+    params: {{}}
+  - id: selected
+    input: documents
+    op: budget_select
+    params: {{}}
+  - id: joined
+    inputs: [selected, encoded]
+    op: join
+    params: {{"on": [doc_id], how: inner}}
+  - id: by_tier
+    input: joined
+    op: aggregate
+    params:
+      group_by: [keep_tier]
+      aggs:
+        n_docs: "COUNT(*)"
+        ws_tokens: "CAST(SUM(n_tokens) AS BIGINT)"
+        bpe_tokens: "CAST(SUM(n_bpe_tokens) AS BIGINT)"
+  - id: ranked
+    input: by_tier
+    op: sort
+    params:
+      by: [keep_tier]
+"""
+    return _run(spark, yml, "ranked")

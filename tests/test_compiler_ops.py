@@ -45,6 +45,7 @@ def test_every_op_is_exercised_below():
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
         "asof_join", "route_modality", "budget_select", "survivorship",
         "kanonymity", "ldiversity", "hard_negatives", "oversample",
+        "bpe_train", "bpe_encode",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1026,6 +1027,33 @@ def test_budget_select_op(spark, sf_dir):
     )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert rows(frames["sel"]) == rows(budget_select(docs))
+
+
+def test_bpe_train_and_encode_ops(spark, sf_dir):
+    """bpe_train emits the merge artifact; bpe_encode consumes it as
+    a SECOND input (train-once production shape) and must agree with
+    the single-input self-training form and the library call."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_encode_counts,
+        bpe_train_merges,
+    )
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: merges, input: documents, op: bpe_train, params: {n_merges: 5}}
+  - {id: enc2, inputs: [documents, merges], op: bpe_encode, params: {}}
+  - {id: enc1, input: documents, op: bpe_encode, params: {n_merges: 5}}
+""",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = bpe_train_merges(docs, n_merges=5)
+    assert [r["pair"] for r in frames["merges"].orderBy("step").collect()] == pairs
+    expect = rows(bpe_encode_counts(docs, pairs))
+    assert rows(frames["enc2"]) == expect
+    assert rows(frames["enc1"]) == expect
 
 
 def test_survivorship_op(spark, sf_dir):
