@@ -309,6 +309,8 @@ _ROUND7_WINDOW = (
     "agg_peak_concurrency",
     "llm_injection_scan",
     "agg_wow_growth",
+    # round-7 additions join the never-checked tail
+    "pipeline_budget",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",
