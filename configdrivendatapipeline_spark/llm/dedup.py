@@ -817,3 +817,83 @@ def simhash(
         term = bit * F.lit(2**i if i < 63 else -(2**63)).cast("long")
         fp = term if fp is None else (fp + term)
     return agg.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-token shingle, then
+    from each window of ``w`` consecutive shingle hashes keep the
+    minimum (rightmost on ties) — a position-robust fingerprint set
+    with guaranteed density ~2/(w+1) that catches PARTIAL overlap
+    (a copied paragraph inside an otherwise-new doc) where whole-doc
+    hashing and MinHash's unordered sets cannot localize it.
+
+    Spark-first shape: the token/shingle hashing is the zero-shuffle
+    md5_32 family map stage shared with :func:`shingle_sets`; the
+    window-min runs per document (partitioned by id — bounded by doc
+    length, never corpus-sized). The min-with-rightmost-tie rule is
+    made engine-exact by packing (hash asc, position desc) into ONE
+    long — ``h·2²¹ + (2²⁰ − pos)`` — so a plain MIN() window replays
+    the selection bit-for-bit in the DuckDB oracle. Positions are
+    capped at 2²⁰ tokens/doc (1M; chunk longer docs upstream —
+    ``llm_chunking`` exists for exactly that).
+    """
+    from pyspark.sql import Window
+
+    m48, m32 = (1 << 48) - 1, (1 << 32) - 1
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    mixers = [((j + 1) * 2654435761) % (2**29) | 1 for j in range(k)]
+
+    def shingle_hash(i: Column) -> Column:
+        acc = None
+        for j in range(k):
+            term = (
+                F.coalesce(F.get(F.col("__th"), i + j), F.lit(0)) * F.lit(mixers[j])
+            ).bitwiseAND(F.lit(m48))
+            acc = term if acc is None else acc + term
+        return acc.bitwiseAND(F.lit(m32))
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("__th")) - k, F.lit(0)))
+    sh = (
+        df.select(id_col, th.alias("__th"))
+        .filter(F.size("__th") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.transform(idx, shingle_hash)).alias("p0", "h"),
+        )
+        .select(
+            id_col,
+            (F.col("p0") + 1).alias("p"),
+            "h",
+        )
+    )
+    key = (
+        F.col("h") * F.lit(1 << 21)
+        + (F.lit((1 << 20) - 1) - F.least(F.col("p"), F.lit((1 << 20) - 1)))
+    )
+    wmin = (
+        Window.partitionBy(id_col).orderBy("p").rowsBetween(-(w - 1), 0)
+    )
+    wall = Window.partitionBy(id_col)
+    return (
+        sh.withColumn("__key", key)
+        .withColumn("mkey", F.min("__key").over(wmin))
+        .withColumn("n_sh", F.max("p").over(wall))
+        .filter((F.col("p") >= w) | (F.col("p") == F.col("n_sh")))
+        .select(
+            F.col(id_col),
+            (F.lit((1 << 20) - 1) - (F.col("mkey") % F.lit(1 << 21))).alias("pos"),
+            F.expr(f"mkey div {1 << 21}").alias("fp"),
+        )
+        .distinct()
+    )

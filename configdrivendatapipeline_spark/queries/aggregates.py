@@ -1648,3 +1648,117 @@ def agg_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     * ((ABS(n - prev_n) * 1000000) div prev_n) END"
         ).alias("growth_micro"),
     )
+
+
+from configdrivendatapipeline_spark.queries import omd5bucket as _ocmb  # noqa: E402
+
+_CM_DEPTH, _CM_WIDTH = 4, 64
+
+
+@declare(
+    "agg_countmin",
+    "WITH pk AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact\n"
+    "            FROM events GROUP BY user_id),\n"
+    "h AS (SELECT user_id, n_exact,\n"
+    + ",\n".join(
+        f"       {_ocmb('user_id', f'cm:{i}', _CM_WIDTH)} AS b{i}"
+        for i in range(_CM_DEPTH)
+    )
+    + "\n      FROM pk),\n"
+    + ",\n".join(
+        f"c{i} AS (SELECT b{i}, CAST(SUM(n_exact) AS BIGINT) AS c{i}c\n"
+        f"         FROM h GROUP BY b{i})"
+        for i in range(_CM_DEPTH)
+    )
+    + """
+    SELECT h.user_id, h.n_exact,
+           least(c0.c0c, c1.c1c, c2.c2c, c3.c3c) AS n_cm,
+           least(c0.c0c, c1.c1c, c2.c2c, c3.c3c) - h.n_exact AS overcount
+    FROM h
+    JOIN c0 USING (b0) JOIN c1 USING (b1)
+    JOIN c2 USING (b2) JOIN c3 USING (b3)
+    """,
+    _SEC,
+    "Count-min sketch (Cormode–Muthukrishnan): per-user event counts "
+    "folded into a 4×64 integer cell grid via salted md5 row hashes, "
+    "point estimates read back as the min over the 4 counters — "
+    "beside the exact count so the one-sided overestimate property "
+    "is hash-checked cell-for-cell. THE mergeable frequency sketch "
+    "for 100 TB streams: cells are sums, so map-side partials "
+    "combine associatively and two corpora's sketches merge by "
+    "cell-wise addition without rescanning; the whole grid is 256 "
+    "integers regardless of key cardinality. The md5 row-hash "
+    "family replays bit-for-bit in the oracle.",
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference semantics: cell(i, b) = Σ counts of keys with
+    h_i(key) = b; estimate(key) = min_i cell(i, h_i(key)). Built here
+    from the per-key aggregate (needed anyway for the exact
+    comparison); a streaming build sums raw increments into the same
+    cells — identical grid either way."""
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+    ev = load(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    hashed = per_key.select(
+        "user_id",
+        "n_exact",
+        *[
+            hash_bucket(F.col("user_id"), f"cm:{i}", _CM_WIDTH).alias(f"b{i}")
+            for i in range(_CM_DEPTH)
+        ],
+    )
+    out = hashed
+    for i in range(_CM_DEPTH):
+        cells = hashed.groupBy(f"b{i}").agg(F.sum("n_exact").alias(f"c{i}c"))
+        out = out.join(F.broadcast(cells), f"b{i}")
+    est = F.least(*[F.col(f"c{i}c") for i in range(_CM_DEPTH)])
+    return out.select(
+        "user_id",
+        "n_exact",
+        est.alias("n_cm"),
+        (est - F.col("n_exact")).alias("overcount"),
+    )
+
+
+@declare(
+    "agg_hhi",
+    """
+    WITH per AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+      FROM per GROUP BY event_type)
+    SELECT event_type, n_users, total,
+           (sum_sq * 10000) // (total * total) AS hhi_bp
+    FROM g
+    """,
+    _SEC,
+    "Herfindahl–Hirschman concentration of activity per event type: "
+    "sum of squared per-user shares in basis points (10000 = one "
+    "user owns the stream, →0 = perfectly dispersed) — the "
+    "skew-detection number a partitioning planner reads before "
+    "keying a shuffle on a column. Exact integers end to end: "
+    "Σc² · 10⁴ div (Σc)², no floating shares; two aggregations, "
+    "both map-side combinable. (At counts where Σc² · 10⁴ would "
+    "overflow a long — Σc² > 9·10¹⁴ — pre-aggregate per coarser key "
+    "or lift to DECIMAL(38,0); the div identity is unchanged.)",
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    g = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        "total",
+        F.expr("(sum_sq * 10000) div (total * total)").alias("hhi_bp"),
+    )

@@ -4072,3 +4072,69 @@ def llm_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _owinnow(k: int, w: int) -> str:
+    """DuckDB replay of dedup.winnow_fingerprints: md5_32 token
+    hashes → positional shingle mix → (hash asc, pos desc) packed
+    key → per-doc window MIN → decode. Constants mirror the Spark
+    side exactly."""
+    m48, m32 = (1 << 48) - 1, (1 << 32) - 1
+    md5_32 = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(substr(md5(s), 1, 8), ''), "
+        "c -> CAST(instr('0123456789abcdef', c) - 1 AS BIGINT))), "
+        "(a, b) -> a * 16 + b)"
+    )
+    mixers = [((j + 1) * 2654435761) % (2**29) | 1 for j in range(k)]
+    shingle = " + ".join(
+        f"((coalesce(th[p + {j}], 0) * {mixers[j]}) & {m48})" for j in range(k)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '), s -> {md5_32}) AS th
+      FROM documents),
+    sh AS (
+      SELECT doc_id, p, CAST(({shingle}) & {m32} AS BIGINT) AS h
+      FROM th, unnest(range(1, greatest(len(th) - {k}, 0) + 2)) AS t(p)
+      WHERE len(th) >= 1),
+    keys AS (
+      SELECT doc_id, p,
+             h * {1 << 21} + ({(1 << 20) - 1} - least(p, {(1 << 20) - 1}))
+               AS key
+      FROM sh),
+    wmin AS (
+      SELECT doc_id, p,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+               AS mkey,
+             MAX(p) OVER (PARTITION BY doc_id) AS n_sh
+      FROM keys)
+    SELECT DISTINCT doc_id,
+           CAST({(1 << 20) - 1} - (mkey % {1 << 21}) AS BIGINT) AS pos,
+           CAST(mkey // {1 << 21} AS BIGINT) AS fp
+    FROM wmin WHERE p >= {w} OR p = n_sh
+    """
+
+
+@declare(
+    "llm_winnow_fingerprint",
+    _owinnow(4, 5),
+    _SEC,
+    "Winnowing fingerprints (Schleimer–Wilkerson–Aiken SIGMOD'03 — "
+    "the MOSS algorithm): hash every 4-token shingle, keep the "
+    "minimum of each 5-hash window (rightmost on ties) — a "
+    "position-robust fingerprint set with ~2/(w+1) density that "
+    "LOCALIZES partial overlap (a copied paragraph inside an "
+    "otherwise-new doc) where whole-doc hashes and MinHash's "
+    "unordered sets cannot. Zero-shuffle md5_32 map stage shared "
+    "with the MinHash family; the window-min is per-document "
+    "(bounded by doc length, never corpus-sized); the "
+    "min-rightmost-tie rule is packed into one long key so a plain "
+    "MIN() replays bit-for-bit in the oracle.",
+)
+def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.winnow_fingerprints(
+        load(spark, sf_dir, "documents"), k=4, w=5
+    )

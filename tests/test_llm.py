@@ -1023,3 +1023,36 @@ def test_bpe_deep_merge_chain_checkpoints(spark):
     finally:
         bpe._CHECKPOINT_EVERY = orig
     assert got == ref
+
+def test_winnow_fingerprints_coverage_and_overlap(spark):
+    """Winnowing guarantees: (a) every w-window of consecutive
+    shingles contains at least one selected position (the coverage
+    property that makes density ~2/(w+1)); (b) a paragraph copied
+    into an otherwise-different doc shares fingerprint HASHES, which
+    is the partial-overlap localization whole-doc hashing cannot do."""
+    from configdrivendatapipeline_spark.llm.dedup import winnow_fingerprints
+
+    para = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    a = para + " alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten " + para
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    k, w = 4, 5
+    fps = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    # (a) coverage: each doc's selected positions hit every w-window
+    for doc, text in [(1, a), (2, b)]:
+        n_sh = max(len(text.split(" ")) - k, 0) + 1
+        pos = sorted(p for p, _ in by_doc[doc])
+        assert pos[0] <= w and pos[-1] >= n_sh - w + 1
+        for x, y in zip(pos, pos[1:]):
+            assert y - x <= w - 1 + w  # gap can never exceed one window
+    # (b) the shared paragraph produces shared hashes at different positions
+    shared = {h for _, h in by_doc[1]} & {h for _, h in by_doc[2]}
+    assert len(shared) >= 2
+    # (c) selection is deterministic across recomputation
+    again = winnow_fingerprints(df, k=k, w=w).collect()
+    assert {(r["doc_id"], r["pos"], r["fp"]) for r in again} == {
+        (r["doc_id"], r["pos"], r["fp"]) for r in fps
+    }
