@@ -56,6 +56,38 @@ def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tile_plan(df: DataFrame, tile: int = 224) -> DataFrame:
+    """ViT-style patch-grid manifest: one row per (doc, tile) with
+    pixel offsets and clipped edge-tile dims — the table an image
+    patch extractor consumes (like pack_manifest for pixels). Pure
+    in-plan integer explode: ceil(w/t)·ceil(h/t) rows per image,
+    computed map-side from metadata; the payload is never touched,
+    so the manifest costs metadata-scan time even when the images
+    are 100 TB of blobs."""
+    imgs = df.filter(F.col("media_type") == "image")
+    nx = F.ceil(F.col("width") / F.lit(tile)).cast("int")
+    ny = F.ceil(F.col("height") / F.lit(tile)).cast("int")
+    g = imgs.select(
+        "doc_id", "width", "height",
+        F.explode(F.sequence(F.lit(0), nx - 1)).alias("tile_x"),
+        ny.alias("__ny"),
+    ).select(
+        "doc_id", "width", "height", "tile_x",
+        F.explode(F.sequence(F.lit(0), F.col("__ny") - 1)).alias("tile_y"),
+    )
+    x0 = F.col("tile_x") * tile
+    y0 = F.col("tile_y") * tile
+    return g.select(
+        "doc_id",
+        "tile_x",
+        "tile_y",
+        x0.cast("int").alias("x0"),
+        y0.cast("int").alias("y0"),
+        F.least(F.lit(tile), F.col("width") - x0).cast("int").alias("tile_w"),
+        F.least(F.lit(tile), F.col("height") - y0).cast("int").alias("tile_h"),
+    )
+
+
 _DECODE_SCHEMA = (
     "doc_id BIGINT, media_type STRING, payload_bytes BIGINT, "
     "first_byte INT, feat_mean DOUBLE"

@@ -791,3 +791,44 @@ def hard_negatives(
             (F.round("__cs", 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    n_clusters: int = 8,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al., PAMI'11): split
+    each vector into ``m`` contiguous subspaces, train an independent
+    deterministic k-means codebook per subspace (:func:`kmeans_assign`
+    — lowest-id seeds, cosine assignment, fixed-point refined means),
+    and emit each vector's per-subspace code + fit. ``m`` codes of
+    ``log2(k)`` bits replace the full vector — the memory-side
+    compression IVF's routing is the compute-side of; at 100 TB of
+    embeddings the PQ table is what actually fits in serving RAM.
+
+    Scale shape: each subspace is the same broadcast-centroid
+    assignment as :func:`kmeans_assign` (no corpus shuffle); the
+    ``m`` code frames join back on the id — same key every time, so
+    AQE plans co-partitioned joins. Codes are seed-vector ids, fits
+    are round-6 cosines; everything replays in the SQL oracle.
+    """
+    out = None
+    for i in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.expr(
+                f"slice({vec_col}, 1 + {i} * (size({vec_col}) div {m}), "
+                f"size({vec_col}) div {m})"
+            ).alias("__sub"),
+        )
+        a = kmeans_assign(sub, n_clusters, refine_iters, id_col, "__sub").select(
+            id_col,
+            F.col("cluster").alias(f"code_{i}"),
+            F.col("cos_sim").alias(f"fit_{i}"),
+        )
+        out = a if out is None else out.join(a, id_col)
+    return out

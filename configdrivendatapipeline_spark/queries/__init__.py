@@ -311,6 +311,12 @@ _ROUND7_WINDOW = (
     "agg_wow_growth",
     # round-7 additions join the never-checked tail
     "pipeline_budget",
+    "agg_countmin",
+    "agg_hhi",
+    "llm_winnow_fingerprint",
+    "sink_orc",
+    "mm_image_tiles",
+    "llm_pq_encode",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -4138,3 +4138,118 @@ def llm_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(
         load(spark, sf_dir, "documents"), k=4, w=5
     )
+
+
+@declare(
+    "mm_image_tiles",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST((doc_id * 37) % 1280 + 16 AS INT) AS width,
+             CAST((doc_id * 53) % 720 + 16 AS INT) AS height
+      FROM documents
+      WHERE ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'image'),
+    g AS (
+      SELECT doc_id, width, height,
+             CAST(unnest(range(CAST(CEIL(width / 224.0) AS INT))) AS INT)
+               AS tile_x
+      FROM m),
+    gg AS (
+      SELECT doc_id, width, height, tile_x,
+             CAST(unnest(range(CAST(CEIL(height / 224.0) AS INT))) AS INT)
+               AS tile_y
+      FROM g)
+    SELECT doc_id, tile_x, tile_y,
+           CAST(tile_x * 224 AS INT) AS x0,
+           CAST(tile_y * 224 AS INT) AS y0,
+           CAST(LEAST(224, width - tile_x * 224) AS INT) AS tile_w,
+           CAST(LEAST(224, height - tile_y * 224) AS INT) AS tile_h
+    FROM gg
+    """,
+    _SEC,
+    "ViT-style patch-grid manifest: one row per (image, 224px tile) "
+    "with pixel offsets and clipped edge-tile dims — the table an "
+    "image patch extractor consumes (pack_manifest for pixels). "
+    "Pure in-plan integer explode from typed metadata; the binary "
+    "payload is never read, so the manifest costs metadata-scan "
+    "time even over 100 TB of blobs.",
+)
+def mm_image_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = multimodal.attach_fake_payload(load(spark, sf_dir, "documents"))
+    return multimodal.tile_plan(mm, tile=224)
+
+
+def _opq(m: int, k: int, dim: int = 64) -> str:
+    """DuckDB replay of similarity.pq_encode: per-subspace slice →
+    lowest-id seeds → cosine assign → fixed-point refine → re-assign,
+    then the m code frames joined on the id. Mirrors the llm_kmeans
+    oracle per subspace."""
+    sd = dim // m
+    ctes = ["v AS (SELECT vec_id, embedding FROM embeddings)"]
+    for i in range(m):
+        lo, hi = i * sd + 1, (i + 1) * sd
+        ctes.append(
+            f"v{i} AS (SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM v)"
+        )
+        ctes.append(
+            f"seeds{i} AS (SELECT vec_id AS cluster, sub AS cemb FROM v{i} "
+            f"ORDER BY vec_id LIMIT {k})"
+        )
+        ctes.append(
+            f"a1_{i} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT v{i}.vec_id, s.cluster, "
+            f"ROW_NUMBER() OVER (PARTITION BY v{i}.vec_id "
+            f"ORDER BY {_ocos_raw(f'v{i}.sub', 's.cemb')} DESC, s.cluster) AS rn "
+            f"FROM v{i} CROSS JOIN seeds{i} s) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"qex{i} AS (SELECT a.cluster, r.i AS dim, "
+            f"CAST(FLOOR(CAST(w.sub[r.i] AS DOUBLE) * 1048576) AS BIGINT) AS qv "
+            f"FROM a1_{i} a JOIN v{i} w USING (vec_id) "
+            f"CROSS JOIN range(1, {sd + 1}) AS r(i))"
+        )
+        ctes.append(
+            f"comp{i} AS (SELECT cluster, dim, "
+            f"CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1048576) AS mean "
+            f"FROM qex{i} GROUP BY cluster, dim)"
+        )
+        ctes.append(
+            f"cents{i} AS (SELECT cluster, list(mean ORDER BY dim) AS cmean "
+            f"FROM comp{i} GROUP BY cluster)"
+        )
+        ctes.append(
+            f"a2_{i} AS (SELECT vec_id, cluster, cs FROM ("
+            f"SELECT w.vec_id, c.cluster, {_ocos_raw('w.sub', 'c.cmean')} AS cs, "
+            f"ROW_NUMBER() OVER (PARTITION BY w.vec_id "
+            f"ORDER BY {_ocos_raw('w.sub', 'c.cmean')} DESC, c.cluster) AS rn "
+            f"FROM v{i} w CROSS JOIN cents{i} c) WHERE rn = 1)"
+        )
+    sel = ", ".join(
+        f"CAST(a2_{i}.cluster AS BIGINT) AS code_{i}, "
+        f"ROUND(a2_{i}.cs, 6) + 0.0 AS fit_{i}"
+        for i in range(m)
+    )
+    joins = " ".join(f"JOIN a2_{i} USING (vec_id)" for i in range(m))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, {sel} FROM v {joins}"
+
+
+@declare(
+    "llm_pq_encode",
+    _opq(4, 8),
+    _SEC,
+    "Product quantization (Jégou et al. PAMI'11): the 64-dim "
+    "embedding splits into 4 contiguous 16-dim subspaces, each with "
+    "its own deterministic k-means codebook (lowest-id seeds, "
+    "cosine assignment, 2^-20 fixed-point refined means), and every "
+    "vector compresses to 4 codes + per-subspace fit — the "
+    "memory-side ANN compression that puts 100 TB of embeddings "
+    "into serving RAM, beside IVF's compute-side routing. Each "
+    "subspace is a broadcast-centroid assignment (no corpus "
+    "shuffle); the 4 code frames rejoin on the SAME id key, so AQE "
+    "co-partitions the joins. Fully replayed per subspace in the "
+    "oracle.",
+)
+def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_encode(
+        load(spark, sf_dir, "embeddings"), m=4, n_clusters=8, refine_iters=1
+    )

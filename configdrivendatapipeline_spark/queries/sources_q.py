@@ -655,3 +655,38 @@ def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "options": {"rowTag": "supplier"},
         },
     ).select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@declare(
+    "sink_orc",
+    "SELECT s_suppkey, s_name, s_acctbal, s_nationkey FROM supplier",
+    _SEC,
+    "ORC sink + source round-trip through the configured io layer — "
+    "the second columnar format a lake actually mixes (Hive-era "
+    "tables are ORC; Spark's reader/writer are native and "
+    "vectorized, with the same predicate-pushdown/column-pruning "
+    "surface as parquet). Partitioned by nation so the read-back "
+    "exercises directory-encoded partition values; the partition "
+    "column type survives the round trip via explicit cast.",
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch(sf_dir, "supplier_orc_sink")
+    sup = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    write_sink(
+        sup,
+        {
+            "format": "orc",
+            "path": path,
+            "mode": "overwrite",
+            "partition_by": ["s_nationkey"],
+        },
+    )
+    back = read_source(spark, {"format": "orc", "path": path})
+    return back.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+    )
