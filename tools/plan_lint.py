@@ -63,6 +63,9 @@ ALLOW = {
     # sharded 256-way (llm/sampling.py budget_select) so NO
     # corpus-sized frame ever routes through one window task.
     ("llm_budget_select", "GLOBAL_WINDOW"),
+    # pipeline_budget runs budget_select through the YAML compiler —
+    # the same two bounded windows (≤101 bands, ≤256 shard offsets).
+    ("pipeline_budget", "GLOBAL_WINDOW"),
 }
 
 #: For allowlisted GLOBAL_WINDOW queries: the expected NUMBER of
@@ -78,6 +81,7 @@ ALLOW_GLOBAL_WINDOW_MAX = {
     "val_drift": 2,
     "agg_rfm": 4,
     "llm_budget_select": 2,
+    "pipeline_budget": 2,
 }
 
 
