@@ -897,3 +897,56 @@ def winnow_fingerprints(
         )
         .distinct()
     )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-dup candidates from shared winnowing fingerprints: two
+    docs pair when ≥ ``min_shared`` distinct fingerprints match — the
+    practical MOSS usage, and the partial-overlap complement to
+    MinHash (a copied paragraph pairs documents whose WHOLE-text
+    Jaccard is far below any LSH threshold).
+
+    Same scale discipline as :func:`lsh_candidate_pairs`: fingerprint
+    buckets above ``max_bucket`` (boilerplate shingles every doc
+    contains) are dropped BEFORE the m² pair expansion, and the
+    shared-count aggregation runs on pair keys, never on payloads.
+    Returns (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w).select(
+        F.col(id_col), "fp"
+    ).distinct()
+    grouped = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    bounded = grouped.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
+    )
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda other: F.struct(
+                            F.element_at("ids", i + 1).alias("id_a"),
+                            other.alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

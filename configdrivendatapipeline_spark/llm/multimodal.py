@@ -693,3 +693,29 @@ def route_modality(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         modality.alias("modality"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+def vad_segments(
+    frames: DataFrame, threshold: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Energy-threshold activity segments over per-frame energies
+    (the back half of a VAD stage; :func:`decode_wav_rms_frames` is
+    the front half): consecutive frames at/above ``threshold``
+    coalesce into (start, end, n_frames, energy) spans via the
+    gaps-and-islands identity ``frame_idx − row_number()``. The
+    window is per-recording (bounded by clip length, never
+    corpus-sized); everything downstream of the one decode crossing
+    is exact-integer DataFrame ops."""
+    from pyspark.sql import Window
+
+    act = frames.filter(F.col("energy") >= threshold)
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    isl = act.withColumn(
+        "__grp", F.col("frame_idx") - F.row_number().over(w)
+    )
+    return isl.groupBy(id_col, "__grp").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.sum("energy").alias("energy"),
+    ).select(id_col, "start_frame", "end_frame", "n_frames", "energy")

@@ -317,6 +317,8 @@ _ROUND7_WINDOW = (
     "sink_orc",
     "mm_image_tiles",
     "llm_pq_encode",
+    "llm_winnow_pairs",
+    "mm_audio_vad",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

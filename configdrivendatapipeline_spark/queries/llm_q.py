@@ -4074,7 +4074,7 @@ def llm_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _owinnow(k: int, w: int) -> str:
+def _owinnow(k: int, w: int, src: str = "documents") -> str:
     """DuckDB replay of dedup.winnow_fingerprints: md5_32 token
     hashes → positional shingle mix → (hash asc, pos desc) packed
     key → per-doc window MIN → decode. Constants mirror the Spark
@@ -4094,7 +4094,7 @@ def _owinnow(k: int, w: int) -> str:
     WITH th AS (
       SELECT doc_id,
              list_transform(string_split(text, ' '), s -> {md5_32}) AS th
-      FROM documents),
+      FROM {src}),
     sh AS (
       SELECT doc_id, p, CAST(({shingle}) & {m32} AS BIGINT) AS h
       FROM th, unnest(range(1, greatest(len(th) - {k}, 0) + 2)) AS t(p)
@@ -4253,3 +4253,99 @@ def llm_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_encode(
         load(spark, sf_dir, "embeddings"), m=4, n_clusters=8, refine_iters=1
     )
+
+
+#: planted-overlap corpus: every 5th doc re-ingested under a new id
+#: with a shifted prefix — winnowing must still pair it with its
+#: original even though every token POSITION moved (the
+#: position-robustness MinHash gets for free but positional hashing
+#: schemes must earn).
+_WINNOW_SRC = (
+    "(SELECT doc_id, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id + 1000000 AS doc_id, 'aa bb cc dd ' || text AS text "
+    "FROM documents WHERE doc_id % 5 = 0)"
+)
+
+
+@declare(
+    "llm_winnow_pairs",
+    f"""
+    WITH fpd AS (
+      SELECT DISTINCT doc_id, fp FROM ({_owinnow(4, 5, _WINNOW_SRC)})),
+    bs AS (SELECT fp, COUNT(*) AS m FROM fpd GROUP BY fp),
+    ok AS (SELECT fp FROM bs WHERE m > 1 AND m <= 200),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fpd a JOIN fpd b USING (fp) JOIN ok USING (fp)
+      WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY id_a, id_b HAVING COUNT(*) >= 3
+    """,
+    _SEC,
+    "Fingerprint-keyed near-dup candidates: docs sharing ≥3 distinct "
+    "winnowing fingerprints pair up — the practical MOSS usage and "
+    "the PARTIAL-overlap complement to MinHash (a copied paragraph "
+    "pairs docs whose whole-text Jaccard is below any LSH "
+    "threshold). The planted fixture re-ingests every 5th doc under "
+    "a new id with a 4-token prefix shift, so the pairs prove "
+    "position-robustness, not just identity. Buckets above 200 ids "
+    "(boilerplate shingles) drop BEFORE the m² pair expansion — the "
+    "same skew cap as the LSH path.",
+)
+def llm_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("aa bb cc dd "), F.col("text")).alias("text"),
+    )
+    return dedup.winnow_candidate_pairs(
+        docs.unionByName(planted), k=4, w=5, min_shared=3, max_bucket=200
+    )
+
+
+@declare(
+    "mm_audio_vad",
+    """
+    WITH d AS (
+      SELECT doc_id, 800 + (doc_id % 5) * 160 AS n FROM documents
+    ), fr AS (
+      SELECT d.doc_id, f.range AS frame_idx
+      FROM d, range(0, 9) f
+      WHERE f.range < d.n // 160
+    ), e AS (
+      SELECT fr.doc_id, fr.frame_idx,
+             SUM(
+               ((((fr.doc_id * 7 + (fr.frame_idx * 160 + i.range) * 13) % 4096) - 2048)
+                * (((fr.doc_id * 7 + (fr.frame_idx * 160 + i.range) * 13) % 4096) - 2048))
+             ) AS energy
+      FROM fr, range(0, 160) i
+      GROUP BY fr.doc_id, fr.frame_idx
+    ), act AS (
+      SELECT doc_id, frame_idx, CAST(energy AS BIGINT) AS energy,
+             frame_idx - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY frame_idx) AS grp
+      FROM e WHERE energy >= 210000000
+    )
+    SELECT doc_id,
+           CAST(MIN(frame_idx) AS INT) AS start_frame,
+           CAST(MAX(frame_idx) AS INT) AS end_frame,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(energy) AS BIGINT) AS energy
+    FROM act GROUP BY doc_id, grp
+    """,
+    _SEC,
+    "Voice-activity segmentation through the REAL WAV decode kernel: "
+    "per-10ms frame energies (one Arrow payload crossing) → "
+    "energy-threshold gate → gaps-and-islands coalescing into "
+    "(start, end, frames, energy) spans — the segment table an "
+    "audio-curation pipeline clips speech regions from. The island "
+    "window is per-recording (clip-length bounded); exact integers, "
+    "analytically hash-verified from the closed-form sample "
+    "pattern.",
+)
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_wav_payload(docs)
+    frames = multimodal.decode_wav_rms_frames(payloads)
+    return multimodal.vad_segments(frames, threshold=210_000_000)
