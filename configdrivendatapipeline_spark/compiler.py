@@ -719,13 +719,12 @@ def _bpe_encode(spark, dfs, p):
     from configdrivendatapipeline_spark.llm.bpe import (
         bpe_encode_counts,
         bpe_train_merges,
+        merge_pairs_from_table,
     )
 
     if len(dfs) == 2:
         corpus, mtab = dfs
-        merges = [
-            r["pair"] for r in mtab.orderBy("step").select("step", "pair").collect()
-        ]
+        merges = merge_pairs_from_table(mtab)
     else:
         corpus = _one(dfs)
         merges = bpe_train_merges(

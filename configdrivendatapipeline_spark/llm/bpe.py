@@ -219,3 +219,26 @@ def bpe_train_merges(
     driver-sized by definition: a model parameter list, not row
     data). Callers feed it straight to :func:`bpe_encode_counts`."""
     return [r["pair"] for r in bpe_train(df, text_col, n_merges).collect()]
+
+
+def bpe_train_rows(
+    df: DataFrame, text_col: str = "text", n_merges: int = 20
+) -> list:
+    """Train and return the merge table as driver rows
+    ``[(step, pair, n), ...]`` — the shippable tokenizer artifact
+    (n_merges rows by definition; a model parameter list, not row
+    data)."""
+    return [
+        (r["step"], r["pair"], r["n"])
+        for r in bpe_train(df, text_col, n_merges).collect()
+    ]
+
+
+def merge_pairs_from_table(merges: DataFrame) -> list:
+    """Extract the ordered merge-pair list from a trained merge
+    TABLE (the ``bpe_train`` output relation) — how a stored
+    tokenizer artifact re-enters an encode stage. Driver-sized by
+    the same argument as :func:`bpe_train_rows`."""
+    return [
+        r["pair"] for r in merges.orderBy("step").select("step", "pair").collect()
+    ]

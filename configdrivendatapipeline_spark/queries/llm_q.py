@@ -1925,16 +1925,13 @@ _BPE_CACHE: dict = {}
 
 def _trained_merges(spark: SparkSession, sf_dir: str, n_merges: int = 20):
     """Rows of the trained merge table, memoized per (session, corpus)."""
-    from configdrivendatapipeline_spark.llm.bpe import bpe_train
+    from configdrivendatapipeline_spark.llm.bpe import bpe_train_rows
 
     key = (id(spark), sf_dir, n_merges)
     hit = _BPE_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
-    rows = [
-        (r["step"], r["pair"], r["n"])
-        for r in bpe_train(load(spark, sf_dir, "documents"), n_merges=n_merges).collect()
-    ]
+    rows = bpe_train_rows(load(spark, sf_dir, "documents"), n_merges=n_merges)
     _BPE_CACHE[key] = (spark, rows)
     return rows
 

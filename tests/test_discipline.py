@@ -32,6 +32,10 @@ ALLOWED = {
     # BPE training: one 1-row top-pair reduction per merge iteration
     # (bounded by n_merges, like the k-means convergence scalar) —
     # the corpus is scanned once; iterations run on the vocab table.
+    # (The trained BPE merge TABLE is a model artifact — n_merges
+    # rows by definition, a tokenizer parameter list, not row data —
+    # so bpe.py also hosts the artifact collects other layers use:
+    # bpe_train_rows / merge_pairs_from_table.)
     ("llm/bpe.py", "collect"),
 }
 
