@@ -426,6 +426,39 @@ def _neardup_pairs(spark, dfs, p):
     )
 
 
+@op("winnow_fingerprints")
+def _winnow_fingerprints(spark, dfs, p):
+    """Winnowing (MOSS) fingerprint selection (see
+    llm.dedup.winnow_fingerprints)."""
+    from configdrivendatapipeline_spark.llm.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        k=int(p.get("k", 4)),
+        w=int(p.get("w", 5)),
+    )
+
+
+@op("winnow_pairs")
+def _winnow_pairs(spark, dfs, p):
+    """Near-dup candidates from shared winnowing fingerprints (see
+    llm.dedup.winnow_candidate_pairs — partial-overlap complement to
+    the MinHash path, same bucket skew cap)."""
+    from configdrivendatapipeline_spark.llm.dedup import winnow_candidate_pairs
+
+    return winnow_candidate_pairs(
+        _one(dfs),
+        id_col=p.get("id_column", "doc_id"),
+        text_col=p.get("text_column", "text"),
+        k=int(p.get("k", 4)),
+        w=int(p.get("w", 5)),
+        min_shared=int(p.get("min_shared", 3)),
+        max_bucket=int(p.get("max_bucket", 200)),
+    )
+
+
 @op("knn_join")
 def _knn_join(spark, dfs, p):
     """Approximate k-NN self-join: LSH candidates → cosine verify →

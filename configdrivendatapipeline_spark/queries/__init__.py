@@ -319,6 +319,7 @@ _ROUND7_WINDOW = (
     "llm_pq_encode",
     "llm_winnow_pairs",
     "mm_audio_vad",
+    "stream_topk",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -684,3 +684,47 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = spark.readStream.schema(static.schema).parquet(path)
     gated = quality_score(sdf).filter(F.col("quality") >= 70)
     return run_available_now(gated, "append")
+
+
+@declare(
+    "stream_topk",
+    """
+    WITH g AS (
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT win_start, event_type, n_events, CAST(rnk AS INT) AS rank
+    FROM (SELECT g.*, ROW_NUMBER() OVER (
+            PARTITION BY win_start
+            ORDER BY n_events DESC, event_type) AS rnk
+          FROM g)
+    WHERE rnk <= 3
+    """,
+    _SEC,
+    "Streaming top-k per window: the hourly keyed aggregation runs "
+    "IN the stream (incremental state), and the rank-3 cut runs on "
+    "the drained result — the split Spark structurally forces "
+    "(non-time window functions are unsupported over streaming "
+    "aggregates) and exactly where production puts it anyway: "
+    "ranking belongs in foreachBatch or the serving layer, over "
+    "per-window aggregates that are already tiny (n_event_types "
+    "rows per window, never raw events). Batch-equivalent oracle.",
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sdf = stream_events(spark, sf_dir)
+    agg = (
+        sdf.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    drained = run_available_now(agg, "complete")
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return drained.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 3
+    )

@@ -45,7 +45,7 @@ def test_every_op_is_exercised_below():
         "lsh_recall", "centroid_drift", "benford", "bpe_fertility",
         "asof_join", "route_modality", "budget_select", "survivorship",
         "kanonymity", "ldiversity", "hard_negatives", "oversample",
-        "bpe_train", "bpe_encode",
+        "bpe_train", "bpe_encode", "winnow_fingerprints", "winnow_pairs",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1054,6 +1054,28 @@ def test_bpe_train_and_encode_ops(spark, sf_dir):
     expect = rows(bpe_encode_counts(docs, pairs))
     assert rows(frames["enc2"]) == expect
     assert rows(frames["enc1"]) == expect
+
+
+def test_winnow_ops(spark, sf_dir):
+    from configdrivendatapipeline_spark.llm.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: fps, input: documents, op: winnow_fingerprints, params: {k: 4, w: 5}}
+  - {id: pairs, input: documents, op: winnow_pairs, params: {min_shared: 2}}
+""",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert rows(frames["fps"]) == rows(winnow_fingerprints(docs, k=4, w=5))
+    assert rows(frames["pairs"]) == rows(
+        winnow_candidate_pairs(docs, min_shared=2)
+    )
 
 
 def test_survivorship_op(spark, sf_dir):
