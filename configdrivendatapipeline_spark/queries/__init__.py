@@ -320,6 +320,8 @@ _ROUND7_WINDOW = (
     "llm_winnow_pairs",
     "mm_audio_vad",
     "stream_topk",
+    "llm_feature_hash",
+    "agg_triangle_count",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1762,3 +1762,110 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.expr("(sum_sq * 10000) div (total * total)").alias("hhi_bp"),
     )
+
+
+@declare(
+    "agg_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node),
+    o AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END AS td
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    tri AS (
+      SELECT w1.s AS a, w1.t AS b, w2.t AS c
+      FROM o w1 JOIN o w2
+        ON w1.s = w2.s AND (w1.td, w1.t) < (w2.td, w2.t)
+      JOIN o cl ON cl.s = w1.t AND cl.t = w2.t),
+    m AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b AS node FROM tri UNION ALL
+        SELECT c AS node FROM tri)
+      GROUP BY node)
+    SELECT m.node AS partkey, m.n_triangles, deg.d AS degree
+    FROM m JOIN deg ON deg.node = m.node
+    """,
+    _SEC,
+    "Distributed triangle counting on the co-purchase graph (parts "
+    "sharing an order) via DEGREE-ORIENTED wedges — the MapReduce "
+    "formulation (Cohen '09 / Suri–Vassilvitskii '11): every edge "
+    "orients from its lower-(degree, id) endpoint, wedges join on "
+    "the shared source, and the closing edge check counts each "
+    "triangle exactly once. The orientation is the scale story: "
+    "naive node-iterator wedges explode as Σdeg² on hub nodes, "
+    "while oriented wedge work is bounded by arboricity — the "
+    "difference between hours and minutes on a power-law graph. "
+    "Emits per-node triangle membership + degree (the clustering-"
+    "coefficient numerator).",
+)
+def agg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.alias("du")
+    dv = deg.alias("dv")
+    ej = e.join(du, F.col("u") == F.col("du.node")).join(
+        dv, F.col("v") == F.col("dv.node")
+    )
+    u_first = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    o = ej.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("td"),
+    )
+    w1 = o.alias("w1")
+    w2 = o.alias("w2")
+    cl = o.alias("cl")
+    wedge_lt = (F.col("w1.td") < F.col("w2.td")) | (
+        (F.col("w1.td") == F.col("w2.td")) & (F.col("w1.t") < F.col("w2.t"))
+    )
+    tri = (
+        w1.join(w2, (F.col("w1.s") == F.col("w2.s")) & wedge_lt)
+        .join(
+            cl,
+            (F.col("cl.s") == F.col("w1.t")) & (F.col("cl.t") == F.col("w2.t")),
+        )
+        .select(
+            F.col("w1.s").alias("a"),
+            F.col("w1.t").alias("b"),
+            F.col("w2.t").alias("c"),
+        )
+    )
+    m = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return m.join(deg, "node").select(
+        F.col("node").alias("partkey"), "n_triangles", F.col("d").alias("degree")
+    )

@@ -4346,3 +4346,49 @@ def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_wav_payload(docs)
     frames = multimodal.decode_wav_rms_frames(payloads)
     return multimodal.vad_segments(frames, threshold=210_000_000)
+
+
+@declare(
+    "llm_feature_hash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             {_obucket_md5('t', 'fh:b', 256)} AS bucket,
+             2 * ({_obucket_md5('t', 'fh:s', 2)}) - 1 AS sign
+      FROM tok)
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY doc_id, bucket
+    HAVING SUM(sign) <> 0
+    """,
+    _SEC,
+    "Feature hashing (Weinberger et al. ICML'09 — the hashing "
+    "trick): each token routes to one of 256 buckets by salted md5, "
+    "a second independent hash supplies a ±1 sign so collisions "
+    "cancel in expectation, and per-doc bucket sums form the sparse "
+    "feature vector — fixed dimensionality with NO vocabulary "
+    "broadcast or fitting pass, which is why it is the featurizer "
+    "that still works when the vocab is 10⁹ strings. One explode + "
+    "one map-side-combinable aggregation; emitted as sparse "
+    "(doc, bucket, weight) triples, zeros dropped. The md5 hash "
+    "family replays bit-for-bit in the oracle.",
+)
+def llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    )
+    hashed = tok.select(
+        "doc_id",
+        hash_bucket(F.col("t"), "fh:b", 256).alias("bucket"),
+        (hash_bucket(F.col("t"), "fh:s", 2) * 2 - 1).alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
