@@ -1822,6 +1822,16 @@ def agg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return triangle_counts(e).select(
+        F.col("node").alias("partkey"), "n_triangles", F.col("d").alias("degree")
+    )
+
+
+def triangle_counts(e: DataFrame) -> DataFrame:
+    """Per-node triangle membership over an undirected edge set
+    ``(u, v)`` with u < v, via degree-oriented wedges (see
+    ``agg_triangle_count`` for the algorithm and scale argument).
+    Returns (node, n_triangles, d)."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -1866,6 +1876,4 @@ def agg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    return m.join(deg, "node").select(
-        F.col("node").alias("partkey"), "n_triangles", F.col("d").alias("degree")
-    )
+    return m.join(deg, "node").select("node", "n_triangles", "d")

@@ -1056,3 +1056,70 @@ def test_winnow_fingerprints_coverage_and_overlap(spark):
     assert {(r["doc_id"], r["pos"], r["fp"]) for r in again} == {
         (r["doc_id"], r["pos"], r["fp"]) for r in fps
     }
+
+def test_triangle_counts_on_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; both shared-edge
+    nodes sit in 2 triangles, the other two nodes in 1 each. The
+    degree-oriented wedge join must count each triangle exactly once
+    (the whole point of the orientation)."""
+    from configdrivendatapipeline_spark.queries.aggregates import triangle_counts
+
+    # K4 on {1,2,3,4} minus edge (3,4): triangles (1,2,3) and (1,2,4)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+    e = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: (r["n_triangles"], r["d"]) for r in triangle_counts(e).collect()}
+    assert got == {1: (2, 3), 2: (2, 3), 3: (1, 2), 4: (1, 2)}
+
+
+def test_vad_segments_islands(spark):
+    """Non-adjacent active frames split into separate segments;
+    adjacent ones coalesce; energies sum per segment."""
+    from configdrivendatapipeline_spark.llm.multimodal import vad_segments
+
+    rows = [
+        (1, 0, 50), (1, 1, 120), (1, 2, 130), (1, 3, 40), (1, 4, 200),
+        (2, 0, 300), (2, 1, 10),
+    ]
+    frames = spark.createDataFrame(rows, "doc_id INT, frame_idx INT, energy LONG")
+    segs = sorted(
+        tuple(r) for r in vad_segments(frames, threshold=100).collect()
+    )
+    assert segs == [(1, 1, 2, 2, 250), (1, 4, 4, 1, 200), (2, 0, 0, 1, 300)]
+
+
+def test_pq_codes_are_subspace_seed_ids(spark, sf_dir):
+    """Every PQ code is one of the k lowest vec_ids (the subspace
+    seeds), fits are valid cosines, and encoding is deterministic."""
+    from configdrivendatapipeline_spark.llm.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_encode(emb, m=2, n_clusters=4, refine_iters=1).collect()
+    seeds = set(r["vec_id"] for r in emb.orderBy("vec_id").limit(4).collect())
+    assert len(out) == emb.count()
+    for r in out:
+        for i in range(2):
+            assert r[f"code_{i}"] in seeds
+            assert -1.000001 <= r[f"fit_{i}"] <= 1.000001
+
+
+def test_tile_plan_covers_image_exactly(spark):
+    """Tiles partition each image: per-row tile widths sum to the
+    image width, per-column heights to the height; no overlaps, no
+    zero-size tiles."""
+    from configdrivendatapipeline_spark.llm.multimodal import tile_plan
+
+    rows = [(1, "image", 450, 224), (2, "image", 224, 225), (3, "audio", 99, 99)]
+    df = spark.createDataFrame(rows, "doc_id INT, media_type STRING, width INT, height INT")
+    tiles = tile_plan(df, tile=224).collect()
+    assert all(t["tile_w"] > 0 and t["tile_h"] > 0 for t in tiles)
+    assert not [t for t in tiles if t["doc_id"] == 3]  # non-images excluded
+    by_doc_row = {}
+    for t in tiles:
+        by_doc_row.setdefault((t["doc_id"], t["tile_y"]), []).append(t)
+    img1_row0 = sorted(
+        by_doc_row[(1, 0)], key=lambda t: t["tile_x"]
+    )
+    assert [t["tile_w"] for t in img1_row0] == [224, 226 - 224 + 222] or         sum(t["tile_w"] for t in img1_row0) == 450
+    assert sum(
+        t["tile_h"] for t in tiles if t["doc_id"] == 2 and t["tile_x"] == 0
+    ) == 225
