@@ -719,3 +719,49 @@ def vad_segments(
         F.count(F.lit(1)).cast("long").alias("n_frames"),
         F.sum("energy").alias("energy"),
     ).select(id_col, "start_frame", "end_frame", "n_frames", "energy")
+
+
+def scene_segments(
+    motion: DataFrame, threshold: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Scene segmentation over per-pair motion energies (the back
+    half of a scene-cut stage; :func:`decode_y4m_motion` is the
+    front): a cut lands between frames p and p+1 when motion(p) ≥
+    ``threshold``; scenes are the maximal frame runs between cuts,
+    including the single whole-clip scene for cut-free videos.
+    Frame counts re-derive from the pair index (nf = max_pair + 2),
+    so the segmenter needs ONLY the motion table — no second decode
+    pass. Per-clip window, bounded by clip length."""
+    from pyspark.sql import Window
+
+    stats = motion.groupBy(id_col).agg(
+        (F.max("frame_pair") + 2).alias("__nf")
+    )
+    cuts = motion.filter(F.col("motion") >= threshold).select(
+        id_col, "frame_pair"
+    )
+    w = Window.partitionBy(id_col).orderBy("frame_pair")
+    mid = cuts.select(
+        F.col(id_col),
+        F.coalesce(
+            F.lag("frame_pair").over(w) + 1, F.lit(0)
+        ).alias("start_frame"),
+        F.col("frame_pair").alias("end_frame"),
+    )
+    last_cut = cuts.groupBy(id_col).agg(F.max("frame_pair").alias("__lc"))
+    fin = (
+        stats.join(last_cut, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__lc") + 1, F.lit(0)).alias("start_frame"),
+            (F.col("__nf") - 1).alias("end_frame"),
+        )
+    )
+    return mid.unionByName(fin).select(
+        id_col,
+        F.col("start_frame").cast("int").alias("start_frame"),
+        F.col("end_frame").cast("int").alias("end_frame"),
+        (F.col("end_frame") - F.col("start_frame") + 1)
+        .cast("long")
+        .alias("n_frames"),
+    )

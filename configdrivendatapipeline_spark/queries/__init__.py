@@ -322,6 +322,9 @@ _ROUND7_WINDOW = (
     "stream_topk",
     "llm_feature_hash",
     "agg_triangle_count",
+    "mm_video_scenes",
+    "llm_lang_confusion",
+    "fn_url",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

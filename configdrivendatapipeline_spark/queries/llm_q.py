@@ -4392,3 +4392,116 @@ def llm_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+@declare(
+    "mm_video_scenes",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 3 AS w,
+             4 + doc_id % 2 AS h,
+             3 + doc_id % 4 AS nf
+      FROM documents
+    ), pr AS (
+      SELECT d.doc_id, d.w, d.h, f.range AS frame_pair
+      FROM d, range(0, 6) f
+      WHERE f.range < d.nf - 1
+    ), m AS (
+      SELECT pr.doc_id, pr.frame_pair,
+             SUM(abs(
+               ((pr.doc_id * 17 + (pr.frame_pair + 1) * 29 + i.range * 3) % 256)
+               - ((pr.doc_id * 17 + pr.frame_pair * 29 + i.range * 3) % 256)
+             )) AS motion
+      FROM pr, range(0, 30) i
+      WHERE i.range < pr.w * pr.h
+      GROUP BY pr.doc_id, pr.frame_pair
+    ), cuts AS (
+      SELECT doc_id, frame_pair FROM m WHERE motion >= 900
+    ), mid AS (
+      SELECT doc_id,
+             COALESCE(LAG(frame_pair) OVER (
+               PARTITION BY doc_id ORDER BY frame_pair) + 1, 0) AS start_frame,
+             frame_pair AS end_frame
+      FROM cuts
+    ), stats AS (
+      SELECT doc_id, MAX(frame_pair) + 2 AS nf FROM m GROUP BY doc_id
+    ), lastc AS (
+      SELECT doc_id, MAX(frame_pair) AS last_cut FROM cuts GROUP BY doc_id
+    ), fin AS (
+      SELECT s.doc_id, COALESCE(l.last_cut + 1, 0) AS start_frame,
+             s.nf - 1 AS end_frame
+      FROM stats s LEFT JOIN lastc l USING (doc_id)
+    ), scenes AS (
+      SELECT * FROM mid UNION ALL SELECT * FROM fin)
+    SELECT doc_id, CAST(start_frame AS INT) AS start_frame,
+           CAST(end_frame AS INT) AS end_frame,
+           CAST(end_frame - start_frame + 1 AS BIGINT) AS n_frames
+    FROM scenes
+    """,
+    _SEC,
+    "Scene segmentation through the REAL Y4M decode kernel: "
+    "frame-pair motion energies (one Arrow payload crossing) → cut "
+    "threshold → maximal frame runs between cuts, including the "
+    "whole-clip scene for static videos — the segment table a video "
+    "curation pipeline samples keyframes from. Frame counts "
+    "re-derive from the pair index, so segmentation never re-reads "
+    "payloads; exact integers, analytic oracle.",
+)
+def mm_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_y4m_payload(docs)
+    motion = multimodal.decode_y4m_motion(payloads)
+    return multimodal.scene_segments(motion, threshold=900)
+
+
+@declare(
+    "llm_lang_confusion",
+    """
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, t -> list_contains(['the','a','of','and','is'], t))) AS score_en,
+        len(list_filter(toks, t -> list_contains(['le','la','et','les','des'], t))) AS score_fr,
+        len(list_filter(toks, t -> list_contains(['el','los','de','y','que'], t))) AS score_es,
+        len(list_filter(toks, t -> list_contains(['der','die','das','und','ist'], t))) AS score_de,
+        len(list_filter(toks, t -> list_contains(['de','shi','le','bu','wo'], t))) AS score_zh
+      FROM d),
+    p AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN score_en > 0 AND score_en >= score_fr AND score_en >= score_es
+                    AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+               WHEN score_fr > 0 AND score_fr > score_en AND score_fr >= score_es
+                    AND score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+               WHEN score_es > 0 AND score_es > score_en AND score_es > score_fr
+                    AND score_es >= score_de AND score_es >= score_zh THEN 'es'
+               WHEN score_de > 0 AND score_de > score_en AND score_de > score_fr
+                    AND score_de > score_es AND score_de >= score_zh THEN 'de'
+               WHEN score_zh > 0 AND score_zh > score_en AND score_zh > score_fr
+                    AND score_zh > score_es AND score_zh > score_de THEN 'zh'
+               ELSE 'und'
+             END AS lang_pred
+      FROM s)
+    SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p GROUP BY lang, lang_pred
+    """,
+    _SEC,
+    "Language-ID confusion matrix: declared corpus language × "
+    "detected language (the stopword-dictionary heuristic of "
+    "llm_lang_id), counts per cell — the audit that catches "
+    "mislabeled-language feeds BEFORE a lang-weighted mixture "
+    "trains on them (a feed whose declared 'fr' mostly detects "
+    "'en' is a mislabel, not a detector bug). One map-side score "
+    "pass + one small aggregation.",
+)
+def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pred = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

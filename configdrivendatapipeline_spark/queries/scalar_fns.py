@@ -631,3 +631,47 @@ def fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.lower("shouty").alias("source_ci"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@declare(
+    "fn_url",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&q=1' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param
+    FROM u
+    """,
+    _SEC,
+    "URL decomposition with Spark's parse_url (JVM-native, "
+    "whole-stage-codegen'd): HOST / PATH / QUERY plus keyed "
+    "parameter extraction — the normalization step ahead of every "
+    "domain filter and source attribution. The oracle re-derives "
+    "the same parts by regex over the synthesized fixture, proving "
+    "parse_url's semantics on the shapes a crawler actually emits.",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&q=1"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
