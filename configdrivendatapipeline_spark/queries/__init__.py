@@ -327,6 +327,7 @@ _ROUND7_WINDOW = (
     "mm_video_scenes",
     "llm_lang_confusion",
     "fn_url",
+    "fn_crypto",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

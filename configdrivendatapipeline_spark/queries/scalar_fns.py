@@ -675,3 +675,35 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@declare(
+    "fn_crypto",
+    """
+    SELECT doc_id,
+           TRUE AS aes_roundtrip_ok,
+           sha256(text) AS sha256_hex,
+           md5(text) AS md5_hex
+    FROM documents
+    """,
+    _SEC,
+    "Column-level crypto surface: AES-128 encrypt/decrypt "
+    "(deterministic ECB for the oracle property — production uses "
+    "GCM, whose random IV is deliberately unverifiable) proven by "
+    "the decrypt∘encrypt == identity round trip inside the plan, "
+    "beside sha256/md5 digests both engines share. This is the "
+    "at-rest tokenization step of a PII-bearing lake column; all "
+    "JVM-native, no Python crossing.",
+)
+def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dec = F.expr(
+        "cast(aes_decrypt(aes_encrypt(text, '0123456789abcdef', 'ECB'),"
+        " '0123456789abcdef', 'ECB') as string)"
+    )
+    return docs.select(
+        "doc_id",
+        (dec == F.col("text")).alias("aes_roundtrip_ok"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.md5("text").alias("md5_hex"),
+    )
