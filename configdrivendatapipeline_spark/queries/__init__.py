@@ -328,6 +328,8 @@ _ROUND7_WINDOW = (
     "llm_lang_confusion",
     "fn_url",
     "fn_crypto",
+    "join_spatial_grid",
+    "fn_geohash",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

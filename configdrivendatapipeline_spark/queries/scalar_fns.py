@@ -707,3 +707,77 @@ def fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("sha256_hex"),
         F.md5("text").alias("md5_hex"),
     )
+
+
+def _geohash_exprs() -> tuple:
+    """(morton_expr, char_exprs): exact-integer geohash-6 built from
+    15-bit quantized lat/lon (columns latb/lonb) — bit interleave
+    starting with longitude (the geohash convention), then six
+    5-bit groups mapped through the base32 alphabet. The SAME
+    rendered arithmetic feeds Spark's F.expr and the DuckDB oracle,
+    so the hash replays bit-for-bit."""
+    terms = []
+    for i in range(30):
+        if i % 2 == 0:
+            src, bit = "lonb", 14 - i // 2
+        else:
+            src, bit = "latb", 14 - (i - 1) // 2
+        terms.append(f"((({src} >> {bit}) & 1) * {1 << (29 - i)})")
+    morton = " + ".join(terms)
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = [
+        f"substr('{alphabet}', CAST((gh >> {25 - 5 * c}) & 31 AS INT) + 1, 1)"
+        for c in range(6)
+    ]
+    return morton, chars
+
+
+@declare(
+    "fn_geohash",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 7919) % 180000001 - 90000000 AS BIGINT)
+               AS lat_u,
+             CAST((c_custkey * 104729) % 360000001 - 180000000 AS BIGINT)
+               AS lon_u
+      FROM customer),
+    q AS (
+      SELECT id, lat_u, lon_u,
+             ((lat_u + 90000000) * 32768) // 180000001 AS latb,
+             ((lon_u + 180000000) * 32768) // 360000001 AS lonb
+      FROM pts),
+    m AS (SELECT id, lat_u, lon_u, {_geohash_exprs()[0]} AS gh FROM q)
+    SELECT id, lat_u, lon_u,
+           {" || ".join(_geohash_exprs()[1])} AS geohash6
+    FROM m
+    """,
+    _SEC,
+    "Geohash-6 encoding in exact integer arithmetic: 15-bit "
+    "quantized lat/lon, longitude-first bit interleave (the same "
+    "Morton trick layout_zorder uses for write clustering), six "
+    "base32 chars — the prefix-searchable spatial key that turns "
+    "proximity queries into string-prefix range scans and spatial "
+    "shuffles into equi-joins. No floating point anywhere, so both "
+    "engines agree to the last bit.",
+)
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    morton, chars = _geohash_exprs()
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey").cast("long") * 7919) % 180000001 - 90000000)
+        .alias("lat_u"),
+        ((F.col("c_custkey").cast("long") * 104729) % 360000001 - 180000000)
+        .alias("lon_u"),
+    )
+    q = pts.select(
+        "id", "lat_u", "lon_u",
+        F.expr("((lat_u + 90000000) * 32768) div 180000001").alias("latb"),
+        F.expr("((lon_u + 180000000) * 32768) div 360000001").alias("lonb"),
+    )
+    m = q.select("id", "lat_u", "lon_u", F.expr(morton).alias("gh"))
+    concat = "concat(" + ", ".join(
+        c.replace("substr('", "substring('") for c in chars
+    ) + ")"
+    return m.select("id", "lat_u", "lon_u", F.expr(concat).alias("geohash6"))
