@@ -190,10 +190,10 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 #: ROUND-8 HANDOFF: round 7's 50-budget covers the first ~50 below
 #: (agg_histogram .. roughly val_benford). Next round: lead with the
 #: REMAINING never-checked tail — everything after the round-7
-#: sample through "fn_crypto" (the round-7 additions, pipeline_budget
-#: .. fn_crypto, sit at the end of that tail) — then the r2-evidence
-#: cohort, then oldest-driver-evidence order. All tail ids are green
-#: in the local differential harness at sf0.01 AND sf0.001.
+#: sample down to the end of the "round-7 additions" block — then
+#: the r2-evidence cohort, then oldest-driver-evidence order. All
+#: tail ids are green in the local differential harness at sf0.01
+#: AND sf0.001.
 _ROUND7_WINDOW = (
     # never driver-checked (declared round 6 below the 50-budget)
     "agg_histogram",
