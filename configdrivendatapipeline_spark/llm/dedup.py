@@ -571,7 +571,25 @@ def duplicate_clusters(
         # per round.
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
+    # Right-size the iterative stage (same reasoning as bpe_train):
+    # every propagation round is ~3 full jobs over the edge/label
+    # frames, so per-task overhead multiplies by rounds. ~500k edges
+    # per partition keeps real graphs parallel while a small dedup
+    # graph collapses to 1 partition instead of paying
+    # default-parallelism empty tasks every round. count() is free —
+    # the checkpoint above already materialized the edges.
+    spark = pairs.sparkSession
+    parts = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            int(edges.count() // 500_000) + 1,
+        ),
+    )
+    edges = edges.coalesce(parts)
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("comp")
+    ).coalesce(parts)
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges.src == labels.id)
