@@ -330,6 +330,8 @@ _ROUND7_WINDOW = (
     "fn_crypto",
     "join_spatial_grid",
     "fn_geohash",
+    "agg_top_paths",
+    "llm_inverted_index",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1877,3 +1877,57 @@ def triangle_counts(e: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return m.join(deg, "node").select("node", "n_triangles", "d")
+
+
+@declare(
+    "agg_top_paths",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id FROM events),
+    paths AS (
+      SELECT user_id,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+      FROM ordered GROUP BY user_id)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+    _SEC,
+    "Top user paths: each user's first five events in strict "
+    "(ts, event_id) order collapse to a path signature, counted and "
+    "ranked — the entry-flow table a product funnel review starts "
+    "from. Determinism is the hard part Spark hands you footguns "
+    "for: collect_list order is partition-dependent, so the path "
+    "builds from array_sort over (ts, event_id, type) structs — "
+    "retry-identical where a bare collect_list is not. One per-user "
+    "aggregation + one count; top-20 via TakeOrdered, no global "
+    "sort materialization.",
+)
+def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.slice(
+                    F.transform(F.col("evs"), lambda s: s.getField("event_type")),
+                    1,
+                    5,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(20)
+    )

@@ -4505,3 +4505,52 @@ def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@declare(
+    "llm_inverted_index",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    post AS (
+      SELECT token,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             array_to_string(
+               (list(CAST(doc_id AS VARCHAR) ORDER BY doc_id))[1:10], ',')
+               AS first_postings
+      FROM tok GROUP BY token)
+    SELECT token, df, first_postings
+    FROM post WHERE df >= 5
+    """,
+    _SEC,
+    "Inverted-index build: token → document-frequency + the sorted "
+    "head of its postings list — the retrieval-side artifact "
+    "(BM25 / keyword search) a curated corpus ships beside its "
+    "embeddings. One distinct-token explode + one aggregation, both "
+    "map-side combinable; postings emit as a sorted id string (the "
+    "driver's canonicalizer hashes arrays engine-specifically, so "
+    "list-valued outputs ride as strings — the df>=5 gate keeps the "
+    "fixture's long tail out of the demo). At 100 TB the postings "
+    "write is the shuffle; the token key is the natural partition.",
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("first_postings"),
+        )
+        .filter(F.col("df") >= 5)
+    )
