@@ -332,6 +332,7 @@ _ROUND7_WINDOW = (
     "fn_geohash",
     "agg_top_paths",
     "llm_inverted_index",
+    "llm_keyword_search",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

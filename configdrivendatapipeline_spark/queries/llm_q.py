@@ -4554,3 +4554,64 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 5)
     )
+
+
+@declare(
+    "llm_keyword_search",
+    """
+    WITH q(qid, token) AS (
+      VALUES (0, 'the'), (0, 'data'), (0, 'model'),
+             (1, 'training'), (1, 'quality'),
+             (2, 'the'), (2, 'of'), (2, 'and')),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    hits AS (
+      SELECT q.qid, tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM q JOIN tok USING (token)
+      GROUP BY q.qid, tok.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, n_matched,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY n_matched DESC, doc_id) AS rn
+      FROM hits)
+    SELECT qid, doc_id, n_matched, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+    _SEC,
+    "Keyword retrieval over the corpus: a broadcast query-term table "
+    "joins the distinct-token postings, per-(query, doc) overlap "
+    "counts rank top-10 by matched-term count — boolean OR retrieval "
+    "with deterministic tie-break, the keyword leg of hybrid search "
+    "beside llm_cosine_topk's dense leg. The token equi-join IS the "
+    "inverted-index probe: at 100 TB the postings shuffle is keyed "
+    "by token and the query side is broadcast-tiny; the rank window "
+    "partitions per query over candidate docs only.",
+)
+def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, "the"), (0, "data"), (0, "model"),
+         (1, "training"), (1, "quality"),
+         (2, "the"), (2, "of"), (2, "and")],
+        "qid INT, token STRING",
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    hits = (
+        tok.join(F.broadcast(q), "token")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_matched").desc(), F.col("doc_id")
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc_id", "n_matched", "rank")
+    )
