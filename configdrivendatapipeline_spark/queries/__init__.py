@@ -333,6 +333,7 @@ _ROUND7_WINDOW = (
     "agg_top_paths",
     "llm_inverted_index",
     "llm_keyword_search",
+    "llm_hybrid_rrf",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -4615,3 +4615,140 @@ def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "doc_id", "n_matched", "rank")
     )
+
+
+@declare(
+    "llm_hybrid_rrf",
+    f"""
+    WITH q(qid, token) AS (
+      VALUES (0, 'the'), (0, 'data'), (0, 'model'),
+             (1, 'training'), (1, 'quality'),
+             (2, 'the'), (2, 'of'), (2, 'and')),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    hits AS (
+      SELECT q.qid, tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM q JOIN tok USING (token)
+      GROUP BY q.qid, tok.doc_id),
+    kw AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY n_matched DESC, doc_id) AS r_kw
+      FROM hits),
+    probes AS (
+      SELECT vec_id AS qid, embedding AS pemb FROM embeddings
+      WHERE vec_id IN (0, 1, 2)),
+    dense AS (
+      SELECT p.qid, v.vec_id AS doc_id,
+             ROW_NUMBER() OVER (PARTITION BY p.qid
+               ORDER BY {_ocos_raw('v.embedding', 'p.pemb')} DESC, v.vec_id)
+               AS r_dense
+      FROM embeddings v CROSS JOIN probes p
+      WHERE v.vec_id <> p.qid),
+    fused AS (
+      SELECT COALESCE(k.qid, d.qid) AS qid,
+             COALESCE(k.doc_id, d.doc_id) AS doc_id,
+             CAST(COALESCE(1000000 // (60 + k.r_kw), 0)
+                + COALESCE(1000000 // (60 + d.r_dense), 0) AS BIGINT)
+               AS rrf_micro
+      FROM (SELECT * FROM kw WHERE r_kw <= 20) k
+      FULL OUTER JOIN (SELECT * FROM dense WHERE r_dense <= 20) d
+        ON k.qid = d.qid AND k.doc_id = d.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, rrf_micro,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rrf_micro DESC, doc_id) AS rn
+      FROM fused)
+    SELECT CAST(qid AS INT) AS qid, CAST(doc_id AS BIGINT) AS doc_id,
+           rrf_micro, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+    _SEC,
+    "Hybrid retrieval via reciprocal-rank fusion (Cormack et al. "
+    "SIGIR'09): the keyword leg (token-overlap top-20) and the "
+    "dense leg (cosine top-20 over embeddings) fuse as "
+    "Σ 1e6 div (60 + rank) — RRF's 1/(k+r) in exact integer "
+    "micro-units, so the fusion is engine- and retry-identical "
+    "where float reciprocals could tie-break differently. This is "
+    "the standard production shape: both legs are already "
+    "top-k-bounded per query, so fusion joins two tiny rank "
+    "tables, never corpus-sized data.",
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from configdrivendatapipeline_spark.llm.similarity import as_double, cosine
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(
+        [(0, "the"), (0, "data"), (0, "model"),
+         (1, "training"), (1, "quality"),
+         (2, "the"), (2, "of"), (2, "and")],
+        "qid INT, token STRING",
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    hits = (
+        tok.join(F.broadcast(q), "token")
+        .groupBy("qid", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.col("n_matched").desc(), F.col("doc_id")
+    )
+    kw = (
+        hits.withColumn("r_kw", F.row_number().over(wk))
+        .filter(F.col("r_kw") <= 20)
+        .select("qid", "doc_id", "r_kw")
+    )
+    v = emb.select("vec_id", as_double("embedding").alias("__v"))
+    probes = v.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("__v").alias("__p")
+    )
+    wd = Window.partitionBy("qid").orderBy(
+        F.col("__cos").desc(), F.col("doc_id")
+    )
+    dense = (
+        v.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("__v"), F.col("__p")).alias("__cos"),
+        )
+        .withColumn("r_dense", F.row_number().over(wd))
+        .filter(F.col("r_dense") <= 20)
+        .select("qid", "doc_id", "r_dense")
+    )
+    fused = (
+        kw.join(dense, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr("1000000 div (60 + r_kw)"), F.lit(0).cast("long")
+                )
+                + F.coalesce(
+                    F.expr("1000000 div (60 + r_dense)"), F.lit(0).cast("long")
+                )
+            ).alias("rrf_micro"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("qid").cast("int").alias("qid"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "rrf_micro",
+            "rank",
+        )
+    )
