@@ -426,6 +426,72 @@ def _neardup_pairs(spark, dfs, p):
     )
 
 
+@op("inverted_index")
+def _inverted_index(spark, dfs, p):
+    """Token -> document-frequency + sorted postings head (the
+    retrieval-side artifact; see llm_inverted_index)."""
+    from pyspark.sql import functions as F
+
+    df = _one(dfs)
+    id_col = p.get("id_column", "doc_id")
+    text_col = p.get("text_column", "text")
+    min_df = int(p.get("min_df", 1))
+    head = int(p.get("postings_head", 10))
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list(F.col(id_col))), 1, head),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("first_postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+@op("keyword_search")
+def _keyword_search(spark, dfs, p):
+    """Boolean keyword retrieval: overlap-count top-k per query
+    (see llm_keyword_search). ``queries`` maps qid -> term list."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _one(dfs)
+    id_col = p.get("id_column", "doc_id")
+    text_col = p.get("text_column", "text")
+    k = int(p.get("k", 10))
+    rows = [
+        (int(qid), str(t))
+        for qid, terms in dict(p["queries"]).items()
+        for t in terms
+    ]
+    q = spark.createDataFrame(rows, "qid INT, token STRING")
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    hits = (
+        tok.join(F.broadcast(q), "token")
+        .groupBy("qid", id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("n_matched").desc(), F.col(id_col)
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 @op("winnow_fingerprints")
 def _winnow_fingerprints(spark, dfs, p):
     """Winnowing (MOSS) fingerprint selection (see

@@ -46,6 +46,7 @@ def test_every_op_is_exercised_below():
         "asof_join", "route_modality", "budget_select", "survivorship",
         "kanonymity", "ldiversity", "hard_negatives", "oversample",
         "bpe_train", "bpe_encode", "winnow_fingerprints", "winnow_pairs",
+        "inverted_index", "keyword_search",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1076,6 +1077,33 @@ def test_winnow_ops(spark, sf_dir):
     assert rows(frames["pairs"]) == rows(
         winnow_candidate_pairs(docs, min_shared=2)
     )
+
+
+def test_retrieval_ops(spark, sf_dir):
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: idx, input: documents, op: inverted_index, params: {min_df: 5}}
+  - id: hits
+    input: documents
+    op: keyword_search
+    params:
+      k: 5
+      queries:
+        0: [the, data]
+        1: [quality]
+""",
+    )
+    idx = {r["token"]: r for r in frames["idx"].collect()}
+    assert idx and all(r["df"] >= 5 for r in idx.values())
+    for r in idx.values():
+        ids = [int(x) for x in r["first_postings"].split(",")]
+        assert ids == sorted(ids) and len(ids) <= 10
+    hits = frames["hits"].collect()
+    assert hits and all(r["rank"] <= 5 for r in hits)
+    assert {r["qid"] for r in hits} <= {0, 1}
 
 
 def test_survivorship_op(spark, sf_dir):
