@@ -334,6 +334,7 @@ _ROUND7_WINDOW = (
     "llm_inverted_index",
     "llm_keyword_search",
     "llm_hybrid_rrf",
+    "agg_decayed_engagement",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

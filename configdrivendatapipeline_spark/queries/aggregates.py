@@ -1931,3 +1931,45 @@ def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), F.col("path"))
         .limit(20)
     )
+
+
+@declare(
+    "agg_decayed_engagement",
+    """
+    WITH mx AS (SELECT MAX(ts) AS now FROM events),
+    scored AS (
+      SELECT e.user_id,
+             CAST(FLOOR(e.value * 1000000 + 0.5) AS BIGINT)
+               // CAST(POWER(2, LEAST(
+                    date_diff('day', e.ts, mx.now) // 7, 20)) AS BIGINT)
+               AS w_micro
+      FROM events e, mx)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w_micro) AS BIGINT) AS decayed_micro
+    FROM scored GROUP BY user_id
+    """,
+    _SEC,
+    "Recency-decayed engagement score: each event's micro-unit value "
+    "HALVES per whole week of age (integer div by 2^weeks, capped at "
+    "2^20 — exact integer arithmetic, where the textbook "
+    "2^(-age/halflife) float pow drifts between engines and "
+    "retries). The decay anchor is the corpus max-ts so the score "
+    "is a pure function of the data; production pins an explicit "
+    "as-of timestamp. One scalar subquery broadcast + one "
+    "map-side-combinable aggregation.",
+)
+def agg_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
+            " div CAST(POWER(2, LEAST(datediff(now, ts) div 7, 20)) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w_micro").alias("decayed_micro"),
+    )

@@ -249,3 +249,39 @@ def test_temperature_cuts_order_and_bounds(spark, counts):
         for (n2, c2) in zip(counts, cuts):
             if n1 <= n2:
                 assert c1 >= c2
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40).map(
+            lambda cs: " ".join("".join([c]) for c in cs)
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SLOW
+def test_winnow_coverage_and_density(spark, docs):
+    """Winnowing invariants on arbitrary token streams: every
+    position selected is a valid shingle position; consecutive
+    selected positions are never more than w apart (the coverage
+    guarantee); identical docs produce identical fingerprint sets."""
+    from configdrivendatapipeline_spark.llm.dedup import winnow_fingerprints
+
+    k, w = 2, 3
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    out = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["pos"])
+    for i, text in enumerate(docs):
+        n_sh = max(len(text.split(" ")) - k, 0) + 1
+        pos = sorted(by_doc.get(i, []))
+        assert pos, f"doc {i} produced no fingerprints"
+        assert all(1 <= p <= n_sh for p in pos)
+        # coverage: first selection within the first full window,
+        # last within the last, gaps bounded by the window width
+        assert pos[0] <= min(w, n_sh)
+        assert pos[-1] >= n_sh - w + 1 or n_sh < w
+        for x, y in zip(pos, pos[1:]):
+            assert y - x <= w
