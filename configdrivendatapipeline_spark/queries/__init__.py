@@ -335,6 +335,7 @@ _ROUND7_WINDOW = (
     "llm_keyword_search",
     "llm_hybrid_rrf",
     "agg_decayed_engagement",
+    "stream_checkpoint_resume",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

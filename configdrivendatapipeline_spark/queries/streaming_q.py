@@ -728,3 +728,83 @@ def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 3
     )
+
+
+@declare(
+    "stream_checkpoint_resume",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({_VU}) AS BIGINT) AS vu_sum
+    FROM events GROUP BY event_type
+    """,
+    _SEC,
+    "Checkpointed stream RESUME — the exactly-once recovery property "
+    "production streaming lives on: half the corpus streams into a "
+    "parquet sink under a checkpointLocation, the job 'stops', the "
+    "other half arrives, and a NEW query on the SAME checkpoint "
+    "processes only the unseen files — no reprocessing, no loss. "
+    "The final sink equals the one-shot batch aggregate "
+    "(hash-checked), which is exactly the guarantee the offset log "
+    "in the checkpoint exists to provide. Idempotent staging keyed "
+    "on the fixture's identity; re-drains are no-ops.",
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    ev_path = f"{sf_dir}/events.parquet"
+    st = os.stat(ev_path)
+    tag = hashlib.md5(
+        f"ckptresume:{ev_path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), "cddp_ckpt_resume", tag)
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    stage = os.path.join(base, "stage")
+    os.makedirs(src, exist_ok=True)
+    static = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr(_VU).alias("vu")
+    )
+    halves = [
+        static.filter(F.col("event_id") % 2 == 0),
+        static.filter(F.col("event_id") % 2 == 1),
+    ]
+    schema = "event_id BIGINT, event_type STRING, vu BIGINT"
+
+    def arrive(i: int) -> None:
+        marker = os.path.join(base, f"_arrived{i}")
+        if os.path.exists(marker):
+            return
+        hdir = os.path.join(stage, f"half{i}")
+        halves[i].write.mode("overwrite").parquet(hdir)
+        for j, f in enumerate(sorted(glob.glob(os.path.join(hdir, "part-*.parquet")))):
+            shutil.copyfile(f, os.path.join(src, f"half{i}-{j}.parquet"))
+        open(marker, "w").write("ok")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    arrive(0)
+    drain()  # first run: sees only half 0
+    arrive(1)
+    drain()  # resumed run: same checkpoint, processes ONLY half 1
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vu").alias("vu_sum"),
+    )
