@@ -336,6 +336,7 @@ _ROUND7_WINDOW = (
     "llm_hybrid_rrf",
     "agg_decayed_engagement",
     "stream_checkpoint_resume",
+    "agg_approx_topk",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1973,3 +1973,33 @@ def agg_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("w_micro").alias("decayed_micro"),
     )
+
+
+@declare(
+    "agg_approx_topk",
+    """
+    SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, item
+    """,
+    _SEC,
+    "Spark 4's approx_top_k frequent-items sketch (a SpaceSaving-"
+    "family summary): one aggregation returns the heavy hitters "
+    "WITH counts, mergeable across partitions — at 100 TB this "
+    "replaces the groupBy-then-TakeOrdered pair with a single "
+    "bounded-memory sketch pass. Hash-checked on the regime where "
+    "the sketch is provably EXACT (tracked capacity ≥ distinct "
+    "items, k ≥ cardinality); the result explodes to rows re-sorted "
+    "by (count, item) because the sketch's internal tie order is "
+    "not a contract.",
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 100)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"), F.col("e.count").cast("long").alias("n")
+        )
+        .orderBy(F.col("n").desc(), F.col("item"))
+    )
