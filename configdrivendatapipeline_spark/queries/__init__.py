@@ -337,6 +337,8 @@ _ROUND7_WINDOW = (
     "agg_decayed_engagement",
     "stream_checkpoint_resume",
     "agg_approx_topk",
+    "llm_winnow_clusters",
+    "val_outage_windows",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -4752,3 +4752,77 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+@declare(
+    "llm_winnow_clusters",
+    f"""
+    WITH fpd AS MATERIALIZED (
+      SELECT DISTINCT doc_id, fp FROM ({_owinnow(4, 5, _WINNOW_SRC)})),
+    bs AS MATERIALIZED (SELECT fp, COUNT(*) AS m FROM fpd GROUP BY fp),
+    ok AS MATERIALIZED (SELECT fp FROM bs WHERE m > 1 AND m <= 200),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fpd a JOIN fpd b USING (fp) JOIN ok USING (fp)
+      WHERE a.doc_id < b.doc_id),
+    strong AS MATERIALIZED (
+      SELECT id_a, id_b FROM pairs GROUP BY id_a, id_b
+      HAVING COUNT(*) >= 3),
+    nodes AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 FROM documents WHERE doc_id % 5 = 0),
+    edges AS MATERIALIZED (
+      SELECT id_a AS src, id_b AS dst FROM strong
+      UNION SELECT id_b, id_a FROM strong),
+    -- min-label propagation to fixpoint, replayed as a bounded
+    -- iteration (the fixture's overlap graph has tiny diameter)
+    l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp FROM nodes),
+    l1 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+        SELECT id, comp FROM l0
+        UNION ALL
+        SELECT e.dst AS id, l.comp FROM edges e JOIN l0 l ON l.id = e.src)
+      GROUP BY id),
+    l2 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+        SELECT id, comp FROM l1
+        UNION ALL
+        SELECT e.dst AS id, l.comp FROM edges e JOIN l1 l ON l.id = e.src)
+      GROUP BY id),
+    l3 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+        SELECT id, comp FROM l2
+        UNION ALL
+        SELECT e.dst AS id, l.comp FROM edges e JOIN l2 l ON l.id = e.src)
+      GROUP BY id),
+    l4 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+        SELECT id, comp FROM l3
+        UNION ALL
+        SELECT e.dst AS id, l.comp FROM edges e JOIN l3 l ON l.id = e.src)
+      GROUP BY id),
+    l5 AS MATERIALIZED (SELECT id, MIN(comp) AS comp FROM (
+        SELECT id, comp FROM l4
+        UNION ALL
+        SELECT e.dst AS id, l.comp FROM edges e JOIN l4 l ON l.id = e.src)
+      GROUP BY id)
+    SELECT id AS doc_id, comp AS component FROM l5
+    """,
+    _SEC,
+    "The complete partial-overlap dedup path: winnowing fingerprints "
+    "→ capped pair candidates (≥3 shared) → connected components "
+    "with min-label canonical representatives — what a curation "
+    "pipeline actually runs to collapse paragraph-level copy "
+    "families that whole-doc hashing scatters. Spark side reuses "
+    "duplicate_clusters' checkpointed label propagation; the oracle "
+    "replays five propagation rounds, enough to reach the fixture "
+    "graph's fixpoint (pair components here are tiny cliques).",
+)
+def llm_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("aa bb cc dd "), F.col("text")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    pairs = dedup.winnow_candidate_pairs(
+        corpus, k=4, w=5, min_shared=3, max_bucket=200
+    ).select("id_a", "id_b")
+    return dedup.duplicate_clusters(pairs, corpus.select("doc_id"))

@@ -66,6 +66,10 @@ ALLOW = {
     # pipeline_budget runs budget_select through the YAML compiler —
     # the same two bounded windows (≤101 bands, ≤256 shard offsets).
     ("pipeline_budget", "GLOBAL_WINDOW"),
+    # the outage-island window runs over MISSING calendar hours —
+    # bounded by the corpus time span (8.8k rows/year), never data
+    # volume.
+    ("val_outage_windows", "GLOBAL_WINDOW"),
 }
 
 #: For allowlisted GLOBAL_WINDOW queries: the expected NUMBER of
@@ -82,6 +86,7 @@ ALLOW_GLOBAL_WINDOW_MAX = {
     "agg_rfm": 4,
     "llm_budget_select": 2,
     "pipeline_budget": 2,
+    "val_outage_windows": 1,
 }
 
 
