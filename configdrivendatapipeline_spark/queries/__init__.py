@@ -339,6 +339,7 @@ _ROUND7_WINDOW = (
     "agg_approx_topk",
     "llm_winnow_clusters",
     "val_outage_windows",
+    "agg_auc",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2003,3 +2003,74 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), F.col("item"))
     )
+
+
+@declare(
+    "agg_auc",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                  THEN 1 ELSE 0 END AS label
+      FROM events),
+    r AS (
+      SELECT event_type, label,
+             2 * RANK() OVER (PARTITION BY event_type ORDER BY value)
+               + COUNT(*) OVER (PARTITION BY event_type, value) - 1 AS r2
+      FROM s),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2_pos,
+             CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - label) AS BIGINT) AS n_neg
+      FROM r GROUP BY event_type)
+    SELECT event_type, n_pos, n_neg,
+           (r2_pos - n_pos * (n_pos + 1)) * 1000000
+             // (2 * n_pos * n_neg) AS auc_micro
+    FROM g
+    """,
+    _SEC,
+    "AUC-ROC per event type in EXACT integers: the Mann–Whitney "
+    "rank-sum identity with midrank tie correction, doubled to stay "
+    "integral (2·midrank = 2·rank_min + ties − 1), so the metric is "
+    "engine- and partition-order-identical where the textbook "
+    "trapezoid-on-floats drifts. The model-quality gate of every "
+    "classifier-driven curation filter; score = event value, label "
+    "= props.k ≥ 50. Two windows per event-type partition + one "
+    "aggregation — no O(n²) pair counting.",
+)
+def agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.when(
+            F.get_json_object("props", "$.k").cast("long") >= 50, 1
+        ).otherwise(0).alias("label"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    wt = Window.partitionBy("event_type", "value")
+    r = s.select(
+        "event_type",
+        "label",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0)).alias(
+            "r2_pos"
+        ),
+        F.sum("label").alias("n_pos"),
+        F.sum(1 - F.col("label")).alias("n_neg"),
+    )
+    return g.select(
+        "event_type",
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "(r2_pos - n_pos * (n_pos + 1)) * 1000000"
+            " div (2 * n_pos * n_neg)"
+        ).alias("auc_micro"),
+    )
