@@ -765,3 +765,91 @@ def scene_segments(
         .cast("long")
         .alias("n_frames"),
     )
+
+
+def phash_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes by the
+    PIGEONHOLE multi-index: split the 64-bit hash into
+    ``max_hamming + 1`` bands — any pair within ``max_hamming`` bits
+    must agree EXACTLY on at least one band — equi-join per band,
+    then verify true hamming via bit_count(xor). The image analog of
+    MinHash banding: candidates come from hash-keyed equi-joins
+    (shuffle-partitionable at any corpus size), never an all-pairs
+    distance scan, and degenerate bands (flat images all hashing
+    alike) are capped before pair expansion like the LSH path."""
+    bands = [
+        ("b0", F.shiftright("phash_hi", 16).cast("long")),
+        ("b1", F.col("phash_hi").bitwiseAND(F.lit(0xFFFF))),
+        ("b2", F.shiftright("phash_lo", 16).cast("long")),
+        ("b3", F.col("phash_lo").bitwiseAND(F.lit(0xFFFF))),
+    ]
+    h = hashes.select(id_col, "phash_hi", "phash_lo")
+    banded = h.select(
+        id_col,
+        "phash_hi",
+        "phash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band_id"), e.alias("band_val"))
+                    for i, (_, e) in enumerate(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "phash_hi", "phash_lo", "b.band_id", "b.band_val")
+    grouped = banded.groupBy("band_id", "band_val").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    bounded = grouped.filter(
+        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
+    )
+    pairs = (
+        bounded.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ids") - 2),
+                        lambda i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda other: F.struct(
+                                F.element_at("ids", i + 1).alias("id_a"),
+                                other.alias("id_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    a = h.select(
+        F.col(id_col).alias("id_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+    )
+    b = h.select(
+        F.col(id_col).alias("id_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(
+                    F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+                )
+                + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -340,6 +340,7 @@ _ROUND7_WINDOW = (
     "llm_winnow_clusters",
     "val_outage_windows",
     "agg_auc",
+    "mm_phash_pairs",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -4826,3 +4826,84 @@ def llm_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, k=4, w=5, min_shared=3, max_bucket=200
     ).select("id_a", "id_b")
     return dedup.duplicate_clusters(pairs, corpus.select("doc_id"))
+
+
+def _ophash(src: str = "documents") -> str:
+    """The mm_image_phash oracle body as a reusable CTE chain
+    (doc_id, phash_hi, phash_lo)."""
+    return f"""
+    d AS (
+      SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM {src}),
+    cells AS (
+      SELECT d.doc_id, d.w, d.h, i.range AS i, j.range AS j,
+             {_ogray('(i.range * h) // 8', '(j.range * w) // 8')} AS g
+      FROM d, range(0, 8) i, range(0, 8) j),
+    stats AS (
+      SELECT doc_id, CAST(SUM(g) AS BIGINT) // 64 AS mean
+      FROM cells GROUP BY doc_id),
+    bits AS (
+      SELECT c.doc_id,
+             CASE WHEN c.g > s.mean THEN 1 ELSE 0 END AS b,
+             c.i * 8 + c.j AS k
+      FROM cells c JOIN stats s USING (doc_id)),
+    ph AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN k >= 32
+                      THEN CAST(b AS BIGINT) << CAST(k - 32 AS INT)
+                      ELSE 0 END) AS BIGINT) AS phash_hi,
+             CAST(SUM(CASE WHEN k < 32
+                      THEN CAST(b AS BIGINT) << CAST(k AS INT)
+                      ELSE 0 END) AS BIGINT) AS phash_lo
+      FROM bits GROUP BY doc_id)
+    """
+
+
+@declare(
+    "mm_phash_pairs",
+    f"""
+    WITH {_ophash()},
+    banded AS (
+      SELECT doc_id, band_id,
+             CASE band_id
+               WHEN 0 THEN phash_hi // 65536
+               WHEN 1 THEN phash_hi % 65536
+               WHEN 2 THEN phash_lo // 65536
+               ELSE phash_lo % 65536 END AS band_val
+      FROM ph, range(0, 4) AS r(band_id)),
+    bs AS (SELECT band_id, band_val, COUNT(*) AS m FROM banded
+           GROUP BY band_id, band_val),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+        AND a.doc_id < b.doc_id
+      JOIN bs ON bs.band_id = a.band_id AND bs.band_val = a.band_val
+      WHERE bs.m <= 100)
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(pa.phash_hi, pb.phash_hi))
+              + bit_count(xor(pa.phash_lo, pb.phash_lo)) AS INT) AS hamming
+    FROM cand c
+    JOIN ph pa ON pa.doc_id = c.id_a
+    JOIN ph pb ON pb.doc_id = c.id_b
+    WHERE bit_count(xor(pa.phash_hi, pb.phash_hi))
+        + bit_count(xor(pa.phash_lo, pb.phash_lo)) <= 3
+    """,
+    _SEC,
+    "Near-duplicate image pairs by PIGEONHOLE banding of perceptual "
+    "hashes: any pair within 3 bits must agree exactly on one of "
+    "four 16-bit bands, so candidates come from hash-keyed "
+    "equi-joins — the image analog of MinHash banding, never an "
+    "all-pairs distance scan — then true hamming verifies via "
+    "bit_count(xor). The fixture's same-dimension images differ by "
+    "a uniform gray shift that mean-thresholding mostly cancels, so "
+    "organic near-dups exist and the green hash proves recovery. "
+    "Degenerate bands cap before pair expansion like the LSH path.",
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    payloads = multimodal.attach_ppm_payload(docs)
+    hashes = multimodal.ppm_ahash(payloads).select(
+        "doc_id", "phash_hi", "phash_lo"
+    )
+    return multimodal.phash_pairs(hashes, max_hamming=3, max_bucket=100)
