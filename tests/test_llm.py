@@ -1173,3 +1173,51 @@ def test_keyword_search_rank_determinism(spark, sf_dir):
     for qid in {r["qid"] for r in a}:
         ranks = sorted(r["rank"] for r in a if r["qid"] == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+def test_phash_pairs_pigeonhole_no_false_negatives(spark):
+    """Any pair within max_hamming bits MUST be found (pigeonhole:
+    ≤3 differing bits cannot touch all 4 bands); pairs beyond the
+    threshold are excluded by the verify step even when a band
+    collides."""
+    from configdrivendatapipeline_spark.llm.multimodal import phash_pairs
+
+    rows = [
+        (1, 0x12345678, 0x9ABCDE10),   # base
+        (2, 0x12345678, 0x9ABCDE13),   # hamming 2 from doc 1
+        (3, 0x12345678 ^ 0x7, 0x9ABCDE10),  # hamming 3 from doc 1
+        (4, 0x12345678, 0x00000000),   # shares hi bands with 1, far on lo
+        (5, 0x55555555, 0x55555555),   # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, phash_hi LONG, phash_lo LONG")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(df, max_hamming=3, max_bucket=10).collect()
+    }
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 3
+    assert (1, 4) not in got  # band collision but hamming >> 3
+    assert (1, 5) not in got and (2, 3) in got or (2, 3) not in got
+    # every reported pair respects the threshold
+    assert all(h <= 3 for h in got.values())
+
+
+def test_scene_segments_cut_semantics(spark):
+    """Cuts at motion >= T split frames into maximal runs; a cut at
+    pair p separates frame p from p+1; cut-free clips yield one
+    whole-clip scene."""
+    from configdrivendatapipeline_spark.llm.multimodal import scene_segments
+
+    rows = [
+        # doc 1: 5 frames (4 pairs), cuts at pairs 1 and 2
+        (1, 0, 10), (1, 1, 900), (1, 2, 950), (1, 3, 5),
+        # doc 2: 3 frames, no cuts
+        (2, 0, 10), (2, 1, 20),
+    ]
+    motion = spark.createDataFrame(rows, "doc_id INT, frame_pair INT, motion LONG")
+    segs = sorted(
+        tuple(r) for r in scene_segments(motion, threshold=900).collect()
+    )
+    assert segs == [
+        (1, 0, 1, 2), (1, 2, 2, 1), (1, 3, 4, 2),
+        (2, 0, 2, 3),
+    ]
