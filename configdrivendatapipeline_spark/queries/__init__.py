@@ -341,6 +341,7 @@ _ROUND7_WINDOW = (
     "val_outage_windows",
     "agg_auc",
     "mm_phash_pairs",
+    "pipeline_retrieval",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

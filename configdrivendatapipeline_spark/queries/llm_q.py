@@ -4560,8 +4560,8 @@ def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_keyword_search",
     """
     WITH q(qid, token) AS (
-      VALUES (0, 'the'), (0, 'data'), (0, 'model'),
-             (1, 'training'), (1, 'quality'),
+      VALUES (0, 'the'), (0, 'data'), (0, 'query'),
+             (1, 'stream'), (1, 'window'),
              (2, 'the'), (2, 'of'), (2, 'and')),
     tok AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -4593,8 +4593,8 @@ def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     q = spark.createDataFrame(
-        [(0, "the"), (0, "data"), (0, "model"),
-         (1, "training"), (1, "quality"),
+        [(0, "the"), (0, "data"), (0, "query"),
+         (1, "stream"), (1, "window"),
          (2, "the"), (2, "of"), (2, "and")],
         "qid INT, token STRING",
     )
@@ -4621,8 +4621,8 @@ def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_hybrid_rrf",
     f"""
     WITH q(qid, token) AS (
-      VALUES (0, 'the'), (0, 'data'), (0, 'model'),
-             (1, 'training'), (1, 'quality'),
+      VALUES (0, 'the'), (0, 'data'), (0, 'query'),
+             (1, 'stream'), (1, 'window'),
              (2, 'the'), (2, 'of'), (2, 'and')),
     tok AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
@@ -4683,8 +4683,8 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
     q = spark.createDataFrame(
-        [(0, "the"), (0, "data"), (0, "model"),
-         (1, "training"), (1, "quality"),
+        [(0, "the"), (0, "data"), (0, "query"),
+         (1, "stream"), (1, "window"),
          (2, "the"), (2, "of"), (2, "and")],
         "qid INT, token STRING",
     )

@@ -1906,3 +1906,72 @@ steps:
       by: [keep_tier]
 """
     return _run(spark, yml, "ranked")
+
+
+@declare(
+    "pipeline_retrieval",
+    """
+    WITH q(qid, token) AS (
+      VALUES (0, 'the'), (0, 'data'), (1, 'stream'), (1, 'window')),
+    tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      FROM documents),
+    hits AS (
+      SELECT q.qid, tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched
+      FROM q JOIN tok USING (token)
+      GROUP BY q.qid, tok.doc_id),
+    ranked AS (
+      SELECT qid, doc_id, n_matched,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY n_matched DESC, doc_id) AS rn
+      FROM hits)
+    SELECT r.qid, r.doc_id, r.n_matched, CAST(r.rn AS INT) AS rank,
+           d.source
+    FROM ranked r JOIN documents d USING (doc_id)
+    WHERE r.rn <= 5
+    ORDER BY r.qid, r.rn
+    """,
+    _SEC,
+    "YAML pipeline for the retrieval surface: keyword_search over "
+    "the corpus (broadcast query terms probing the token key), "
+    "joined back to document metadata and ranked — keyword serving "
+    "declared entirely in config, beside the embedding-kNN config "
+    "path pipeline_knn proves. The oracle replays the probe, rank, "
+    "and enrich chain as one SQL statement.",
+)
+def pipeline_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: keyword_serving
+sources:
+  documents:
+    format: parquet
+    path: {sf_dir}/documents.parquet
+steps:
+  - id: hits
+    input: documents
+    op: keyword_search
+    params:
+      k: 5
+      queries:
+        0: [the, data]
+        1: [stream, window]
+  - id: meta
+    input: documents
+    op: select
+    params: {{columns: [doc_id, source]}}
+  - id: enriched
+    inputs: [hits, meta]
+    op: join
+    params: {{"on": [doc_id], how: inner}}
+  - id: shaped
+    input: enriched
+    op: select
+    params: {{columns: [qid, doc_id, n_matched, rank, source]}}
+  - id: ranked
+    input: shaped
+    op: sort
+    params:
+      by: [qid, rank]
+"""
+    return _run(spark, yml, "ranked")
