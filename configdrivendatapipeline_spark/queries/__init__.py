@@ -342,6 +342,8 @@ _ROUND7_WINDOW = (
     "agg_auc",
     "mm_phash_pairs",
     "pipeline_retrieval",
+    "val_fd_profile",
+    "val_relationship_profile",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

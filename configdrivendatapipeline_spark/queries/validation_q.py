@@ -1114,3 +1114,143 @@ def val_outage_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("h").alias("outage_end"),
         F.count(F.lit(1)).alias("n_hours"),
     ).drop("grp")
+
+
+@declare(
+    "val_fd_profile",
+    """
+    WITH checks AS (
+      SELECT 'nation: n_nationkey -> n_name' AS fd,
+             (SELECT COUNT(*) FROM (
+                SELECT n_nationkey FROM nation
+                GROUP BY n_nationkey
+                HAVING COUNT(DISTINCT n_name) > 1)) AS n_violating_keys,
+             (SELECT COUNT(DISTINCT n_nationkey) FROM nation) AS n_keys
+      UNION ALL
+      SELECT 'customer: c_custkey -> c_mktsegment',
+             (SELECT COUNT(*) FROM (
+                SELECT c_custkey FROM customer
+                GROUP BY c_custkey
+                HAVING COUNT(DISTINCT c_mktsegment) > 1)),
+             (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+      UNION ALL
+      SELECT 'events: user_id -> event_type',
+             (SELECT COUNT(*) FROM (
+                SELECT user_id FROM events
+                GROUP BY user_id
+                HAVING COUNT(DISTINCT event_type) > 1)),
+             (SELECT COUNT(DISTINCT user_id) FROM events))
+    SELECT fd, CAST(n_violating_keys AS BIGINT) AS n_violating_keys,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           n_violating_keys = 0 AS holds
+    FROM checks
+    """,
+    _SEC,
+    "Functional-dependency profiling (the Metanome/Deequ discovery "
+    "surface): for each declared candidate FD A→B, count the A-keys "
+    "mapping to >1 distinct B — zero means the dependency HOLDS and "
+    "is safe to normalize on, dedupe by, or enforce as a contract; "
+    "the planted third check (user_id → event_type) is expected to "
+    "FAIL, proving the profiler reports violations rather than "
+    "rubber-stamping. Each check is one grouped distinct-count — "
+    "map-side combinable, one shuffle per FD.",
+)
+def val_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def check(fd: str, df: DataFrame, a: str, b: str) -> DataFrame:
+        g = df.groupBy(a).agg(F.count_distinct(b).alias("nb"))
+        return g.agg(
+            F.lit(fd).alias("fd"),
+            F.sum(F.when(F.col("nb") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        )
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    ev = load(spark, sf_dir, "events")
+    out = (
+        check("nation: n_nationkey -> n_name", nation, "n_nationkey", "n_name")
+        .unionByName(
+            check(
+                "customer: c_custkey -> c_mktsegment",
+                cust,
+                "c_custkey",
+                "c_mktsegment",
+            )
+        )
+        .unionByName(
+            check("events: user_id -> event_type", ev, "user_id", "event_type")
+        )
+    )
+    return out.select(
+        "fd",
+        "n_violating_keys",
+        "n_keys",
+        (F.col("n_violating_keys") == 0).alias("holds"),
+    )
+
+
+@declare(
+    "val_relationship_profile",
+    """
+    WITH oc AS (
+      SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+    lo AS (
+      SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey),
+    rels AS (
+      SELECT 'customer 1:N orders' AS rel,
+             (SELECT CAST(MAX(n) AS BIGINT) FROM oc) AS max_children,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM oc) AS n_parents,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+              WHERE c_custkey NOT IN (SELECT k FROM oc)) AS n_childless
+      UNION ALL
+      SELECT 'orders 1:N lineitem',
+             (SELECT CAST(MAX(n) AS BIGINT) FROM lo),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lo),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+              WHERE o_orderkey NOT IN (SELECT k FROM lo)))
+    SELECT rel, max_children, n_parents, n_childless,
+           CASE WHEN max_children <= 1 THEN '1:1' ELSE '1:N' END AS kind
+    FROM rels
+    """,
+    _SEC,
+    "Relationship-cardinality profiling: per declared FK edge, the "
+    "max fan-out, participating parent count, and childless-parent "
+    "count classify the edge (1:1 vs 1:N) — the schema-inference "
+    "audit that catches a 'dimension' silently becoming a fact (a "
+    "lookup keyed 1:N double-counts every join through it). Each "
+    "edge is one grouped count + an anti-join count; ref-integrity "
+    "orphans are the separate val_ref_integrity check.",
+)
+def val_relationship_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    def profile(rel, parents, pk, children, fk):
+        per = children.groupBy(F.col(fk).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        stats = per.agg(
+            F.max("n").cast("long").alias("max_children"),
+            F.count(F.lit(1)).cast("long").alias("n_parents"),
+        )
+        childless = (
+            parents.join(per, parents[pk] == per["k"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_childless"))
+        )
+        return stats.crossJoin(childless).select(
+            F.lit(rel).alias("rel"),
+            "max_children",
+            "n_parents",
+            "n_childless",
+            F.when(F.col("max_children") <= 1, "1:1")
+            .otherwise("1:N")
+            .alias("kind"),
+        )
+
+    return profile(
+        "customer 1:N orders", cust, "c_custkey", orders, "o_custkey"
+    ).unionByName(
+        profile("orders 1:N lineitem", orders, "o_orderkey", li, "l_orderkey")
+    )
