@@ -344,6 +344,7 @@ _ROUND7_WINDOW = (
     "pipeline_retrieval",
     "val_fd_profile",
     "val_relationship_profile",
+    "agg_cohens_kappa",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2074,3 +2074,66 @@ def agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * n_pos * n_neg)"
         ).alias("auc_micro"),
     )
+
+
+@declare(
+    "agg_cohens_kappa",
+    """
+    WITH s AS (
+      SELECT event_type,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN value >= 10.0 THEN 1 ELSE 0 END AS b
+      FROM events),
+    g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(SUM(a) AS BIGINT) AS na1,
+             CAST(SUM(b) AS BIGINT) AS nb1
+      FROM s GROUP BY event_type)
+    SELECT event_type, n, agree,
+           CASE WHEN agree * n >= (na1 * nb1 + (n - na1) * (n - nb1))
+                THEN 1 ELSE -1 END
+             * (abs(agree * n - (na1 * nb1 + (n - na1) * (n - nb1))) * 1000000
+                // (n * n - (na1 * nb1 + (n - na1) * (n - nb1))))
+             AS kappa_micro
+    FROM g
+    """,
+    _SEC,
+    "Cohen's kappa between two binary labelers in EXACT integer "
+    "micro-units: κ = (pₒ−pₑ)/(1−pₑ) cleared of denominators — "
+    "(agree·n − E)·10⁶ div (n² − E) with E = n₁ᵃn₁ᵇ + n₀ᵃn₀ᵇ — the "
+    "chance-corrected agreement a labeling pipeline reports before "
+    "trusting weak labels (raw agreement flatters imbalanced "
+    "labels). One aggregation per stratum; κ is legitimately "
+    "negative for worse-than-chance agreement, so the micro-unit "
+    "division is sign-decomposed (sign · (|num|·10⁶ div den)) per "
+    "the module conventions — negative integer division is where "
+    "engines' floor-vs-truncate semantics diverge.",
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.when(F.get_json_object("props", "$.k").cast("long") >= 50, 1)
+        .otherwise(0)
+        .alias("a"),
+        F.when(F.col("value") >= 10.0, 1).otherwise(0).alias("b"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias("agree"),
+        F.sum("a").alias("na1"),
+        F.sum("b").alias("nb1"),
+    )
+    e = "(na1 * nb1 + (n - na1) * (n - nb1))"
+    return g.select(
+        "event_type",
+        "n",
+        "agree",
+        F.expr(
+            f"(CASE WHEN agree * n >= {e} THEN 1 ELSE -1 END)"
+            f" * (abs(agree * n - {e}) * 1000000 div (n * n - {e}))"
+        ).alias("kappa_micro"),
+    )
