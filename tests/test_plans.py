@@ -464,3 +464,41 @@ def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
             cur += d
             peak = max(peak, cur)
         assert got[str(day)] == peak, day
+
+
+def test_lint_plan_detects_each_antipattern():
+    """The lint's pattern detectors must actually fire: a planted
+    cartesian, a row-Python UDF, and an unpartitioned window each
+    flag for a non-allowlisted query name, and the logical-dedup of
+    window specs counts a reused subtree once."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_lint import lint_plan
+
+    assert lint_plan("some_query", "... CartesianProduct ...") == [
+        "CartesianProduct"
+    ]
+    assert lint_plan("some_query", "... BatchEvalPython ...") == [
+        "BatchEvalPython"
+    ]
+    gw = (
+        "Window [sum(x#12L) windowspecdefinition(y#3L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))]"
+    )
+    assert lint_plan("some_query", gw) == ["GLOBAL_WINDOW"]
+    # partitioned window: first arg is a bare column, no direction
+    pw = (
+        "Window [sum(x#12L) windowspecdefinition(part#7, y#3L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))]"
+    )
+    assert lint_plan("some_query", pw) == []
+    # allowlisted name passes, but only up to its pinned count
+    assert lint_plan("val_skew", gw) == []
+    two = gw + "\n" + gw.replace("y#3L", "z#9L")
+    hits = lint_plan("val_skew", two)
+    assert hits and "allowed" in hits[0]
+    # the SAME spec repeated with different expr ids dedups to one
+    dup = gw + "\n" + gw.replace("#3L", "#88L")
+    assert lint_plan("val_skew", dup) == []
