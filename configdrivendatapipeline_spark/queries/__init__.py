@@ -345,6 +345,7 @@ _ROUND7_WINDOW = (
     "val_fd_profile",
     "val_relationship_profile",
     "agg_cohens_kappa",
+    "val_hash_chain",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

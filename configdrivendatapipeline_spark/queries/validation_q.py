@@ -1254,3 +1254,65 @@ def val_relationship_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         profile("orders 1:N lineitem", orders, "o_orderkey", li, "l_orderkey")
     )
+
+
+@declare(
+    "val_hash_chain",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_id,
+             md5(CAST(event_id AS VARCHAR) || '|' || event_type || '|' ||
+                 CAST(user_id AS VARCHAR)) AS digest
+      FROM events),
+    g AS (
+      SELECT day, list(digest ORDER BY event_id) AS ds,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY day)
+    SELECT day, n,
+           list_reduce(list_prepend('GENESIS', ds),
+                       (acc, x) -> md5(acc || x)) AS chain_hash
+    FROM g
+    """,
+    _SEC,
+    "Tamper-evident hash chain per day: each row's digest folds into "
+    "a running md5 (h ← md5(h ‖ digest)) in strict event_id order — "
+    "the audit-ledger integrity check where a plain per-day checksum "
+    "(val_checksum) detects CHANGES but not reordering or "
+    "splice-and-rebalance edits; any mutation anywhere in a day "
+    "flips that day's head hash. Chaining is inherently sequential "
+    "— that is the tamper-evidence — so the fold is scoped per "
+    "PARTITION (day): days chain independently and in parallel, the "
+    "fold runs over one day's collected digests in-plan (arrays "
+    "never leave the JVM), and md5 is the shared hash family so the "
+    "oracle replays every link.",
+)
+def val_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("event_type"),
+                F.col("user_id").cast("string"),
+            )
+        ).alias("digest"),
+    )
+    g = d.groupBy("day").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "digest"))),
+            lambda s: s.getField("digest"),
+        ).alias("ds"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return g.select(
+        "day",
+        "n",
+        F.aggregate(
+            "ds",
+            F.lit("GENESIS"),
+            lambda acc, x: F.md5(F.concat(acc, x)),
+        ).alias("chain_hash"),
+    )
