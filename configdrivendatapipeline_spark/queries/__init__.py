@@ -346,6 +346,7 @@ _ROUND7_WINDOW = (
     "val_relationship_profile",
     "agg_cohens_kappa",
     "val_hash_chain",
+    "llm_mixture_plan",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

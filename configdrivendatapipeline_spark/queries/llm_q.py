@@ -4907,3 +4907,66 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "phash_hi", "phash_lo"
     )
     return multimodal.phash_pairs(hashes, max_hamming=3, max_bucket=100)
+
+
+@declare(
+    "llm_mixture_plan",
+    """
+    WITH avail AS (
+      SELECT source,
+             CAST(SUBSTR(source, 4) AS BIGINT) % 5 + 1 AS w,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
+      FROM documents GROUP BY source),
+    tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS big_w,
+             CAST(MIN(tokens_avail * (SELECT SUM(w) FROM avail) // w)
+                  AS BIGINT) AS total_max
+      FROM avail)
+    SELECT a.source, a.w, a.tokens_avail,
+           t.total_max * a.w // t.big_w AS planned_tokens,
+           (t.total_max * a.w // t.big_w) * 1000000 // a.tokens_avail
+             AS utilization_micro
+    FROM avail a CROSS JOIN tot t
+    """,
+    _SEC,
+    "Availability-constrained mixture planning (water-filling): "
+    "given per-source token inventories and target mixture weights, "
+    "the largest total budget where EVERY source can still supply "
+    "its share is min over sources of avail·W div w — the binding "
+    "source pins the whole mixture, which is exactly the fact a "
+    "data-mixture planner needs surfaced (upweighting a scarce "
+    "source shrinks the entire training set). Planned allocations "
+    "and utilization come out in exact integers; one aggregation + "
+    "one broadcast scalar — the plan costs a metadata scan at any "
+    "corpus size.",
+)
+def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens_avail")
+    ).select(
+        "source",
+        (F.expr("CAST(SUBSTR(source, 4) AS BIGINT)") % 5 + 1).alias("w"),
+        "tokens_avail",
+    )
+    tot = avail.agg(
+        F.sum("w").cast("long").alias("big_w"),
+    )
+    a2 = avail.crossJoin(F.broadcast(tot))
+    tmax = a2.agg(
+        F.min(F.expr("tokens_avail * big_w div w")).cast("long").alias(
+            "total_max"
+        )
+    )
+    return (
+        a2.crossJoin(F.broadcast(tmax))
+        .select(
+            "source",
+            "w",
+            "tokens_avail",
+            F.expr("total_max * w div big_w").alias("planned_tokens"),
+            F.expr(
+                "(total_max * w div big_w) * 1000000 div tokens_avail"
+            ).alias("utilization_micro"),
+        )
+    )
