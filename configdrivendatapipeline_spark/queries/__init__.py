@@ -347,6 +347,7 @@ _ROUND7_WINDOW = (
     "agg_cohens_kappa",
     "val_hash_chain",
     "llm_mixture_plan",
+    "val_luhn",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1316,3 +1316,49 @@ def val_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.md5(F.concat(acc, x)),
         ).alias("chain_hash"),
     )
+
+
+@declare(
+    "val_luhn",
+    """
+    WITH a AS (
+      SELECT c_custkey,
+             lpad(CAST((c_custkey * 7919) % 10000000000 AS VARCHAR), 10, '0')
+               || CAST(c_custkey % 10 AS VARCHAR) AS acct
+      FROM customer),
+    e AS (
+      SELECT c_custkey, acct, t.i,
+             CAST(instr('0123456789', acct[t.i]) - 1 AS BIGINT) AS d,
+             len(acct) AS n
+      FROM a, unnest(range(1, len(acct) + 1)) AS t(i)),
+    g AS (
+      SELECT c_custkey, acct,
+             SUM(CASE WHEN (n - i) % 2 = 1
+                      THEN (2 * d) // 10 + (2 * d) % 10
+                      ELSE d END) AS s
+      FROM e GROUP BY c_custkey, acct)
+    SELECT c_custkey, acct, s % 10 = 0 AS luhn_ok
+    FROM g
+    """,
+    _SEC,
+    "Luhn checksum validation of identifier columns (card/IMEI/"
+    "account formats) via Spark 4's JVM-native luhn_check — the "
+    "transposition-and-typo tripwire a PII-bearing intake runs "
+    "before trusting identifiers downstream. The fixture "
+    "synthesizes 11-digit accounts whose last digit is arbitrary, "
+    "so ~10% validate — and the oracle re-implements Luhn from "
+    "first principles (double every second digit from the right, "
+    "carry-fold, mod 10), proving the builtin's semantics rather "
+    "than assuming them.",
+)
+def val_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    acct = F.concat(
+        F.lpad(((F.col("c_custkey") * 7919) % 10000000000).cast("string"), 10, "0"),
+        (F.col("c_custkey") % 10).cast("string"),
+    )
+    return cust.select(
+        "c_custkey",
+        acct.alias("acct"),
+        F.expr("luhn_check(acct)").alias("luhn_ok"),
+    ).select("c_custkey", "acct", "luhn_ok")
