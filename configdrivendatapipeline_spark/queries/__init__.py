@@ -348,6 +348,7 @@ _ROUND7_WINDOW = (
     "val_hash_chain",
     "llm_mixture_plan",
     "val_luhn",
+    "agg_ab_lift",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

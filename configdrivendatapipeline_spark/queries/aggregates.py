@@ -2137,3 +2137,91 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * (abs(agree * n - {e}) * 1000000 div (n * n - {e}))"
         ).alias("kappa_micro"),
     )
+
+
+from configdrivendatapipeline_spark.queries import omd5bucket as _oab  # noqa: E402
+
+
+@declare(
+    "agg_ab_lift",
+    f"""
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN {_oab('user_id', 'exp:homepage:v1', 2)} = 1
+                  THEN 'B' ELSE 'A' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)),
+    m AS (
+      SELECT a.arm,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(DISTINCT CASE WHEN e.event_type = 'purchase'
+                        THEN e.user_id END) AS BIGINT) AS n_converted
+      FROM events e JOIN assign a USING (user_id)
+      GROUP BY a.arm),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+             MAX(CASE WHEN arm = 'A' THEN n_converted END) AS ca,
+             MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+             MAX(CASE WHEN arm = 'B' THEN n_converted END) AS cb
+      FROM m)
+    SELECT na AS n_users_a, ca AS n_conv_a, nb AS n_users_b, cb AS n_conv_b,
+           ca * 1000000 // na AS rate_a_micro,
+           cb * 1000000 // nb AS rate_b_micro,
+           CASE WHEN cb * na >= ca * nb THEN 1 ELSE -1 END
+             * (abs(cb * na - ca * nb) * 1000000 // (ca * nb))
+             AS rel_lift_micro
+    FROM w
+    """,
+    _SEC,
+    "A/B experiment readout with deterministic assignment: users "
+    "hash into arms by salted md5 (the same bucketing production "
+    "experimentation uses — assignment is a pure function of "
+    "(user, experiment), stable across sessions and retries), "
+    "per-arm conversion to 'purchase' in exact micro-units, and "
+    "relative lift as the cross-product ratio cb·na / ca·nb "
+    "cleared of divisions — sign-decomposed because lift is "
+    "legitimately negative. The md5 family replays assignment "
+    "bit-for-bit in the oracle, so the whole experiment readout is "
+    "hash-verified.",
+)
+def agg_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+
+    ev = load(spark, sf_dir, "events")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                hash_bucket(F.col("user_id"), "exp:homepage:v1", 2) == 1, "B"
+            ).otherwise("A").alias("arm"),
+        )
+    )
+    m = (
+        ev.join(assign, "user_id")
+        .groupBy("arm")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(
+                F.when(F.col("event_type") == "purchase", F.col("user_id"))
+            ).alias("n_converted"),
+        )
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("cb"),
+    )
+    return w.select(
+        F.col("na").alias("n_users_a"),
+        F.col("ca").alias("n_conv_a"),
+        F.col("nb").alias("n_users_b"),
+        F.col("cb").alias("n_conv_b"),
+        F.expr("ca * 1000000 div na").alias("rate_a_micro"),
+        F.expr("cb * 1000000 div nb").alias("rate_b_micro"),
+        F.expr(
+            "(CASE WHEN cb * na >= ca * nb THEN 1 ELSE -1 END)"
+            " * (abs(cb * na - ca * nb) * 1000000 div (ca * nb))"
+        ).alias("rel_lift_micro"),
+    )
