@@ -349,6 +349,7 @@ _ROUND7_WINDOW = (
     "llm_mixture_plan",
     "val_luhn",
     "agg_ab_lift",
+    "llm_vocab_coverage",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -4970,3 +4970,60 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("utilization_micro"),
         )
     )
+
+
+@declare(
+    "llm_vocab_coverage",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+    vf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY token
+      ORDER BY cnt DESC, token LIMIT 100),
+    r AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM vf)
+    SELECT CAST(r.rank AS INT) AS rank, r.token, r.cnt,
+           r.cum * 1000000 // t.n_total AS cum_share_micro
+    FROM r CROSS JOIN tot t
+    """,
+    _SEC,
+    "Vocabulary coverage curve (the Zipf table): cumulative corpus "
+    "share of the top-100 words by rank — the sizing evidence a "
+    "vocab/tokenizer decision reads (how much of the stream the "
+    "head covers decides merge counts and stopword policies). The "
+    "global cumsum runs AFTER a TakeOrdered-100 cut, so the window "
+    "frame is constant-bounded at any corpus size; shares in exact "
+    "integer micro-units.",
+)
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    vf = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(100)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    r = vf.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return r.crossJoin(F.broadcast(tot)).select(
+        F.col("rank").cast("int").alias("rank"),
+        "token",
+        "cnt",
+        F.expr("cum * 1000000 div n_total").alias("cum_share_micro"),
+    )

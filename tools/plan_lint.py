@@ -70,6 +70,8 @@ ALLOW = {
     # bounded by the corpus time span (8.8k rows/year), never data
     # volume.
     ("val_outage_windows", "GLOBAL_WINDOW"),
+    # vocab-coverage ranks AFTER a LIMIT-100 TakeOrdered (≤100 rows).
+    ("llm_vocab_coverage", "GLOBAL_WINDOW"),
 }
 
 #: For allowlisted GLOBAL_WINDOW queries: the expected NUMBER of
@@ -87,6 +89,7 @@ ALLOW_GLOBAL_WINDOW_MAX = {
     "llm_budget_select": 2,
     "pipeline_budget": 2,
     "val_outage_windows": 1,
+    "llm_vocab_coverage": 2,
 }
 
 
