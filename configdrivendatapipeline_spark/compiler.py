@@ -426,6 +426,41 @@ def _neardup_pairs(spark, dfs, p):
     )
 
 
+@op("mixture_plan")
+def _mixture_plan(spark, dfs, p):
+    """Availability-constrained mixture planning (water-filling):
+    input is a per-source availability frame; ``weights`` maps
+    source -> target weight (integers). Emits per-source planned
+    allocations + utilization (see llm_mixture_plan for the
+    identity: total_max = min over sources of avail·W div w)."""
+    from pyspark.sql import functions as F
+
+    df = _one(dfs)
+    key = p.get("source_column", "source")
+    avail_col = p.get("available_column", "tokens_avail")
+    weights = {str(k): int(v) for k, v in dict(p["weights"]).items()}
+    wtab = spark.createDataFrame(
+        list(weights.items()), f"{key} STRING, w BIGINT"
+    )
+    a = df.select(key, F.col(avail_col).cast("long").alias("tokens_avail")).join(
+        F.broadcast(wtab), key
+    )
+    tot = a.agg(F.sum("w").cast("long").alias("big_w"))
+    a2 = a.crossJoin(F.broadcast(tot))
+    tmax = a2.agg(
+        F.min(F.expr("tokens_avail * big_w div w")).cast("long").alias("total_max")
+    )
+    return a2.crossJoin(F.broadcast(tmax)).select(
+        key,
+        "w",
+        "tokens_avail",
+        F.expr("total_max * w div big_w").alias("planned_tokens"),
+        F.expr("(total_max * w div big_w) * 1000000 div tokens_avail").alias(
+            "utilization_micro"
+        ),
+    )
+
+
 @op("inverted_index")
 def _inverted_index(spark, dfs, p):
     """Token -> document-frequency + sorted postings head (the

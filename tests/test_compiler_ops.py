@@ -46,7 +46,7 @@ def test_every_op_is_exercised_below():
         "asof_join", "route_modality", "budget_select", "survivorship",
         "kanonymity", "ldiversity", "hard_negatives", "oversample",
         "bpe_train", "bpe_encode", "winnow_fingerprints", "winnow_pairs",
-        "inverted_index", "keyword_search",
+        "inverted_index", "keyword_search", "mixture_plan",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1077,6 +1077,36 @@ def test_winnow_ops(spark, sf_dir):
     assert rows(frames["pairs"]) == rows(
         winnow_candidate_pairs(docs, min_shared=2)
     )
+
+
+def test_mixture_plan_op(spark, sf_dir):
+    """total_max is pinned by the binding source: every planned
+    allocation fits its availability, and at least one source is
+    (near-)fully utilized up to integer flooring."""
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - id: avail
+    input: documents
+    op: aggregate
+    params:
+      group_by: [source]
+      aggs:
+        tokens_avail: "CAST(SUM(size(split(text, ' '))) AS BIGINT)"
+  - id: plan
+    input: avail
+    op: mixture_plan
+    params:
+      weights: {src0: 3, src1: 1, src2: 1}
+""",
+    )
+    rows_ = frames["plan"].collect()
+    assert {r["source"] for r in rows_} == {"src0", "src1", "src2"}
+    for r in rows_:
+        assert 0 <= r["planned_tokens"] <= r["tokens_avail"]
+    assert max(r["utilization_micro"] for r in rows_) >= 999_000
 
 
 def test_retrieval_ops(spark, sf_dir):
