@@ -350,6 +350,7 @@ _ROUND7_WINDOW = (
     "val_luhn",
     "agg_ab_lift",
     "llm_vocab_coverage",
+    "agg_skyline",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

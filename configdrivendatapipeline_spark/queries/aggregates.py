@@ -2225,3 +2225,86 @@ def agg_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (abs(cb * na - ca * nb) * 1000000 div (ca * nb))"
         ).alias("rel_lift_micro"),
     )
+
+
+@declare(
+    "agg_skyline",
+    """
+    WITH pts AS (
+      SELECT l_partkey AS partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p.partkey, p.qty, p.rev_cents
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.qty >= p.qty AND q.rev_cents >= p.rev_cents
+        AND (q.qty > p.qty OR q.rev_cents > p.rev_cents))
+    """,
+    _SEC,
+    "Skyline / Pareto-frontier query (Börzsönyi et al. ICDE'01): "
+    "parts not dominated in (total quantity, revenue) — the "
+    "multi-criteria shortlist operator. The naive NOT EXISTS is the "
+    "ORACLE's job; the Spark plan is the distributed shape: bucket "
+    "the x-axis on a broadcast-derived width, take per-bucket y "
+    "maxima (a few hundred rows at any corpus size), build the "
+    "running dominance threshold over buckets — every point below "
+    "the strictly-higher-bucket y-max is pruned MAP-SIDE via "
+    "broadcast — and only the tiny survivor set pays the exact "
+    "pairwise dominance check. Exact integers end to end.",
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        F.floor(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    # Bucket width from a broadcast 1-row scalar (≈256 buckets).
+    mx = pts.agg(
+        F.greatest(
+            F.lit(1).cast("long"), F.expr("CAST(MAX(qty) div 256 AS BIGINT)")
+        ).alias("bw")
+    )
+    b = pts.crossJoin(F.broadcast(mx)).withColumn(
+        "xb", F.expr("qty div bw")
+    )
+    # Per-bucket y maxima (≤257 rows), then the dominance threshold:
+    # max y over all STRICTLY higher buckets. Window over bucket
+    # maxima only — constant-bounded (plan-lint exempt).
+    bmax = b.groupBy("xb").agg(F.max("rev_cents").alias("ymax"))
+    wdesc = (
+        Window.orderBy(F.col("xb").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    thr = bmax.withColumn("y_above", F.max("ymax").over(wdesc))
+    # Map-side prune: survivors must beat every strictly-higher
+    # bucket's best y (points in the same bucket still need the
+    # exact check).
+    cand = (
+        b.join(F.broadcast(thr.select("xb", "y_above")), "xb")
+        .filter(F.col("y_above").isNull() | (F.col("rev_cents") >= F.col("y_above")))
+        .select("partkey", "qty", "rev_cents")
+    )
+    a = cand.alias("a")
+    q = cand.alias("q")
+    dominated = (
+        a.join(
+            q,
+            (F.col("q.qty") >= F.col("a.qty"))
+            & (F.col("q.rev_cents") >= F.col("a.rev_cents"))
+            & (
+                (F.col("q.qty") > F.col("a.qty"))
+                | (F.col("q.rev_cents") > F.col("a.rev_cents"))
+            ),
+            "left_semi",
+        )
+    )
+    return cand.join(dominated, ["partkey"], "left_anti").select(
+        "partkey", "qty", "rev_cents"
+    )

@@ -72,6 +72,9 @@ ALLOW = {
     ("val_outage_windows", "GLOBAL_WINDOW"),
     # vocab-coverage ranks AFTER a LIMIT-100 TakeOrdered (≤100 rows).
     ("llm_vocab_coverage", "GLOBAL_WINDOW"),
+    # skyline's dominance threshold windows over per-BUCKET maxima
+    # (≤257 rows — fixed 256-bucket grid), never over points.
+    ("agg_skyline", "GLOBAL_WINDOW"),
 }
 
 #: For allowlisted GLOBAL_WINDOW queries: the expected NUMBER of
@@ -90,6 +93,7 @@ ALLOW_GLOBAL_WINDOW_MAX = {
     "pipeline_budget": 2,
     "val_outage_windows": 1,
     "llm_vocab_coverage": 2,
+    "agg_skyline": 1,
 }
 
 
