@@ -351,6 +351,7 @@ _ROUND7_WINDOW = (
     "agg_ab_lift",
     "llm_vocab_coverage",
     "agg_skyline",
+    "agg_jackknife_influence",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2308,3 +2308,60 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(dominated, ["partkey"], "left_anti").select(
         "partkey", "qty", "rev_cents"
     )
+
+
+@declare(
+    "agg_jackknife_influence",
+    """
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM events GROUP BY event_type),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS big_n, CAST(SUM(s) AS BIGINT) AS big_s
+      FROM g)
+    SELECT g.event_type, g.n,
+           t.big_s // t.big_n AS mean_micro,
+           (t.big_s - g.s) // (t.big_n - g.n) AS mean_wo_micro,
+           CASE WHEN (t.big_s - g.s) * t.big_n >= t.big_s * (t.big_n - g.n)
+                THEN 1 ELSE -1 END
+             * (abs((t.big_s - g.s) * t.big_n - t.big_s * (t.big_n - g.n))
+                // (t.big_n * (t.big_n - g.n)))
+             AS shift_micro
+    FROM g CROSS JOIN tot t
+    """,
+    _SEC,
+    "Jackknife influence audit: for each event-type cohort, the "
+    "corpus mean recomputed WITHOUT it — entirely from the group "
+    "totals via (S−sᵢ)/(N−nᵢ), never a second scan per cohort — and "
+    "the signed shift it induces, exact integer micro-units with "
+    "sign-decomposed division. This is the robustness question a "
+    "metric review actually asks ('is the average carried by one "
+    "segment?') answered at one-aggregation cost; the same totals "
+    "identity is how leave-one-out runs at 100 TB, where per-cohort "
+    "rescans are unpayable.",
+)
+def agg_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)")).alias("s"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("big_n"),
+        F.sum("s").cast("long").alias("big_s"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.expr("big_s div big_n").alias("mean_micro"),
+        F.expr("(big_s - s) div (big_n - n)").alias("mean_wo_micro"),
+        F.expr(
+            "(CASE WHEN (big_s - s) * big_n >= big_s * (big_n - n)"
+            " THEN 1 ELSE -1 END)"
+            " * (abs((big_s - s) * big_n - big_s * (big_n - n))"
+            "    div (big_n * (big_n - n)))"
+        ).alias("shift_micro"),
+    )
