@@ -352,6 +352,7 @@ _ROUND7_WINDOW = (
     "llm_vocab_coverage",
     "agg_skyline",
     "agg_jackknife_influence",
+    "fn_soundex_blocking",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -781,3 +781,62 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.replace("substr('", "substring('") for c in chars
     ) + ")"
     return m.select("id", "lat_u", "lon_u", F.expr(concat).alias("geohash6"))
+
+
+@declare(
+    "fn_soundex_blocking",
+    """
+    WITH w AS (
+      SELECT DISTINCT token AS w FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE regexp_matches(token, '^[A-Za-z]+$')),
+    s1 AS (SELECT w, upper(w) AS u FROM w),
+    s2 AS (SELECT w, substr(u, 1, 1) AS f,
+           translate(substr(u, 1, 1),
+             'BFPVCGJKQSXZDTLMNRAEIOUYHW',
+             '11112222222233455600000000') AS fc,
+           translate(translate(substr(u, 2), 'HW', ''),
+             'BFPVCGJKQSXZDTLMNRAEIOUY',
+             '111122222222334556000000') AS codes
+           FROM s1),
+    s3 AS (SELECT w, f,
+           list_reduce(list_prepend(fc, string_split(codes, '')),
+                       (acc, c) -> CASE WHEN substr(acc, -1, 1) = c
+                                   THEN acc ELSE acc || c END) AS coll
+           FROM s2),
+    s4 AS (SELECT w,
+           f || substr(replace(substr(coll, 2), '0', '') || '000', 1, 3)
+             AS sdx
+           FROM s3)
+    SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           array_to_string(list(w ORDER BY w), ',') AS members
+    FROM s4 GROUP BY sdx
+    """,
+    _SEC,
+    "Phonetic blocking keys via Spark's JVM-native soundex, grouped "
+    "into collision blocks — the classic record-linkage blocking "
+    "step (candidate pairs only form within a block, turning O(n²) "
+    "name matching into per-block work). The oracle re-implements "
+    "American Soundex from first principles — H/W transparency, "
+    "first-letter-code dedup, vowel separators, the fold-based "
+    "run-collapse — and matches the builtin bit-for-bit, so the "
+    "builtin's exact semantics are proven, not assumed (RE2's "
+    "missing backreferences forced the fold; see the list_reduce).",
+)
+def fn_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z]+$"))
+        .distinct()
+    )
+    return (
+        w.select("w", F.soundex("w").alias("sdx"))
+        .groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(F.array_sort(F.collect_list("w")), ",").alias(
+                "members"
+            ),
+        )
+    )
