@@ -353,6 +353,7 @@ _ROUND7_WINDOW = (
     "agg_skyline",
     "agg_jackknife_influence",
     "fn_soundex_blocking",
+    "llm_ccnet_buckets",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",
