@@ -354,6 +354,7 @@ _ROUND7_WINDOW = (
     "agg_jackknife_influence",
     "fn_soundex_blocking",
     "llm_ccnet_buckets",
+    "enr_date_dim",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -578,3 +578,57 @@ def enr_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "n_merged",
     )
+
+
+@declare(
+    "enr_date_dim",
+    """
+    WITH bounds AS (
+      SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      FROM bounds)
+    SELECT d AS date_key,
+           CAST(EXTRACT(year FROM d) AS INT) AS year,
+           CAST(EXTRACT(quarter FROM d) AS INT) AS quarter,
+           CAST(EXTRACT(month FROM d) AS INT) AS month,
+           CAST(EXTRACT(day FROM d) AS INT) AS day_of_month,
+           CAST((dayofweek(d) + 6) % 7 + 1 AS INT) AS iso_dow,
+           dayofweek(d) IN (0, 6) AS is_weekend,
+           CAST(strftime(d, '%Y-%m') AS VARCHAR) AS month_key,
+           d = last_day(d) AS is_month_end
+    FROM spine
+    """,
+    _SEC,
+    "Conformed calendar dimension generated from the fact table's "
+    "own date bounds — the star-schema staple every BI layer "
+    "conforms on: ISO weekday (explicitly normalized — Spark's "
+    "dayofweek is 1=Sunday, DuckDB's is 0=Sunday, and silent "
+    "disagreement here corrupts every weekly rollup downstream), "
+    "weekend and month-end flags, year/quarter/month keys. "
+    "Calendar-bounded output (rows = days in span) at any fact "
+    "volume; in production this materializes once and broadcast-"
+    "joins everywhere.",
+)
+def enr_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(CAST(lo AS DATE), CAST(hi AS DATE), interval 1 day)")
+        ).alias("d0")
+    ).select(F.col("d0").cast("date").alias("d"))
+    return spine.select(
+        F.col("d").alias("date_key"),
+        F.year("d").alias("year"),
+        F.quarter("d").alias("quarter"),
+        F.month("d").alias("month"),
+        F.dayofmonth("d").alias("day_of_month"),
+        # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
+        F.expr("CAST((dayofweek(d) + 5) % 7 + 1 AS INT)").alias("iso_dow"),
+        F.expr("dayofweek(d) IN (1, 7)").alias("is_weekend"),
+        F.date_format("d", "yyyy-MM").alias("month_key"),
+        F.expr("d = last_day(d)").alias("is_month_end"),
+    )
