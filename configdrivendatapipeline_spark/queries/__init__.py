@@ -355,6 +355,7 @@ _ROUND7_WINDOW = (
     "fn_soundex_blocking",
     "llm_ccnet_buckets",
     "enr_date_dim",
+    "join_role_playing",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -1070,3 +1070,79 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist_sq_u") <= F.lit(1_000_000_000_000))
     )
+
+
+@declare(
+    "join_role_playing",
+    """
+    WITH bounds AS (
+      SELECT LEAST((SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders),
+                   (SELECT MIN(CAST(l_shipdate AS DATE)) FROM lineitem)) AS lo,
+             GREATEST((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
+                      (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem)) AS hi),
+    dim AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS date_key,
+             (dayofweek(unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE)
+              IN (0, 6)) AS is_weekend
+      FROM bounds),
+    f AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             CAST(o.o_orderdate AS DATE) AS od,
+             CAST(l.l_shipdate AS DATE) AS sd
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT ord.is_weekend AS ordered_weekend,
+           shp.is_weekend AS shipped_weekend,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(date_diff('day', f.od, f.sd) AS BIGINT)) AS BIGINT)
+             AS total_lag_days
+    FROM f
+    JOIN dim ord ON ord.date_key = f.od
+    JOIN dim shp ON shp.date_key = f.sd
+    GROUP BY ord.is_weekend, shp.is_weekend
+    """,
+    _J,
+    "Role-playing dimension join: ONE conformed calendar dimension "
+    "joined twice under different roles (order date, ship date) — "
+    "the Kimball pattern that keeps weekday semantics identical "
+    "across every date role instead of re-deriving them per column "
+    "(where the Spark-vs-SQL weekday-numbering trap bites twice). "
+    "Both dim joins broadcast (calendar-sized); the rollup shows "
+    "weekend-ordered vs weekend-shipped volume and exact order→ship "
+    "lag.",
+)
+def join_role_playing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    both = li.select(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).unionByName(orders.select(F.col("o_orderdate").cast("date").alias("d")))
+    bounds = both.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    dim = (
+        bounds.select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d0")
+        )
+        .select(F.col("d0").cast("date").alias("date_key"))
+        .withColumn("is_weekend", F.expr("dayofweek(date_key) IN (1, 7)"))
+    )
+    f = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    ordd = dim.select(
+        F.col("date_key").alias("od"), F.col("is_weekend").alias("ordered_weekend")
+    )
+    shpd = dim.select(
+        F.col("date_key").alias("sd"), F.col("is_weekend").alias("shipped_weekend")
+    )
+    return (
+        f.join(F.broadcast(ordd), "od")
+        .join(F.broadcast(shpd), "sd")
+        .groupBy("ordered_weekend", "shipped_weekend")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.datediff("sd", "od").cast("long")).alias("total_lag_days"),
+        )
+    )
