@@ -356,6 +356,7 @@ _ROUND7_WINDOW = (
     "llm_ccnet_buckets",
     "enr_date_dim",
     "join_role_playing",
+    "fn_ipv4_cidr",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

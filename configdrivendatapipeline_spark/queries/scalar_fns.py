@@ -840,3 +840,56 @@ def fn_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@declare(
+    "fn_ipv4_cidr",
+    """
+    WITH ips AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 2654435761) % 4294967296 AS BIGINT) AS ip
+      FROM customer)
+    SELECT c_custkey,
+           CAST(ip // 16777216 AS BIGINT) || '.' ||
+           CAST((ip // 65536) % 256 AS BIGINT) || '.' ||
+           CAST((ip // 256) % 256 AS BIGINT) || '.' ||
+           CAST(ip % 256 AS BIGINT) AS ip_str,
+           (ip // 16777216) = 10 AS in_10_slash8,
+           (ip // 1048576) = (3232235520 // 1048576) AS in_192_168_slash12,
+           (ip // 16777216) >= 224 AND (ip // 16777216) <= 239 AS is_multicast
+    FROM ips
+    """,
+    _SEC,
+    "IPv4/CIDR arithmetic in pure integers: synthesize addresses "
+    "from keys, render dotted-quad, and test CIDR membership by "
+    "prefix division (ip div 2^(32−prefix) equality — the mask "
+    "trick that makes network filtering a codegen'd integer compare "
+    "instead of string parsing) — the log-analytics primitive "
+    "behind every private-range filter, bot-block list, and "
+    "multicast gate. No UDF, no regex; identical arithmetic both "
+    "engines.",
+)
+def fn_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    ips = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey").cast("long") * 2654435761) % 4294967296).alias(
+            "ip"
+        ),
+    )
+    return ips.select(
+        "c_custkey",
+        F.expr(
+            "concat(CAST(ip div 16777216 AS STRING), '.',"
+            " CAST((ip div 65536) % 256 AS STRING), '.',"
+            " CAST((ip div 256) % 256 AS STRING), '.',"
+            " CAST(ip % 256 AS STRING))"
+        ).alias("ip_str"),
+        F.expr("(ip div 16777216) = 10").alias("in_10_slash8"),
+        F.expr("(ip div 1048576) = (3232235520 div 1048576)").alias(
+            "in_192_168_slash12"
+        ),
+        F.expr(
+            "(ip div 16777216) >= 224 AND (ip div 16777216) <= 239"
+        ).alias("is_multicast"),
+    )
