@@ -525,3 +525,49 @@ def stratified_n(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def pack_rehydrate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    shards: int = 8,
+    salt: str = "pack:v1",
+    shuffle_salt: str | None = None,
+) -> DataFrame:
+    """The READER side of :func:`pack_manifest`: join the manifest
+    back to payloads and emit each (doc, pack) fragment's actual
+    token slice — what a training-shard writer materializes, and the
+    proof the manifest arithmetic reconstructs content (fragments of
+    a doc, concatenated in pack order, are exactly the doc; pinned
+    by test). One id-keyed join manifest↔payload (both sides share
+    the id key), slicing is in-plan array arithmetic — text crosses
+    the plan once, never per-pack-copied on the driver."""
+    man = pack_manifest(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        budget=budget,
+        shards=shards,
+        salt=salt,
+        shuffle_salt=shuffle_salt,
+    )
+    return (
+        man.join(df.select(id_col, text_col), id_col)
+        .select(
+            id_col,
+            "shard",
+            "pack_no",
+            "slice_start",
+            "slice_len",
+            F.array_join(
+                F.slice(
+                    F.split(F.col(text_col), " "),
+                    (F.col("slice_start") + 1).cast("int"),
+                    F.col("slice_len").cast("int"),
+                ),
+                " ",
+            ).alias("fragment"),
+        )
+    )

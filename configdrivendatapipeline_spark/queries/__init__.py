@@ -357,6 +357,7 @@ _ROUND7_WINDOW = (
     "enr_date_dim",
     "join_role_playing",
     "fn_ipv4_cidr",
+    "llm_pack_rehydrate",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

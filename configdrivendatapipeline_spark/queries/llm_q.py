@@ -5125,3 +5125,54 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lm_micro").alias("min_lm_micro"),
         F.max("lm_micro").alias("max_lm_micro"),
     )
+
+
+@declare(
+    "llm_pack_rehydrate",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_obucket_md5('doc_id', 'pack:v1', 8)} AS shard
+      FROM documents
+    ), o AS (
+      SELECT doc_id, text, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tok_offset
+      FROM d
+    ), x AS (
+      SELECT doc_id, text, shard, n_tokens, tok_offset,
+             UNNEST(generate_series(tok_offset // 2048,
+                    (tok_offset + n_tokens - 1) // 2048)) AS pack_no
+      FROM o
+    ), m AS (
+      SELECT doc_id, text, shard,
+             CAST(pack_no AS BIGINT) AS pack_no,
+             CAST(GREATEST(0, pack_no * 2048 - tok_offset) AS BIGINT)
+               AS slice_start,
+             CAST(LEAST(n_tokens, (pack_no + 1) * 2048 - tok_offset)
+                  - GREATEST(0, pack_no * 2048 - tok_offset) AS BIGINT)
+               AS slice_len
+      FROM x)
+    SELECT doc_id, shard, pack_no, slice_start, slice_len,
+           array_to_string(
+             (string_split(text, ' '))[slice_start + 1 :
+                                       slice_start + slice_len], ' ')
+             AS fragment
+    FROM m
+    """,
+    _SEC,
+    "Sequence-packing REHYDRATION — the reader side of "
+    "llm_pack_manifest: the manifest joins back to payloads on the "
+    "id key and each (doc, pack) row emits its actual token slice, "
+    "proving the offset arithmetic reconstructs content (fragments "
+    "concatenated in pack order are exactly the doc — pinned by "
+    "test). Slicing is in-plan array arithmetic; text crosses the "
+    "plan once, never per-pack-copied driver-side.",
+)
+def llm_pack_rehydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from configdrivendatapipeline_spark.llm import sampling
+
+    return sampling.pack_rehydrate(load(spark, sf_dir, "documents"))

@@ -1221,3 +1221,21 @@ def test_scene_segments_cut_semantics(spark):
         (1, 0, 1, 2), (1, 2, 2, 1), (1, 3, 4, 2),
         (2, 0, 2, 3),
     ]
+
+def test_pack_rehydrate_conserves_documents(spark, sf_dir):
+    """Fragments of a document, concatenated in pack order, must be
+    EXACTLY the document — the conservation property that proves the
+    manifest's offset arithmetic (start/len per straddled pack) has
+    no off-by-one at either edge."""
+    from configdrivendatapipeline_spark.llm.sampling import pack_rehydrate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frags = pack_rehydrate(docs, budget=64).collect()
+    by_doc = {}
+    for r in frags:
+        by_doc.setdefault(r["doc_id"], []).append((r["pack_no"], r["fragment"]))
+    orig = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    assert set(by_doc) == set(orig)
+    for doc_id, parts in by_doc.items():
+        joined = " ".join(f for _, f in sorted(parts))
+        assert joined == orig[doc_id], f"doc {doc_id} not conserved"
