@@ -358,6 +358,7 @@ _ROUND7_WINDOW = (
     "join_role_playing",
     "fn_ipv4_cidr",
     "llm_pack_rehydrate",
+    "enr_allocation",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -632,3 +632,89 @@ def enr_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM").alias("month_key"),
         F.expr("d = last_day(d)").alias("is_month_end"),
     )
+
+
+@declare(
+    "enr_allocation",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem),
+    o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+      FROM orders),
+    j AS (
+      SELECT li.l_orderkey, li.l_linenumber, li.q, o.total_cents,
+             CAST(SUM(li.q) OVER (PARTITION BY li.l_orderkey) AS BIGINT) AS qq
+      FROM li JOIN o ON o.o_orderkey = li.l_orderkey),
+    base AS (
+      SELECT l_orderkey, l_linenumber, q, total_cents, qq,
+             (total_cents * q) // qq AS alloc0,
+             (total_cents * q) % qq AS frac
+      FROM j),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY frac DESC, l_linenumber) AS fr,
+             CAST(total_cents - SUM(alloc0) OVER (PARTITION BY l_orderkey)
+                  AS BIGINT) AS leftover
+      FROM base)
+    SELECT l_orderkey, l_linenumber, q,
+           alloc0 + CASE WHEN fr <= leftover THEN 1 ELSE 0 END AS alloc_cents
+    FROM ranked
+    """,
+    _SEC,
+    "Exact-conservation allocation by the LARGEST-REMAINDER method: "
+    "order revenue spreads across its lines proportional to "
+    "quantity, floor-divided, and the leftover cents go to the "
+    "largest fractional remainders (line-number tie-break) — so "
+    "per-order allocations sum EXACTLY to the parent total, the "
+    "invariant naive proportional rounding silently breaks and "
+    "finance reconciliation then chases forever (pinned by test). "
+    "All windows are per-order (≤7 lines); exact integers end to "
+    "end.",
+)
+def enr_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+            "total_cents"
+        ),
+    )
+    wq = Window.partitionBy("l_orderkey")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
+        "qq", F.sum("q").over(wq)
+    )
+    base = j.select(
+        "l_orderkey",
+        "l_linenumber",
+        "q",
+        "total_cents",
+        "qq",
+        F.expr("(total_cents * q) div qq").alias("alloc0"),
+        F.expr("(total_cents * q) % qq").alias("frac"),
+    )
+    wr = Window.partitionBy("l_orderkey").orderBy(
+        F.col("frac").desc(), F.col("l_linenumber")
+    )
+    ranked = base.withColumn("fr", F.row_number().over(wr)).withColumn(
+        "leftover", F.col("total_cents") - F.sum("alloc0").over(wq)
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        "q",
+        (
+            F.col("alloc0")
+            + F.when(F.col("fr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("alloc_cents"),
+    )

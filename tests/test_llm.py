@@ -1239,3 +1239,22 @@ def test_pack_rehydrate_conserves_documents(spark, sf_dir):
     for doc_id, parts in by_doc.items():
         joined = " ".join(f for _, f in sorted(parts))
         assert joined == orig[doc_id], f"doc {doc_id} not conserved"
+
+def test_allocation_conserves_order_totals(spark, sf_dir):
+    """Largest-remainder allocations must sum EXACTLY to each
+    order's total cents — the invariant the method exists for."""
+    import pyspark.sql.functions as F
+    from configdrivendatapipeline_spark.queries import registry
+
+    alloc = registry()["enr_allocation"].build(spark, sf_dir)
+    per_order = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("s")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias("t"),
+    )
+    bad = per_order.join(orders, "l_orderkey").filter(
+        F.col("s") != F.col("t")
+    )
+    assert bad.count() == 0
