@@ -359,6 +359,7 @@ _ROUND7_WINDOW = (
     "fn_ipv4_cidr",
     "llm_pack_rehydrate",
     "enr_allocation",
+    "agg_runs_test",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -2365,3 +2365,87 @@ def agg_jackknife_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    div (big_n * (big_n - n)))"
         ).alias("shift_micro"),
     )
+
+
+@declare(
+    "agg_runs_test",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(n) * 1000000 // COUNT(*) AS BIGINT) AS mean_micro
+      FROM daily GROUP BY event_type),
+    s AS (
+      SELECT d.event_type, d.day,
+             d.n * 1000000 >= m.mean_micro AS above
+      FROM daily d JOIN m USING (event_type)),
+    r AS (
+      SELECT event_type, above,
+             CASE WHEN above IS DISTINCT FROM LAG(above) OVER (
+                    PARTITION BY event_type ORDER BY day)
+                  THEN 1 ELSE 0 END AS brk
+      FROM s),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN above THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+             CAST(SUM(brk) AS BIGINT) AS runs
+      FROM r GROUP BY event_type)
+    SELECT event_type, n1 AS days_above, n2 AS days_below, runs,
+           1000000 + (2 * n1 * n2 * 1000000) // (n1 + n2)
+             AS expected_runs_micro
+    FROM g
+    """,
+    _SEC,
+    "Wald–Wolfowitz runs test on the daily metric stream: runs of "
+    "above/below-mean days counted against the expected run count "
+    "1 + 2n₁n₂/(n₁+n₂) in exact micro-units — far fewer runs than "
+    "expected means the metric is STICKY (incidents, regime "
+    "shifts), far more means oscillation (retry storms, thundering "
+    "herds); either way the i.i.d. assumption behind naive "
+    "alert thresholds is broken. Mean threshold, not median — "
+    "engines disagree on even-count medians. Per-type windows over "
+    "calendar days, bounded at any event volume.",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.expr("CAST(SUM(n) * 1000000 div COUNT(*) AS BIGINT)").alias(
+            "mean_micro"
+        )
+    )
+    s = daily.join(m, "event_type").select(
+        "event_type",
+        "day",
+        (F.col("n") * 1000000 >= F.col("mean_micro")).alias("above"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    r = s.select(
+        "event_type",
+        "above",
+        F.when(
+            ~F.col("above").eqNullSafe(F.lag("above").over(w)), 1
+        ).otherwise(0).alias("brk"),
+    )
+    g = r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("above"), 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1)).alias("n2"),
+        F.sum("brk").alias("runs"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n1").alias("days_above"),
+        F.col("n2").alias("days_below"),
+        "runs",
+        F.expr(
+            "1000000 + (2 * n1 * n2 * 1000000) div (n1 + n2)"
+        ).alias("expected_runs_micro"),
+    )
