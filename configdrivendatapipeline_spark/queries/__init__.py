@@ -360,6 +360,7 @@ _ROUND7_WINDOW = (
     "llm_pack_rehydrate",
     "enr_allocation",
     "agg_runs_test",
+    "agg_stickiness",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

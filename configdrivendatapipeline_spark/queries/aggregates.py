@@ -2449,3 +2449,60 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "1000000 + (2 * n1 * n2 * 1000000) div (n1 + n2)"
         ).alias("expected_runs_micro"),
     )
+
+
+@declare(
+    "agg_stickiness",
+    """
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2),
+    monthly AS (
+      SELECT strftime(ts, '%Y-%m') AS month,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY 1)
+    SELECT d.month,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.dau) AS BIGINT) AS dau_total,
+           m.mau,
+           CAST((SUM(d.dau) * 1000000) // (COUNT(*) * m.mau) AS BIGINT)
+             AS stickiness_micro
+    FROM daily d JOIN monthly m USING (month)
+    GROUP BY d.month, m.mau
+    """,
+    _SEC,
+    "DAU/MAU stickiness per month in exact micro-units: mean daily "
+    "actives over monthly actives — THE engagement-frequency ratio "
+    "a product review reads (1e6 = every monthly user active every "
+    "day). Two distinct-count aggregations (both map-side partial) "
+    "+ one day-grain join; the division clears denominators as "
+    "Σdau·10⁶ div (days·mau), so no float ratio ever forms.",
+)
+def agg_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    monthly = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(F.count_distinct("user_id").alias("mau"))
+    return (
+        daily.join(monthly, "month")
+        .groupBy("month", "mau")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").alias("dau_total"),
+        )
+        .select(
+            "month",
+            "n_days",
+            "dau_total",
+            "mau",
+            F.expr("(dau_total * 1000000) div (n_days * mau)").alias(
+                "stickiness_micro"
+            ),
+        )
+    )
