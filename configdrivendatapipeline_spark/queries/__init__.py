@@ -361,6 +361,7 @@ _ROUND7_WINDOW = (
     "enr_allocation",
     "agg_runs_test",
     "agg_stickiness",
+    "win_dwell_time",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

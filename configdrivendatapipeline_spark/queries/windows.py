@@ -1625,3 +1625,46 @@ def win_time_to_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seconds_to_purchase"),
         F.col("purchase_ts").isNotNull().alias("converted"),
     )
+
+
+@declare(
+    "win_dwell_time",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_ts
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(next_ts) AS BIGINT) AS n_dwells,
+           CAST(SUM(CAST(date_diff('second', ts, next_ts) AS BIGINT))
+                AS BIGINT) AS total_dwell_sec
+    FROM seq WHERE next_ts IS NOT NULL
+    GROUP BY event_type
+    """,
+    _SEC,
+    "Per-state dwell time from the event log (process mining's "
+    "state-residence profile): each event holds its state until the "
+    "user's next event, so dwell = lead(ts) − ts attributed to the "
+    "CURRENT state — where the session totals win_sessionize "
+    "reports can't say WHICH state users sit in. Per-user window "
+    "with (ts, event_id) tie-break (retry-stable where a bare ts "
+    "order is not); integer seconds; terminal events drop (no "
+    "successor — counted by n_dwells vs raw counts).",
+)
+def win_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_dwells"),
+        F.sum(
+            (F.unix_timestamp("next_ts") - F.unix_timestamp("ts")).cast("long")
+        ).alias("total_dwell_sec"),
+    )
