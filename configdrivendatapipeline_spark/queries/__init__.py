@@ -362,6 +362,8 @@ _ROUND7_WINDOW = (
     "agg_runs_test",
     "agg_stickiness",
     "win_dwell_time",
+    "val_key_discovery",
+    "llm_stupid_backoff",
     # round-2-evidence cohort, first half (module order)
     "project_select",
     "project_rename",

@@ -5176,3 +5176,99 @@ def llm_pack_rehydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.llm import sampling
 
     return sampling.pack_rehydrate(load(spark, sf_dir, "documents"))
+
+
+@declare(
+    "llm_stupid_backoff",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.i AS pos, toks[t.i] AS w,
+             CASE WHEN t.i > 1 THEN toks[t.i - 1] END AS prev
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(range(1, len(toks) + 1)) AS t(i)),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tok GROUP BY w),
+    utot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    big AS (
+      SELECT prev, w, CAST(COUNT(*) AS BIGINT) AS c2
+      FROM tok WHERE prev IS NOT NULL GROUP BY prev, w),
+    scored AS (
+      SELECT t.doc_id,
+             CASE
+               WHEN t.prev IS NOT NULL AND b.c2 IS NOT NULL
+                 THEN (b.c2 * 1000000) // up.c1
+               ELSE ((u.c1 * 1000000) // ut.n) * 4 // 10
+             END AS s_micro
+      FROM tok t
+      JOIN uni u ON u.w = t.w
+      CROSS JOIN utot ut
+      LEFT JOIN uni up ON up.w = t.prev
+      LEFT JOIN big b ON b.prev = t.prev AND b.w = t.w),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(s_micro) AS BIGINT) AS s_sum
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(s_sum // n_tokens AS BIGINT) AS backoff_micro
+    FROM agg
+    """,
+    _SEC,
+    "Stupid-backoff LM scoring (Brants et al. EMNLP'07 — the "
+    "web-scale LM smoothing that needs NO discounting pass): each "
+    "token scores by its bigram conditional c(prev,w)/c(prev) when "
+    "the bigram was seen, else backs off to 0.4 × its unigram "
+    "probability — all in exact integer micro-units (penalty as "
+    "×4 div 10), so the corpus-bootstrap quality signal is engine- "
+    "and retry-identical. Self-trained counts; the doc-position "
+    "explode joins counts back by token key — vocabulary-shaped "
+    "sides, corpus-linear total.",
+)
+def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "w"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        "w",
+    )
+    from pyspark.sql import Window
+
+    wseq = Window.partitionBy("doc_id").orderBy("pos")
+    tok = tok.withColumn("prev", F.lag("w").over(wseq))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    utot = uni.agg(F.sum("c1").alias("n"))
+    big = (
+        tok.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    up = uni.select(F.col("w").alias("prev"), F.col("c1").alias("cp"))
+    scored = (
+        tok.join(uni, "w")
+        .crossJoin(F.broadcast(utot))
+        .join(up, "prev", "left")
+        .join(big, ["prev", "w"], "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNotNull() & F.col("c2").isNotNull(),
+                F.expr("(c2 * 1000000) div cp"),
+            )
+            .otherwise(F.expr("((c1 * 1000000) div n) * 4 div 10"))
+            .alias("s_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("s_micro").alias("s_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("s_sum div n_tokens").alias("backoff_micro"),
+        )
+    )

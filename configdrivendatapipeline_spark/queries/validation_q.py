@@ -1362,3 +1362,59 @@ def val_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
         acct.alias("acct"),
         F.expr("luhn_check(acct)").alias("luhn_ok"),
     ).select("c_custkey", "acct", "luhn_ok")
+
+
+@declare(
+    "val_key_discovery",
+    """
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM part),
+    cols AS (
+      SELECT 'p_partkey' AS col,
+             CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_distinct,
+             CAST(COUNT(p_partkey) AS BIGINT) AS n_nonnull FROM part
+      UNION ALL
+      SELECT 'p_name', COUNT(DISTINCT p_name), COUNT(p_name) FROM part
+      UNION ALL
+      SELECT 'p_brand', COUNT(DISTINCT p_brand), COUNT(p_brand) FROM part
+      UNION ALL
+      SELECT 'p_type', COUNT(DISTINCT p_type), COUNT(p_type) FROM part
+      UNION ALL
+      SELECT 'p_size', COUNT(DISTINCT p_size), COUNT(p_size) FROM part
+      UNION ALL
+      SELECT 'p_retailprice', COUNT(DISTINCT p_retailprice),
+             COUNT(p_retailprice) FROM part)
+    SELECT c.col, c.n_distinct, n.n_rows,
+           c.n_distinct = n.n_rows AND c.n_nonnull = n.n_rows AS is_key
+    FROM cols c CROSS JOIN n
+    """,
+    _SEC,
+    "Candidate-key discovery over a table's columns: per column, "
+    "distinct count vs row count (null-free uniqueness ⇒ key) — "
+    "the profiling pass schema inference and dedup-key selection "
+    "start from, where val_unique verifies a DECLARED key and "
+    "val_fd_profile checks declared dependencies. One scan with "
+    "grouped distinct aggregates — Spark rewrites the multi-distinct "
+    "into expand+partial aggregation, still a single pass over the "
+    "data.",
+)
+def val_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    cols = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+    stats = part.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.count_distinct(c).alias(f"d_{c}") for c in cols],
+        *[F.count(c).alias(f"c_{c}") for c in cols],
+    )
+    rows = None
+    for c in cols:
+        r = stats.select(
+            F.lit(c).alias("col"),
+            F.col(f"d_{c}").alias("n_distinct"),
+            F.col("n_rows"),
+            (
+                (F.col(f"d_{c}") == F.col("n_rows"))
+                & (F.col(f"c_{c}") == F.col("n_rows"))
+            ).alias("is_key"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows
