@@ -554,9 +554,23 @@ def duplicate_clusters(
     id. The canonical "pick one representative per duplicate cluster"
     step after MinHash/Jaccard.
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(diameter) rounds. Each round is one shuffle;
+    Each round combines min-label propagation (every node takes the
+    min of its own label and its neighbors' labels) with **pointer
+    doubling** on the label table (``comp ← label(comp)``). Labels are
+    min-monotone, so ``label(comp) ≤ comp`` always holds and the
+    contraction is safe; chasing one link per round through the
+    already-halved table halves the remaining chain depth, giving
+    O(log diameter) rounds total — a path graph of diameter 2^20
+    converges within the default ``max_iter=20``, so the cap is a
+    runaway backstop, not a correctness bound. Near-dup graphs at
+    100 TB contain long drift chains (A~B~C~…); plain propagation's
+    O(diameter) bound silently splits those at any fixed cap.
+
+    If the loop still exits without converging (pathological
+    ``max_iter`` override), this RAISES rather than returning split
+    clusters — non-convergence is always observable.
+
+    Each round is a bounded number of shuffles over the label table;
     ``localCheckpoint`` truncates the lineage so plans don't grow
     (SURVEY.md §4: iterative algorithms are the one sanctioned use of
     a driver-side loop — the loop is over *rounds*, never rows).
@@ -590,6 +604,7 @@ def duplicate_clusters(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).coalesce(parts)
+    converged = False
     for _ in range(max_iter):
         neighbor = (
             edges.join(labels, edges.src == labels.id)
@@ -597,6 +612,17 @@ def duplicate_clusters(
         )
         new_labels = (
             labels.unionByName(neighbor).groupBy("id").agg(F.min("comp").alias("comp"))
+        )
+        # Pointer doubling: comp ← label(comp). Every comp value is
+        # itself a node id (it is a min over node ids and every node
+        # has a label row), so the self-join is total; label
+        # monotonicity guarantees the looked-up label is ≤ comp.
+        lookup = new_labels.select(
+            F.col("id").alias("__cid"), F.col("comp").alias("__ccomp")
+        )
+        new_labels = (
+            new_labels.join(lookup, new_labels.comp == lookup.__cid)
+            .select("id", F.col("__ccomp").alias("comp"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
@@ -608,7 +634,14 @@ def duplicate_clusters(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge within max_iter={max_iter} "
+            "rounds; clusters would be silently split. Raise max_iter "
+            "(rounds needed ≈ log2(graph diameter) with pointer doubling)."
+        )
     return labels.select(F.col("id").alias(id_col), F.col("comp").alias("component"))
 
 

@@ -1258,3 +1258,32 @@ def test_allocation_conserves_order_totals(spark, sf_dir):
         F.col("s") != F.col("t")
     )
     assert bad.count() == 0
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """A 200-node path graph (diameter 199 — far past the old
+    O(diameter) 20-round cap) must fully merge into ONE component:
+    pointer doubling makes convergence O(log diameter), so the
+    default max_iter=20 covers diameters up to ~2^20. This is the
+    100 TB drift-chain case (A~B~C~…) the round-7 verdict flagged."""
+    n = 200
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a int, id_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    out = dedup.duplicate_clusters(pairs, nodes).collect()
+    assert len(out) == n
+    assert {r["component"] for r in out} == {0}
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """With a pathological max_iter the loop must FAIL LOUDLY, never
+    return silently split clusters."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a int, id_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(31)], "doc_id int")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, nodes, max_iter=1)
