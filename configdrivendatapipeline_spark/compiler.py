@@ -445,6 +445,18 @@ def _mixture_plan(spark, dfs, p):
     a = df.select(key, F.col(avail_col).cast("long").alias("tokens_avail")).join(
         F.broadcast(wtab), key
     )
+    # A weighted source with zero/negative availability makes the
+    # water-filling min collapse total_max to 0 (and NULLs its own
+    # utilization) with no signal — fail fast instead. The frame is
+    # per-SOURCE (weights-dict-sized after the join), so this check
+    # is a bounded driver-side action, not a data-scale job.
+    bad = a.filter(F.col("tokens_avail") <= 0).select(key).limit(5).collect()
+    if bad:
+        raise ValueError(
+            "mixture_plan: weighted source(s) with tokens_avail <= 0: "
+            + ", ".join(str(r[0]) for r in bad)
+            + " — drop them from `weights` or fix the availability input"
+        )
     tot = a.agg(F.sum("w").cast("long").alias("big_w"))
     a2 = a.crossJoin(F.broadcast(tot))
     tmax = a2.agg(
@@ -459,6 +471,47 @@ def _mixture_plan(spark, dfs, p):
             "utilization_micro"
         ),
     )
+
+
+@op("spatial_grid")
+def _spatial_grid(spark, dfs, p):
+    """Within-radius point pairs via the grid-cell equi-join (see
+    analytics.spatial_grid_pairs / join_spatial_grid)."""
+    from configdrivendatapipeline_spark.analytics import spatial_grid_pairs
+
+    return spatial_grid_pairs(
+        _one(dfs),
+        radius_u=int(p["radius_u"]),
+        id_col=p.get("id_column", "id"),
+        lat_col=p.get("lat_column", "lat_u"),
+        lon_col=p.get("lon_column", "lon_u"),
+        cell_u=int(p["cell_u"]) if "cell_u" in p else None,
+    )
+
+
+@op("skyline")
+def _skyline(spark, dfs, p):
+    """2-D Pareto frontier, maximize (x_column, y_column) — the
+    bucket-pruned distributed shape (see analytics.skyline_2d /
+    agg_skyline)."""
+    from configdrivendatapipeline_spark.analytics import skyline_2d
+
+    return skyline_2d(
+        _one(dfs),
+        x_col=p["x_column"],
+        y_col=p["y_column"],
+        keep_cols=[str(c) for c in p.get("keep_columns", [])],
+        n_buckets=int(p.get("n_buckets", 256)),
+    )
+
+
+@op("date_dim")
+def _date_dim(spark, dfs, p):
+    """Conformed calendar dimension from the input's own date bounds
+    (see analytics.date_dim / enr_date_dim)."""
+    from configdrivendatapipeline_spark.analytics import date_dim
+
+    return date_dim(_one(dfs), date_col=p.get("date_column", "date_key"))
 
 
 @op("inverted_index")

@@ -26,7 +26,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -63,8 +63,15 @@ def tile_plan(df: DataFrame, tile: int = 224) -> DataFrame:
     in-plan integer explode: ceil(w/t)·ceil(h/t) rows per image,
     computed map-side from metadata; the payload is never touched,
     so the manifest costs metadata-scan time even when the images
-    are 100 TB of blobs."""
-    imgs = df.filter(F.col("media_type") == "image")
+    are 100 TB of blobs. Degenerate metadata (width or height ≤ 0)
+    emits ZERO tiles — without the guard, ``sequence(0, -1)``
+    DESCENDS and would fabricate tiles at tile_x/tile_y = -1 with
+    negative clipped dims."""
+    imgs = df.filter(
+        (F.col("media_type") == "image")
+        & (F.col("width") > 0)
+        & (F.col("height") > 0)
+    )
     nx = F.ceil(F.col("width") / F.lit(tile)).cast("int")
     ny = F.ceil(F.col("height") / F.lit(tile)).cast("int")
     g = imgs.select(
@@ -781,13 +788,56 @@ def phash_pairs(
     MinHash banding: candidates come from hash-keyed equi-joins
     (shuffle-partitionable at any corpus size), never an all-pairs
     distance scan, and degenerate bands (flat images all hashing
-    alike) are capped before pair expansion like the LSH path."""
-    bands = [
-        ("b0", F.shiftright("phash_hi", 16).cast("long")),
-        ("b1", F.col("phash_hi").bitwiseAND(F.lit(0xFFFF))),
-        ("b2", F.shiftright("phash_lo", 16).cast("long")),
-        ("b3", F.col("phash_lo").bitwiseAND(F.lit(0xFFFF))),
-    ]
+    alike) are capped before pair expansion like the LSH path.
+
+    The band split is DERIVED from ``max_hamming``: exactly
+    ``max_hamming + 1`` contiguous bands partitioning the 64 bits
+    (near-equal widths, earlier bands take the remainder), so the
+    pigeonhole recall guarantee holds for every radius — a fixed
+    band count would silently lose it for ``max_hamming`` ≥ the
+    count. Radii ≥ 64 would need sub-1-bit bands (and would recall
+    everything anyway), so they are rejected."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}: "
+            "the pigeonhole index needs max_hamming + 1 non-empty "
+            "bit bands out of 64"
+        )
+    n_bands = max_hamming + 1
+    # Bit positions 0..31 live in phash_lo, 32..63 in phash_hi (the
+    # halves are 32-bit values stored as longs). A band [s, s+w) may
+    # straddle the boundary; extract each half with unsigned shifts
+    # and stitch. Equal default (max_hamming=3 → four 16-bit bands)
+    # reproduces the historical split bit-for-bit.
+    def _extract(start: int, width: int) -> Column:
+        lo_bits = max(0, min(32, start + width) - min(32, start))
+        parts = []
+        if lo_bits > 0:
+            parts.append(
+                F.shiftrightunsigned(F.col("phash_lo"), start).bitwiseAND(
+                    F.lit((1 << lo_bits) - 1)
+                )
+            )
+        hi_bits = width - lo_bits
+        if hi_bits > 0:
+            hi_part = F.shiftrightunsigned(
+                F.col("phash_hi"), max(0, start - 32)
+            ).bitwiseAND(F.lit((1 << hi_bits) - 1))
+            parts.append(
+                hi_part * F.lit(1 << lo_bits) if lo_bits else hi_part
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out.cast("long")
+
+    base, rem = divmod(64, n_bands)
+    bands = []
+    pos = 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bands.append((f"b{i}", _extract(pos, width)))
+        pos += width
     h = hashes.select(id_col, "phash_hi", "phash_lo")
     banded = h.select(
         id_col,

@@ -1304,3 +1304,91 @@ def test_oversample_op_hits_expected_counts(spark, sf_dir):
         (F.col("source") == biggest["source"]) & (F.col("lang") == biggest["lang"])
     ).count()
     assert got_big == biggest["count"]
+
+
+def test_mixture_plan_rejects_zero_availability(spark, sf_dir):
+    """A weighted source with tokens_avail <= 0 must fail fast (it
+    would otherwise NULL its utilization and silently collapse
+    total_max to 0 for the whole plan)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="tokens_avail <= 0"):
+        run_step(
+            spark,
+            sf_dir,
+            "documents",
+            """
+  - id: avail
+    input: documents
+    op: aggregate
+    params:
+      group_by: [source]
+      aggs:
+        tokens_avail: "CAST(SUM(size(split(text, ' '))) * (CASE WHEN source = 'src1' THEN 0 ELSE 1 END) AS BIGINT)"
+  - id: plan
+    input: avail
+    op: mixture_plan
+    params:
+      weights: {src0: 3, src1: 1, src2: 1}
+""",
+        )
+
+
+def test_spatial_grid_op_and_guards(spark, sf_dir):
+    """Pairs respect the radius; cell narrower than the radius is
+    rejected (the 3x3 neighborhood would miss true pairs)."""
+    import pytest
+    from configdrivendatapipeline_spark.analytics import spatial_grid_pairs
+
+    pts = spark.createDataFrame(
+        [(1, 0, 0), (2, 3, 4), (3, 300, 0), (4, 0, 6)],
+        "id INT, lat_u LONG, lon_u LONG",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq_u"]
+        for r in spatial_grid_pairs(pts, radius_u=5).collect()
+    }
+    # (1,2): 9+16=25 <= 25 in; (2,4): 9+4=13 in; (1,4): 36 out; 3 far
+    assert got == {(1, 2): 25, (2, 4): 13}
+    with pytest.raises(ValueError, match="cell_u"):
+        spatial_grid_pairs(pts, radius_u=10, cell_u=5)
+    with pytest.raises(ValueError, match="radius_u"):
+        spatial_grid_pairs(pts, radius_u=0)
+
+
+def test_skyline_op_matches_naive(spark):
+    """Bucket-pruned skyline == naive dominance filter on a frame
+    with dominated points, ties, and duplicates of frontier corners."""
+    from configdrivendatapipeline_spark.analytics import skyline_2d
+
+    rows = [("a", 10, 1), ("b", 5, 5), ("c", 1, 10), ("d", 5, 4),
+            ("e", 10, 1), ("f", 2, 2), ("g", 10, 0)]
+    df = spark.createDataFrame(rows, "k STRING, x LONG, y LONG")
+    got = {r["k"] for r in skyline_2d(df, "x", "y", keep_cols=["k"]).collect()}
+    pts = {k: (x, y) for k, x, y in rows}
+    naive = {
+        k for k, (x, y) in pts.items()
+        if not any(
+            (qx >= x and qy >= y and (qx > x or qy > y))
+            for qk, (qx, qy) in pts.items() if qk != k
+        )
+    }
+    assert got == naive == {"a", "b", "c", "e"}
+
+
+def test_date_dim_op_calendar_invariants(spark, sf_dir):
+    """One row per day of the span; ISO weekday cycles 1..7 with
+    Monday=1; month_end flags exactly the last day of each month."""
+    import datetime as dt
+    from configdrivendatapipeline_spark.analytics import date_dim
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 2, 25),), (dt.date(2024, 3, 3),)], "d DATE"
+    )
+    rows = {r["date_key"]: r for r in date_dim(df, "d").collect()}
+    assert len(rows) == 8
+    # 2024-02-26 is a Monday
+    assert rows[dt.date(2024, 2, 26)]["iso_dow"] == 1
+    assert rows[dt.date(2024, 2, 25)]["is_weekend"]  # Sunday
+    assert rows[dt.date(2024, 2, 29)]["is_month_end"]  # leap February
+    assert not rows[dt.date(2024, 2, 28)]["is_month_end"]

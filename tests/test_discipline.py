@@ -37,6 +37,11 @@ ALLOWED = {
     # so bpe.py also hosts the artifact collects other layers use:
     # bpe_train_rows / merge_pairs_from_table.)
     ("llm/bpe.py", "collect"),
+    # mixture_plan's fail-fast on tokens_avail <= 0: a LIMIT-5 sample
+    # of offending SOURCE keys from the per-source availability frame
+    # (weights-dict-sized by construction), collected only to build
+    # the error message. Bounded scalar diagnostics, never row data.
+    ("compiler.py", "collect"),
 }
 
 
@@ -68,12 +73,16 @@ def test_survey_rows_and_window_names_resolve():
     must exist (a typo there silently reorders coverage)."""
     import re
 
-    from configdrivendatapipeline_spark.queries import registry, _ROUND7_WINDOW
+    from configdrivendatapipeline_spark.queries import registry, _ROUND8_WINDOW
 
     reg = set(registry())
     survey = (PKG.parent / "SURVEY.md").read_text()
     rows = set(re.findall(r"^\| `([a-z0-9_]+)`", survey, re.M))
     stale = sorted(r for r in rows if r not in reg)
     assert not stale, f"SURVEY §2 rows with no registered query: {stale}"
-    missing = sorted(n for n in _ROUND7_WINDOW if n not in reg)
+    missing = sorted(n for n in _ROUND8_WINDOW if n not in reg)
+    assert len(_ROUND8_WINDOW) == len(reg), (
+        "ordering window must cover the whole registry "
+        f"({len(_ROUND8_WINDOW)} != {len(reg)})"
+    )
     assert not missing, f"ordering-window ids not in registry: {missing}"

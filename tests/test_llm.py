@@ -1287,3 +1287,45 @@ def test_duplicate_clusters_raises_on_nonconvergence(spark):
     nodes = spark.createDataFrame([(i,) for i in range(31)], "doc_id int")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.duplicate_clusters(pairs, nodes, max_iter=1)
+
+
+def test_phash_pairs_bands_derived_from_radius(spark):
+    """The pigeonhole guarantee must hold for max_hamming > 3: with
+    max_hamming=7 the index uses 8 bands, so a pair differing by one
+    bit in each 16-bit quarter (hamming 4 — invisible to a fixed
+    4-band split) is still recalled."""
+    from configdrivendatapipeline_spark.llm.multimodal import phash_pairs
+
+    rows = [
+        (1, 0x12345678, 0x9ABCDE10),
+        # flip one bit inside each 16-bit quarter: hamming 4
+        (2, 0x12345678 ^ 0x00010001, 0x9ABCDE10 ^ 0x00010001),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, phash_hi LONG, phash_lo LONG")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(df, max_hamming=7, max_bucket=10).collect()
+    }
+    assert got == {(1, 2): 4}
+    # out-of-range radii fail loudly instead of losing recall
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        phash_pairs(df, max_hamming=64)
+
+
+def test_tile_plan_degenerate_dims_emit_no_tiles(spark):
+    """width/height <= 0 must yield ZERO tiles, not descending
+    sequence(0,-1) ghost tiles at tile_x = -1."""
+    from configdrivendatapipeline_spark.llm.multimodal import tile_plan
+
+    rows = [
+        (1, "image", 0, 300),
+        (2, "image", 300, 0),
+        (3, "image", -5, -5),
+        (4, "image", 300, 300),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, media_type STRING, width INT, height INT")
+    out = tile_plan(df, tile=224).collect()
+    assert {r["doc_id"] for r in out} == {4}
+    assert len(out) == 4  # ceil(300/224)^2

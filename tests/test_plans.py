@@ -499,6 +499,16 @@ def test_lint_plan_detects_each_antipattern():
     two = gw + "\n" + gw.replace("y#3L", "z#9L")
     hits = lint_plan("val_skew", two)
     assert hits and "allowed" in hits[0]
-    # the SAME spec repeated with different expr ids dedups to one
-    dup = gw + "\n" + gw.replace("#3L", "#88L")
-    assert lint_plan("val_skew", dup) == []
+    # N window FUNCTIONS sharing one spec inside ONE Window node
+    # dedup to one window...
+    one_node = gw.replace(
+        "]", ", max(x#12L) windowspecdefinition(y#3L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))]"
+    )
+    assert lint_plan("val_skew", one_node) == []
+    # ...but a SECOND Window node counts even when its spec is
+    # id-stripped-identical — it cannot hide behind the exemption
+    two_nodes = gw + "\n" + gw.replace("#3L", "#88L")
+    hits = lint_plan("val_skew", two_nodes)
+    assert hits and "allowed" in hits[0]
