@@ -179,73 +179,24 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
-#: (observed exactly 50 in rounds 1-6), so registry order is the
-#: correctness-coverage budget. Round-7 window (this prefix): the
-#: accumulated never-driver-checked cohort first (round-6 late
-#: additions, in the order they were declared — all green in the
-#: local differential harness at BOTH sf0.01 and sf0.001), then the
-#: round-2-evidence refresh cohort, then the ids driver-proven in
-#: round 6 (freshest evidence, so they rotate to the very back).
+#: (observed exactly 50 in rounds 1-7), so registry order is the
+#: correctness-coverage budget. Round-8 window: ALL 389 ids, the
+#: accumulated never-driver-checked cohort first (117 + 2 round-8 ids as of the
+#: start of round 8 — every one green in the local differential
+#: harness at both sf0.01 and sf0.001), then every driver-checked id
+#: ordered by how stale its latest driver evidence is (r2 cohort
+#: first … r7 cohort last). Covering the WHOLE registry here makes
+#: the rotation self-maintaining: as rounds drain the head, the
+#: stale-evidence refresh the round-6/7 verdicts asked for happens
+#: with no further reordering.
 #:
-#: ROUND-8 HANDOFF: round 7's 50-budget covers the first ~50 below
-#: (agg_histogram .. roughly val_benford). Next round: lead with the
-#: REMAINING never-checked tail — everything after the round-7
-#: sample down to the end of the "round-7 additions" block — then
-#: the r2-evidence cohort, then oldest-driver-evidence order. All
-#: tail ids are green in the local differential harness at sf0.01
-#: AND sf0.001.
-_ROUND7_WINDOW = (
-    # never driver-checked (declared round 6 below the 50-budget)
-    "agg_histogram",
-    "llm_fuzzy_match",
-    "fn_bits",
-    "llm_url_filter",
-    "win_pareto",
-    "enr_winsorize",
-    "llm_chat_template",
-    "fn_struct",
-    "agg_weighted_avg",
-    "pipeline_lm_curation",
-    "src_partition_pruning",
-    "join_null_safe",
-    "sort_local",
-    "mm_image_phash",
-    "mm_audio_fingerprint",
-    "pipeline_params",
-    "pipeline_include",
-    "src_csv_corrupt",
-    "win_streaks",
-    "src_schema_evolution",
-    "llm_dataset_card",
-    "pipeline_lineage",
-    "join_dpp",
-    "llm_char_stats",
-    "agg_arg_extrema",
-    "fn_try_arith",
-    "agg_bitmap_distinct",
-    "enr_scd3",
-    "stream_parquet_sink",
-    "src_text_wholefile",
-    "join_lateral",
-    "fn_base64",
-    "win_moving_median",
-    "llm_ngram_novelty",
-    "enr_json_flatten",
-    "llm_license_filter",
-    "llm_topic_keywords",
-    "join_range_bucketed",
-    "val_monotonic",
-    "pipeline_e2e_curation",
-    "val_outlier_mad",
-    "fn_collate",
-    "llm_temperature_sample",
-    "llm_length_buckets",
-    "llm_snapshot_diff",
-    "llm_dup_pagerank",
-    "llm_pack_manifest",
-    "pipeline_training_layout",
-    "val_benford",
-    "llm_tokenizer_fertility",
+#: ROUND-9 HANDOFF: round 8's 50-budget covers the first ~50 below.
+#: Rebuild this list the same way (never-checked first, then
+#: oldest-evidence) from CORRECTNESS_r01..r08 and keep new
+#: declarations appended to the never-checked block.
+_ROUND8_WINDOW = (
+    # ---- never driver-checked (117 ids; round-8 50-budget drains the
+    # ---- head, round-9 the remainder) ----
     "win_running_distinct",
     "llm_minhash_calibration",
     "llm_embed_drift",
@@ -311,7 +262,6 @@ _ROUND7_WINDOW = (
     "agg_peak_concurrency",
     "llm_injection_scan",
     "agg_wow_growth",
-    # round-7 additions join the never-checked tail
     "pipeline_budget",
     "agg_countmin",
     "agg_hhi",
@@ -364,7 +314,12 @@ _ROUND7_WINDOW = (
     "win_dwell_time",
     "val_key_discovery",
     "llm_stupid_backoff",
-    # round-2-evidence cohort, first half (module order)
+    # round-8 additions (the verdict's two sanctioned YAML-surface
+    # ids) join the never-checked tail
+    "pipeline_spatial",
+    "pipeline_pareto",
+    # ---- driver-checked, oldest evidence first (r2 cohort, then r3…r7)
+    # ---- so post-drain rounds refresh stale evidence automatically ----
     "project_select",
     "project_rename",
     "project_drop",
@@ -389,7 +344,152 @@ _ROUND7_WINDOW = (
     "join_interval",
     "join_multiway_star",
     "join_self",
-    # driver-proven in round 6 (freshest evidence → back of the line)
+    "fn_string",
+    "fn_regex",
+    "fn_date",
+    "fn_math",
+    "fn_cond",
+    "fn_hash",
+    "fn_array",
+    "fn_explode",
+    "fn_posexplode",
+    "fn_explode_outer",
+    "fn_map",
+    "fn_json",
+    "sort_multi",
+    "limit_n",
+    "topk_global",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_intersect_all",
+    "set_except",
+    "set_except_all",
+    "distinct_rows",
+    "win_row_number",
+    "win_rank",
+    "win_lag_lead",
+    "win_first_last_value",
+    "win_running_sum",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_topk_per_group",
+    "win_dense_rank",
+    "win_cume_dist",
+    "val_not_null",
+    "val_unique",
+    "val_range",
+    "val_set",
+    "val_regex",
+    "val_ref_integrity",
+    "val_row_count",
+    "val_freshness",
+    "val_expression",
+    "val_schema",
+    "val_quarantine_split",
+    "val_summary",
+    "src_parquet",
+    "src_csv",
+    "src_json",
+    "src_text",
+    "src_jdbc",
+    "src_incremental",
+    "sink_parquet",
+    "sink_csv",
+    "sink_json",
+    "sink_overwrite_dynamic",
+    "udf_python",
+    "udf_pandas",
+    "udaf_pandas",
+    "udtf_python",
+    "sql_step",
+    "agg_collect_set",
+    "agg_collect_list",
+    "cast_column",
+    "win_ntile",
+    "win_percent_rank",
+    "val_profile",
+    "src_orc",
+    "pipeline_project",
+    "pipeline_join_agg",
+    "pipeline_union_distinct",
+    "pipeline_window_dedup",
+    "pipeline_pivot_unpivot",
+    "pipeline_validate",
+    "pipeline_enrich",
+    "pipeline_corpus",
+    "pipeline_salted",
+    "llm_jaccard_neardup",
+    "llm_tfidf",
+    "llm_cosine_topk",
+    "llm_knn_lsh",
+    "llm_knn_join",
+    "llm_knn_ivf",
+    "llm_embed_neardup",
+    "llm_dup_clusters",
+    "llm_ngram_jaccard",
+    "llm_hash_split",
+    "llm_hash_sample",
+    "llm_mixture_sample",
+    "llm_decontaminate",
+    "llm_repetition",
+    "llm_cross_dedup",
+    "llm_embed_quantize",
+    "pipeline_knn",
+    "agg_groupby",
+    "agg_stats",
+    "agg_percentile",
+    "fn_hash_fast",
+    "fn_array_hof",
+    "win_dedup_latest",
+    "val_anomaly",
+    "pipeline_stream",
+    "llm_exact_dedup",
+    "llm_minhash_dedup",
+    "llm_simhash",
+    "llm_text_stats",
+    "llm_token_count",
+    "llm_semdedup",
+    "llm_shuffle",
+    "mm_decode_ppm",
+    "mm_decode_wav",
+    "mm_decode_y4m",
+    "mm_resize_ppm",
+    "llm_paragraph_dedup",
+    "llm_source_weights",
+    "pipeline_observe",
+    "src_stream",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_watermark",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_stateful_count",
+    "stream_foreachbatch",
+    "stream_custom_state",
+    "agg_global",
+    "agg_having",
+    "agg_count_distinct",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_first_last",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_unpivot",
+    "agg_conditional",
+    "enr_lookup",
+    "enr_derived",
+    "enr_standardize",
+    "enr_bucketize",
+    "enr_surrogate_key",
+    "enr_audit_cols",
+    "enr_scd2",
+    "enr_union_harmonize",
+    "enr_merge_upsert",
+    "join_asof",
     "win_sessionize",
     "val_drift",
     "llm_seq_packing_shuffled",
@@ -440,15 +540,64 @@ _ROUND7_WINDOW = (
     "mm_resize_plan",
     "llm_chunking",
     "llm_pii_redact",
+    "agg_histogram",
+    "llm_fuzzy_match",
+    "fn_bits",
+    "llm_url_filter",
+    "win_pareto",
+    "enr_winsorize",
+    "llm_chat_template",
+    "fn_struct",
+    "agg_weighted_avg",
+    "pipeline_lm_curation",
+    "src_partition_pruning",
+    "join_null_safe",
+    "sort_local",
+    "mm_image_phash",
+    "mm_audio_fingerprint",
+    "pipeline_params",
+    "pipeline_include",
+    "src_csv_corrupt",
+    "win_streaks",
+    "src_schema_evolution",
+    "llm_dataset_card",
+    "pipeline_lineage",
+    "join_dpp",
+    "llm_char_stats",
+    "agg_arg_extrema",
+    "fn_try_arith",
+    "agg_bitmap_distinct",
+    "enr_scd3",
+    "stream_parquet_sink",
+    "src_text_wholefile",
+    "join_lateral",
+    "fn_base64",
+    "win_moving_median",
+    "llm_ngram_novelty",
+    "enr_json_flatten",
+    "llm_license_filter",
+    "llm_topic_keywords",
+    "join_range_bucketed",
+    "val_monotonic",
+    "pipeline_e2e_curation",
+    "val_outlier_mad",
+    "fn_collate",
+    "llm_temperature_sample",
+    "llm_length_buckets",
+    "llm_snapshot_diff",
+    "llm_dup_pagerank",
+    "llm_pack_manifest",
+    "pipeline_training_layout",
+    "val_benford",
+    "llm_tokenizer_fertility",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND7_WINDOW`` prefix (never-checked,
-    fixed-FAIL, oldest-evidence ids),
-    then everything else in module-import order.
+    operators first: the explicit ``_ROUND8_WINDOW`` ordering
+    (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
     # here (driver-visible) rather than at package import.
@@ -468,7 +617,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND7_WINDOW:
+    for name in _ROUND8_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:
