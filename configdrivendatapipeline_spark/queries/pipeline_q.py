@@ -1975,3 +1975,167 @@ steps:
       by: [qid, rank]
 """
     return _run(spark, yml, "ranked")
+
+
+@declare(
+    "pipeline_spatial",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 7919) % 180000001 - 90000000 AS BIGINT)
+               AS lat_u,
+             CAST((c_custkey * 104729) % 360000001 - 180000000 AS BIGINT)
+               AS lon_u
+      FROM customer),
+    cells AS (
+      SELECT id, lat_u, lon_u,
+             CAST(FLOOR(lat_u / 1000000.0) AS BIGINT) AS gy,
+             CAST(FLOOR(lon_u / 1000000.0) AS BIGINT) AS gx
+      FROM pts),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+             + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist_sq_u
+      FROM cells a
+      JOIN cells b
+        ON b.gy BETWEEN a.gy - 1 AND a.gy + 1
+       AND b.gx BETWEEN a.gx - 1 AND a.gx + 1
+       AND a.id < b.id
+      WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+            + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u)
+            <= CAST(1000000 AS BIGINT) * 1000000),
+    sym AS (
+      SELECT id_a AS id, dist_sq_u FROM pairs
+      UNION ALL
+      SELECT id_b AS id, dist_sq_u FROM pairs)
+    SELECT id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(MIN(dist_sq_u) AS BIGINT) AS nearest_sq_u
+    FROM sym GROUP BY id
+    """,
+    _SEC,
+    "YAML pipeline for the spatial surface: derive closed-form "
+    "micro-degree coordinates, pair within-1° points through the "
+    "spatial_grid op (grid-cell EQUI-join — the density-bounded "
+    "distributed spatial shape join_spatial_grid proves), then roll "
+    "the symmetric pair list up to per-point neighbor counts + "
+    "nearest squared distance — the density readout a geo dedup or "
+    "store-siting pipeline consumes, reachable entirely from "
+    "config.",
+)
+def pipeline_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: spatial_density
+sources:
+  customer:
+    format: parquet
+    path: {sf_dir}/customer.parquet
+steps:
+  - id: points
+    input: customer
+    op: derive
+    params:
+      columns:
+        id: "c_custkey"
+        lat_u: "CAST((CAST(c_custkey AS BIGINT) * 7919) % 180000001 - 90000000 AS BIGINT)"
+        lon_u: "CAST((CAST(c_custkey AS BIGINT) * 104729) % 360000001 - 180000000 AS BIGINT)"
+  - id: pairs
+    input: points
+    op: spatial_grid
+    params:
+      radius_u: 1000000
+  - id: sym
+    input: pairs
+    op: sql
+    params:
+      views: [p]
+      query: >
+        SELECT id_a AS id, dist_sq_u FROM p
+        UNION ALL
+        SELECT id_b AS id, dist_sq_u FROM p
+  - id: density
+    input: sym
+    op: aggregate
+    params:
+      group_by: [id]
+      aggs:
+        n_neighbors: "CAST(COUNT(*) AS BIGINT)"
+        nearest_sq_u: "CAST(MIN(dist_sq_u) AS BIGINT)"
+"""
+    return _run(spark, yml, "density")
+
+
+@declare(
+    "pipeline_pareto",
+    """
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    wk AS (SELECT * FROM o WHERE dayofweek(d) IN (0, 6)),
+    per AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS tot_cents
+      FROM wk GROUP BY o_custkey)
+    SELECT p.o_custkey, p.n_orders, p.tot_cents
+    FROM per p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM per q
+      WHERE q.n_orders >= p.n_orders AND q.tot_cents >= p.tot_cents
+        AND (q.n_orders > p.n_orders OR q.tot_cents > p.tot_cents))
+    """,
+    _SEC,
+    "YAML pipeline chaining BOTH round-7 analytics ops: date_dim "
+    "builds the conformed calendar from the fact table's own "
+    "bounds, the weekend slice broadcast-joins back to orders "
+    "(calendar-sized build side at any fact volume), and skyline "
+    "shortlists the customers not dominated in (weekend order "
+    "count, weekend revenue) — the multi-criteria account "
+    "shortlist, declared entirely in config. The oracle replays "
+    "the weekend filter and the naive NOT EXISTS dominance check.",
+)
+def pipeline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    yml = f"""
+pipeline:
+  name: weekend_pareto
+sources:
+  orders:
+    format: parquet
+    path: {sf_dir}/orders.parquet
+steps:
+  - id: cal
+    input: orders
+    op: date_dim
+    params:
+      date_column: o_orderdate
+  - id: weekend
+    input: cal
+    op: filter
+    params:
+      predicate: "is_weekend"
+  - id: tagged
+    inputs: [orders, weekend]
+    op: join
+    params:
+      condition: "o_orderdate = date_key"
+      how: inner
+      broadcast: true
+  - id: per_cust
+    input: tagged
+    op: aggregate
+    params:
+      group_by: [o_custkey]
+      aggs:
+        n_orders: "CAST(COUNT(*) AS BIGINT)"
+        tot_cents: "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+  - id: frontier
+    input: per_cust
+    op: skyline
+    params:
+      x_column: n_orders
+      y_column: tot_cents
+      keep_columns: [o_custkey]
+"""
+    return _run(spark, yml, "frontier")
