@@ -2256,7 +2256,9 @@ def agg_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairwise dominance check. Exact integers end to end.",
 )
 def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # Bucket-pruned frontier via the shared engine op
+    # (analytics.skyline_2d) — also the YAML `skyline` surface.
+    from configdrivendatapipeline_spark.analytics import skyline_2d
 
     li = load(spark, sf_dir, "lineitem")
     pts = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
@@ -2265,49 +2267,7 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,6)")) * 100
         ).cast("long").alias("rev_cents"),
     )
-    # Bucket width from a broadcast 1-row scalar (≈256 buckets).
-    mx = pts.agg(
-        F.greatest(
-            F.lit(1).cast("long"), F.expr("CAST(MAX(qty) div 256 AS BIGINT)")
-        ).alias("bw")
-    )
-    b = pts.crossJoin(F.broadcast(mx)).withColumn(
-        "xb", F.expr("qty div bw")
-    )
-    # Per-bucket y maxima (≤257 rows), then the dominance threshold:
-    # max y over all STRICTLY higher buckets. Window over bucket
-    # maxima only — constant-bounded (plan-lint exempt).
-    bmax = b.groupBy("xb").agg(F.max("rev_cents").alias("ymax"))
-    wdesc = (
-        Window.orderBy(F.col("xb").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    thr = bmax.withColumn("y_above", F.max("ymax").over(wdesc))
-    # Map-side prune: survivors must beat every strictly-higher
-    # bucket's best y (points in the same bucket still need the
-    # exact check).
-    cand = (
-        b.join(F.broadcast(thr.select("xb", "y_above")), "xb")
-        .filter(F.col("y_above").isNull() | (F.col("rev_cents") >= F.col("y_above")))
-        .select("partkey", "qty", "rev_cents")
-    )
-    a = cand.alias("a")
-    q = cand.alias("q")
-    dominated = (
-        a.join(
-            q,
-            (F.col("q.qty") >= F.col("a.qty"))
-            & (F.col("q.rev_cents") >= F.col("a.rev_cents"))
-            & (
-                (F.col("q.qty") > F.col("a.qty"))
-                | (F.col("q.rev_cents") > F.col("a.rev_cents"))
-            ),
-            "left_semi",
-        )
-    )
-    return cand.join(dominated, ["partkey"], "left_anti").select(
-        "partkey", "qty", "rev_cents"
-    )
+    return skyline_2d(pts, "qty", "rev_cents", keep_cols=["partkey"])
 
 
 @declare(

@@ -611,27 +611,11 @@ def enr_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "joins everywhere.",
 )
 def enr_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    bounds = orders.agg(
-        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
-    )
-    spine = bounds.select(
-        F.explode(
-            F.expr("sequence(CAST(lo AS DATE), CAST(hi AS DATE), interval 1 day)")
-        ).alias("d0")
-    ).select(F.col("d0").cast("date").alias("d"))
-    return spine.select(
-        F.col("d").alias("date_key"),
-        F.year("d").alias("year"),
-        F.quarter("d").alias("quarter"),
-        F.month("d").alias("month"),
-        F.dayofmonth("d").alias("day_of_month"),
-        # Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Monday..7=Sunday
-        F.expr("CAST((dayofweek(d) + 5) % 7 + 1 AS INT)").alias("iso_dow"),
-        F.expr("dayofweek(d) IN (1, 7)").alias("is_weekend"),
-        F.date_format("d", "yyyy-MM").alias("month_key"),
-        F.expr("d = last_day(d)").alias("is_month_end"),
-    )
+    # Shared engine op (analytics.date_dim) — also the YAML
+    # `date_dim` surface.
+    from configdrivendatapipeline_spark.analytics import date_dim
+
+    return date_dim(load(spark, sf_dir, "orders"), "o_orderdate")
 
 
 @declare(

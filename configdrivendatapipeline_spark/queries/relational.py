@@ -1030,6 +1030,11 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equi-join on cells, never a theta-join on distance.",
 )
 def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode-into-9-probe-cells equi-join (never a BETWEEN
+    # theta-join Spark can only nested-loop) — the shared engine op
+    # the YAML `spatial_grid` surface also compiles to.
+    from configdrivendatapipeline_spark.analytics import spatial_grid_pairs
+
     cust = load(spark, sf_dir, "customer")
     pts = cust.select(
         F.col("c_custkey").alias("id"),
@@ -1038,38 +1043,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("c_custkey").cast("long") * 104729) % 360000001 - 180000000)
         .alias("lon_u"),
     )
-    cells = pts.select(
-        "id", "lat_u", "lon_u",
-        F.floor(F.col("lat_u") / 1000000.0).cast("long").alias("gy"),
-        F.floor(F.col("lon_u") / 1000000.0).cast("long").alias("gx"),
-    )
-    # Explode each point into its 9 probe cells so the join is a pure
-    # EQUI-join on the cell key (shuffle-partitionable at any scale);
-    # the BETWEEN form would be a range theta-join Spark can only
-    # nested-loop.
-    probes = cells.select(
-        F.col("id").alias("id_a"),
-        F.col("lat_u").alias("lat_a"),
-        F.col("lon_u").alias("lon_a"),
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(-1, 1), dy -> "
-                "transform(sequence(-1, 1), dx -> "
-                "struct(gy + dy AS gy, gx + dx AS gx))))"
-            )
-        ).alias("cell"),
-    ).select("id_a", "lat_a", "lon_a", "cell.gy", "cell.gx")
-    j = probes.join(cells, ["gy", "gx"]).filter(F.col("id_a") < F.col("id"))
-    dlat = F.col("lat_a") - F.col("lat_u")
-    dlon = F.col("lon_a") - F.col("lon_u")
-    return (
-        j.select(
-            "id_a",
-            F.col("id").alias("id_b"),
-            (dlat * dlat + dlon * dlon).alias("dist_sq_u"),
-        )
-        .filter(F.col("dist_sq_u") <= F.lit(1_000_000_000_000))
-    )
+    return spatial_grid_pairs(pts, radius_u=1_000_000)
 
 
 @declare(
