@@ -424,3 +424,30 @@ def test_loader_never_leaks_raw_exceptions():
             pass  # the contract: malformed config → ConfigError
 
     run()
+
+
+def test_packaged_source_formats_surface_classpath_error(spark, sf_dir):
+    """avro/kafka are accepted config formats riding Spark's public
+    packaged DataSources; with the package absent (this sandbox) the
+    reader must raise the precise --packages remedy, not Spark's
+    generic lookup failure. If a future environment bundles the
+    packages, the kafka path may instead fail on the (absent)
+    broker — also acceptable, so only the avro path asserts text."""
+    import pytest
+
+    from configdrivendatapipeline_spark.io.sources import read_source
+
+    with pytest.raises(Exception, match="--packages|avro"):
+        read_source(
+            spark, {"format": "avro", "path": f"{sf_dir}/orders.parquet"}
+        ).limit(1).collect()
+    with pytest.raises(Exception):
+        read_source(
+            spark,
+            {
+                "format": "kafka",
+                "bootstrap_servers": "localhost:19099",
+                "topic": "t",
+                "options": {"startingOffsets": "earliest"},
+            },
+        ).limit(1).collect()
