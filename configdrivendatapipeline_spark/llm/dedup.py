@@ -757,7 +757,14 @@ def graph_rank(
     ids = nodes.select(F.col(id_col).alias("id"))
     floor = (100 - damping_pct) * 10_000
     ranks = ids.select("id", F.lit(1_000_000).cast("long").alias("r"))
-    for _ in range(iters):
+    for i in range(iters):
+        # Truncate the loop-carried lineage every few rounds (same
+        # chunked-localCheckpoint discipline as bpe_train): at the
+        # default iters=3 this never fires, but a config-surface
+        # caller raising iters must not compound Catalyst re-plan
+        # cost per round.
+        if i and i % 8 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             edges.join(ranks, edges.src == ranks.id)
             .join(deg, "src")

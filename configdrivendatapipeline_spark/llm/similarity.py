@@ -561,6 +561,11 @@ def _kmeans_iterate(
 
     a = assign(cents)
     for _ in range(refine_iters):
+        # The loop-carried state is only the k·dim centroid table —
+        # checkpoint it each round (trivially small) so plan depth
+        # stays constant no matter how many refinement rounds a
+        # config-surface caller requests.
+        cents = cents.localCheckpoint(eager=True)
         ex = a.select(
             id_col, "cluster", F.posexplode("__v").alias("dim", "val")
         )
