@@ -47,6 +47,7 @@ def test_every_op_is_exercised_below():
         "kanonymity", "ldiversity", "hard_negatives", "oversample",
         "bpe_train", "bpe_encode", "winnow_fingerprints", "winnow_pairs",
         "inverted_index", "keyword_search", "mixture_plan",
+        "spatial_grid", "skyline", "date_dim",
     }
     assert covered == set(OPS), f"op coverage drift: {covered ^ set(OPS)}"
 
@@ -1392,3 +1393,57 @@ def test_date_dim_op_calendar_invariants(spark, sf_dir):
     assert rows[dt.date(2024, 2, 25)]["is_weekend"]  # Sunday
     assert rows[dt.date(2024, 2, 29)]["is_month_end"]  # leap February
     assert not rows[dt.date(2024, 2, 28)]["is_month_end"]
+
+
+def test_analytics_ops_through_registry(spark, sf_dir):
+    """spatial_grid / skyline / date_dim exercised as compiler ops:
+    calendar spans the fact bounds, frontier rows are mutually
+    non-dominated, spatial pairs respect the radius."""
+    frames = run_step(
+        spark,
+        sf_dir,
+        "orders",
+        """
+  - id: cal
+    input: orders
+    op: date_dim
+    params: {date_column: o_orderdate}
+  - id: per_cust
+    input: orders
+    op: aggregate
+    params:
+      group_by: [o_custkey]
+      aggs:
+        n_orders: "CAST(COUNT(*) AS BIGINT)"
+        tot_cents: "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+  - id: frontier
+    input: per_cust
+    op: skyline
+    params: {x_column: n_orders, y_column: tot_cents, keep_columns: [o_custkey]}
+  - id: pts
+    input: orders
+    op: derive
+    params:
+      columns:
+        id: "o_orderkey"
+        lat_u: "CAST(o_orderkey % 200 AS BIGINT)"
+        lon_u: "CAST((o_orderkey * 7) % 200 AS BIGINT)"
+  - id: pairs
+    input: pts
+    op: spatial_grid
+    params: {radius_u: 3}
+""",
+    )
+    cal = frames["cal"].collect()
+    days = {r["date_key"] for r in cal}
+    assert len(cal) == len(days) == (max(days) - min(days)).days + 1
+    front = frames["frontier"].collect()
+    assert front
+    for a in front:
+        assert not any(
+            q["n_orders"] >= a["n_orders"] and q["tot_cents"] >= a["tot_cents"]
+            and (q["n_orders"] > a["n_orders"] or q["tot_cents"] > a["tot_cents"])
+            for q in front
+        )
+    pairs = frames["pairs"].collect()
+    assert pairs and all(r["dist_sq_u"] <= 9 for r in pairs)
