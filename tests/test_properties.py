@@ -285,3 +285,66 @@ def test_winnow_coverage_and_density(spark, docs):
         assert pos[-1] >= n_sh - w + 1 or n_sh < w
         for x, y in zip(pos, pos[1:]):
             assert y - x <= w
+
+
+_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),
+        st.integers(min_value=-40, max_value=40),
+        st.integers(min_value=-40, max_value=40),
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(pts=_pts)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_spatial_grid_equals_brute_force(spark, pts):
+    """Grid-bucketed pairing == brute-force within-radius pairing on
+    arbitrary integer point sets (the 3x3 probe neighborhood loses
+    nothing when cell >= radius)."""
+    from configdrivendatapipeline_spark.analytics import spatial_grid_pairs
+
+    radius = 7
+    df = spark.createDataFrame(pts, "id INT, lat_u LONG, lon_u LONG")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist_sq_u"]
+        for r in spatial_grid_pairs(df, radius_u=radius).collect()
+    }
+    want = {}
+    for i, (ida, la, lo) in enumerate(pts):
+        for idb, lb, lob in pts[i + 1:]:
+            d = (la - lb) ** 2 + (lo - lob) ** 2
+            if d <= radius * radius:
+                a, b = sorted((ida, idb))
+                want[(a, b)] = d
+    assert got == want
+
+
+@given(pts=_pts)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_equals_naive_dominance(spark, pts):
+    """Bucket-pruned skyline == naive dominance filter, including
+    duplicate coordinates and single-point frames."""
+    from configdrivendatapipeline_spark.analytics import skyline_2d
+
+    df = spark.createDataFrame(pts, "id INT, x LONG, y LONG")
+    got = {r["id"] for r in skyline_2d(df, "x", "y", keep_cols=["id"]).collect()}
+    want = {
+        i for i, x, y in pts
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for j, qx, qy in pts if j != i
+        )
+    }
+    assert got == want
