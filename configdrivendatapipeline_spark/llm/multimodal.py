@@ -774,6 +774,56 @@ def scene_segments(
     )
 
 
+def _hash_bands(n_bands: int) -> "list[tuple[str, Column]]":
+    """Partition the 64-bit (phash_hi, phash_lo) hash into
+    ``n_bands`` contiguous bit bands (near-equal widths, earlier
+    bands take the remainder) and return per-band extraction
+    expressions. Bit positions 0..31 live in phash_lo, 32..63 in
+    phash_hi (the halves are 32-bit values stored as longs); a band
+    may straddle the boundary — extract each half with unsigned
+    shifts and stitch. n_bands=4 reproduces the historical 16-bit
+    split bit-for-bit. The bands PARTITION the bits (each bit in
+    exactly one band) — the property the pigeonhole guarantee
+    stands on, pinned by test_hash_bands_partition_the_64_bits."""
+
+    def _extract(start: int, width: int) -> Column:
+        lo_bits = max(0, min(32, start + width) - min(32, start))
+        parts = []
+        if lo_bits > 0:
+            parts.append(
+                F.shiftrightunsigned(F.col("phash_lo"), start).bitwiseAND(
+                    F.lit((1 << lo_bits) - 1)
+                )
+            )
+        hi_bits = width - lo_bits
+        if hi_bits > 0:
+            hi_part = F.shiftrightunsigned(
+                F.col("phash_hi"), max(0, start - 32)
+            ).bitwiseAND(F.lit((1 << hi_bits) - 1))
+            # Stitch by SHIFT, not multiply: a full-width band
+            # (n_bands=1, exact-hash mode) would overflow a signed
+            # long multiply; shiftleft wraps two's-complement, which
+            # stays bijective over the band's bit domain — all a
+            # join key needs (true hamming is re-verified from the
+            # original halves).
+            parts.append(
+                F.shiftleft(hi_part, lo_bits) if lo_bits else hi_part
+            )
+        out = parts[0]
+        if len(parts) == 2:  # disjoint bit ranges — OR stitches them
+            out = parts[1].bitwiseOR(parts[0])
+        return out.cast("long")
+
+    base, rem = divmod(64, n_bands)
+    bands = []
+    pos = 0
+    for i in range(n_bands):
+        width = base + (1 if i < rem else 0)
+        bands.append((f"b{i}", _extract(pos, width)))
+        pos += width
+    return bands
+
+
 def phash_pairs(
     hashes: DataFrame,
     max_hamming: int = 3,
@@ -803,41 +853,7 @@ def phash_pairs(
             "the pigeonhole index needs max_hamming + 1 non-empty "
             "bit bands out of 64"
         )
-    n_bands = max_hamming + 1
-    # Bit positions 0..31 live in phash_lo, 32..63 in phash_hi (the
-    # halves are 32-bit values stored as longs). A band [s, s+w) may
-    # straddle the boundary; extract each half with unsigned shifts
-    # and stitch. Equal default (max_hamming=3 → four 16-bit bands)
-    # reproduces the historical split bit-for-bit.
-    def _extract(start: int, width: int) -> Column:
-        lo_bits = max(0, min(32, start + width) - min(32, start))
-        parts = []
-        if lo_bits > 0:
-            parts.append(
-                F.shiftrightunsigned(F.col("phash_lo"), start).bitwiseAND(
-                    F.lit((1 << lo_bits) - 1)
-                )
-            )
-        hi_bits = width - lo_bits
-        if hi_bits > 0:
-            hi_part = F.shiftrightunsigned(
-                F.col("phash_hi"), max(0, start - 32)
-            ).bitwiseAND(F.lit((1 << hi_bits) - 1))
-            parts.append(
-                hi_part * F.lit(1 << lo_bits) if lo_bits else hi_part
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out + p
-        return out.cast("long")
-
-    base, rem = divmod(64, n_bands)
-    bands = []
-    pos = 0
-    for i in range(n_bands):
-        width = base + (1 if i < rem else 0)
-        bands.append((f"b{i}", _extract(pos, width)))
-        pos += width
+    bands = _hash_bands(max_hamming + 1)
     h = hashes.select(id_col, "phash_hi", "phash_lo")
     banded = h.select(
         id_col,

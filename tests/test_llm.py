@@ -1329,3 +1329,41 @@ def test_tile_plan_degenerate_dims_emit_no_tiles(spark):
     out = tile_plan(df, tile=224).collect()
     assert {r["doc_id"] for r in out} == {4}
     assert len(out) == 4  # ceil(300/224)^2
+
+
+def test_hash_bands_partition_the_64_bits(spark):
+    """For every band count, the band values must recombine to the
+    exact 64-bit hash — i.e. the bands PARTITION the bits, which is
+    what the pigeonhole recall guarantee stands on (including bands
+    that straddle the hi/lo boundary and the single full-width
+    band of max_hamming=0)."""
+    from configdrivendatapipeline_spark.llm.multimodal import _hash_bands
+
+    vals = [
+        (0xFFFFFFFF, 0xFFFFFFFF),
+        (0x00000000, 0x00000000),
+        (0x12345678, 0x9ABCDE10),
+        (0x80000001, 0x7FFFFFFE),
+    ]
+    df = spark.createDataFrame(
+        vals, "phash_hi LONG, phash_lo LONG"
+    )
+    for n_bands in (1, 2, 3, 4, 7, 9, 32, 64):
+        bands = _hash_bands(n_bands)
+        base, rem = divmod(64, n_bands)
+        widths = [base + (1 if i < rem else 0) for i in range(n_bands)]
+        assert sum(widths) == 64 and all(w >= 1 for w in widths)
+        got = df.select(
+            "phash_hi", "phash_lo",
+            *[c.alias(n) for n, c in bands],
+        ).collect()
+        for r in got:
+            full = ((r["phash_hi"] & 0xFFFFFFFF) << 32) | (
+                r["phash_lo"] & 0xFFFFFFFF
+            )
+            recombined = 0
+            pos = 0
+            for (name, _), w in zip(bands, widths):
+                recombined |= (r[name] & ((1 << w) - 1)) << pos
+                pos += w
+            assert recombined == full, (n_bands, r)
