@@ -2,8 +2,13 @@
 
 Config shape::
 
-    {format: parquet|csv|json|orc, path: ..., mode: append|overwrite|
+    {format: parquet|csv|json|orc|avro|kafka, path: ...
+     (bootstrap_servers+topic for kafka), mode: append|overwrite|
      overwrite_dynamic|error, partition_by: [col, ...], options: {...}}
+
+``avro``/``kafka`` ride Spark's public packaged DataSources — same
+classpath boundary as the source side (io/sources.py): absent the
+package, the writer raises the precise --packages remedy.
 
 Scale notes: ``partition_by`` keys should be low-cardinality and
 query-aligned (date, region) so downstream reads get partition
@@ -38,6 +43,20 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
         df = df.sortWithinPartitions(*sort_by)
     fmt = cfg.get("format", "parquet")
     mode = cfg.get("mode", "error")
+
+    if fmt == "kafka":
+        # Message-bus sink: rows must already carry a `value` column
+        # (and optionally `key`); serialize upstream with a derive/
+        # sql step (to_json / CAST AS BINARY).
+        writer = (
+            df.write.format("kafka")
+            .option("kafka.bootstrap.servers", cfg["bootstrap_servers"])
+            .option("topic", cfg["topic"])
+            .options(**dict(cfg.get("options") or {}))
+        )
+        _packaged_save(writer, fmt)
+        return
+
     writer = df.write.format(fmt).options(**dict(cfg.get("options") or {}))
 
     if mode == "overwrite_dynamic":
@@ -49,4 +68,21 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
     partition_by = cfg.get("partition_by")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.save(cfg["path"])
+    if fmt == "avro":
+        _packaged_save(writer, fmt, cfg["path"])
+    else:
+        writer.save(cfg["path"])
+
+
+def _packaged_save(writer, fmt: str, path: str | None = None) -> None:
+    from configdrivendatapipeline_spark.io.sources import _PACKAGED
+
+    try:
+        writer.save(path) if path is not None else writer.save()
+    except Exception as e:
+        if "Failed to find data source" in str(e) or "ClassNotFound" in str(e):
+            raise RuntimeError(
+                f"sink format {fmt!r} needs its Spark package on the "
+                f"cluster classpath: --packages {_PACKAGED[fmt]}"
+            ) from e
+        raise

@@ -451,3 +451,22 @@ def test_packaged_source_formats_surface_classpath_error(spark, sf_dir):
                 "options": {"startingOffsets": "earliest"},
             },
         ).limit(1).collect()
+
+
+def test_packaged_sink_formats_surface_classpath_error(spark, sf_dir, tmp_path):
+    """Sink-side twin of the packaged-source boundary: avro/kafka
+    writers raise the precise --packages remedy when the package is
+    absent (avro asserts the text; kafka may alternatively fail on
+    the absent broker in a bundled environment)."""
+    import pytest
+
+    from configdrivendatapipeline_spark.io.sinks import write_sink
+
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    with pytest.raises(Exception, match="--packages|avro"):
+        write_sink(df, {"format": "avro", "path": str(tmp_path / "a"), "mode": "overwrite"})
+    with pytest.raises(Exception):
+        write_sink(
+            df.selectExpr("CAST(r_name AS STRING) AS value"),
+            {"format": "kafka", "bootstrap_servers": "localhost:19099", "topic": "t"},
+        )
