@@ -561,11 +561,6 @@ def _kmeans_iterate(
 
     a = assign(cents)
     for _ in range(refine_iters):
-        # The loop-carried state is only the k·dim centroid table —
-        # checkpoint it each round (trivially small) so plan depth
-        # stays constant no matter how many refinement rounds a
-        # config-surface caller requests.
-        cents = cents.localCheckpoint(eager=True)
         ex = a.select(
             id_col, "cluster", F.posexplode("__v").alias("dim", "val")
         )
@@ -581,6 +576,12 @@ def _kmeans_iterate(
                 lambda s: s.getField("mean"),
             ).alias("__c")
         )
+        # Truncate the loop-carried lineage at the NEW centroid table
+        # (k·dim rows — trivially small): the next round's assignment
+        # then builds on a materialized frame, so plan depth stays
+        # constant no matter how many refinement rounds a
+        # config-surface caller requests.
+        cents = cents.localCheckpoint(eager=True)
         a = assign(cents)
     return a, cents
 
