@@ -134,7 +134,11 @@ def skyline_2d(
         & ((F.col("q.__x") > F.col("a.__x")) | (F.col("q.__y") > F.col("a.__y"))),
         "left_semi",
     )
-    join_on = keep if keep else ["__x", "__y"]
+    # Anti-join must key on the POINT (__x, __y), not the keep
+    # columns alone: keep columns carry no uniqueness contract, and
+    # keying on them would delete every row sharing a keep value
+    # with any dominated row (possibly the whole frontier).
+    join_on = [*keep, "__x", "__y"]
     return (
         cand.join(dominated, join_on, "left_anti")
         .select(

@@ -445,18 +445,28 @@ def _mixture_plan(spark, dfs, p):
     a = df.select(key, F.col(avail_col).cast("long").alias("tokens_avail")).join(
         F.broadcast(wtab), key
     )
-    # A weighted source with zero/negative availability makes the
-    # water-filling min collapse total_max to 0 (and NULLs its own
-    # utilization) with no signal — fail fast instead. The frame is
-    # per-SOURCE (weights-dict-sized after the join), so this check
-    # is a bounded driver-side action, not a data-scale job.
-    bad = a.filter(F.col("tokens_avail") <= 0).select(key).limit(5).collect()
-    if bad:
-        raise ValueError(
-            "mixture_plan: weighted source(s) with tokens_avail <= 0: "
-            + ", ".join(str(r[0]) for r in bad)
-            + " — drop them from `weights` or fix the availability input"
-        )
+    # A weighted source with zero/negative/NULL availability makes
+    # the water-filling min collapse total_max to 0 (or silently
+    # NULLs its own utilization) with no signal. Guard IN the plan —
+    # raise_error fires when the pipeline actually runs — so compile
+    # stays lazy and the upstream availability job (possibly the
+    # pipeline's most expensive aggregate) never executes twice.
+    a = a.withColumn(
+        "tokens_avail",
+        F.when(
+            F.col("tokens_avail").isNull() | (F.col("tokens_avail") <= 0),
+            F.raise_error(
+                F.concat(
+                    F.lit("mixture_plan: weighted source '"),
+                    F.col(key),
+                    F.lit(
+                        "' has tokens_avail <= 0 or NULL — drop it from"
+                        " `weights` or fix the availability input"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("tokens_avail")),
+    )
     tot = a.agg(F.sum("w").cast("long").alias("big_w"))
     a2 = a.crossJoin(F.broadcast(tot))
     tmax = a2.agg(

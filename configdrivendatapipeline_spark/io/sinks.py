@@ -4,7 +4,8 @@ Config shape::
 
     {format: parquet|csv|json|orc|avro|kafka, path: ...
      (bootstrap_servers+topic for kafka), mode: append|overwrite|
-     overwrite_dynamic|error, partition_by: [col, ...], options: {...}}
+     overwrite_dynamic|error (kafka: append only — a topic cannot be
+     overwritten), partition_by: [col, ...], options: {...}}
 
 ``avro``/``kafka`` ride Spark's public packaged DataSources — same
 classpath boundary as the source side (io/sources.py): absent the
@@ -47,11 +48,20 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
     if fmt == "kafka":
         # Message-bus sink: rows must already carry a `value` column
         # (and optionally `key`); serialize upstream with a derive/
-        # sql step (to_json / CAST AS BINARY).
+        # sql step (to_json / CAST AS BINARY). A topic is append-only,
+        # so `mode` defaults to append and anything else is rejected
+        # rather than silently dropped.
+        kmode = cfg.get("mode", "append")
+        if kmode != "append":
+            raise ValueError(
+                f"sink format 'kafka' is append-only; mode: {kmode!r} "
+                "is not supported — remove the key or set mode: append"
+            )
         writer = (
             df.write.format("kafka")
             .option("kafka.bootstrap.servers", cfg["bootstrap_servers"])
             .option("topic", cfg["topic"])
+            .mode("append")
             .options(**dict(cfg.get("options") or {}))
         )
         _packaged_save(writer, fmt)

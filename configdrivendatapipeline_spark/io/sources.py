@@ -109,6 +109,14 @@ def read_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
         reader = reader.format("avro").options(**options)
         if schema_ddl:
             reader = reader.schema(schema_ddl)
+        elif streaming:
+            # Parity with the bundled file formats: streaming file
+            # sources require a schema, so infer from a one-off
+            # batch read (header-only for avro container files).
+            static = _packaged_load(
+                spark.read.format("avro").options(**options), fmt, path
+            )
+            reader = reader.schema(static.schema)
         df = _packaged_load(reader, fmt, path)
     elif fmt == "kafka":
         # Message-bus source (the event-trigger replacement): value

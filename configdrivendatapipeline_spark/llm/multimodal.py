@@ -868,11 +868,16 @@ def phash_pairs(
             )
         ).alias("b"),
     ).select(id_col, "phash_hi", "phash_lo", "b.band_id", "b.band_val")
-    grouped = banded.groupBy("band_id", "band_val").agg(
-        F.array_sort(F.collect_set(id_col)).alias("ids")
-    )
-    bounded = grouped.filter(
-        (F.size("ids") > 1) & (F.size("ids") <= max_bucket)
+    # Cap buckets BEFORE any array materializes (the shared LSH
+    # discipline): a degenerate bucket — flat images, or the 1-2-bit
+    # bands a large max_hamming induces — would buffer a corpus-sized
+    # id array in one aggregation state if collect_set ran before the
+    # size cap. Each id emits exactly one row per band, so the
+    # helper's count == distinct-id contract holds.
+    from configdrivendatapipeline_spark.llm.dedup import _capped_bucket_ids
+
+    bounded = _capped_bucket_ids(
+        banded, ["band_id", "band_val"], id_col, max_bucket
     )
     pairs = (
         bounded.select(

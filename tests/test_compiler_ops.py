@@ -1297,12 +1297,14 @@ def test_oversample_op_hits_expected_counts(spark, sf_dir):
 
 
 def test_mixture_plan_rejects_zero_availability(spark, sf_dir):
-    """A weighted source with tokens_avail <= 0 must fail fast (it
+    """A weighted source with tokens_avail <= 0 must fail loudly (it
     would otherwise NULL its utilization and silently collapse
-    total_max to 0 for the whole plan)."""
+    total_max to 0 for the whole plan). The guard lives IN the plan
+    (raise_error at run time, not an eager compile-time collect), so
+    compile stays lazy and the availability job runs exactly once."""
     import pytest
 
-    with pytest.raises(ValueError, match="tokens_avail <= 0"):
+    with pytest.raises(Exception, match="tokens_avail <= 0 or NULL"):
         run_step(
             spark,
             sf_dir,
@@ -1321,7 +1323,35 @@ def test_mixture_plan_rejects_zero_availability(spark, sf_dir):
     params:
       weights: {src0: 3, src1: 1, src2: 1}
 """,
-        )
+        )["plan"].collect()
+
+
+def test_mixture_plan_rejects_null_availability(spark, sf_dir):
+    """NULL availability (e.g. a failed cast) must hit the same
+    guard as <= 0 — `NULL <= 0` alone would pass a plain filter and
+    reproduce exactly the silent NULL-utilization failure."""
+    import pytest
+
+    with pytest.raises(Exception, match="tokens_avail <= 0 or NULL"):
+        run_step(
+            spark,
+            sf_dir,
+            "documents",
+            """
+  - id: avail
+    input: documents
+    op: aggregate
+    params:
+      group_by: [source]
+      aggs:
+        tokens_avail: "CAST(CASE WHEN source = 'src1' THEN NULL ELSE SUM(size(split(text, ' '))) END AS BIGINT)"
+  - id: plan
+    input: avail
+    op: mixture_plan
+    params:
+      weights: {src0: 3, src1: 1, src2: 1}
+""",
+        )["plan"].collect()
 
 
 def test_spatial_grid_op_and_guards(spark, sf_dir):
@@ -1364,6 +1394,21 @@ def test_skyline_op_matches_naive(spark):
         )
     }
     assert got == naive == {"a", "b", "c", "e"}
+
+
+def test_skyline_keep_cols_carry_no_uniqueness_contract(spark):
+    """Non-unique keep columns: a frontier row must survive even when
+    a DOMINATED row shares its keep value (the anti-join keys on the
+    point, never on keep columns alone)."""
+    from configdrivendatapipeline_spark.analytics import skyline_2d
+
+    rows = [("a", 10, 5), ("a", 10, 10), ("b", 1, 20), ("b", 1, 1)]
+    df = spark.createDataFrame(rows, "cat STRING, x LONG, y LONG")
+    got = {
+        (r["cat"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", keep_cols=["cat"]).collect()
+    }
+    assert got == {("a", 10, 10), ("b", 1, 20)}
 
 
 def test_date_dim_op_calendar_invariants(spark, sf_dir):

@@ -470,3 +470,15 @@ def test_packaged_sink_formats_surface_classpath_error(spark, sf_dir, tmp_path):
             df.selectExpr("CAST(r_name AS STRING) AS value"),
             {"format": "kafka", "bootstrap_servers": "localhost:19099", "topic": "t"},
         )
+    # A kafka topic is append-only: any other configured mode is a
+    # config error surfaced BEFORE the write, never silently dropped.
+    with pytest.raises(ValueError, match="append-only"):
+        write_sink(
+            df.selectExpr("CAST(r_name AS STRING) AS value"),
+            {
+                "format": "kafka",
+                "bootstrap_servers": "localhost:19099",
+                "topic": "t",
+                "mode": "overwrite",
+            },
+        )

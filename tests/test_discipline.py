@@ -37,11 +37,6 @@ ALLOWED = {
     # so bpe.py also hosts the artifact collects other layers use:
     # bpe_train_rows / merge_pairs_from_table.)
     ("llm/bpe.py", "collect"),
-    # mixture_plan's fail-fast on tokens_avail <= 0: a LIMIT-5 sample
-    # of offending SOURCE keys from the per-source availability frame
-    # (weights-dict-sized by construction), collected only to build
-    # the error message. Bounded scalar diagnostics, never row data.
-    ("compiler.py", "collect"),
 }
 
 
