@@ -539,19 +539,29 @@ def _inverted_index(spark, dfs, p):
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
     )
-    return (
-        tok.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_join(
-                F.transform(
-                    F.slice(F.array_sort(F.collect_list(F.col(id_col))), 1, head),
-                    lambda d: d.cast("string"),
-                ),
-                ",",
-            ).alias("first_postings"),
-        )
-        .filter(F.col("df") >= min_df)
+    # Rank-then-collect: df and the head cutoff come from windows
+    # (WindowExec spills oversized token groups), so a stopword's
+    # posting list never materializes as ONE aggregation-buffer
+    # array just to be sliced to `head`. The groupBy reuses the
+    # window's token partitioning — still one shuffle.
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("token")
+    wrn = Window.partitionBy("token").orderBy(id_col)
+    headed = (
+        tok.withColumn("df", F.count(F.lit(1)).over(wt))
+        .withColumn("__rn", F.row_number().over(wrn))
+        .filter((F.col("__rn") <= head) & (F.col("df") >= min_df))
+    )
+    return headed.groupBy("token").agg(
+        F.max("df").alias("df"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.col(id_col))),
+                lambda d: d.cast("string"),
+            ),
+            ",",
+        ).alias("first_postings"),
     )
 
 

@@ -1901,14 +1901,21 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     "from. Determinism is the hard part Spark hands you footguns "
     "for: collect_list order is partition-dependent, so the path "
     "builds from array_sort over (ts, event_id, type) structs — "
-    "retry-identical where a bare collect_list is not. One per-user "
-    "aggregation + one count; top-20 via TakeOrdered, no global "
-    "sort materialization.",
+    "retry-identical where a bare collect_list is not. The first-5 "
+    "cutoff is a row_number window BEFORE the collect (WindowExec "
+    "spills a hot user's history; an uncut collect_list would "
+    "buffer it whole in one aggregation state just to slice 5); "
+    "top-20 via TakeOrdered, no global sort materialization.",
 )
 def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events")
+    wrn = Window.partitionBy("user_id").orderBy("ts", "event_id")
     paths = (
-        ev.groupBy("user_id")
+        ev.withColumn("__rn", F.row_number().over(wrn))
+        .filter(F.col("__rn") <= 5)
+        .groupBy("user_id")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("ts", "event_id", "event_type"))
@@ -1916,11 +1923,7 @@ def agg_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.array_join(
-                F.slice(
-                    F.transform(F.col("evs"), lambda s: s.getField("event_type")),
-                    1,
-                    5,
-                ),
+                F.transform(F.col("evs"), lambda s: s.getField("event_type")),
                 ">",
             ).alias("path")
         )

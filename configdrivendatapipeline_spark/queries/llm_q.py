@@ -4535,24 +4535,15 @@ def llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "write is the shuffle; the token key is the natural partition.",
 )
 def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delegates to the YAML op so the bounded rank-then-collect
+    # postings shape (window df + head cutoff, WindowExec spill
+    # instead of a corpus-sized aggregation array per stopword) is
+    # written once.
+    from configdrivendatapipeline_spark.compiler import OPS
+
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
-    )
-    return (
-        tok.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.array_join(
-                F.transform(
-                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10),
-                    lambda d: d.cast("string"),
-                ),
-                ",",
-            ).alias("first_postings"),
-        )
-        .filter(F.col("df") >= 5)
+    return OPS["inverted_index"](
+        spark, [docs], {"min_df": 5, "postings_head": 10}
     )
 
 

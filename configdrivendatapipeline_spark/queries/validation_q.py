@@ -1284,7 +1284,10 @@ def val_relationship_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "PARTITION (day): days chain independently and in parallel, the "
     "fold runs over one day's collected digests in-plan (arrays "
     "never leave the JVM), and md5 is the shared hash family so the "
-    "oracle replays every link.",
+    "oracle replays every link. Operating bound: one day's digests "
+    "are held as a single in-memory array (~32 B/event — 3.2 GB at "
+    "100M events/day); beyond that, chain at a finer key (hour) and "
+    "fold the per-bucket heads in a second level.",
 )
 def val_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
