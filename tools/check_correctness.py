@@ -183,6 +183,10 @@ def main() -> int:
     # and poisons every later query in the process.
     con.execute("SET memory_limit='24GB'")
     con.execute("SET temp_directory='/tmp/cddp_duck_spill'")
+    # ... and bound the spill too: a quadratic oracle at sf0.1
+    # (llm_dup_clusters / llm_dedup_canonical class) otherwise fills
+    # the DISK before failing, taking unrelated work down with it.
+    con.execute("SET max_temp_directory_size='40GB'")
     for t in TABLES:
         p = f"{args.sf}/{t}.parquet"
         if os.path.exists(p):
