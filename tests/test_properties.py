@@ -348,3 +348,41 @@ def test_skyline_equals_naive_dominance(spark, pts):
         )
     }
     assert got == want
+
+
+bucket_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # bucket key
+        st.integers(min_value=0, max_value=40),  # id
+    ),
+    min_size=0,
+    max_size=40,
+).map(lambda xs: sorted(set(xs)))  # one row per (bucket, id) — the helper's contract
+
+
+@given(data=bucket_rows, cap=st.integers(min_value=1, max_value=8))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_capped_bucket_ids_equals_collect_then_filter(spark, data, cap):
+    """The spill-safe window-count cap == the naive
+    collect_set-then-size-filter shape on every input (empty frames,
+    all-singleton buckets, buckets exactly at the cap)."""
+    from configdrivendatapipeline_spark.llm.dedup import _capped_bucket_ids
+
+    df = spark.createDataFrame(data or [(0, 0)], "k INT, id INT")
+    if not data:
+        df = df.filter(F.lit(False))
+    got = {
+        (r["k"], tuple(r["ids"]))
+        for r in _capped_bucket_ids(df, ["k"], "id", cap).collect()
+    }
+    naive = (
+        df.groupBy("k")
+        .agg(F.array_sort(F.collect_set("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= cap))
+    )
+    want = {(r["k"], tuple(r["ids"])) for r in naive.collect()}
+    assert got == want
