@@ -423,6 +423,7 @@ def _neardup_pairs(spark, dfs, p):
         vec_col=p.get("vector_column", "embedding"),
         n_tables=int(p.get("n_tables", 6)),
         planes_per_table=int(p.get("planes_per_table", 4)),
+        max_bucket=int(p["max_bucket"]) if "max_bucket" in p else None,
     )
 
 
@@ -648,6 +649,7 @@ def _knn_join(spark, dfs, p):
         id_col=p.get("id_column", "vec_id"),
         vec_col=p.get("vector_column", "embedding"),
         group_col=p.get("group_column"),
+        max_bucket=int(p["max_bucket"]) if "max_bucket" in p else None,
     )
 
 
@@ -834,6 +836,7 @@ def _semdedup(spark, dfs, p):
         keep_cols=tuple(p.get("keep_columns", ("label",))),
         n_tables=int(p.get("n_tables", 6)),
         planes_per_table=int(p.get("planes_per_table", 4)),
+        max_bucket=int(p["max_bucket"]) if "max_bucket" in p else None,
     )
 
 
@@ -1215,6 +1218,7 @@ def _hard_negatives(spark, dfs, p):
         label_col=p.get("label_column", "label"),
         n_tables=int(p.get("n_tables", 6)),
         planes_per_table=int(p.get("planes_per_table", 4)),
+        max_bucket=int(p["max_bucket"]) if "max_bucket" in p else None,
     )
 
 

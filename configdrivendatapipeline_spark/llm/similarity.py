@@ -41,8 +41,30 @@ def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _label_out(df: DataFrame, label_col: str) -> Column:
+    """Output form of a configurable label column: numeric labels
+    normalize to long (int32 fixtures ↔ BIGINT oracles), everything
+    else passes through UNCAST — `CAST('en' AS BIGINT)` would throw
+    under Spark 4's default ANSI mode (and silently NULL the column
+    with ANSI off), breaking string-labeled config-surface callers."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[label_col].dataType
+    col = F.col(label_col)
+    return col.cast("long") if isinstance(dt, T.NumericType) else col
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with the zero-vector convention cos = 0.
+
+    The guard matters operationally: one all-zero embedding (a failed
+    or padded embed row) would otherwise kill the whole job under
+    Spark 4's default ANSI mode (DIVIDE_BY_ZERO) — and every topk /
+    neardup / kmeans / semdedup operator funnels through here. For
+    non-zero vectors the arithmetic is unchanged (bit-identical to
+    the unguarded form)."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(
@@ -108,8 +130,14 @@ def _table_buckets(vec: Column, n_tables: int, planes_per_table: int) -> Column:
         b = F.lit(0).cast("long")
         for j in range(planes_per_table):
             p = t * F.lit(planes_per_table) + F.lit(j)
+            # Plane length derives from the VECTOR, not a 64 literal:
+            # zip_with null-pads mismatched lengths, so a hardcoded
+            # 64 would fold every dim≠64 projection to NULL and
+            # silently collapse all vectors into one bucket per
+            # table (the all-pairs join the banding exists to avoid).
+            # For 64-dim inputs the weights are bit-identical.
             w = F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
+                F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda d: _weight_from(p * F.lit(100_003) + d),
             )
             proj = dot(vec, w)
@@ -119,6 +147,28 @@ def _table_buckets(vec: Column, n_tables: int, planes_per_table: int) -> Column:
         return b
 
     return F.transform(tables, table_bucket)
+
+
+def _cap_buckets(
+    banded: DataFrame, keys: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Optional skew defense for the hyperplane-LSH family, applied
+    BEFORE any pair join: rows in buckets larger than ``max_bucket``
+    are dropped (a window count — spill-safe, no arrays). One hot
+    bucket (duplicate-heavy corpus, a degenerate plane family)
+    otherwise expands quadratically in the candidate join, the same
+    bomb the minhash path caps by default. Default None preserves
+    exact recall; production corpora should set it (the dropped
+    buckets trade bounded recall for a bounded join, exactly like
+    ``lsh_candidate_pairs``'s cap in llm/dedup.py)."""
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
+    )
 
 
 def lsh_topk(
@@ -131,6 +181,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
     n_planes: int | None = None,  # legacy alias for planes_per_table
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: multi-table hyperplane LSH.
 
@@ -142,28 +193,33 @@ def lsh_topk(
     """
     if n_planes is not None:
         planes_per_table = n_planes
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
-    c = c.select(
+    cv = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    # Slim candidate generation (same discipline as knn_join /
+    # neardup_pairs): only (probe_id, id) pairs flow through the
+    # bucket join and the multi-table dedup — each candidate appears
+    # in up to n_tables buckets, and shuffling the 64-double vectors
+    # through that dedup was the measured 1.7× overhead on the
+    # sibling ops. Vectors join back onto the deduped pairs.
+    c = cv.select(
         id_col,
-        "__v",
         F.posexplode(_table_buckets(F.col("__v"), n_tables, planes_per_table)).alias(
             "table_id", "bucket"
         ),
     )
-    p = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
-    p = p.select(
+    c = _cap_buckets(c, ["table_id", "bucket"], max_bucket)
+    pv = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
+    p = pv.select(
         probe_id,
-        "__q",
         F.posexplode(_table_buckets(F.col("__q"), n_tables, planes_per_table)).alias(
             "table_id", "bucket"
         ),
     )
     candidates = (
         c.join(F.broadcast(p), ["table_id", "bucket"])
-        .select(probe_id, id_col, "__v", "__q")
+        .select(probe_id, id_col)
         .dropDuplicates([probe_id, id_col])
     )
-    scored = candidates.select(
+    scored = candidates.join(cv, id_col).join(F.broadcast(pv), probe_id).select(
         probe_id,
         id_col,
         F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
@@ -201,8 +257,6 @@ def ivf_topk(
     equi-join on the list id replaces the crossJoin, scanning
     ~n_probe/n_centroids of the corpus.
     """
-    from pyspark.sql import Window as W
-
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
     if centroids is not None:
         cents = centroids.select(
@@ -223,7 +277,7 @@ def ivf_topk(
         .withColumn(
             "__rn",
             F.row_number().over(
-                W.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cent_id"))
+                Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cent_id"))
             ),
         )
         .filter(F.col("__rn") == 1)
@@ -238,7 +292,7 @@ def ivf_topk(
         .withColumn(
             "__rn",
             F.row_number().over(
-                W.partitionBy(probe_id).orderBy(F.col("__sim").desc(), F.col("cent_id"))
+                Window.partitionBy(probe_id).orderBy(F.col("__sim").desc(), F.col("cent_id"))
             ),
         )
         .filter(F.col("__rn") <= n_probe)
@@ -266,6 +320,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     group_col: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN self-join: top-k neighbors for EVERY vector.
 
@@ -292,6 +347,7 @@ def knn_join(
         ),
     )
     keys = extra + ["table_id", "bucket"]
+    banded = _cap_buckets(banded, keys, max_bucket)
     a = banded.select(*keys, F.col(id_col).alias("left_id"))
     b = banded.select(*keys, F.col(id_col).alias("right_id"))
     pairs = (
@@ -326,6 +382,7 @@ def neardup_pairs(
     n_tables: int = 6,
     planes_per_table: int = 4,
     exact: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b).
 
@@ -357,6 +414,7 @@ def neardup_pairs(
                 _table_buckets(F.col("__v"), n_tables, planes_per_table)
             ).alias("table_id", "bucket"),
         )
+        banded = _cap_buckets(banded, ["table_id", "bucket"], max_bucket)
         a = banded.select("table_id", "bucket", F.col(id_col).alias("id_a"))
         b = banded.select("table_id", "bucket", F.col(id_col).alias("id_b"))
         pairs = (
@@ -428,6 +486,7 @@ def semdedup(
     keep_cols: tuple[str, ...] = ("label",),
     n_tables: int = 6,
     planes_per_table: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Semantic dedup over an embedding column (SemDeDup-style):
     drop every vector that has a LOWER-id neighbor with cosine ≥
@@ -459,6 +518,7 @@ def semdedup(
         vec_col=vec_col,
         n_tables=n_tables,
         planes_per_table=planes_per_table,
+        max_bucket=max_bucket,
     )
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct().withColumn(
         "__drop", F.lit(True)
@@ -630,9 +690,23 @@ def centroid_drift(
         .agg(
             F.max("n_a").alias("n_first"),
             F.max("n_b").alias("n_second"),
+            # DECIMAL(38,0) cross-multiply: s ~ n·2²⁰·|v| per dim, so
+            # s_a·n_b ~ n²·2²⁰ overflows BIGINT once a label's half
+            # reaches ~3M rows (ANSI raises; non-ANSI silently wraps
+            # to a wrong drift) — and the summed magnitude itself
+            # outgrows BIGINT on real corpora, so the exact value is
+            # emitted as canonical digits (38 digits ≈ 10¹² rows per
+            # label). Still exact integer arithmetic, still
+            # oracle-replayable.
             F.sum(
-                F.abs(F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a"))
-            ).alias("drift_l1"),
+                F.abs(
+                    F.col("s_a").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("s_b").cast("decimal(38,0)") * F.col("n_a")
+                )
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("drift_l1"),
             F.transform(
                 F.array_sort(
                     F.collect_list(
@@ -667,7 +741,7 @@ def centroid_drift(
         .filter((F.col("n_first") > 0) & (F.col("n_second") > 0))
     )
     return lab.select(
-        F.col(label_col).cast("long").alias(label_col),
+        _label_out(emb, label_col).alias(label_col),
         "n_first",
         "n_second",
         "drift_l1",
@@ -719,7 +793,7 @@ def label_outliers(
     )
     return scored.select(
         id_col,
-        F.col(label_col).cast("long").alias(label_col),
+        _label_out(emb, label_col).alias(label_col),
         (F.round("__cs", 6) + F.lit(0.0)).alias("cos_centroid"),
         (F.col("__cs") < threshold).alias("is_outlier"),
     )
@@ -732,6 +806,7 @@ def hard_negatives(
     label_col: str = "label",
     n_tables: int = 6,
     planes_per_table: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: each anchor's
     most-similar vector carrying a DIFFERENT label — the negatives
@@ -786,14 +861,21 @@ def hard_negatives(
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("__cs").desc(), F.col("neg_id")
     )
+    from pyspark.sql import types as T
+
+    numeric_label = isinstance(emb.schema[label_col].dataType, T.NumericType)
+
+    def lbl(c: str) -> Column:
+        return F.col(c).cast("long") if numeric_label else F.col(c)
+
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .select(
             "anchor_id",
-            F.col("anchor_label").cast("long").alias("anchor_label"),
+            lbl("anchor_label").alias("anchor_label"),
             "neg_id",
-            F.col("neg_label").cast("long").alias("neg_label"),
+            lbl("neg_label").alias("neg_label"),
             (F.round("__cs", 6) + F.lit(0.0)).alias("cos_sim"),
         )
     )
@@ -824,11 +906,23 @@ def pq_encode(
     """
     out = None
     for i in range(m):
+        # The LAST subspace takes the remainder (identical to the
+        # even split when m divides the dim), so no dimension is ever
+        # silently dropped from the encoding; m > dim fails loudly
+        # in-plan instead of producing empty subvectors.
+        width = (
+            f"size({vec_col}) - {m - 1} * (size({vec_col}) div {m})"
+            if i == m - 1
+            else f"size({vec_col}) div {m}"
+        )
         sub = emb.select(
             F.col(id_col),
             F.expr(
-                f"slice({vec_col}, 1 + {i} * (size({vec_col}) div {m}), "
-                f"size({vec_col}) div {m})"
+                f"CASE WHEN size({vec_col}) < {m} THEN "
+                f"raise_error('pq_encode: m={m} exceeds vector "
+                f"dimension — choose m <= dim') "
+                f"ELSE slice({vec_col}, 1 + {i} * (size({vec_col}) div {m}), "
+                f"{width}) END"
             ).alias("__sub"),
         )
         a = kmeans_assign(sub, n_clusters, refine_iters, id_col, "__sub").select(

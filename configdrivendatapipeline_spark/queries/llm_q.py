@@ -2894,7 +2894,9 @@ def llm_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab AS (
       SELECT label,
              MAX(n_a) AS n_first, MAX(n_b) AS n_second,
-             CAST(SUM(ABS(s_a * n_b - s_b * n_a)) AS BIGINT) AS drift_l1,
+             CAST(CAST(SUM(ABS(CAST(s_a AS DECIMAL(38,0)) * n_b
+                               - CAST(s_b AS DECIMAL(38,0)) * n_a))
+                       AS DECIMAL(38,0)) AS VARCHAR) AS drift_l1,
              list(CAST(s_a AS DOUBLE) / (n_a * 1048576.0) ORDER BY dim) AS ca,
              list(CAST(s_b AS DOUBLE) / (n_b * 1048576.0) ORDER BY dim) AS cb
       FROM comp GROUP BY label

@@ -29,17 +29,12 @@ _VU = "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)"
 
 
 def _scratch(sf_dir: str, name: str, src_table: str = "events") -> str:
-    """Scratch dir keyed on the source file's identity (path + mtime +
-    size), not just its path: the driver has regenerated
-    events.parquet in place between rounds, and a path-keyed stage
-    marker would silently replay the previous round's rows."""
-    src = f"{sf_dir}/{src_table}.parquet"
-    try:
-        st = os.stat(src)
-        ident = f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        ident = sf_dir
-    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
+    """Scratch dir keyed on the source file's identity, not just its
+    path (see streaming.ops.file_identity_tag — the shared keying
+    rule that tracks in-place fixture regeneration)."""
+    from configdrivendatapipeline_spark.streaming.ops import file_identity_tag
+
+    tag = file_identity_tag(f"{sf_dir}/{src_table}.parquet")
     return os.path.join(tempfile.gettempdir(), "cddp_stream", tag, name)
 
 

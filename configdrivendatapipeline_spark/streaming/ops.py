@@ -18,22 +18,38 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _stage_dir(path: str) -> str:
-    """FileStreamSource wants a directory; the fixture is one parquet
-    file. Stage it (symlink; idempotent) into a scratch dir keyed on
-    the file's identity (path + mtime + size) — a symlink tracks
-    in-place regeneration, but the copyfile fallback would not, and
-    the driver has regenerated fixtures between rounds."""
+def file_identity_tag(path: str) -> str:
+    """Short tag of a file's identity (abspath + mtime + size).
+
+    The ONE keying rule for every streaming scratch dir: the driver
+    regenerates fixtures IN PLACE between rounds, and a path-keyed
+    stage marker would silently replay the previous round's rows.
+    Absolute path, because a relative one would stat fine
+    (cwd-relative) but symlink-resolve against the scratch dir."""
+    path = os.path.abspath(path)
     try:
         st = os.stat(path)
         ident = f"{path}:{st.st_mtime_ns}:{st.st_size}"
     except OSError:
         ident = path
-    tag = hashlib.md5(ident.encode()).hexdigest()[:10]
-    d = os.path.join(tempfile.gettempdir(), "cddp_stream_src", tag)
+    return hashlib.md5(ident.encode()).hexdigest()[:10]
+
+
+def _stage_dir(path: str) -> str:
+    """FileStreamSource wants a directory; the fixture is one parquet
+    file. Stage it (symlink; idempotent) into a scratch dir keyed on
+    the file's identity — a symlink tracks in-place regeneration, but
+    the copyfile fallback would not, and the driver has regenerated
+    fixtures between rounds."""
+    path = os.path.abspath(path)
+    d = os.path.join(
+        tempfile.gettempdir(), "cddp_stream_src", file_identity_tag(path)
+    )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows a dangling symlink and
+    # would re-attempt the symlink into EEXIST.
+    if not os.path.lexists(link):
         try:
             os.symlink(path, link)
         except OSError:

@@ -1,0 +1,105 @@
+"""Edge behaviors of the similarity family fixed in the round-8
+adversarial review: zero-vector cosine, dim-agnostic LSH planes,
+string labels, PQ subspace coverage, and the opt-in bucket cap."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from configdrivendatapipeline_spark.llm import similarity as S
+
+
+def _emb(spark, rows, dim_type="array<float>"):
+    return spark.createDataFrame(
+        rows, f"vec_id LONG, embedding {dim_type}"
+    )
+
+
+def test_zero_vector_does_not_crash_cosine_ops(spark):
+    """One all-zero embedding (a failed embed) must not kill the job
+    under Spark 4's default ANSI mode; convention: cos = 0."""
+    corpus = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 0.0])],
+    )
+    probes = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "probe_id LONG, probe_vec array<float>"
+    )
+    got = {
+        r["vec_id"]: r["cos_sim"]
+        for r in S.brute_force_topk(corpus, probes, k=3).collect()
+    }
+    assert got[1] == 1.0 and got[3] == 0.0
+
+
+def test_lsh_planes_follow_vector_dim(spark):
+    """dim != 64 must still spread vectors across buckets — a
+    hardcoded 64-plane length null-padded shorter vectors and
+    collapsed every table to bucket 0 (the silent all-pairs join)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(32)]) for i in range(40)
+    ]
+    banded = _emb(spark, rows).select(
+        F.posexplode(
+            S._table_buckets(S.as_double("embedding"), 2, 4)
+        ).alias("table_id", "bucket")
+    )
+    per_table = (
+        banded.groupBy("table_id")
+        .agg(F.countDistinct("bucket").alias("n"))
+        .collect()
+    )
+    assert all(r["n"] > 1 for r in per_table)
+
+
+def test_string_labels_survive_label_ops(spark):
+    """Configurable label columns must accept strings: the old
+    CAST(label AS BIGINT) threw under ANSI mode (CAST_INVALID_INPUT)
+    for 'en'/'fr'-style labels."""
+    rows = [
+        (1, [1.0, 0.0], "en"),
+        (2, [0.9, 0.1], "en"),
+        (3, [0.0, 1.0], "fr"),
+        (4, [0.1, 0.9], "fr"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding array<float>, label STRING"
+    )
+    out = S.label_outliers(emb).collect()
+    assert {r["label"] for r in out} == {"en", "fr"}
+    hn = S.hard_negatives(emb, n_tables=8, planes_per_table=2).collect()
+    assert all(r["anchor_label"] != r["neg_label"] for r in hn)
+    drift = S.centroid_drift(emb).collect()
+    assert {r["label"] for r in drift} <= {"en", "fr"}
+    # drift_l1 is exact integer digits as a string (BIGINT outgrows
+    # real corpora)
+    assert all(r["drift_l1"].isdigit() for r in drift)
+
+
+def test_pq_encode_covers_every_dimension(spark):
+    """dim % m != 0: the last subspace takes the remainder instead of
+    silently dropping trailing dimensions; m > dim fails loudly."""
+    rows = [(i, [float(i + d) for d in range(10)]) for i in range(6)]
+    emb = _emb(spark, rows)
+    out = S.pq_encode(emb, m=3, n_clusters=2).collect()
+    assert len(out) == 6  # 10 dims over 3 subspaces (3+3+4) encodes
+    with pytest.raises(Exception, match="exceeds vector dimension"):
+        S.pq_encode(emb, m=11, n_clusters=2).collect()
+
+
+def test_max_bucket_caps_hot_lsh_buckets(spark):
+    """An identical-vector pile (one hot bucket) pairs quadratically
+    without the cap and not at all with a cap below the pile size."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(12)]
+    emb = _emb(spark, rows)
+    uncapped = S.neardup_pairs(emb, threshold=0.5, n_tables=2).count()
+    assert uncapped == 12 * 11 // 2
+    capped = S.neardup_pairs(
+        emb, threshold=0.5, n_tables=2, max_bucket=5
+    ).count()
+    assert capped == 0
