@@ -197,8 +197,18 @@ def _window(spark, dfs, p):
         w = w.orderBy(*[_sort_expr(e) for e in p["order_by"]])
     frame = p.get("rows_between")
     if frame:
-        lo = Window.unboundedPreceding if frame[0] == "unbounded" else int(frame[0])
-        hi = Window.currentRow if frame[1] == "current" else int(frame[1])
+        # Both bounds accept both symbols ('unbounded' resolves per
+        # side), so forward-looking frames like [current, unbounded]
+        # work instead of dying in int('current').
+        def bound(v, unbounded):
+            if v == "unbounded":
+                return unbounded
+            if v == "current":
+                return Window.currentRow
+            return int(v)
+
+        lo = bound(frame[0], Window.unboundedPreceding)
+        hi = bound(frame[1], Window.unboundedFollowing)
         w = w.rowsBetween(lo, hi)
     return df.withColumns({name: F.expr(e).over(w) for name, e in p["columns"].items()})
 
@@ -240,6 +250,13 @@ def _sql(spark, dfs, p):
     # inputs are registered under the names given in params.views
     # (aligned with the step's inputs list), default t1..tn.
     views = p.get("views") or [f"t{i+1}" for i in range(len(dfs))]
+    if len(views) != len(dfs):
+        # zip would silently drop the extra inputs, and the query
+        # would then resolve a missing view name to whatever stale
+        # temp view an earlier sql step left in the session.
+        raise ValueError(
+            f"sql op: {len(dfs)} inputs but {len(views)} view names"
+        )
     for name, df in zip(views, dfs):
         df.createOrReplaceTempView(name)
     # ``args`` binds :name parameter markers server-side — values
@@ -318,7 +335,11 @@ def _merge(spark, dfs, p):
     if len(dfs) != 2:
         raise ValueError("merge expects exactly 2 inputs (target, updates)")
     return enrichment.merge_upsert(
-        dfs[0], dfs[1], key=list(p["key"]), update_cols=p.get("update_columns")
+        dfs[0],
+        dfs[1],
+        key=list(p["key"]),
+        update_cols=p.get("update_columns"),
+        validate_unique=bool(p.get("validate_unique", True)),
     )
 
 
@@ -443,8 +464,17 @@ def _mixture_plan(spark, dfs, p):
     wtab = spark.createDataFrame(
         list(weights.items()), f"{key} STRING, w BIGINT"
     )
-    a = df.select(key, F.col(avail_col).cast("long").alias("tokens_avail")).join(
-        F.broadcast(wtab), key
+    # LEFT join FROM the weight table: a weighted source entirely
+    # ABSENT from the availability frame must surface as NULL
+    # availability and hit the guard below — an inner join would
+    # silently drop it and renormalize the remaining sources over
+    # its share with no signal.
+    a = wtab.join(
+        F.broadcast(
+            df.select(key, F.col(avail_col).cast("long").alias("tokens_avail"))
+        ),
+        key,
+        "left",
     )
     # A weighted source with zero/negative/NULL availability makes
     # the water-filling min collapse total_max to 0 (or silently

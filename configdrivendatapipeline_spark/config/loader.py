@@ -30,9 +30,10 @@ _SOURCE_KEYS = {
     "format", "path", "url", "dbtable", "options", "schema",
     "declared_schema", "drift", "streaming", "incremental",
     "partition_column", "lower_bound", "upper_bound", "num_partitions",
+    "bootstrap_servers", "topic", "subscribe_mode",
 }
 _STEP_KEYS = {"id", "op", "input", "inputs", "params"}
-_SINK_KEYS = {"input", "format", "path", "mode", "partition_by", "cluster_by", "sort_by", "options"}
+_SINK_KEYS = {"input", "format", "path", "mode", "partition_by", "cluster_by", "sort_by", "options", "bootstrap_servers", "topic"}
 
 
 def load_pipeline(path: str, params: dict | None = None) -> PipelineConfig:
@@ -284,6 +285,12 @@ def _build(doc: Any, origin: str) -> PipelineConfig:
                     f"{origin}: source {sname!r}: jdbc sources require "
                     "'url' and 'dbtable'"
                 )
+        elif scfg.get("format") == "kafka":
+            if not scfg.get("bootstrap_servers") or not scfg.get("topic"):
+                raise ConfigError(
+                    f"{origin}: source {sname!r}: kafka sources require "
+                    "'bootstrap_servers' and 'topic'"
+                )
         elif not scfg.get("path"):
             raise ConfigError(f"{origin}: source {sname!r}: 'path' is required")
         sources[sname] = SourceConfig(
@@ -374,16 +381,27 @@ def _build(doc: Any, origin: str) -> PipelineConfig:
             raise ConfigError(f"{where}: 'input' is required")
         if raw["input"] not in seen_ids:
             raise ConfigError(f"{where}: input {raw['input']!r} is not a source or step")
+        if raw.get("format") == "kafka":
+            if not raw.get("bootstrap_servers") or not raw.get("topic"):
+                raise ConfigError(
+                    f"{where}: kafka sinks require 'bootstrap_servers' "
+                    "and 'topic'"
+                )
+        elif not raw.get("path"):
+            raise ConfigError(f"{where}: 'path' is required")
         sinks.append(
             SinkConfig(
                 input=raw["input"],
                 format=raw.get("format", "parquet"),
                 path=raw.get("path"),
-                mode=raw.get("mode", "error"),
+                mode=raw.get("mode", "append" if raw.get("format") == "kafka"
+                             else "error"),
                 partition_by=tuple(raw.get("partition_by") or ()),
                 cluster_by=tuple(raw.get("cluster_by") or ()),
                 sort_by=tuple(raw.get("sort_by") or ()),
                 options={str(k): str(v) for k, v in (raw.get("options") or {}).items()},
+                bootstrap_servers=raw.get("bootstrap_servers"),
+                topic=raw.get("topic"),
             )
         )
 

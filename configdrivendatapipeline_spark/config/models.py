@@ -66,9 +66,16 @@ class SinkConfig:
     cluster_by: tuple[str, ...] = ()
     sort_by: tuple[str, ...] = ()
     options: dict[str, str] = field(default_factory=dict)
+    bootstrap_servers: str | None = None
+    topic: str | None = None
 
     def to_writer_cfg(self) -> dict[str, Any]:
-        return {
+        cfg: dict[str, Any] = {}
+        if self.bootstrap_servers is not None:
+            cfg["bootstrap_servers"] = self.bootstrap_servers
+        if self.topic is not None:
+            cfg["topic"] = self.topic
+        return cfg | {
             "format": self.format,
             "path": self.path,
             "mode": self.mode,

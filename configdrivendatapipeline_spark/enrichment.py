@@ -69,7 +69,11 @@ def bucketize(
     if len(labels) != len(bounds) + 1:
         raise ValueError("need len(labels) == len(bounds) + 1")
     c = F.col(column)
-    expr: Column = F.when(c < F.lit(bounds[0]), labels[0])
+    # NULL input → NULL band, stated first: every `c < bound` is
+    # NULL-false, so without the guard missing data silently lands
+    # in the TOP band via otherwise().
+    expr: Column = F.when(c.isNull(), F.lit(None).cast("string"))
+    expr = expr.when(c < F.lit(bounds[0]), labels[0])
     for i in range(1, len(bounds)):
         expr = expr.when(c < F.lit(bounds[i]), labels[i])
     expr = expr.otherwise(labels[-1])
@@ -153,28 +157,38 @@ def merge_upsert(
     exactly SQL MERGE's ``WHEN MATCHED THEN UPDATE SET`` semantics.
     ``validate_unique=True`` (default) fails the job if the updates
     side carries duplicate keys, which under a plain join would
-    silently fan out target rows; at scale prefer deduplicating
-    upstream (win_dedup_latest) and passing False to skip the check's
-    extra aggregate.
+    silently fan out target rows. The check is IN the plan (a keyed
+    window count + ``raise_error``, spill-safe, evaluated when the
+    merge actually runs) so building the step stays lazy and the
+    updates input is never scanned twice; pass False to skip even
+    that when uniqueness is guaranteed upstream (win_dedup_latest).
     """
     if update_cols is None:
         update_cols = [
             c for c in updates.columns if c not in key and c in target.columns
         ]
     if validate_unique:
-        n_dup = (
-            updates.groupBy(*key)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > 1)
-            .limit(1)
-            .count()
+        # The guard rides ON the first key column (always referenced
+        # by the merge join, so column pruning can never drop it): a
+        # free-standing guard column that is later dropped would be
+        # pruned out of the plan, guard and all.
+        w = Window.partitionBy(*key)
+        k0 = key[0]
+        k0_type = updates.schema[k0].dataType.simpleString()
+        updates = updates.withColumn(
+            k0,
+            F.when(
+                F.count(F.lit(1)).over(w) > 1,
+                F.raise_error(
+                    F.lit(
+                        "merge_upsert: updates side has duplicate keys "
+                        f"{key} — each target row would fan out; dedup "
+                        "first (win_dedup_latest) or pass "
+                        "validate_unique=False"
+                    )
+                ).cast(k0_type),
+            ).otherwise(F.col(k0)),
         )
-        if n_dup:
-            raise ValueError(
-                "merge_upsert: updates side has duplicate keys "
-                f"{key} — each target row would fan out; dedup first "
-                "(win_dedup_latest) or pass validate_unique=False"
-            )
     u = updates.select(
         *[F.col(k).alias(f"__u_{k}") for k in key],
         *[F.col(c).alias(f"__u_{c}") for c in update_cols],
@@ -296,7 +310,11 @@ def survivorship(
     aggs = []
     for out, (kind, col) in rules.items():
         if kind == "first_non_null":
-            expr = F.element_at(
+            # try_element_at: an entity whose field is NULL in EVERY
+            # record collects an empty array, and plain element_at
+            # throws under Spark 4's default ANSI mode instead of
+            # yielding the NULL survivor.
+            expr = F.try_element_at(
                 F.array_sort(
                     F.collect_list(
                         F.when(
@@ -308,7 +326,7 @@ def survivorship(
                         )
                     )
                 ),
-                1,
+                F.lit(1),
             ).getField("v")
         elif kind == "max":
             expr = F.max(col)

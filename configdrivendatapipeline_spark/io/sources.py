@@ -160,10 +160,21 @@ def apply_schema_drift(
     actual = {f.name: f for f in df.schema.fields}
     missing = [f for f in expected.fields if f.name not in actual]
     unknown = [n for n in actual if n not in {f.name for f in expected.fields}]
-    if mode == "strict" and (missing or unknown):
-        raise ValueError(
-            f"schema drift: missing={[f.name for f in missing]} unknown={unknown}"
-        )
+    if mode == "strict":
+        # Strict means the TYPES too: a same-named column whose type
+        # regressed (ts TIMESTAMP -> STRING in a feed) must fail here,
+        # not coerce wrongly in a downstream event-time step.
+        retyped = [
+            f"{f.name}: expected {f.dataType.simpleString()}, "
+            f"got {actual[f.name].dataType.simpleString()}"
+            for f in expected.fields
+            if f.name in actual and actual[f.name].dataType != f.dataType
+        ]
+        if missing or unknown or retyped:
+            raise ValueError(
+                f"schema drift: missing={[f.name for f in missing]} "
+                f"unknown={unknown} retyped={retyped}"
+            )
     for f in missing:
         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     if mode == "drop":

@@ -399,9 +399,12 @@ def strip_markup(
     CDATA/script edge cases belong to a real extractor upstream."""
     c = F.col(text_col)
     c = F.regexp_replace(c, r"<[^>]*>", " ")
+    # &amp; decodes LAST (standard unescape order): decoding it first
+    # double-decodes escaped-escapes — '&amp;lt;' is literal text
+    # '&lt;' and must NOT come out as '<'.
     for ent, rep in (
-        ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-        ("&quot;", '"'), ("&#39;", "'"),
+        ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ):
         c = F.regexp_replace(c, ent, rep)
     c = F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -83,7 +83,8 @@ def enr_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "enr_bucketize",
     """
     SELECT c_custkey, c_acctbal,
-           CASE WHEN c_acctbal < 0 THEN 'debt'
+           CASE WHEN c_acctbal IS NULL THEN NULL
+                WHEN c_acctbal < 0 THEN 'debt'
                 WHEN c_acctbal < 3000 THEN 'low'
                 WHEN c_acctbal < 7000 THEN 'mid'
                 ELSE 'high' END AS bal_tier

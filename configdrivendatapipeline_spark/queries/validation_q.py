@@ -616,7 +616,7 @@ _OBENFORD_CASE = (
     WITH d AS (
       SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT)
                          AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
-      FROM orders WHERE o_totalprice > 0),
+      FROM orders WHERE o_totalprice >= 0.01),
     c AS (SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n_rows
           FROM d GROUP BY first_digit),
     t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM c)

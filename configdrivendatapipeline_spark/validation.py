@@ -347,8 +347,14 @@ def benford_profile(df: DataFrame, column: str) -> DataFrame:
         f"CAST(substring(CAST(CAST(FLOOR({column} * 100) AS BIGINT) AS STRING),"
         f" 1, 1) AS BIGINT)"
     )
+    # Operating bound: the cents grid resolves leading digits only
+    # for values >= 0.01 — below it FLOOR(x*100) is 0 and the row
+    # would land in a bogus digit-0 bucket with NULL expectation,
+    # silently diluting every real digit's share. Sub-cent rows are
+    # excluded; rescale such columns upstream (digits are invariant
+    # under power-of-ten rescaling).
     counts = (
-        df.filter(F.col(column) > 0)
+        df.filter(F.col(column) >= 0.01)
         .select(digit.alias("first_digit"))
         .groupBy("first_digit")
         .agg(F.count(F.lit(1)).alias("n_rows"))

@@ -333,8 +333,14 @@ def test_merge_upsert_sets_null_and_rejects_dup_keys(spark):
     dup = spark.createDataFrame(
         [(2, "x", 1.0), (2, "y", 2.0)], "k int, name string, v double"
     )
-    with pytest.raises(ValueError, match="duplicate keys"):
-        merge_upsert(target, dup, key=["k"])
+    # The uniqueness guard is in-plan (lazy — the updates input runs
+    # once, at merge time, not an extra compile-time aggregate), so
+    # the error surfaces at the action.
+    with pytest.raises(Exception, match="duplicate keys"):
+        merge_upsert(target, dup, key=["k"]).collect()
+    # ... and guaranteed-unique callers can skip even that
+    assert merge_upsert(target, dup.limit(1), key=["k"], validate_unique=False
+                        ).count() == 2
 
 
 def test_cast_strict_raises_without_ansi(spark):

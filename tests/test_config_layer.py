@@ -482,3 +482,50 @@ def test_packaged_sink_formats_surface_classpath_error(spark, sf_dir, tmp_path):
                 "mode": "overwrite",
             },
         )
+
+
+def test_kafka_reaches_the_config_layer():
+    """Kafka source/sink configs must validate and carry their broker
+    keys through to the io layer (previously the loader rejected
+    bootstrap_servers/topic as unknown keys, so the io layer's kafka
+    support was unreachable from YAML)."""
+    import pytest
+
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+    from configdrivendatapipeline_spark.config.loader import ConfigError
+
+    cfg = load_pipeline_str(
+        """
+sources:
+  ev: {format: kafka, bootstrap_servers: "h:9092", topic: t,
+       options: {startingOffsets: earliest}}
+steps:
+  - {id: s, input: ev, op: select, params: {columns: [value]}}
+sinks:
+  - {input: s, format: kafka, bootstrap_servers: "h:9092", topic: out}
+"""
+    )
+    r = cfg.sources["ev"].to_reader_cfg()
+    assert r["bootstrap_servers"] == "h:9092" and r["topic"] == "t"
+    w = cfg.sinks[0].to_writer_cfg()
+    assert w["bootstrap_servers"] == "h:9092" and w["topic"] == "out"
+    assert w["mode"] == "append"  # kafka sinks default to append
+
+    with pytest.raises(ConfigError, match="bootstrap_servers"):
+        load_pipeline_str(
+            """
+sources:
+  ev: {format: kafka, topic: t}
+sinks:
+  - {input: ev, format: parquet, path: /tmp/x}
+"""
+        )
+    with pytest.raises(ConfigError, match="'path' is required"):
+        load_pipeline_str(
+            """
+sources:
+  a: {format: parquet, path: /tmp/in}
+sinks:
+  - {input: a, format: parquet}
+"""
+        )
