@@ -68,7 +68,16 @@ def bloom_build(
         )
         word_aggs.append(F.expr(f"bit_or({row_or})").alias(f"w{w}"))
     words = keyed.agg(*word_aggs)
-    return words.select(F.array(*[F.col(f"w{w}") for w in range(n_words)]).alias("bloom"))
+    # bit_or over ZERO rows is NULL; an empty build side must yield
+    # the all-zero bitmap (every probe returns false), not an array
+    # of NULL words that turns bloom_might_contain into NULL for
+    # every fact row.
+    return words.select(
+        F.array(
+            *[F.coalesce(F.col(f"w{w}"), F.lit(0).cast("long"))
+              for w in range(n_words)]
+        ).alias("bloom")
+    )
 
 
 def bloom_might_contain(
@@ -159,10 +168,13 @@ def asof_join(
         F.col(right_ts).cast("timestamp").alias("__rts"),
         *[F.col(src).alias(f"__take_{out}") for out, src in take.items()],
     )
-    cond = None
+    # Start from TRUE, not None: with by=[] (a global as-of — every
+    # right row is a candidate) a None seed would turn the condition
+    # into lit(NULL) & predicate, which matches nothing and silently
+    # null-extends every left row.
+    cond = F.lit(True)
     for b in by:
-        c = left[b] == r[f"__by_{b}"]
-        cond = c if cond is None else cond & c
+        cond = cond & (left[b] == r[f"__by_{b}"])
     if direction == "backward":
         cond = cond & (r["__rts"] <= left[left_ts])
     elif direction == "forward":
@@ -177,6 +189,11 @@ def asof_join(
         order = [F.col("__rts").asc()]
     else:
         order = [dist.asc(), F.col("__rts").asc()]
+    # Full determinism: two right rows can share the winning
+    # timestamp (duplicate feed rows are routine) — without a
+    # value-level tie-break the picked take values would depend on
+    # shuffle arrival order across retries/AQE re-plans.
+    order += [F.col(f"__take_{o}").asc_nulls_last() for o in take]
     w = Window.partitionBy(left_key).orderBy(*order)
     out = (
         j.withColumn("__rn", F.row_number().over(w))

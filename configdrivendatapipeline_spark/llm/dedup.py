@@ -195,24 +195,31 @@ def _banded(
         ).select(id_col, "bh.band_id", "bh.band_hash")
     else:
         # band rows = |sig| / bands, computed in-plan to stay generic.
+        def slice_csv(b):
+            return F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        "signature",
+                        b * (F.size("signature") / bands).cast("int") + 1,
+                        (F.size("signature") / bands).cast("int"),
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            )
+
         banded = sigs.select(
             F.col(id_col),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "signature",
-                                    b * (F.size("signature") / bands).cast("int") + 1,
-                                    (F.size("signature") / bands).cast("int"),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ),
+                    # band_key is honored here too — silently falling
+                    # back to xxhash64 would hand a caller who asked
+                    # for oracle-replayable concat keys JVM-private
+                    # buckets.
+                    (lambda b: slice_csv(b))
+                    if band_key == "concat"
+                    else (lambda b: F.xxhash64(slice_csv(b))),
                 )
             ).alias("band_id", "band_hash"),
         )
@@ -247,12 +254,38 @@ def _capped_bucket_ids(
     )
 
 
+def _expand_pairs(bounded: DataFrame) -> Column | DataFrame:
+    """All unordered (id_a, id_b) pairs from a bounded bucket's
+    sorted ``ids`` array — the shared m(m-1)/2 expansion behind the
+    LSH / winnowing / pHash candidate generators (one definition, so
+    cap or overflow fixes can't miss a twin copy). Input must be the
+    capped frame from :func:`_capped_bucket_ids`; returns one row per
+    pair per bucket, NOT deduplicated (callers dedup or aggregate)."""
+    return bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ids") - 2),
+                    lambda i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda other: F.struct(
+                            F.element_at("ids", i + 1).alias("id_a"),
+                            other.alias("id_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+
 def lsh_dropped_buckets(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     max_bucket: int = 1000,
     sig_len: int | None = None,
+    band_key: str = "xxhash64",
 ) -> DataFrame:
     """(band_id, band_hash, n_ids) for every collision bucket that
     :func:`lsh_candidate_pairs` would DROP under the same
@@ -265,7 +298,7 @@ def lsh_dropped_buckets(
     ``sum(n_ids)`` is material. Same one-shuffle shape as the pair
     path; no pair expansion ever happens for oversized buckets.
     """
-    banded = _banded(sigs, id_col, bands, sig_len)
+    banded = _banded(sigs, id_col, bands, sig_len, band_key)
     return (
         banded.groupBy("band_id", "band_hash")
         .agg(F.count(F.lit(1)).alias("n_ids"))
@@ -295,23 +328,7 @@ def lsh_candidate_pairs(
     bounded = _capped_bucket_ids(
         banded, ["band_id", "band_hash"], id_col, max_bucket
     )
-    pairs = bounded.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda other: F.struct(
-                            F.element_at("ids", i + 1).alias("id_a"),
-                            other.alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return pairs.distinct()
+    return _expand_pairs(bounded).distinct()
 
 
 def minhash_calibration(
@@ -552,9 +569,21 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    # Threshold on the EXACT integer cross-multiply (n_inter·1e6 ≥
+    # t6·union), never on the 6-dp ROUNDED output value: rounding
+    # first admits pairs just below t (J = t − 4e-7 rounds up to t)
+    # and drops true pairs at thresholds finer than 1e-6 — the same
+    # float-boundary class the prefix filter's ceil machinery above
+    # exists to avoid. The rounded column remains the readout.
+    t6_cut = int(round(threshold * 1_000_000))
     return (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
+        .filter(
+            F.col("n_inter") * F.lit(1_000_000)
+            >= F.lit(t6_cut)
+            * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -563,7 +592,6 @@ def jaccard_pairs(
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -830,20 +858,29 @@ def snapshot_diff(
     One shuffle on the id; change detection compares the 256-bit
     hashes, never the payloads.
     """
+    # Presence is a dedicated non-nullable marker per side: testing
+    # hash-nullness would misreport a present row whose TEXT is NULL
+    # (sha2(NULL) is NULL) as absent — a curr-side NULL-text doc came
+    # out "removed". Hash comparison below is null-safe eqNullSafe
+    # for the same reason.
     c = curr.select(
         F.col(id_col).alias("__id"),
         F.sha2(F.col(text_col), 256).alias("__c_hash"),
         F.md5(F.col(text_col)).alias("__c_key"),
+        F.lit(1).alias("__in_c"),
     )
     p = prev.select(
         F.col(id_col).alias("__id"),
         F.sha2(F.col(text_col), 256).alias("__p_hash"),
         F.md5(F.col(text_col)).alias("__p_key"),
+        F.lit(1).alias("__in_p"),
     )
     status = (
-        F.when(F.col("__c_hash").isNull(), "removed")
-        .when(F.col("__p_hash").isNull(), "added")
-        .when(F.col("__c_hash") != F.col("__p_hash"), "changed")
+        F.when(F.col("__in_c").isNull(), "removed")
+        .when(F.col("__in_p").isNull(), "added")
+        .when(
+            ~F.col("__c_hash").eqNullSafe(F.col("__p_hash")), "changed"
+        )
         .otherwise("unchanged")
     )
     return c.join(p, "__id", "full_outer").select(
@@ -1007,22 +1044,7 @@ def winnow_candidate_pairs(
         F.col(id_col), "fp"
     ).distinct()
     bounded = _capped_bucket_ids(fps, ["fp"], id_col, max_bucket)
-    pairs = bounded.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda other: F.struct(
-                            F.element_at("ids", i + 1).alias("id_a"),
-                            other.alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+    pairs = _expand_pairs(bounded)
     return (
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

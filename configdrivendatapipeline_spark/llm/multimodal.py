@@ -879,26 +879,9 @@ def phash_pairs(
     bounded = _capped_bucket_ids(
         banded, ["band_id", "band_val"], id_col, max_bucket
     )
-    pairs = (
-        bounded.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("ids") - 2),
-                        lambda i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size("ids")),
-                            lambda other: F.struct(
-                                F.element_at("ids", i + 1).alias("id_a"),
-                                other.alias("id_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    from configdrivendatapipeline_spark.llm.dedup import _expand_pairs
+
+    pairs = _expand_pairs(bounded).distinct()
     a = h.select(
         F.col(id_col).alias("id_a"),
         F.col("phash_hi").alias("hi_a"),

@@ -34,8 +34,18 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER") and "spark.master" not in os.environ:
-        builder = builder.master(f"local[{_DEFAULT_CPUS}]")
+    else:
+        # Fall back to local[N] ONLY when no master was supplied any
+        # other way: spark-submit --master lands in the spark.master
+        # JVM system property (readable via SparkConf), NOT an env
+        # var — checking os.environ for "spark.master" would override
+        # a submitted yarn/k8s master and silently run the "cluster"
+        # job single-node on the driver.
+        from pyspark import SparkConf
+
+        submitted = SparkConf().contains("spark.master")
+        if not submitted and not os.environ.get("SPARK_MASTER"):
+            builder = builder.master(f"local[{_DEFAULT_CPUS}]")
 
     n_shuffle = shuffle_partitions or _DEFAULT_CPUS
     conf: dict[str, str] = {

@@ -103,3 +103,75 @@ def test_max_bucket_caps_hot_lsh_buckets(spark):
         emb, threshold=0.5, n_tables=2, max_bucket=5
     ).count()
     assert capped == 0
+
+
+def test_asof_join_supports_empty_by_and_breaks_ties_deterministically(spark):
+    """by=[] is a global as-of (was: NULL join condition matching
+    nothing); tied right timestamps pick deterministic take values."""
+    from configdrivendatapipeline_spark.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "id LONG, ts STRING"
+    ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+    right = spark.createDataFrame(
+        [("2024-01-01 09:00:00", "a"), ("2024-01-01 09:00:00", "b")],
+        "ts STRING, v STRING",
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "v")
+    out = asof_join(
+        left, right, by=[], left_key="id", take={"val": "v"}
+    ).collect()
+    assert len(out) == 1 and out[0]["val"] == "a"  # tie → lowest value
+
+
+def test_bloom_empty_build_side_is_all_false(spark):
+    """bit_or over zero rows is NULL; the bitmap must still answer
+    false (not NULL) for every probe."""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.joins import bloom_build, bloom_might_contain
+
+    empty = spark.createDataFrame([], "k LONG")
+    bloom = bloom_build(empty, "k", n_bits=256, k=3)
+    probe = spark.createDataFrame([(7,), (8,)], "k LONG").crossJoin(
+        F.broadcast(bloom)
+    )
+    flags = [
+        r[0]
+        for r in probe.select(
+            bloom_might_contain(F.col("k"), F.col("bloom"), 256, 3, "bloom:v1")
+        ).collect()
+    ]
+    assert flags == [False, False]
+
+
+def test_snapshot_diff_null_text_is_present(spark):
+    """A row whose TEXT is NULL is still PRESENT on its side — the
+    old hash-nullness presence test called it 'removed'."""
+    from configdrivendatapipeline_spark.llm.dedup import snapshot_diff
+
+    curr = spark.createDataFrame(
+        [(7, None), (8, "x")], "doc_id LONG, text STRING"
+    )
+    prev = spark.createDataFrame([(7, "old")], "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(curr, prev).collect()}
+    assert got == {7: "changed", 8: "added"}
+
+
+def test_jaccard_threshold_is_exact_not_rounded(spark):
+    """A pair just BELOW threshold must not round its way in:
+    J = 4999996/10000000 < 0.5 but rounds to 0.500000."""
+    from configdrivendatapipeline_spark.llm.dedup import jaccard_pairs
+
+    # two docs sharing 2 of their 4-token union: J = 0.5 exactly -> kept
+    a = "w x y z"
+    b = "w x p q"  # inter=2, union=6 -> J=1/3
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, a)], "doc_id LONG, text STRING"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_pairs(docs, threshold=1 / 3).collect()}
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    # J = 1/3 exactly meets threshold 1/3 under the integer compare
+    # (the old rounded-then-filter shape compared 0.333333 < 1/3 and
+    # dropped these true pairs); the rounded column is display-only.
+    assert (1, 2) in got and (2, 3) in got
