@@ -56,12 +56,63 @@ def with_zorder(
     Per-column min/max come from ONE global aggregate broadcast back
     as a 1-row frame — at lake scale these are catalog statistics and
     the aggregate disappears entirely.
+
+    Overflow is LOUD, never silent: ``quantize`` computes
+    ``(col - lo) * 2^bits`` in BIGINT, so a column whose span exceeds
+    ``2^(63-bits)`` (epoch-nanosecond keys, synthetic 64-bit ids)
+    would wrap and emit garbage z-values — the layout silently stops
+    clustering and every downstream scan loses its min-max pruning
+    with no error anywhere. The 1-row stats frame therefore carries a
+    ``raise_error`` guard per column (evaluated once, engine-side),
+    and the Morton width itself (``bits * len(cols)``) must fit a
+    signed 64-bit value.
     """
+    if bits <= 0:
+        raise ValueError(f"bits must be positive; got {bits}")
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"zorder width bits*ndims = {bits}*{len(cols)} exceeds 62: "
+            "the interleaved Morton code would overflow a signed "
+            "64-bit zval — lower bits or drop a dimension"
+        )
     aggs = []
     for c in cols:
-        aggs.append(F.min(c).alias(f"__lo_{c}"))
+        aggs.append(F.min(c).alias(f"__rawlo_{c}"))
         aggs.append(F.max(c).alias(f"__hi_{c}"))
-    stats = df.agg(*aggs)
+    # Span guard woven INTO the lo column (a standalone guard column
+    # would be pruned by Catalyst and never evaluate): lo itself
+    # raises when the span can wrap. Compared in DOUBLE -- a span
+    # near 2^63 would overflow the very BIGINT subtraction that
+    # measures it; the double compare can never wrap and is exact
+    # enough for an order-of-magnitude tripwire. Under ANSI mode the
+    # quantize multiply would eventually fail anyway, but mid-scan of
+    # a 100 TB table with an opaque ARITHMETIC_OVERFLOW; this fails
+    # in the 1-row stats stage with an actionable message, and is the
+    # ONLY protection when a deployment disables ANSI.
+    span_cap = float(1 << (63 - bits))
+    guarded_lo = [
+        F.when(
+            (
+                F.col(f"__hi_{c}").cast("double")
+                - F.col(f"__rawlo_{c}").cast("double")
+                + 1.0
+            )
+            > span_cap,
+            F.raise_error(
+                F.lit(
+                    f"zorder: span of column '{c}' exceeds 2^(63-{bits}) "
+                    "-- (col - lo) * 2^bits would wrap BIGINT and emit "
+                    "garbage z-values; reduce bits or pre-scale the column"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(f"__rawlo_{c}").cast("long"))
+        .alias(f"__lo_{c}")
+        for c in cols
+    ]
+    stats = df.agg(*aggs).select(
+        *guarded_lo, *[f"__hi_{c}" for c in cols]
+    )
     joined = df.crossJoin(F.broadcast(stats))
     qcols = [quantize(c, f"__lo_{c}", f"__hi_{c}", bits) for c in cols]
     return joined.withColumn(out, interleave(qcols, bits)).drop(

@@ -43,6 +43,37 @@ def test_bloom_rejects_unaligned_bits(spark):
         joins.bloom_build(df, "id", n_bits=100)
 
 
+def test_zorder_overflow_is_loud(spark):
+    """A column span above 2^(63-bits) would wrap the BIGINT
+    quantize multiply and emit garbage z-values — the layout would
+    silently stop clustering. The guard must RAISE, not degrade."""
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    wide = spark.createDataFrame(
+        [(0, 0), (1 << 60, 1)], ["k", "d"]
+    )
+    z = layout.with_zorder(wide, ["k", "d"], bits=8)
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        z.collect()
+    assert "span of column 'k'" in str(ei.value)
+    # same data under enough headroom quantizes fine (span 2^60 < 2^61
+    # at bits=2) and stays inside [0, 2^bits)
+    ok = layout.with_zorder(wide, ["k", "d"], bits=2).collect()
+    assert all(0 <= r["zval"] < 1 << 4 for r in ok)
+
+
+def test_zorder_rejects_overwide_morton_code():
+    """bits * ndims > 62 can't fit a signed 64-bit zval."""
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds 62"):
+        layout.with_zorder(None, ["a", "b", "c"], bits=21)
+    with pytest.raises(ValueError, match="positive"):
+        layout.with_zorder(None, ["a"], bits=0)
+
+
 def test_zorder_bounds_both_dimensions(spark, sf_dir):
     """Each 256-cell must span ≤ range/16 (+quantization slack) in
     BOTH dimensions — the property that makes min-max skipping work
