@@ -153,8 +153,16 @@ def sample_frames(df: DataFrame, every_k: int = 24) -> DataFrame:
     Pure plan-side explode of a sequence — the actual frame extraction
     would happen in a downstream decode kernel; sampling BEFORE decode
     is the 100 TB move (decode k× less data).
+
+    Degenerate metadata (``n_frames`` ≤ 0) emits ZERO frames — without
+    the guard a single zero-frame video row kills the whole job:
+    ``sequence(0, -1, k)`` with an explicit positive step throws
+    "Illegal sequence boundaries" (same hazard class as the
+    ``tile_plan`` width/height guard).
     """
-    return df.filter(F.col("media_type") == "video").select(
+    return df.filter(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0)
+    ).select(
         "doc_id",
         "n_frames",
         F.explode(

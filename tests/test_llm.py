@@ -1333,6 +1333,25 @@ def test_tile_plan_degenerate_dims_emit_no_tiles(spark):
     assert len(out) == 4  # ceil(300/224)^2
 
 
+def test_sample_frames_zero_frame_video_emits_no_rows(spark):
+    """n_frames <= 0 must yield ZERO sampled frames — without the
+    guard, sequence(0, -1, k) with an explicit positive step throws
+    'Illegal sequence boundaries' and one degenerate video row kills
+    the whole job."""
+    from configdrivendatapipeline_spark.llm.multimodal import sample_frames
+
+    rows = [
+        (1, "video", 0),
+        (2, "video", -3),
+        (3, "video", 49),
+        (4, "image", 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id INT, media_type STRING, n_frames INT")
+    out = sample_frames(df, every_k=24).collect()
+    assert {r["doc_id"] for r in out} == {3}
+    assert sorted(r["frame_idx"] for r in out) == [0, 24, 48]
+
+
 def test_hash_bands_partition_the_64_bits(spark):
     """For every band count, the band values must recombine to the
     exact 64-bit hash — i.e. the bands PARTITION the bits, which is
