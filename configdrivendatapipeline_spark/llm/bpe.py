@@ -13,9 +13,16 @@ Merge application is defined as literal, left-to-right,
 non-overlapping replacement on the space-joined symbol string — the
 semantics `replace()` has in BOTH Spark and DuckDB, which is what
 makes the whole training run hash-verifiable against a SQL oracle.
-(Canonical BPE re-scans after each replacement; the non-overlapping
-variant differs only on aba-style self-overlaps and is deterministic,
-which matters more here.) Ties break lexicographically — engine- and
+This deliberately diverges from canonical BPE wherever occurrences
+of the winning pair SHARE a delimiter space: self-overlaps
+("a a a" under pair "a a") and back-to-back occurrences ("a b a b"
+under pair "a b" — the first replacement consumes the shared space,
+so the second occurrence merges on a LATER step, and the same pair
+can therefore be selected more than once, each selection's ``n``
+counting occurrences before that step's replacement). Train, encode
+and the SQL oracle all share these exact semantics, so the artifact
+is self-consistent and deterministic — which matters more here than
+canonical fidelity. Ties break lexicographically — engine- and
 retry-stable where "first seen" would not be.
 """
 
@@ -109,8 +116,11 @@ def bpe_train(
                     F.col("sym"), F.lit(f" {pr} "), F.lit(f" {merged} ")
                 ),
             )
-            if (step + 1) % _CHECKPOINT_EVERY == 0:
-                # bound the replace-chain depth (see _CHECKPOINT_EVERY)
+            if (step + 1) % _CHECKPOINT_EVERY == 0 and (step + 1) < n_merges:
+                # bound the replace-chain depth (see _CHECKPOINT_EVERY);
+                # skip on the final iteration — the post-merge vocab is
+                # never read again and the eager materialization would
+                # be one wasted job over the vocab table
                 current = current.localCheckpoint(eager=True)
     finally:
         vocab.unpersist()

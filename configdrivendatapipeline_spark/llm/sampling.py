@@ -25,6 +25,40 @@ def hash_bucket(key: Column, salt: str, buckets: int = 10_000) -> Column:
     return (F.conv(h8, 16, 10).cast("long") % buckets).alias("bucket")
 
 
+def _require_key(key: Column, ctx: str) -> Column:
+    """NULL-id guard for the identity-driven sampling/split surface.
+
+    ``hash_bucket`` itself NULL-propagates (md5 of NULL is NULL) —
+    that is the RIGHT semantics for join-side callers like the bloom
+    probe, where a NULL key legitimately never matches. But for
+    split/sample assignment a NULL identity silently misroutes: every
+    ``when(bucket < cut)`` is NULL-false, so hash_split's
+    ``.otherwise("test")`` would quietly dump every malformed row into
+    the EVAL split, and the samplers would drop them without trace.
+    Raise engine-side instead — the contract here is "driven by row
+    identity", and a NULL identity is a contract violation."""
+    return (
+        F.when(
+            key.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"{ctx}: NULL id — identity-hash assignment needs a "
+                    "non-null key; filter or fill ids upstream"
+                )
+            ).cast("string"),
+        )
+        .otherwise(key.cast("string"))
+    )
+
+
+def _grid_cut(fraction: float) -> int:
+    """fraction → 1/10000-grid cut, HALF-UP (int(round()) would use
+    banker's rounding: round(0.00005·10⁴)=0 but round(0.00015·10⁴)=2,
+    an even/odd-dependent cut the repo's half-up integer discipline
+    forbids)."""
+    return int(fraction * 10_000 + 0.5)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -45,7 +79,7 @@ def hash_split(
             f"train_pct + val_pct <= 100; got train_pct={train_pct}, "
             f"val_pct={val_pct}"
         )
-    b = hash_bucket(F.col(id_col), salt, 100)
+    b = hash_bucket(_require_key(F.col(id_col), "hash_split"), salt, 100)
     split = (
         F.when(b < train_pct, "train")
         .when(b < train_pct + val_pct, "val")
@@ -69,8 +103,10 @@ def hash_sample(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1]; got {fraction}")
-    cut = int(round(fraction * 10_000))
-    return df.filter(hash_bucket(F.col(id_col), salt, 10_000) < cut)
+    cut = _grid_cut(fraction)
+    return df.filter(
+        hash_bucket(_require_key(F.col(id_col), "hash_sample"), salt, 10_000) < cut
+    )
 
 
 def mixture_sample(
@@ -85,17 +121,32 @@ def mixture_sample(
     reweighting (keep 30% of web, all of books, ...). One map-side
     expression: the row's hash bucket is compared against its group's
     cut; groups not listed keep ``default_fraction``. Same nesting
-    property as :func:`hash_sample` per group."""
+    property as :func:`hash_sample` per group.
+
+    Raises at plan time on any fraction outside [0, 1] — a typoed
+    mixture config (1.3, -0.1) would otherwise silently keep
+    everything / nothing for that group, the same loud-validation
+    contract as :func:`hash_sample`."""
+    for g, f in {**fractions, "<default_fraction>": default_fraction}.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(
+                f"mixture_sample fractions must be in [0, 1]; got "
+                f"{f} for {g!r}"
+            )
     cut = None
     for g, f in fractions.items():
-        c = F.when(F.col(group_col) == g, F.lit(int(round(f * 10_000))))
-        cut = c if cut is None else cut.when(F.col(group_col) == g, F.lit(int(round(f * 10_000))))
+        lit = F.lit(_grid_cut(f))
+        cond = F.col(group_col) == g
+        cut = F.when(cond, lit) if cut is None else cut.when(cond, lit)
     cut = (
-        cut.otherwise(F.lit(int(round(default_fraction * 10_000))))
+        cut.otherwise(F.lit(_grid_cut(default_fraction)))
         if cut is not None
-        else F.lit(int(round(default_fraction * 10_000)))
+        else F.lit(_grid_cut(default_fraction))
     )
-    return df.filter(hash_bucket(F.col(id_col), salt, 10_000) < cut)
+    return df.filter(
+        hash_bucket(_require_key(F.col(id_col), "mixture_sample"), salt, 10_000)
+        < cut
+    )
 
 
 def pack_offsets(
@@ -442,7 +493,9 @@ def temperature_sample(
             ).alias("keep_cut"),
         )
     )
-    b = hash_bucket(F.col(id_col), salt, 10_000).alias("bucket")
+    b = hash_bucket(
+        _require_key(F.col(id_col), "temperature_sample"), salt, 10_000
+    ).alias("bucket")
     return (
         df.select(F.col(id_col), F.col(group_col), b)
         .join(F.broadcast(cuts), group_col)
@@ -469,7 +522,7 @@ def length_buckets(
     computation is one map-side projection plus one small aggregation
     — nothing here grows with corpus size except the scan.
     """
-    if list(caps) != sorted(set(caps)) or caps[0] <= 0:
+    if not caps or list(caps) != sorted(set(caps)) or caps[0] <= 0:
         raise ValueError(f"caps must be positive and strictly increasing; got {caps}")
     n = F.size(F.split(F.col(text_col), " ")).cast("long")
     n_eff = F.least(n, F.lit(caps[-1]).cast("long"))

@@ -822,7 +822,6 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frame = F.sort_array(F.collect_list("cents").over(w))
     n = F.size(frame)
-    odd = F.element_at(frame, (n + 1) / 2)
     lo = F.element_at(frame, (n / 2).cast("int"))
     hi = F.element_at(frame, (n / 2).cast("int") + 1)
     med_micro = F.when(
@@ -1009,9 +1008,13 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     "need where carry-forward (win_gapfill_locf) introduces steps: "
     "missing days take the distance-weighted average of the "
     "bracketing observations. The interpolant is the weighted form "
-    "(pv*(D-d) + nv*d) div D — a NON-NEGATIVE integer numerator, so "
-    "truncating (Spark div) and flooring (DuckDB //) division agree; "
-    "the naive pv + delta*d/D form would diverge on falling segments. "
+    "(pv*(D-d) + nv*d) div D — a NON-NEGATIVE integer numerator "
+    "(vu >= 0 because events.value is strictly positive in the "
+    "fixture; signed series would need greatest(vu, 0) clamping or "
+    "the floordiv identity, since Spark div truncates toward zero "
+    "while DuckDB // floors), so truncating and flooring division "
+    "agree; the naive pv + delta*d/D form would diverge on falling "
+    "segments even for positive data. "
     "Same per-user bounded grid and windows as LOCF — nothing global, "
     "every missing day has both neighbors by construction.",
 )

@@ -211,6 +211,67 @@ def test_hash_split_rejects_inconsistent_percentages(spark, sf_dir):
         sampling.hash_sample(docs, fraction=1.5)
 
 
+def test_sampling_null_ids_raise_not_misroute(spark):
+    """A NULL id must RAISE in the identity-hash sampling surface —
+    without the guard, md5(NULL) is NULL, every when(bucket < cut) is
+    NULL-false, and hash_split's .otherwise('test') silently dumps
+    every malformed row into the EVAL split (hash_sample/mixture
+    silently drop them)."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import sampling
+
+    df = spark.createDataFrame([(1, "web"), (None, "web")], "doc_id INT, source STRING")
+    with pytest.raises(Exception, match="hash_split: NULL id"):
+        sampling.hash_split(df).collect()
+    with pytest.raises(Exception, match="hash_sample: NULL id"):
+        sampling.hash_sample(df, 0.5).collect()
+    with pytest.raises(Exception, match="mixture_sample: NULL id"):
+        sampling.mixture_sample(df, {"web": 0.5}).collect()
+    # non-null rows through the same paths still work
+    ok = spark.createDataFrame([(1, "web"), (2, "web")], "doc_id INT, source STRING")
+    assert sampling.hash_split(ok).count() == 2
+
+
+def test_mixture_sample_rejects_bad_fractions(spark):
+    """A typoed mixture config (1.3 / -0.1) must fail at plan time —
+    the same loud-validation contract as hash_sample — instead of
+    silently keeping everything / nothing for that group."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import sampling
+
+    df = spark.createDataFrame([(1, "web")], "doc_id INT, source STRING")
+    with pytest.raises(ValueError, match="mixture_sample fractions"):
+        sampling.mixture_sample(df, {"web": 1.3})
+    with pytest.raises(ValueError, match="mixture_sample fractions"):
+        sampling.mixture_sample(df, {"web": -0.1})
+    with pytest.raises(ValueError, match="default_fraction"):
+        sampling.mixture_sample(df, {"web": 0.5}, default_fraction=2.0)
+
+
+def test_grid_cut_is_half_up_not_bankers():
+    """int(round()) would banker's-round: round(0.5)=0 but
+    round(1.5)=2 — even/odd-dependent cuts on the x.5/10000 grid."""
+    from configdrivendatapipeline_spark.llm.sampling import _grid_cut
+
+    assert _grid_cut(0.00005) == 1
+    assert int(round(0.00005 * 10_000)) == 0  # the banker's divergence
+    assert _grid_cut(0.0) == 0
+    assert _grid_cut(1.0) == 10_000
+    assert _grid_cut(0.25) == 2_500
+
+
+def test_length_buckets_rejects_empty_caps(spark):
+    import pytest
+
+    from configdrivendatapipeline_spark.llm.sampling import length_buckets
+
+    df = spark.createDataFrame([("a b",)], "text STRING")
+    with pytest.raises(ValueError, match="caps"):
+        length_buckets(df, caps=())
+
+
 def test_decontaminate_flags_planted_overlap(spark):
     """A train doc sharing an 8-gram with the benchmark is flagged
     with the DISTINCT overlap count; disjoint docs are not."""
