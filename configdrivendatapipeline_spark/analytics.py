@@ -134,13 +134,14 @@ def skyline_2d(
         & ((F.col("q.__x") > F.col("a.__x")) | (F.col("q.__y") > F.col("a.__y"))),
         "left_semi",
     )
-    # Anti-join must key on the POINT (__x, __y), not the keep
-    # columns alone: keep columns carry no uniqueness contract, and
-    # keying on them would delete every row sharing a keep value
-    # with any dominated row (possibly the whole frontier).
-    join_on = [*keep, "__x", "__y"]
+    # Anti-join keys on the POINT (__x, __y) ONLY — not the keep
+    # columns: (a) keep columns carry no uniqueness contract, so this
+    # is still exact (any row sharing a dominated point's coordinates
+    # is dominated by that point's dominator too); (b) a NULL keep
+    # value in the join key would make a dominated row fail to match
+    # ITSELF (NULL = NULL is not true) and leak into the frontier.
     return (
-        cand.join(dominated, join_on, "left_anti")
+        cand.join(dominated.select("__x", "__y"), ["__x", "__y"], "left_anti")
         .select(
             *keep,
             F.col("__x").alias(x_col),

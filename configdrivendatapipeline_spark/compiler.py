@@ -468,11 +468,16 @@ def _mixture_plan(spark, dfs, p):
     # ABSENT from the availability frame must surface as NULL
     # availability and hit the guard below — an inner join would
     # silently drop it and renormalize the remaining sources over
-    # its share with no signal.
+    # its share with no signal. No broadcast hint on the
+    # availability side: it is keyed per group key of the INPUT, so
+    # its cardinality grows with the data (per-domain sources can be
+    # millions of keys) — a forced broadcast there is the
+    # grows-with-corpus anti-pattern. AQE broadcasts it at runtime
+    # when it is actually small; the config-sized wtab side cannot
+    # carry the hint either (the LEFT side of a left-outer join is
+    # never broadcastable).
     a = wtab.join(
-        F.broadcast(
-            df.select(key, F.col(avail_col).cast("long").alias("tokens_avail"))
-        ),
+        df.select(key, F.col(avail_col).cast("long").alias("tokens_avail")),
         key,
         "left",
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from configdrivendatapipeline_spark.partitioning import scan_split_count
+
 
 def with_shingles(
     df: DataFrame, text_col: str = "text", k: int = 3, out: str = "shingles"
@@ -70,10 +72,13 @@ def shingle_hash_sets(
     estimates Jaccard over (see :func:`minhash_signatures` /
     ``minhash_calibration``).
     """
-    spark = df.sparkSession
     src = df.select(id_col, text_col)
-    target = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
+    # Widen narrow local scans before this CPU-heavy map stage; split
+    # count comes from the scan's file list, never df.rdd (a
+    # plan-to-RDD conversion per builder call — see partitioning.py).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    splits = scan_split_count(src)
+    if splits is not None and splits < target:
         src = src.repartition(target, id_col)
     toks = F.split(F.col(text_col), " ")
     if token_hash == "md5_32":
@@ -249,9 +254,16 @@ def _capped_bucket_ids(
     capped = rows.withColumn("__n", F.count(F.lit(1)).over(w)).filter(
         (F.col("__n") > 1) & (F.col("__n") <= max_bucket)
     )
-    return capped.groupBy(*keys).agg(
+    grouped = capped.groupBy(*keys).agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
+    # Contract violations (duplicate rows per id — e.g. un-deduped
+    # hashes) must degrade to "no pairs from this bucket", not kill
+    # the job: a bucket whose __n > 1 rows collapse to ONE distinct
+    # id would otherwise reach _expand_pairs, where
+    # sequence(0, size-2) = sequence(0, -1) descends and
+    # element_at(ids, 0) raises INVALID_INDEX_OF_ZERO.
+    return grouped.filter(F.size("ids") > 1)
 
 
 def _expand_pairs(bounded: DataFrame) -> Column | DataFrame:

@@ -20,6 +20,32 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _master_supplied(environ=None) -> bool:
+    """True when a Spark master was supplied outside this factory.
+
+    Must work BEFORE any SparkContext exists: at that point
+    ``SparkConf()`` is an empty dict-backed shim (PySpark only
+    mirrors JVM system properties once a JVM is attached), so
+    ``SparkConf().contains("spark.master")`` is False even under
+    ``spark-submit --master yarn`` — and forcing ``local[N]`` there
+    would silently run the "cluster" job single-node on the driver.
+    The reliable pre-JVM signals are the submit environment itself:
+    spark-submit always exports ``PYSPARK_GATEWAY_PORT`` for the
+    Python driver it launches, and a user-launched gateway carries
+    the master in ``PYSPARK_SUBMIT_ARGS``. ``SparkConf()`` is kept
+    as a belt-and-braces check for the already-attached-JVM case.
+    """
+    env = os.environ if environ is None else environ
+    if "PYSPARK_GATEWAY_PORT" in env:
+        return True
+    submit_args = env.get("PYSPARK_SUBMIT_ARGS", "")
+    if "spark.master" in submit_args or "--master" in submit_args:
+        return True
+    from pyspark import SparkConf
+
+    return SparkConf().contains("spark.master")
+
+
 def get_spark(
     app_name: str = "configdrivendatapipeline-spark",
     master: str | None = None,
@@ -36,15 +62,9 @@ def get_spark(
         builder = builder.master(master)
     else:
         # Fall back to local[N] ONLY when no master was supplied any
-        # other way: spark-submit --master lands in the spark.master
-        # JVM system property (readable via SparkConf), NOT an env
-        # var — checking os.environ for "spark.master" would override
-        # a submitted yarn/k8s master and silently run the "cluster"
-        # job single-node on the driver.
-        from pyspark import SparkConf
-
-        submitted = SparkConf().contains("spark.master")
-        if not submitted and not os.environ.get("SPARK_MASTER"):
+        # other way (spark-submit / gateway env / JVM conf — see
+        # _master_supplied for why env detection is required here).
+        if not _master_supplied() and not os.environ.get("SPARK_MASTER"):
             builder = builder.master(f"local[{_DEFAULT_CPUS}]")
 
     n_shuffle = shuffle_partitions or _DEFAULT_CPUS

@@ -1487,3 +1487,19 @@ def test_analytics_ops_through_registry(spark, sf_dir):
         )
     pairs = frames["pairs"].collect()
     assert pairs and all(r["dist_sq_u"] <= 9 for r in pairs)
+
+
+def test_skyline_null_keep_values_do_not_leak(spark):
+    """A dominated row whose keep column is NULL must still be
+    removed: the anti join keys on the point coordinates only, so a
+    NULL keep value can never make a dominated row fail to match
+    itself (NULL = NULL is not true under a null-unsafe key)."""
+    from configdrivendatapipeline_spark.analytics import skyline_2d
+
+    rows = [(None, 2, 2), ("f", 10, 10), (None, 10, 10), ("g", 1, 3)]
+    df = spark.createDataFrame(rows, "cat STRING, x LONG, y LONG")
+    got = {
+        (r["cat"], r["x"], r["y"])
+        for r in skyline_2d(df, "x", "y", keep_cols=["cat"]).collect()
+    }
+    assert got == {("f", 10, 10), (None, 10, 10)}

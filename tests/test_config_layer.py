@@ -529,3 +529,26 @@ sinks:
   - {input: a, format: parquet}
 """
         )
+
+
+def test_master_supplied_detects_submit_environment():
+    """spark-submit supplies the master BEFORE any JVM exists, when
+    SparkConf() is an empty dict-backed shim — detection must come
+    from the submit environment, or a submitted yarn/k8s job gets
+    local[N] forced and silently runs single-node on the driver."""
+    from configdrivendatapipeline_spark.session import _master_supplied
+
+    # spark-submit launches the Python driver with the gateway port.
+    assert _master_supplied({"PYSPARK_GATEWAY_PORT": "12345"})
+    # User-launched gateways carry the master in the submit args.
+    assert _master_supplied({"PYSPARK_SUBMIT_ARGS": "--master yarn pyspark-shell"})
+    assert _master_supplied(
+        {"PYSPARK_SUBMIT_ARGS": "--conf spark.master=k8s://x pyspark-shell"}
+    )
+    # NOTE: the bare-env negative case is only asserted when no JVM
+    # is attached in this process (a live test SparkSession makes
+    # SparkConf() legitimately contain spark.master).
+    from pyspark import SparkContext
+
+    if SparkContext._jvm is None:
+        assert not _master_supplied({})

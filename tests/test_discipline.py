@@ -61,6 +61,23 @@ def test_no_driver_materialization_in_engine():
     assert not violations, "driver-side/nondeterministic calls:\n" + "\n".join(violations)
 
 
+def test_no_rdd_in_engine():
+    """`.rdd` on a DataFrame forces a full plan-to-RDD conversion
+    (analyzer round trip + JVM RDD materialization) at query-build
+    time — an avoidable cost in exactly the hot builder paths, and
+    a smell that imperative logic is bypassing Catalyst. Split
+    counts come from partitioning.scan_split_count (file-list
+    inspection) instead. No exemptions: the engine package is
+    DataFrame-only by design (SURVEY.md §4)."""
+    violations = []
+    for py in PKG.rglob("*.py"):
+        tree = ast.parse(py.read_text())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Attribute) and node.attr == "rdd":
+                violations.append(f"{py.relative_to(PKG.parent)}:{node.lineno}: .rdd")
+    assert not violations, ".rdd access in engine code:\n" + "\n".join(violations)
+
+
 def test_survey_rows_and_window_names_resolve():
     """Contract hygiene: every SURVEY.md §2 operator row must name a
     registered query (a stale row is a false promise the judge
@@ -68,16 +85,16 @@ def test_survey_rows_and_window_names_resolve():
     must exist (a typo there silently reorders coverage)."""
     import re
 
-    from configdrivendatapipeline_spark.queries import registry, _ROUND8_WINDOW
+    from configdrivendatapipeline_spark.queries import registry, _ROUND9_WINDOW
 
     reg = set(registry())
     survey = (PKG.parent / "SURVEY.md").read_text()
     rows = set(re.findall(r"^\| `([a-z0-9_]+)`", survey, re.M))
     stale = sorted(r for r in rows if r not in reg)
     assert not stale, f"SURVEY §2 rows with no registered query: {stale}"
-    missing = sorted(n for n in _ROUND8_WINDOW if n not in reg)
-    assert len(_ROUND8_WINDOW) == len(reg), (
+    missing = sorted(n for n in _ROUND9_WINDOW if n not in reg)
+    assert len(_ROUND9_WINDOW) == len(reg), (
         "ordering window must cover the whole registry "
-        f"({len(_ROUND8_WINDOW)} != {len(reg)})"
+        f"({len(_ROUND9_WINDOW)} != {len(reg)})"
     )
     assert not missing, f"ordering-window ids not in registry: {missing}"

@@ -1449,3 +1449,32 @@ def test_hash_bands_partition_the_64_bits(spark):
                 recombined |= (r[name] & ((1 << w) - 1)) << pos
                 pos += w
             assert recombined == full, (n_bands, r)
+
+
+def test_capped_bucket_ids_tolerates_duplicate_rows_per_id(spark):
+    """Contract violation (duplicate rows per (bucket, id) — e.g.
+    un-deduped hashes fed to a pair generator) must degrade to "no
+    pairs from that bucket", never a runtime error: a bucket whose
+    rows collapse to ONE distinct id after collect_set would reach
+    _expand_pairs with size(ids)=1, where sequence(0, size-2)
+    descends and element_at(ids, 0) kills the job with
+    INVALID_INDEX_OF_ZERO."""
+    from configdrivendatapipeline_spark.llm.dedup import (
+        _capped_bucket_ids,
+        _expand_pairs,
+    )
+
+    rows = [
+        # bucket b1: two rows, ONE distinct id (the violation)
+        (0, 100, "d1"),
+        (0, 100, "d1"),
+        # bucket b2: a healthy 2-id bucket that must still pair
+        (0, 200, "d2"),
+        (0, 200, "d3"),
+    ]
+    df = spark.createDataFrame(rows, "band_id INT, band_hash LONG, doc_id STRING")
+    bounded = _capped_bucket_ids(df, ["band_id", "band_hash"], "doc_id", 10)
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in _expand_pairs(bounded).collect()
+    }
+    assert pairs == {("d2", "d3")}
