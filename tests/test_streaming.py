@@ -77,9 +77,99 @@ def test_watermark_drops_late_rows(spark):
     q.awaitTermination()
 
     assert sum(p["numInputRows"] for p in q.recentProgress) == 6
+    # The exact late-drop COUNT, from the state operator's own
+    # counter: exactly ONE row (the 11:00 event) crossed the
+    # watermark — not zero (semantics off) and not two (an on-time
+    # row mis-dropped).
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, f"expected exactly 1 late-dropped row, got {dropped}"
     rows = {(r.win_start.hour, r.n) for r in spark.table(name).collect()}
     assert not any(h == 11 for h, _ in rows), f"late row leaked into state: {rows}"
     assert (12, 4) in rows, f"on-time window missing/wrong: {rows}"
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_dedup_watermark_evicts_state_and_reemits_after_eviction(spark):
+    """dropDuplicatesWithinWatermark's bounded-state contract, both
+    directions: a duplicate arriving WITHIN the delay is dropped, and
+    once the watermark evicts the key's state, a later duplicate of
+    the same key is EMITTED AGAIN — the price of bounded state, and
+    the behavior that must not silently change. Eviction itself is
+    asserted via the state store's numRowsRemoved counter."""
+    import datetime as dt
+    import time
+
+    root = os.path.join(tempfile.gettempdir(), f"ddw_test_{uuid.uuid4().hex[:8]}")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    schema = "event_id BIGINT, ts TIMESTAMP"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, name))
+        part = [
+            f
+            for f in os.listdir(os.path.join(root, name))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copyfile(
+            os.path.join(root, name, part), os.path.join(src, f"{name}.parquet")
+        )
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    # delay = 10 min. b1 seeds id=1 (state expiry ≤ 12:17 even if a
+    # duplicate extends it); b2 re-delivers id=1 within the delay
+    # (dropped) and advances the watermark to 13:50; b3 is a spacer
+    # batch — eviction lags one batch behind the data that advanced
+    # the watermark, so id=1's state is removed during b3's commit;
+    # b4 re-delivers id=1 with an on-time ts → state is gone, the
+    # row emits again.
+    write_file("b1", [(1, t(12, 0)), (2, t(12, 5))])
+    time.sleep(1.1)
+    write_file("b2", [(1, t(12, 7)), (3, t(14, 0))])
+    time.sleep(1.1)
+    write_file("b3", [(4, t(14, 5))])
+    time.sleep(1.1)
+    write_file("b4", [(1, t(14, 10))])
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sum(p["numInputRows"] for p in q.recentProgress) == 6
+    evicted = sum(
+        op.get("numRowsRemoved", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert evicted > 0, "watermark never evicted dedup state"
+    got = [r.event_id for r in spark.table(name).collect()]
+    from collections import Counter
+
+    counts = Counter(got)
+    assert counts[1] == 2, f"id=1 must emit once per state lifetime: {counts}"
+    assert counts[2] == counts[3] == counts[4] == 1, (
+        f"unexpected dedup output: {counts}"
+    )
     shutil.rmtree(root, ignore_errors=True)
 
 
