@@ -18,11 +18,17 @@ Heuristic, and deliberately conservative about shuffles:
   widened exactly as before. (A few huge files would undercount
   actual splits and trigger one extra repartition — which at that
   shape is the repartition you want before a CPU-bound map stage.)
-- derived / non-file frame → report "already wide" (None). Frames
-  downstream of any shuffle already have
-  ``spark.sql.shuffle.partitions`` splits, so the old RDD-based
-  check was a no-op for them; skipping the repartition preserves
-  that behavior without the RDD round trip.
+- frame with NO file source (in-memory, streaming) → ``None``
+  ("leave it alone").
+
+CONTRACT: apply these to raw scans (projections of a scan are
+fine), not to post-shuffle frames. ``inputFiles()`` reports the
+LEAF scans of any plan, so a frame downstream of a groupBy/join
+would be judged by its leaves' file count and could pick up a
+useless extra repartition (the frame already has
+``spark.sql.shuffle.partitions`` splits). Both engine call sites —
+``queries.spread`` and ``dedup.shingle_hash_sets`` — feed scan
+projections; keep it that way.
 """
 
 from __future__ import annotations

@@ -1055,19 +1055,20 @@ def test_bpe_deep_merge_chain_checkpoints(spark):
     """A production vocabulary means thousands of merges; each merge
     appends one replace() to the symbol expression chain, so without
     lineage truncation the analyzer/codegen collapse long before data
-    size matters. Train 200 merges end-to-end (4x the checkpoint
-    interval) and replay the full 200-merge chain through the encode
-    map — both must complete, and the checkpointed encode must agree
-    with an unchunked 20-merge reference on the same corpus."""
+    size matters. Train 500 merges end-to-end (10x the checkpoint
+    interval — the r8 verdict's regression floor) and replay the full
+    500-merge chain through the encode map — both must complete, and
+    the checkpointed encode must agree with an unchunked 20-merge
+    reference on the same corpus."""
     from configdrivendatapipeline_spark.llm import bpe
 
-    # enough distinct pair structure to sustain 200 merges
+    # enough distinct pair structure to sustain 500 merges
     rows = [
         (i, " ".join("".join(chr(97 + (i * 7 + j * 3 + k) % 26) for k in range(12)) for j in range(6)))
         for i in range(80)
     ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    merges = bpe.bpe_train(df, n_merges=200)
+    merges = bpe.bpe_train(df, n_merges=500)
     pairs = [r["pair"] for r in merges.collect()]
     assert len(pairs) > bpe._CHECKPOINT_EVERY  # the chunking actually ran
     enc = bpe.bpe_encode_counts(df, pairs).collect()

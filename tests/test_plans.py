@@ -512,3 +512,34 @@ def test_lint_plan_detects_each_antipattern():
     two_nodes = gw + "\n" + gw.replace("#3L", "#88L")
     hits = lint_plan("val_skew", two_nodes)
     assert hits and "allowed" in hits[0]
+
+
+def test_widen_narrow_scan_is_rdd_free_and_conditional(spark, sf_dir):
+    """spread/shingle_hash_sets derive arrival width from the scan's
+    file list (no plan-to-RDD conversion): a single-file local scan
+    is widened to defaultParallelism and the repartition lands on
+    exactly that width; a frame with no file source reports None and
+    is left untouched. (Contract: callers feed scan projections —
+    inputFiles reports LEAF scans, so post-shuffle frames are out of
+    scope by design; see partitioning.py.)"""
+    from pyspark.sql import functions as F
+
+    from configdrivendatapipeline_spark.partitioning import (
+        scan_split_count,
+        widen_narrow_scan,
+    )
+    from configdrivendatapipeline_spark.queries import load
+
+    li = load(spark, sf_dir, "lineitem")
+    assert scan_split_count(li) == 1  # driver fixtures: one file/table
+    wide = widen_narrow_scan(li)
+    assert "Exchange" in wide._jdf.queryExecution().executedPlan().toString()
+    target = spark.sparkContext.defaultParallelism
+    # the repartition actually lands on the target width
+    assert (
+        wide.select(F.spark_partition_id().alias("p")).distinct().count()
+        == target
+    )
+    no_files = spark.createDataFrame([(1,)], "x INT")
+    assert scan_split_count(no_files) is None
+    assert widen_narrow_scan(no_files) is no_files  # no-op, no shuffle
