@@ -44,6 +44,12 @@ def salted_join(
             "replicating the small side would duplicate its unmatched "
             "rows under right/full/outer join types"
         )
+    if salt < 1:
+        # pmod(x, 0) is NULL, so every big-side salt would be NULL
+        # and the equi-join would silently return ZERO rows — a
+        # typoed YAML salt must fail at plan time, not empty the
+        # output.
+        raise ValueError(f"salted_join requires salt >= 1, got {salt}")
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
     )
@@ -78,6 +84,12 @@ def salted_agg(
     on the real keys. The salt is a deterministic full-row hash —
     stable across task retries, unlike rand().
     """
+    if salt < 1:
+        # pmod(x, 0) is NULL: results would still merge correctly
+        # (one NULL-salt group) but the two-phase split silently
+        # degrades to a renamed plain aggregation — same plan-time
+        # contract as salted_join.
+        raise ValueError(f"salted_agg requires salt >= 1, got {salt}")
     salted = df.withColumn(
         "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salt)).cast("int")
     )

@@ -43,6 +43,26 @@ def test_bloom_rejects_unaligned_bits(spark):
         joins.bloom_build(df, "id", n_bits=100)
 
 
+def test_bloom_rejects_degenerate_params(spark):
+    """n_bits=0 makes every probe position pmod(hash, 0) = NULL, so
+    might_contain would be NULL-false for EVERY fact row — a silently
+    empty prefilter output; k=0 builds no probes at all. Both must
+    fail at plan time with the real cause."""
+    import pytest
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="n_bits"):
+        joins.bloom_build(df, "id", n_bits=0)
+    with pytest.raises(ValueError, match="k"):
+        joins.bloom_build(df, "id", k=0)
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="n_bits"):
+        joins.bloom_might_contain(F.col("id"), F.col("bloom"), 0, 3, "s")
+    with pytest.raises(ValueError, match="k"):
+        joins.bloom_might_contain(F.col("id"), F.col("bloom"), 2048, 0, "s")
+
+
 def test_zorder_overflow_is_loud(spark):
     """A column span above 2^(63-bits) would wrap the BIGINT
     quantize multiply and emit garbage z-values — the layout would

@@ -109,3 +109,23 @@ def test_salted_join_rejects_outer_types(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(li, sup, on="l_suppkey", how="full")
+
+
+def test_salted_ops_reject_nonpositive_salt(spark, sf_dir):
+    """salt=0 would make pmod(hash, 0) NULL on every big-side row:
+    salted_join's equi-join silently returns ZERO rows, and
+    salted_agg silently degrades to an unsalted aggregation — both
+    must fail at plan time instead."""
+    import pytest
+
+    from configdrivendatapipeline_spark.queries import load
+
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="salt >= 1"):
+            salted_join(li, sup, on="l_suppkey", salt=bad)
+        with pytest.raises(ValueError, match="salt >= 1"):
+            salted_agg(
+                li, ["l_returnflag"], {"n": ("count", "l_orderkey")}, salt=bad
+            )
