@@ -72,6 +72,8 @@ def shingle_hash_sets(
     estimates Jaccard over (see :func:`minhash_signatures` /
     ``minhash_calibration``).
     """
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
     src = df.select(id_col, text_col)
     # Widen narrow local scans before this CPU-heavy map stage; split
     # count comes from the scan's file list, never df.rdd (a
@@ -137,6 +139,11 @@ def minhash_signatures(
     source arrives in fewer splits than cores (single small file
     locally; already-split at lake scale).
     """
+    if n_hashes < 1:
+        # sequence(0, -1) DESCENDS in Spark, so n_hashes=0 would
+        # silently emit 2-slot signatures built from permutation
+        # index -1 — garbage that still LOOKS like a signature.
+        raise ValueError(f"minhash n_hashes must be >= 1, got {n_hashes}")
     hashed = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
     mask32 = F.lit(0xFFFFFFFF)
 
@@ -175,6 +182,16 @@ def _banded(
     ~2⁻⁶⁴ collision), replayable by any SQL engine; xxhash64 shortens
     the shuffle key and is the scale default.
     """
+    if bands < 1:
+        raise ValueError(f"LSH bands must be >= 1, got {bands}")
+    if sig_len is not None and bands > sig_len:
+        # rows-per-band = sig_len // bands = 0: every band key would
+        # be the empty CSV, so EVERY doc collides in one giant bucket
+        # per band — the cap then drops it and the candidate set is
+        # silently empty. A config this wrong must fail, not recall-0.
+        raise ValueError(
+            f"LSH bands ({bands}) must be <= signature length ({sig_len})"
+        )
     if sig_len is not None:
         r = sig_len // bands
 

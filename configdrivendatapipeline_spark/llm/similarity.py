@@ -124,6 +124,17 @@ def _table_buckets(vec: Column, n_tables: int, planes_per_table: int) -> Column:
     faster at sf0.1 with bit-identical buckets — the expression tree
     shrinks by the table count, same win as the minhash signature
     stage."""
+    if n_tables < 1:
+        # sequence(0, -1) DESCENDS, so n_tables=0 would silently
+        # bucket every vector under a garbage table id of -1.
+        raise ValueError(f"LSH n_tables must be >= 1, got {n_tables}")
+    if planes_per_table < 1:
+        # zero planes → bucket 0 for every vector → one corpus-sized
+        # bucket per table, which the cap then drops: silently empty
+        # candidates instead of a loud config error.
+        raise ValueError(
+            f"LSH planes_per_table must be >= 1, got {planes_per_table}"
+        )
     tables = F.sequence(F.lit(0), F.lit(n_tables - 1))
 
     def table_bucket(t: Column) -> Column:

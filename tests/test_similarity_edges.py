@@ -175,3 +175,34 @@ def test_jaccard_threshold_is_exact_not_rounded(spark):
     # (the old rounded-then-filter shape compared 0.333333 < 1/3 and
     # dropped these true pairs); the rounded column is display-only.
     assert (1, 2) in got and (2, 3) in got
+
+
+def test_lsh_and_minhash_reject_degenerate_counts(spark):
+    """sequence(0, -1) DESCENDS in Spark, so zero-count LSH/minhash
+    parameters don't produce empty structures — they produce garbage
+    built from index -1 (or one corpus-sized bucket the cap then
+    silently drops). Every such config must fail at plan time."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm.dedup import (
+        _banded,
+        minhash_signatures,
+        shingle_hash_sets,
+    )
+    from configdrivendatapipeline_spark.llm.similarity import _table_buckets
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="n_hashes"):
+        minhash_signatures(df, n_hashes=0)
+    with pytest.raises(ValueError, match="shingle_k"):
+        shingle_hash_sets(df, shingle_k=0)
+    sigs = minhash_signatures(df, n_hashes=8)
+    with pytest.raises(ValueError, match="bands"):
+        _banded(sigs, "doc_id", 0, 8)
+    with pytest.raises(ValueError, match="signature length"):
+        _banded(sigs, "doc_id", 16, 8)
+    with pytest.raises(ValueError, match="n_tables"):
+        _table_buckets(F.col("v"), 0, 4)
+    with pytest.raises(ValueError, match="planes_per_table"):
+        _table_buckets(F.col("v"), 6, 0)
