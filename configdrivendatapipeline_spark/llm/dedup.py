@@ -475,27 +475,20 @@ def lsh_recall(
         sig_len=n_hashes,
         band_key="concat" if token_hash == "md5_32" else "xxhash64",
     )
+    # Truth side reuses jaccard_pairs' PPJoin prefix filter over the
+    # shingle-hash sets — provably lossless for J ≥ t and the same
+    # exact integer cross-multiply threshold (t6 = round(t·1e6) =
+    # threshold_micro for integral micro inputs), so the truth SET is
+    # bit-identical to the naive exploded self-join the oracle
+    # replays, while join groups are bounded by rare-shingle df
+    # instead of the hottest shingle's df.
     hs = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
-    ex = hs.select(F.col(id_col).alias("id"), F.explode("hs").alias("h"))
-    inter = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sizes = hs.select(F.col(id_col).alias("id"), F.size("hs").cast("long").alias("n"))
-    truth = (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
-        .filter(
-            F.col("n_inter") * 1_000_000
-            >= F.lit(threshold_micro) * (F.col("na") + F.col("nb") - F.col("n_inter"))
-        )
-        .select("id_a", "id_b")
-    )
+    truth = jaccard_pairs(
+        hs,
+        id_col=id_col,
+        threshold=threshold_micro / 1_000_000,
+        tokens_col="hs",
+    ).select("id_a", "id_b")
     # Each expensive side (truth = the exhaustive pair join, cand =
     # the banding) appears exactly once in the plan: both are
     # distinct pair sets, so one full-outer join classifies every
