@@ -386,3 +386,44 @@ def test_capped_bucket_ids_equals_collect_then_filter(spark, data, cap):
     )
     want = {(r["k"], tuple(r["ids"])) for r in naive.collect()}
     assert got == want
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=12), min_size=1, max_size=8
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    t6=st.sampled_from([200_000, 500_000, 550_000, 800_000, 999_999]),
+)
+def test_jaccard_prefix_filter_equals_naive_for_any_sets(spark, docs, t6):
+    """PPJoin losslessness, the property llm_lsh_recall's truth side
+    now rides on: for ANY token multisets and threshold, prefix-
+    filtered jaccard_pairs == the naive all-pairs exact Jaccard
+    (set semantics via array_distinct, id_a < id_b)."""
+    from configdrivendatapipeline_spark.llm.dedup import jaccard_pairs
+
+    rows_ = [(i, [f"t{x}" for x in toks]) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows_, "doc_id INT, toks ARRAY<STRING>")
+    t = t6 / 1_000_000
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(df, threshold=t, tokens_col="toks").collect()
+    }
+    sets = {i: set(toks) for i, toks in rows_}
+    naive = {
+        (a, b)
+        for a in sets
+        for b in sets
+        if a < b
+        and len(sets[a] & sets[b]) * 1_000_000
+        >= t6 * len(sets[a] | sets[b])
+    }
+    assert got == naive
