@@ -1,0 +1,58 @@
+"""Spark-side wall-clock census over the full query registry.
+
+The correctness harness' per-query times fold in the DuckDB oracle,
+which at some SFs dwarfs the Spark side (the four documented
+quadratic-ORACLE ids most of all). This census times ONLY the Spark
+plan — build + execute (count) — per registry id, so slow entries
+point at engine plans, not oracle replays. Output: one JSON line per
+query (name, seconds, rows) to stdout, then a sorted top-N summary
+to stderr.
+
+Usage: python tools/timing_census.py [--sf DIR] [--top 15] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from configdrivendatapipeline_spark.queries import registry
+    from configdrivendatapipeline_spark.session import get_spark
+
+    spark = get_spark("timing-census")
+    reg = registry()
+    names = args.names or list(reg)
+    out = []
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            n = reg[name].build(spark, args.sf).count()
+            sec = round(time.monotonic() - t0, 2)
+            out.append({"name": name, "sec": sec, "rows": n})
+            print(json.dumps(out[-1]), flush=True)
+        except Exception as exc:  # keep the census moving; report
+            print(
+                json.dumps({"name": name, "err": str(exc)[:200]}), flush=True
+            )
+    out.sort(key=lambda r: -r["sec"])
+    print(f"-- top {args.top} of {len(out)} by Spark-side seconds --", file=sys.stderr)
+    for r in out[: args.top]:
+        print(f"{r['sec']:8.2f}s  {r['name']}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
