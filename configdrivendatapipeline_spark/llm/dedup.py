@@ -283,7 +283,7 @@ def _capped_bucket_ids(
     return grouped.filter(F.size("ids") > 1)
 
 
-def _expand_pairs(bounded: DataFrame) -> Column | DataFrame:
+def _expand_pairs(bounded: DataFrame) -> DataFrame:
     """All unordered (id_a, id_b) pairs from a bounded bucket's
     sorted ``ids`` array — the shared m(m-1)/2 expansion behind the
     LSH / winnowing / pHash candidate generators (one definition, so
