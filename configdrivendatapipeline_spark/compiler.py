@@ -29,12 +29,68 @@ OpBuilder = Callable[[SparkSession, list[DataFrame], dict[str, Any]], DataFrame]
 
 OPS: dict[str, OpBuilder] = {}
 
+#: op name → the parameter keys its builder actually reads, derived
+#: at registration by scanning the builder source for literal
+#: ``p["k"]`` / ``p.get("k")`` access. In a CONFIG-DRIVEN pipeline a
+#: typo'd param key (``threshhold:``) must be a loud ConfigError at
+#: compile time, not a silent fall-through to the op's default —
+#: the auto-derivation can't drift from the code the way a
+#: hand-maintained allowlist would. Ops with any non-literal access
+#: map to None (validation skipped); as of round 9 every op is fully
+#: literal (asserted by tests/test_config_layer.py).
+OP_PARAM_KEYS: dict[str, frozenset | None] = {}
+
+
+def _scan_param_keys(fn: OpBuilder) -> frozenset | None:
+    """Literal keys ``fn`` reads off its params dict ``p``, or None
+    if any access is dynamic (variable key, whole-dict iteration,
+    or ``p`` escaping into another call)."""
+    import ast as _ast
+    import inspect
+    import textwrap
+
+    try:
+        tree = _ast.parse(textwrap.dedent(inspect.getsource(fn)))
+    except (OSError, TypeError, SyntaxError):
+        return None
+    keys: set = set()
+    for n in _ast.walk(tree):
+        if (
+            isinstance(n, _ast.Subscript)
+            and isinstance(n.value, _ast.Name)
+            and n.value.id == "p"
+        ):
+            if isinstance(n.slice, _ast.Constant):
+                keys.add(n.slice.value)
+            else:
+                return None
+        elif isinstance(n, _ast.Call):
+            f = n.func
+            if (
+                isinstance(f, _ast.Attribute)
+                and isinstance(f.value, _ast.Name)
+                and f.value.id == "p"
+            ):
+                if f.attr in ("get", "pop"):
+                    if n.args and isinstance(n.args[0], _ast.Constant):
+                        keys.add(n.args[0].value)
+                    else:
+                        return None
+                elif f.attr in ("items", "keys", "values"):
+                    return None
+            else:
+                for a in list(n.args) + [kw.value for kw in n.keywords]:
+                    if isinstance(a, _ast.Name) and a.id == "p":
+                        return None
+    return frozenset(keys)
+
 
 def op(name: str) -> Callable[[OpBuilder], OpBuilder]:
     def reg(fn: OpBuilder) -> OpBuilder:
         if name in OPS:
             raise ValueError(f"duplicate op id: {name}")
         OPS[name] = fn
+        OP_PARAM_KEYS[name] = _scan_param_keys(fn)
         return fn
 
     return reg
@@ -127,8 +183,18 @@ def _join(spark, dfs, p):
     left, right = dfs
     if p.get("broadcast"):
         right = F.broadcast(right)
-    on = p.get("on")
+    # YAML 1.1 parses a bare `on:` key as boolean True (same quirk
+    # the lookup op documents); silently ignoring that key made an
+    # unquoted `on: doc_id` join UNCONDITIONED — a cross-shaped
+    # semi/inner join with no signal. Accept both spellings.
+    on = p.get("on") or p.get(True)
     cond = F.expr(p["condition"]) if "condition" in p else on
+    if cond is None:
+        raise ValueError(
+            "join op needs `on:` (quote it: \"on\") or `condition:` — "
+            "got neither, which would silently produce an "
+            "unconditioned cross-shaped join"
+        )
     return left.join(right, cond, p.get("how", "inner"))
 
 
@@ -1380,6 +1446,16 @@ def compile_pipeline(
                 f"step {step.id!r}: unknown op {step.op!r} "
                 f"(known: {sorted(OPS)})"
             )
+        allowed = OP_PARAM_KEYS.get(step.op)
+        if allowed is not None and step.params:
+            unknown = set(step.params) - allowed
+            if unknown:
+                raise ValueError(
+                    f"step {step.id!r}: op {step.op!r} does not read "
+                    f"param(s) {sorted(map(str, unknown))} — a typo "
+                    "would silently fall back to defaults (accepted: "
+                    f"{sorted(k for k in allowed if isinstance(k, str))})"
+                )
         frames[step.id] = builder(spark, [frames[i] for i in step.inputs], step.params)
     return frames
 

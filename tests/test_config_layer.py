@@ -552,3 +552,44 @@ def test_master_supplied_detects_submit_environment():
 
     if SparkContext._jvm is None:
         assert not _master_supplied({})
+
+
+def test_op_param_typos_fail_at_compile(spark, sf_dir):
+    """A typo'd op param key must be a loud compile-time error: in a
+    config-driven pipeline, silent fall-through to the op's default
+    is the worst failure mode a YAML surface can have."""
+    import pytest
+
+    from configdrivendatapipeline_spark.compiler import compile_pipeline
+    from configdrivendatapipeline_spark.config import load_pipeline_str
+
+    cfg = load_pipeline_str(
+        f"""
+name: typo
+sources:
+  docs: {{format: parquet, path: "{sf_dir}/documents.parquet"}}
+steps:
+  - id: bad
+    op: filter
+    input: docs
+    params: {{predicat: "doc_id > 0"}}
+sinks: []
+"""
+    )
+    with pytest.raises(ValueError, match="predicat"):
+        compile_pipeline(spark, cfg)
+
+
+def test_every_op_is_param_scannable():
+    """The auto-derived param allowlists only protect ops whose
+    builders read params via literal keys; an op that starts
+    iterating its params dict (or passing it whole into a helper)
+    silently loses typo protection. Keep the invariant explicit."""
+    from configdrivendatapipeline_spark.compiler import OPS, OP_PARAM_KEYS
+
+    unscanned = sorted(k for k, v in OP_PARAM_KEYS.items() if v is None)
+    assert not unscanned, (
+        "ops with dynamic param access (typo checking disabled): "
+        f"{unscanned} — read keys literally or add explicit validation"
+    )
+    assert set(OP_PARAM_KEYS) == set(OPS)
