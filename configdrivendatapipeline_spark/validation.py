@@ -78,10 +78,20 @@ ROW_RULES = {
 
 def row_fail_predicate(rule: Rule) -> Column:
     """Compile one row rule to its failure predicate."""
+    builder = ROW_RULES.get(rule.rule)
+    if builder is None:
+        raise ValueError(f"unknown row rule type: {rule.rule!r}")
     try:
-        return ROW_RULES[rule.rule](rule.params)
-    except KeyError:
-        raise ValueError(f"unknown row rule type: {rule.rule!r}") from None
+        return builder(rule.params)
+    except KeyError as exc:
+        # A builder's KeyError is a MISSING PARAM (e.g. a typo'd
+        # `colum:`), not an unknown rule — the old broad except
+        # rebranded it as "unknown row rule type: 'not_null'", which
+        # sent users hunting the wrong bug.
+        raise ValueError(
+            f"row rule {rule.name!r} ({rule.rule}): missing required "
+            f"param {exc.args[0]!r} (got: {sorted(rule.params)})"
+        ) from None
 
 
 # ---------------------------------------------------------------------------

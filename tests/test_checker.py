@@ -93,3 +93,24 @@ def test_spark_type_classes():
     assert spark_type_class("string") == "string"
     assert spark_type_class("timestamp_ntz") == "timestamp"
     assert spark_type_class("boolean") == "bool"
+
+
+def test_rule_param_typo_reports_missing_param_not_unknown_rule():
+    """A typo'd rule param (colum:) must say 'missing required param',
+    not 'unknown row rule type' — the broad KeyError handler used to
+    rebrand builder KeyErrors as unknown-rule errors."""
+    import pytest
+
+    from configdrivendatapipeline_spark.validation import (
+        Rule,
+        row_fail_predicate,
+    )
+
+    with pytest.raises(ValueError, match="missing required param 'column'"):
+        row_fail_predicate(
+            Rule(name="r0", rule="not_null", params={"colum": "x"}, on_fail="warn")
+        )
+    with pytest.raises(ValueError, match="unknown row rule type"):
+        row_fail_predicate(
+            Rule(name="r1", rule="nut_nell", params={}, on_fail="warn")
+        )
