@@ -146,6 +146,10 @@ def _derive(spark, dfs, p):
 def _cast(spark, dfs, p):
     df = _one(dfs)
     mode = p.get("mode", "strict")
+    if mode not in ("strict", "safe"):
+        # a typo'd mode (`saf`) would silently run STRICT — the
+        # opposite of the author's stated intent.
+        raise ValueError(f"cast mode must be strict|safe, got {mode!r}")
     for name, dtype in p["columns"].items():
         tc = F.expr(f"TRY_CAST({name} AS {dtype})")
         if mode == "safe":
@@ -225,6 +229,12 @@ def _aggregate(spark, dfs, p):
     aggs = [F.expr(e).alias(name) for name, e in p["aggs"].items()]
     group_by = p.get("group_by") or []
     kind = p.get("kind", "groupby")
+    if kind not in ("groupby", "rollup", "cube"):
+        # a typo'd kind (`rollop`) would otherwise silently degrade
+        # to a plain groupBy — no subtotal rows and no signal.
+        raise ValueError(
+            f"aggregate kind must be groupby|rollup|cube, got {kind!r}"
+        )
     if kind == "rollup":
         out = df.rollup(*group_by).agg(*aggs)
     elif kind == "cube":
@@ -347,6 +357,10 @@ def _validate(spark, dfs, p):
         dims = dict(zip(dim_names, dfs[1:]))
     rules = rules_from_config(p["rules"])
     output = p.get("output", "metrics")
+    if output not in ("metrics", "valid", "invalid"):
+        raise ValueError(
+            f"validate output must be metrics|valid|invalid, got {output!r}"
+        )
     res = run_rules(df, rules, dims=dims, split=output in ("valid", "invalid"))
     return {"metrics": res.metrics, "valid": res.valid, "invalid": res.invalid}[output]
 

@@ -593,3 +593,24 @@ def test_every_op_is_param_scannable():
         f"{unscanned} — read keys literally or add explicit validation"
     )
     assert set(OP_PARAM_KEYS) == set(OPS)
+
+
+def test_enum_valued_op_params_reject_typos(spark, sf_dir):
+    """Enum-ish op params (aggregate kind, cast mode, validate
+    output) must reject unknown values instead of silently running a
+    different variant."""
+    import pytest
+
+    from configdrivendatapipeline_spark.compiler import OPS
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with pytest.raises(ValueError, match="kind"):
+        OPS["aggregate"](
+            spark, [df], {"aggs": {"n": "count(*)"}, "group_by": ["o_orderstatus"], "kind": "rollop"}
+        )
+    with pytest.raises(ValueError, match="mode"):
+        OPS["cast"](spark, [df], {"columns": {"o_orderkey": "string"}, "mode": "saf"})
+    with pytest.raises(ValueError, match="output"):
+        OPS["validate"](
+            spark, [df], {"rules": [{"rule": "not_null", "column": "o_orderkey"}], "output": "vaild"}
+        )
