@@ -74,6 +74,13 @@ def shingle_hash_sets(
     """
     if shingle_k < 1:
         raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    if token_hash not in ("xxhash64", "md5_32"):
+        # a typo'd family (`md532`) would silently hash with
+        # xxhash64 — breaking the cross-engine replay the md5_32
+        # member exists for, with no signal until hashes mismatch.
+        raise ValueError(
+            f"token_hash must be xxhash64|md5_32, got {token_hash!r}"
+        )
     src = df.select(id_col, text_col)
     # Widen narrow local scans before this CPU-heavy map stage; split
     # count comes from the scan's file list, never df.rdd (a
@@ -184,6 +191,10 @@ def _banded(
     """
     if bands < 1:
         raise ValueError(f"LSH bands must be >= 1, got {bands}")
+    if band_key not in ("xxhash64", "concat"):
+        # same silent-family-fallback trap as token_hash: a typo'd
+        # band_key would quietly bucket with xxhash64.
+        raise ValueError(f"band_key must be xxhash64|concat, got {band_key!r}")
     if sig_len is not None and bands > sig_len:
         # rows-per-band = sig_len // bands = 0: every band key would
         # be the empty CSV, so EVERY doc collides in one giant bucket

@@ -206,3 +206,23 @@ def test_lsh_and_minhash_reject_degenerate_counts(spark):
         _table_buckets(F.col("v"), 0, 4)
     with pytest.raises(ValueError, match="planes_per_table"):
         _table_buckets(F.col("v"), 6, 0)
+
+
+def test_hash_family_params_reject_typos(spark):
+    """token_hash / band_key name the cross-engine hash FAMILY; a
+    typo'd value silently fell back to xxhash64, breaking oracle
+    replay with no signal until hashes mismatched downstream."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm.dedup import (
+        _banded,
+        minhash_signatures,
+        shingle_hash_sets,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="token_hash"):
+        shingle_hash_sets(df, token_hash="md532")
+    sigs = minhash_signatures(df, n_hashes=8)
+    with pytest.raises(ValueError, match="band_key"):
+        _banded(sigs, "doc_id", 4, 8, band_key="concatt")
