@@ -200,6 +200,16 @@ def test_all_example_yamls_compile(spark):
         assert frames, f"{y.name}: no frames compiled"
         for step_id, df in frames.items():
             assert df.columns, f"{y.name}:{step_id}: empty schema"
+        # EXECUTE every terminal batch frame, not just plan it: the
+        # compute_bounded_training unconditioned-join bug compiled
+        # clean and only misbehaved at runtime. Terminal frames pull
+        # their upstreams, so one count per sink-feeding step
+        # exercises the whole DAG without writing any sink.
+        consumed = {i for s in cfg.steps for i in s.inputs}
+        for step_id, df in frames.items():
+            if step_id in consumed or df.isStreaming:
+                continue
+            assert df.count() >= 0, f"{y.name}:{step_id}: execution failed"
 
 
 def test_parameters_substitute_and_override():
