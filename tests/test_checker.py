@@ -114,3 +114,29 @@ def test_rule_param_typo_reports_missing_param_not_unknown_rule():
         row_fail_predicate(
             Rule(name="r1", rule="nut_nell", params={}, on_fail="warn")
         )
+
+
+def test_bench_output_contract(sf_dir):
+    """bench.py is the driver's per-round feedback loop; its output
+    must stay ONE parseable JSON line with the documented keys, at
+    whatever SF the env points it to."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert d["metric"] and isinstance(d["queries"], dict) and d["queries"]
+    assert all(v >= 0 for v in d["queries"].values())
