@@ -140,3 +140,25 @@ def test_bench_output_contract(sf_dir):
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["metric"] and isinstance(d["queries"], dict) and d["queries"]
     assert all(v >= 0 for v in d["queries"].values())
+
+
+def test_spark_entry_contract(spark):
+    """__spark_entry__ is the driver's primary interface: entry()
+    must return a non-empty batch DataFrame on sf0.001, queries()
+    and oracle_sql() must cover the same ids (every oracle names a
+    declared query), and every oracle is non-empty SQL text."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    df = m.entry(spark)
+    assert not df.isStreaming and df.count() > 0 and df.columns
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle for an undeclared query"
+    assert len(qs) >= 389
+    assert all(isinstance(s, str) and s.strip() for s in oracles.values())
