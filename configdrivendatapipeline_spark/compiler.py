@@ -53,9 +53,30 @@ def _scan_param_keys(fn: OpBuilder) -> frozenset | None:
         tree = _ast.parse(textwrap.dedent(inspect.getsource(fn)))
     except (OSError, TypeError, SyntaxError):
         return None
+    def _is_p(node) -> bool:
+        return isinstance(node, _ast.Name) and node.id == "p"
+
     keys: set = set()
     for n in _ast.walk(tree):
-        if (
+        if isinstance(n, _ast.Compare) and any(map(_is_p, n.comparators)):
+            # membership tests read a key too: `"k" in p` must land
+            # in the allowlist or a valid config using only that key
+            # would be rejected as a typo.
+            if (
+                len(n.ops) == 1
+                and isinstance(n.ops[0], (_ast.In, _ast.NotIn))
+                and isinstance(n.left, _ast.Constant)
+            ):
+                keys.add(n.left.value)
+            else:
+                return None
+        elif isinstance(n, (_ast.For, _ast.comprehension)) and _is_p(n.iter):
+            return None
+        elif isinstance(n, _ast.Dict) and any(
+            k is None and _is_p(v) for k, v in zip(n.keys, n.values)
+        ):
+            return None
+        elif (
             isinstance(n, _ast.Subscript)
             and isinstance(n.value, _ast.Name)
             and n.value.id == "p"
@@ -190,8 +211,18 @@ def _join(spark, dfs, p):
     # YAML 1.1 parses a bare `on:` key as boolean True (same quirk
     # the lookup op documents); silently ignoring that key made an
     # unquoted `on: doc_id` join UNCONDITIONED — a cross-shaped
-    # semi/inner join with no signal. Accept both spellings.
-    on = p.get("on") or p.get(True)
+    # semi/inner join with no signal. Accept both spellings. None
+    # checks, not truthiness: a present-but-empty `on` (e.g. from
+    # parameter templating) must surface as the empty value it is,
+    # not fall through to the True key and misdiagnose the error.
+    on = p.get("on")
+    if on is None:
+        on = p.get(True)
+    if on is not None and not on:
+        raise ValueError(
+            f"join op `on:` is present but empty ({on!r}) — supply "
+            "join column(s) or remove the key"
+        )
     cond = F.expr(p["condition"]) if "condition" in p else on
     if cond is None:
         raise ValueError(
@@ -369,8 +400,18 @@ def _validate(spark, dfs, p):
 def _lookup(spark, dfs, p):
     fact, dim = dfs
     # YAML 1.1 parses a bare `on:` key as boolean True — accept both
-    # spellings but document `keys:`.
-    on = p.get("keys") or p.get("on") or p.get(True)
+    # spellings but document `keys:`. None checks, not truthiness,
+    # so a present-but-empty mapping errors as empty rather than
+    # falling through to the next spelling.
+    on = p.get("keys")
+    if on is None:
+        on = p.get("on")
+    if on is None:
+        on = p.get(True)
+    if not on:
+        raise ValueError(
+            f"lookup op needs a non-empty `keys:` mapping, got {on!r}"
+        )
     return enrichment.lookup(
         fact,
         dim,

@@ -29,6 +29,7 @@ WORD_BITS = 32
 
 
 def probe_positions(key: Column, n_bits: int, k: int, salt: str) -> list[Column]:
+    """The k Bloom bit positions of ``key`` — k independent md5 salts."""
     if n_bits < WORD_BITS:
         # pmod(hash, 0) is NULL → every probe NULL → might_contain
         # NULL-false for every row: the prefilter would silently drop
@@ -36,7 +37,6 @@ def probe_positions(key: Column, n_bits: int, k: int, salt: str) -> list[Column]
         raise ValueError(f"bloom n_bits must be >= {WORD_BITS}, got {n_bits}")
     if k < 1:
         raise ValueError(f"bloom k (probe count) must be >= 1, got {k}")
-    """The k Bloom bit positions of ``key`` — k independent md5 salts."""
     return [hash_bucket(key, f"{salt}:{i}", n_bits) for i in range(k)]
 
 

@@ -58,7 +58,11 @@ def shingle_hash_sets(
     token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, hs array<long>) — the distinct 32-bit k-shingle hash set
-    of each document, computed entirely row-local (zero shuffle).
+    of each document, computed row-local. The only shuffle ever
+    added is a width-normalizing repartition when the input arrives
+    narrower than the session's parallelism (single-file local scan,
+    or an in-memory frame — file-backed scans at lake scale arrive
+    pre-split and are left untouched).
 
     Shingle hashes WITHOUT materializing shingle strings: hash each
     token once, then combine k consecutive token-hashes arithmetically
@@ -85,9 +89,17 @@ def shingle_hash_sets(
     # Widen narrow local scans before this CPU-heavy map stage; split
     # count comes from the scan's file list, never df.rdd (a
     # plan-to-RDD conversion per builder call — see partitioning.py).
+    # In-memory frames report no files (splits is None); those are
+    # typically a handful of parallelize splits, so widen them too —
+    # one (id, text) hash shuffle is noise next to the shingle map
+    # it parallelizes, and file-backed lake-scale scans never take
+    # this branch. Streaming frames are left alone (repartition
+    # would break the incremental plan).
     target = df.sparkSession.sparkContext.defaultParallelism
     splits = scan_split_count(src)
-    if splits is not None and splits < target:
+    if (splits is None and not df.isStreaming) or (
+        splits is not None and splits < target
+    ):
         src = src.repartition(target, id_col)
     toks = F.split(F.col(text_col), " ")
     if token_hash == "md5_32":

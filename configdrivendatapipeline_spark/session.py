@@ -11,6 +11,7 @@ spark-submit / the cluster manager supplies the master URL.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -38,8 +39,14 @@ def _master_supplied(environ=None) -> bool:
     env = os.environ if environ is None else environ
     if "PYSPARK_GATEWAY_PORT" in env:
         return True
+    # Token-anchored matching: a bare `"spark.master" in args`
+    # substring test would false-positive on unrelated confs like
+    # `--conf spark.master.rest.enabled=true` and skip the local[N]
+    # fallback for a session that has no master at all.
     submit_args = env.get("PYSPARK_SUBMIT_ARGS", "")
-    if "spark.master" in submit_args or "--master" in submit_args:
+    if re.search(
+        r"(^|\s)--master(\s|=)|(^|\s)--conf(\s+|=)spark\.master=", submit_args
+    ):
         return True
     from pyspark import SparkConf
 

@@ -555,6 +555,19 @@ def test_master_supplied_detects_submit_environment():
     assert _master_supplied(
         {"PYSPARK_SUBMIT_ARGS": "--conf spark.master=k8s://x pyspark-shell"}
     )
+    assert _master_supplied({"PYSPARK_SUBMIT_ARGS": "--master=yarn pyspark-shell"})
+    # Token-anchored, not substring: an unrelated conf that merely
+    # CONTAINS "spark.master" must not suppress the local fallback.
+    from pyspark import SparkContext as _SC
+
+    if _SC._jvm is None:
+        assert not _master_supplied(
+            {
+                "PYSPARK_SUBMIT_ARGS": (
+                    "--conf spark.master.rest.enabled=true pyspark-shell"
+                )
+            }
+        )
     # NOTE: the bare-env negative case is only asserted when no JVM
     # is attached in this process (a live test SparkSession makes
     # SparkConf() legitimately contain spark.master).
@@ -603,6 +616,53 @@ def test_every_op_is_param_scannable():
         f"{unscanned} — read keys literally or add explicit validation"
     )
     assert set(OP_PARAM_KEYS) == set(OPS)
+
+
+def test_scan_param_keys_covers_membership_and_dynamic_shapes():
+    """`'k' in p` is a param read — it must land in the allowlist or
+    a valid config using only that key gets rejected as a typo; and
+    genuinely dynamic shapes (iteration, dict-splat, non-literal
+    membership) must map to None so the scannability invariant test
+    catches them instead of shipping an underinclusive allowlist."""
+    from configdrivendatapipeline_spark.compiler import _scan_param_keys
+
+    def membership(spark, dfs, p):
+        if "condition" in p:
+            return p["how"]
+        return None
+
+    assert _scan_param_keys(membership) == frozenset({"condition", "how"})
+
+    def iterates(spark, dfs, p):
+        return [k for k in p]
+
+    assert _scan_param_keys(iterates) is None
+
+    def splats(spark, dfs, p):
+        return {**p, "extra": 1}
+
+    assert _scan_param_keys(splats) is None
+
+    def dynamic_membership(spark, dfs, p):
+        k = "cond" + "ition"
+        return k in p
+
+    assert _scan_param_keys(dynamic_membership) is None
+
+
+def test_join_and_lookup_reject_empty_on(spark, sf_dir):
+    """A present-but-empty `on`/`keys` (e.g. from parameter
+    templating) must error as EMPTY, not fall through to the YAML
+    `True`-key spelling and misdiagnose the cause."""
+    import pytest
+
+    from configdrivendatapipeline_spark.compiler import OPS
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="empty"):
+        OPS["join"](spark, [df, df], {"on": []})
+    with pytest.raises(ValueError, match="keys"):
+        OPS["lookup"](spark, [df, df], {"keys": {}, "take": {"k": "k"}})
 
 
 def test_enum_valued_op_params_reject_typos(spark, sf_dir):

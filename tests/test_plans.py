@@ -543,3 +543,21 @@ def test_widen_narrow_scan_is_rdd_free_and_conditional(spark, sf_dir):
     no_files = spark.createDataFrame([(1,)], "x INT")
     assert scan_split_count(no_files) is None
     assert widen_narrow_scan(no_files) is no_files  # no-op, no shuffle
+
+
+def test_shingle_hash_sets_widens_in_memory_frames(spark):
+    """Public-API callers may pass in-memory frames (inputFiles()
+    empty → scan_split_count None); those arrive in a handful of
+    parallelize splits and must still be widened before the
+    CPU-heavy shingle map stage — the regression ADVICE r9 flagged
+    when the .rdd width probe was removed."""
+    from configdrivendatapipeline_spark.llm.dedup import shingle_hash_sets
+
+    docs = spark.createDataFrame(
+        [(i, "tok%d a b c d e" % i) for i in range(40)],
+        "doc_id INT, text STRING",
+    )
+    hs = shingle_hash_sets(docs, id_col="doc_id", text_col="text")
+    plan = hs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the widening repartition is present
+    assert hs.count() == 40
