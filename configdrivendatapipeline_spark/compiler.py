@@ -1065,10 +1065,36 @@ def _pack_manifest(spark, dfs, p):
 
 @op("bpe_train")
 def _bpe_train(spark, dfs, p):
-    """Train a BPE merge table from the input corpus (see
-    llm.bpe.bpe_train) — emits the (step, pair, n) artifact."""
-    from configdrivendatapipeline_spark.llm.bpe import bpe_train
+    """Train a BPE merge table from the input corpus — emits the
+    (step, pair, n) artifact. ``mode: distributed`` (default) is the
+    exact sequential trainer (llm.bpe.bpe_train — one vocab-table
+    job per merge, hash-replayable by the SQL oracle);
+    ``mode: local`` is production recipe #1 (SCALING.md): Spark runs
+    the one corpus-sized word-frequency job, the merge loop runs
+    in-memory on the collected vocab — bit-identical artifact,
+    minutes instead of ~13 h at 32k merges. ``max_vocab`` (local
+    only) caps training to the top-K words by frequency."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_train,
+        bpe_train_local_table,
+    )
 
+    mode = p.get("mode", "distributed")
+    if mode not in ("distributed", "local"):
+        # a typo'd mode (`locl`) must not silently run the 13-hour
+        # driver-paced path where minutes were intended.
+        raise ValueError(f"bpe_train mode must be distributed|local, got {mode!r}")
+    if mode == "local":
+        return bpe_train_local_table(
+            _one(dfs),
+            text_col=p.get("text_column", "text"),
+            n_merges=int(p.get("n_merges", 20)),
+            max_vocab=(
+                int(p["max_vocab"]) if p.get("max_vocab") is not None else None
+            ),
+        )
+    if p.get("max_vocab") is not None:
+        raise ValueError("bpe_train max_vocab requires mode: local")
     return bpe_train(
         _one(dfs),
         text_col=p.get("text_column", "text"),
@@ -1295,6 +1321,52 @@ def _compact(spark, dfs, p):
     if p.get("plan"):
         return layout.compaction_plan(_one(dfs), cols, target)
     return layout.compact_write(_one(dfs), cols, target, key_col=p["key"])
+
+
+@op("materialize")
+def _materialize(spark, dfs, p):
+    """Write this step's frame to a named intermediate table ONCE and
+    hand every downstream step a fresh scan of it — the cut point in
+    a DAG where one expensive subplan (a near-dup pair build, a
+    trained codebook) feeds several consumers. Catalyst's
+    ReuseExchange dedupes repeated identical subplans *within one
+    action*, but separate downstream actions each re-run the full
+    lineage; materializing converts that N× recompute into 1× build
+    plus N columnar scans, and at 100 TB the written table doubles as
+    the restart point after a failure downstream. EAGER by design:
+    the write runs at compile time — the one deliberate exception to
+    the ops-only-declare rule, because cutting the plan IS the op.
+    Defaults to mode=overwrite so a rerun of the pipeline refreshes
+    the intermediate instead of silently reusing a stale one.
+    """
+    df = _one(dfs)
+    if df.isStreaming:
+        raise ValueError(
+            "materialize is a batch cut point; for streams use a "
+            "sink + a follow-up pipeline instead"
+        )
+    fmt = p.get("format", "parquet")
+    cfg = {"path": p["path"], "format": fmt, "mode": p.get("mode", "overwrite")}
+    write_sink(df, cfg)
+    return read_source(spark, {"path": p["path"], "format": fmt})
+
+
+@op("components")
+def _components(spark, dfs, p):
+    """Connected components over an undirected pair graph (see
+    llm.dedup.duplicate_clusters): input 1 = (id_a, id_b) pairs,
+    input 2 = the node universe; output (id, component), component =
+    min member id."""
+    from configdrivendatapipeline_spark.llm.dedup import duplicate_clusters
+
+    if len(dfs) != 2:
+        raise ValueError("components expects exactly 2 inputs (pairs, nodes)")
+    return duplicate_clusters(
+        dfs[0],
+        dfs[1],
+        id_col=p.get("id_column", "doc_id"),
+        max_iter=int(p.get("max_iter", 20)),
+    )
 
 
 @op("lm_score")

@@ -220,6 +220,8 @@ _ROUND10_WINDOW = (
     "llm_stupid_backoff",
     "pipeline_spatial",
     "pipeline_pareto",
+    # round-10 addition (sanctioned by the r9 verdict, item 3):
+    "pipeline_dedup_reuse",
     # ---- driver-checked, latest evidence r2 (46 ids) ----
     "project_select",
     "project_rename",

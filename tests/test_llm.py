@@ -1479,3 +1479,72 @@ def test_capped_bucket_ids_tolerates_duplicate_rows_per_id(spark):
         (r["id_a"], r["id_b"]) for r in _expand_pairs(bounded).collect()
     }
     assert pairs == {("d2", "d3")}
+
+
+def test_bpe_local_mode_is_bit_identical_to_distributed(spark, sf_dir):
+    """Production recipe #1 (collect-vocab-then-train-in-memory) must
+    emit the EXACT merge table the distributed trainer emits —
+    including the shared-delimiter quirks ('a a a' self-overlap,
+    'a b a b' back-to-back where the first replacement consumes the
+    shared space) and count-tie lexicographic ordering, on both a
+    quirk-stressing synthetic corpus and real fixture documents
+    trained to vocabulary exhaustion."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_train_local,
+        bpe_train_rows,
+    )
+
+    quirky = spark.createDataFrame(
+        [
+            (0, "a a a aa"),
+            (1, "abab abab cc"),
+            (2, "aaab aaab xyz"),
+            (3, "zz zz zz yy"),
+        ],
+        ["doc_id", "text"],
+    )
+    assert bpe_train_local(quirky, n_merges=12) == bpe_train_rows(
+        quirky, n_merges=12
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # n_merges beyond exhaustion: both trainers must stop at the same
+    # step with the same final merges
+    assert bpe_train_local(docs, n_merges=120) == bpe_train_rows(
+        docs, n_merges=120
+    )
+
+
+def test_bpe_local_mode_guards(spark):
+    """Non-BMP words break the UTF-16-unit/code-point equivalence the
+    bit-identity guarantee rests on — raise, never silently diverge;
+    a typo'd op mode must not silently run the slow path; max_vocab
+    without local mode is rejected."""
+    import pytest
+
+    from configdrivendatapipeline_spark.compiler import OPS
+    from configdrivendatapipeline_spark.llm.bpe import bpe_train_local
+
+    astral = spark.createDataFrame([(0, "ok \U0001F600x ok")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="supplementary-plane"):
+        bpe_train_local(astral, n_merges=2)
+
+    df = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="mode"):
+        OPS["bpe_train"](None, [df], {"mode": "locl"})
+    with pytest.raises(ValueError, match="max_vocab"):
+        OPS["bpe_train"](None, [df], {"max_vocab": 10})
+
+
+def test_bpe_local_max_vocab_caps_training_corpus(spark):
+    """max_vocab trains on the top-K words by (count desc, word asc)
+    only — the corpus-sample mode; merges reflect the capped vocab."""
+    from configdrivendatapipeline_spark.llm.bpe import bpe_train_local
+
+    # 'qq' dominates by count; 'zz' is rare — capped at 1 word the
+    # trainer only ever sees 'qq'
+    df = spark.createDataFrame(
+        [(0, "qq qq qq zz")], ["doc_id", "text"]
+    )
+    merges = bpe_train_local(df, n_merges=5, max_vocab=1)
+    assert merges == [(0, "q q", 3)]
