@@ -869,6 +869,50 @@ def test_graph_rank_op(spark, sf_dir):
     )
 
 
+def test_materialize_and_components_ops(spark, sf_dir):
+    """materialize writes the step's frame once and downstream steps
+    read the PARQUET intermediate (fresh scan, not the original
+    lineage); components exposes connected components to YAML. The
+    mode: local bpe_train emits the same merge table as default."""
+    import pytest
+
+    from configdrivendatapipeline_spark.compiler import OPS
+    from configdrivendatapipeline_spark.llm.dedup import duplicate_clusters
+
+    frames = run_step(
+        spark,
+        sf_dir,
+        "documents",
+        """
+  - {id: pairs_raw, input: documents, op: jaccard_pairs, params: {threshold: 0.95}}
+  - {id: slim, input: pairs_raw, op: select, params: {columns: [id_a, id_b]}}
+  - {id: pairs, input: slim, op: materialize, params: {path: /tmp/cddp_test_mat_pairs}}
+  - {id: nodes, input: documents, op: select, params: {columns: [doc_id]}}
+  - {id: comp, inputs: [pairs, nodes], op: components, params: {id_column: doc_id}}
+  - {id: tok_dist, input: documents, op: bpe_train, params: {n_merges: 8}}
+  - {id: tok_local, input: documents, op: bpe_train, params: {n_merges: 8, mode: local}}
+""",
+    )
+    # the materialized frame scans the written intermediate
+    assert any(
+        "cddp_test_mat_pairs" in f for f in frames["pairs"].inputFiles()
+    )
+    assert rows(frames["pairs"]) == rows(frames["slim"])
+    expect = duplicate_clusters(
+        frames["slim"], frames["nodes"], id_col="doc_id"
+    )
+    assert rows(frames["comp"]) == rows(expect)
+    assert rows(frames["tok_local"]) == rows(frames["tok_dist"])
+    # a streaming frame cannot be a batch cut point
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    with pytest.raises(ValueError, match="batch cut point"):
+        OPS["materialize"](spark, [stream], {"path": "/tmp/cddp_never"})
+    with pytest.raises(ValueError, match="2 inputs"):
+        OPS["components"](spark, [frames["slim"]], {})
+
+
 def test_audit_ops(spark, sf_dir):
     """minhash_calibration / lsh_recall / centroid_drift / benford /
     bpe_fertility reachable from YAML, equal to direct library calls."""

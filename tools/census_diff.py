@@ -37,6 +37,8 @@ EXPLAINED_TAIL = {
     "llm_dup_pagerank",
     "llm_hard_negatives",
     "pipeline_dedup_reuse",  # by construction ~1x the edge build the top-3 pay
+    "sql_recursive",  # fixed-point iteration rounds (r9 census note)
+    "llm_embed_neardup",  # capped-bucket pair volume (r9 scale probe)
     # streaming ids pay AvailableNow micro-batch drains (fixture
     # staging + state store), not plan cost:
     "stream_stream_join",
