@@ -1080,10 +1080,12 @@ def _bpe_train(spark, dfs, p):
     )
 
     mode = p.get("mode", "distributed")
-    if mode not in ("distributed", "local"):
+    if mode not in ("distributed", "local", "batched"):
         # a typo'd mode (`locl`) must not silently run the 13-hour
         # driver-paced path where minutes were intended.
-        raise ValueError(f"bpe_train mode must be distributed|local, got {mode!r}")
+        raise ValueError(
+            f"bpe_train mode must be distributed|local|batched, got {mode!r}"
+        )
     if mode == "local":
         return bpe_train_local_table(
             _one(dfs),
@@ -1095,6 +1097,17 @@ def _bpe_train(spark, dfs, p):
         )
     if p.get("max_vocab") is not None:
         raise ValueError("bpe_train max_vocab requires mode: local")
+    if mode == "batched":
+        from configdrivendatapipeline_spark.llm.bpe import bpe_train_batched
+
+        return bpe_train_batched(
+            _one(dfs),
+            text_col=p.get("text_column", "text"),
+            n_merges=int(p.get("n_merges", 20)),
+            batch_size=int(p.get("batch_size", 64)),
+        )
+    if p.get("batch_size") is not None:
+        raise ValueError("bpe_train batch_size requires mode: batched")
     return bpe_train(
         _one(dfs),
         text_col=p.get("text_column", "text"),

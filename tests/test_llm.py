@@ -1548,3 +1548,61 @@ def test_bpe_local_max_vocab_caps_training_corpus(spark):
     )
     merges = bpe_train_local(df, n_merges=5, max_vocab=1)
     assert merges == [(0, "q q", 3)]
+
+
+def test_bpe_batched_b1_is_bit_identical_and_batches_are_disjoint(spark):
+    """Recipe #2: batch_size=1 degenerates to exact sequential
+    training (bit-identical merge table, including the
+    shared-delimiter quirk corpora); at B>1 the artifact is
+    deterministic, its per-round picks are pairwise symbol-disjoint,
+    recorded counts are exact snapshot counts, and encoding with it
+    works end-to-end."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_encode_counts,
+        bpe_train_batched,
+        bpe_train_rows,
+    )
+
+    quirky = spark.createDataFrame(
+        [
+            (0, "a a a aa"),
+            (1, "abab abab cc"),
+            (2, "aaab aaab xyz"),
+            (3, "zz zz zz yy"),
+        ],
+        ["doc_id", "text"],
+    )
+    b1 = [tuple(r) for r in bpe_train_batched(quirky, n_merges=10, batch_size=1).collect()]
+    assert b1 == bpe_train_rows(quirky, n_merges=10)
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 3))
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    b4_a = [tuple(r) for r in bpe_train_batched(docs, n_merges=12, batch_size=4).collect()]
+    b4_b = [tuple(r) for r in bpe_train_batched(docs, n_merges=12, batch_size=4).collect()]
+    assert b4_a == b4_b  # deterministic
+    assert [m[0] for m in b4_a] == list(range(len(b4_a)))
+    # within each round of 4, selected pairs share no symbol
+    for start in range(0, len(b4_a), 4):
+        seen: set = set()
+        for _, pr, _ in b4_a[start : start + 4]:
+            a, b = pr.split(" ")
+            assert a not in seen and b not in seen
+            seen.update((a, b))
+    # the first pick of round one is the exact trainer's first pick
+    exact = bpe_train_rows(docs, n_merges=1)
+    assert (b4_a[0][1], b4_a[0][2]) == (exact[0][1], exact[0][2])
+    enc = bpe_encode_counts(docs, [m[1] for m in b4_a]).collect()
+    assert all(r["n_bpe_tokens"] >= r["n_words"] for r in enc)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="batch_size"):
+        bpe_train_batched(docs, n_merges=2, batch_size=0)
+
+    from configdrivendatapipeline_spark.compiler import OPS
+
+    with pytest.raises(ValueError, match="batch_size"):
+        OPS["bpe_train"](None, [docs], {"batch_size": 8})
