@@ -427,3 +427,35 @@ def test_jaccard_prefix_filter_equals_naive_for_any_sets(spark, docs, t6):
         >= t6 * len(sets[a] | sets[b])
     }
     assert got == naive
+
+
+words = st.lists(
+    st.text(alphabet="abcz", min_size=0, max_size=6),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=st.lists(words, min_size=1, max_size=4))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bpe_local_equals_distributed_on_random_corpora(spark, texts):
+    """Recipe #1's bit-identity claim, swept over random corpora: a
+    tiny alphabet maximizes pair collisions, count ties (the
+    lexicographic tie-break), self-overlaps ('a a a') and
+    back-to-back shared-delimiter occurrences — every semantic edge
+    the module docstring documents must agree between the in-memory
+    and the distributed trainer."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_train_local,
+        bpe_train_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(texts)],
+        ["doc_id", "text"],
+    )
+    assert bpe_train_local(df, n_merges=6) == bpe_train_rows(df, n_merges=6)
