@@ -1351,6 +1351,12 @@ def _materialize(spark, dfs, p):
     the ops-only-declare rule, because cutting the plan IS the op.
     Defaults to mode=overwrite so a rerun of the pipeline refreshes
     the intermediate instead of silently reusing a stale one.
+    ``cluster_by`` / ``sort_by`` apply the sink layer's layout
+    controls to the intermediate: co-locate each key's rows in one
+    file set and tighten per-file min/max ranges, so downstream
+    scans of the materialized table prune files on those columns —
+    at 100 TB the cut point is also where you choose the layout its
+    consumers will scan.
     """
     df = _one(dfs)
     if df.isStreaming:
@@ -1360,6 +1366,12 @@ def _materialize(spark, dfs, p):
         )
     fmt = p.get("format", "parquet")
     cfg = {"path": p["path"], "format": fmt, "mode": p.get("mode", "overwrite")}
+    # literal key reads only — the auto-derived param allowlist
+    # cannot scan a variable-keyed p.get loop
+    if p.get("cluster_by"):
+        cfg["cluster_by"] = list(p["cluster_by"])
+    if p.get("sort_by"):
+        cfg["sort_by"] = list(p["sort_by"])
     write_sink(df, cfg)
     return read_source(spark, {"path": p["path"], "format": fmt})
 

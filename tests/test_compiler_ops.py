@@ -903,6 +903,31 @@ def test_materialize_and_components_ops(spark, sf_dir):
     )
     assert rows(frames["comp"]) == rows(expect)
     assert rows(frames["tok_local"]) == rows(frames["tok_dist"])
+    # layout controls reach the intermediate: clustered-by-key rows
+    # land in key-pure files, so consumer scans can prune on id_a
+    frames2 = run_step(
+        spark,
+        sf_dir,
+        "nation",
+        """
+  - {id: keyed, input: nation, op: select, params: {columns: [n_regionkey, n_name]}}
+  - {id: laid, input: keyed, op: materialize,
+     params: {path: /tmp/cddp_test_mat_layout, cluster_by: [n_regionkey],
+              sort_by: [n_name]}}
+""",
+    )
+    laid = frames2["laid"]
+    assert rows(laid) == rows(frames2["keyed"])
+    import pyspark.sql.functions as SF
+
+    tagged = laid.select(
+        "n_regionkey", SF.input_file_name().alias("f")
+    ).collect()
+    by_key: dict = {}
+    for r in tagged:
+        by_key.setdefault(r["n_regionkey"], set()).add(r["f"])
+    # cluster_by contract: each key's rows land in ONE file set
+    assert all(len(fs) == 1 for fs in by_key.values())
     # a streaming frame cannot be a batch cut point
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
