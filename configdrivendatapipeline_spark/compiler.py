@@ -218,10 +218,15 @@ def _join(spark, dfs, p):
     on = p.get("on")
     if on is None:
         on = p.get(True)
-    if on is not None and not on:
+    if on is not None and not on and "condition" not in p:
+        # Empty-but-present `on` (e.g. `on: []` from parameter
+        # templating) is only an error when no `condition:` backs it
+        # up — with a condition present the empty list carries no
+        # signal and the condition governs the join, as it did
+        # before the guard existed.
         raise ValueError(
             f"join op `on:` is present but empty ({on!r}) — supply "
-            "join column(s) or remove the key"
+            "join column(s), remove the key, or use `condition:`"
         )
     cond = F.expr(p["condition"]) if "condition" in p else on
     if cond is None:
@@ -1086,6 +1091,15 @@ def _bpe_train(spark, dfs, p):
         raise ValueError(
             f"bpe_train mode must be distributed|local|batched, got {mode!r}"
         )
+    # Param/mode combinations are validated up front, BEFORE
+    # dispatching: a mode-mismatched knob must never be silently
+    # ignored (a `batch_size` under mode: local used to slip
+    # through, inconsistent with the op's own typo-guard
+    # philosophy).
+    if p.get("max_vocab") is not None and mode != "local":
+        raise ValueError("bpe_train max_vocab requires mode: local")
+    if p.get("batch_size") is not None and mode != "batched":
+        raise ValueError("bpe_train batch_size requires mode: batched")
     if mode == "local":
         return bpe_train_local_table(
             _one(dfs),
@@ -1095,8 +1109,6 @@ def _bpe_train(spark, dfs, p):
                 int(p["max_vocab"]) if p.get("max_vocab") is not None else None
             ),
         )
-    if p.get("max_vocab") is not None:
-        raise ValueError("bpe_train max_vocab requires mode: local")
     if mode == "batched":
         from configdrivendatapipeline_spark.llm.bpe import bpe_train_batched
 
@@ -1106,8 +1118,6 @@ def _bpe_train(spark, dfs, p):
             n_merges=int(p.get("n_merges", 20)),
             batch_size=int(p.get("batch_size", 64)),
         )
-    if p.get("batch_size") is not None:
-        raise ValueError("bpe_train batch_size requires mode: batched")
     return bpe_train(
         _one(dfs),
         text_col=p.get("text_column", "text"),

@@ -409,12 +409,18 @@ def bpe_train_batched(
     ≈ minutes at the measured per-round cost, vs ~13.4 h exact).
 
     Correctness of batching rests on one exact property: a merge of
-    pair (a, b) only changes the counts of pairs CONTAINING a or b
-    (it rewrites ``… x a b y …`` adjacencies), so requiring selected
-    pairs to share NO symbol makes their snapshot counts exactly the
-    counts sequential application would see, and their replaces
+    pair (a, b) destroys occurrences of pairs containing a or b (it
+    rewrites ``… x a b y …`` adjacencies) and CREATES occurrences of
+    pairs containing the new symbol a+b. So selected pairs must be
+    disjoint on their symbols AND on their merged concatenations:
+    no batch member's symbol may equal another member's a+b (e.g.
+    (a, b) together with (ab, y) where ``ab`` is a prior-round
+    symbol — the (a, b) replace would mint fresh ``ab y``
+    adjacencies for the chained (ab, y) replace to consume). Under
+    that two-sided disjointness the snapshot counts are exactly the
+    counts sequential application would see, and the replaces
     commute (each replacement is space-delimited on both sides, so
-    disjoint patterns cannot overlap). The recorded ``n`` values are
+    disjoint patterns cannot overlap or be created mid-batch). The recorded ``n`` values are
     therefore exact. The ONE documented divergence from exact BPE:
     a pair built from a symbol created earlier in the same batch
     (e.g. ("ab", c) right after (a, b)) cannot be seen until the
@@ -476,9 +482,21 @@ def bpe_train_batched(
             batch: list[tuple[str, int]] = []
             for r in top:
                 a, b = r["pr"].split(" ")
-                if a in used or b in used:
+                merged_sym = a + b
+                # Disjointness must cover the CREATED symbol too: a
+                # replace of (a, b) destroys occurrences of pairs
+                # containing a or b AND creates occurrences of pairs
+                # containing a+b. If a+b is itself a live symbol
+                # (built in a prior round), a batch-mate like
+                # (a+b, y) would consume occurrences this replace
+                # just created, making its recorded n non-snapshot
+                # and the replaces non-commuting. So: skip a
+                # candidate whose own symbols OR whose merged
+                # concatenation collide with any earlier selection's
+                # symbols or merged concatenation.
+                if a in used or b in used or merged_sym in used:
                     continue
-                used.update((a, b))
+                used.update((a, b, merged_sym))
                 batch.append((r["pr"], int(r["n"])))
                 if len(batch) >= want:
                     break

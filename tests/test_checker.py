@@ -162,3 +162,39 @@ def test_spark_entry_contract(spark):
     assert set(oracles) <= set(qs), "oracle for an undeclared query"
     assert len(qs) >= 389
     assert all(isinstance(s, str) and s.strip() for s in oracles.values())
+
+
+def test_census_warmup_is_best_effort(spark, sf_dir, tmp_path, monkeypatch, capsys):
+    """The census warm-up reads lineitem + documents, but those reads
+    are best-effort: a fixture dir missing either table (e.g. a
+    --names run over a trimmed fixture) must still run the named
+    queries instead of crashing before timing starts."""
+    import json as _json
+    import shutil
+    import sys as _sys
+
+    import tools.timing_census as census
+
+    trimmed = tmp_path / "trimmed_sf"
+    trimmed.mkdir()
+    shutil.copy(f"{sf_dir}/customer.parquet", trimmed / "customer.parquet")
+    monkeypatch.setattr(
+        _sys,
+        "argv",
+        [
+            "timing_census.py",
+            "--sf",
+            str(trimmed),
+            "project_select",
+        ],
+    )
+    assert census.main() == 0
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("{")
+    ]
+    by_name = {d["name"]: d for d in lines}
+    assert "project_select" in by_name
+    assert "err" not in by_name["project_select"]
+    assert by_name["project_select"]["rows"] > 0

@@ -663,6 +663,40 @@ def test_join_and_lookup_reject_empty_on(spark, sf_dir):
         OPS["join"](spark, [df, df], {"on": []})
     with pytest.raises(ValueError, match="keys"):
         OPS["lookup"](spark, [df, df], {"keys": {}, "take": {"k": "k"}})
+    # …but an empty `on` alongside a valid `condition:` is NOT an
+    # error — the condition governs the join, as it did before the
+    # guard existed (templating commonly emits `on: []` + condition).
+    left = df
+    right = spark.range(3).withColumnRenamed("id", "k2")
+    out = OPS["join"](
+        spark, [left, right], {"on": [], "condition": "k = k2"}
+    )
+    assert out.count() == 3
+
+
+def test_bpe_train_rejects_mode_mismatched_params(spark, sf_dir):
+    """bpe_train validates param/mode combinations up front: a knob
+    for the wrong mode raises instead of being silently ignored
+    (batch_size under mode: local used to slip through)."""
+    import pytest
+
+    from configdrivendatapipeline_spark.compiler import OPS
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa"), (1, "bb cc")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="batch_size requires"):
+        OPS["bpe_train"](
+            spark, [docs], {"mode": "local", "batch_size": 8, "n_merges": 2}
+        )
+    with pytest.raises(ValueError, match="batch_size requires"):
+        OPS["bpe_train"](spark, [docs], {"batch_size": 8, "n_merges": 2})
+    with pytest.raises(ValueError, match="max_vocab requires"):
+        OPS["bpe_train"](
+            spark, [docs], {"mode": "batched", "max_vocab": 5, "n_merges": 2}
+        )
+    with pytest.raises(ValueError, match="max_vocab requires"):
+        OPS["bpe_train"](spark, [docs], {"max_vocab": 5, "n_merges": 2})
 
 
 def test_enum_valued_op_params_reject_typos(spark, sf_dir):

@@ -85,16 +85,16 @@ def test_survey_rows_and_window_names_resolve():
     must exist (a typo there silently reorders coverage)."""
     import re
 
-    from configdrivendatapipeline_spark.queries import registry, _ROUND10_WINDOW
+    from configdrivendatapipeline_spark.queries import registry, _ROUND11_WINDOW
 
     reg = set(registry())
     survey = (PKG.parent / "SURVEY.md").read_text()
     rows = set(re.findall(r"^\| `([a-z0-9_]+)`", survey, re.M))
     stale = sorted(r for r in rows if r not in reg)
     assert not stale, f"SURVEY §2 rows with no registered query: {stale}"
-    missing = sorted(n for n in _ROUND10_WINDOW if n not in reg)
-    assert len(_ROUND10_WINDOW) == len(reg), (
+    missing = sorted(n for n in _ROUND11_WINDOW if n not in reg)
+    assert len(_ROUND11_WINDOW) == len(reg), (
         "ordering window must cover the whole registry "
-        f"({len(_ROUND10_WINDOW)} != {len(reg)})"
+        f"({len(_ROUND11_WINDOW)} != {len(reg)})"
     )
     assert not missing, f"ordering-window ids not in registry: {missing}"

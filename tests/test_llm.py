@@ -1606,3 +1606,35 @@ def test_bpe_batched_b1_is_bit_identical_and_batches_are_disjoint(spark):
 
     with pytest.raises(ValueError, match="batch_size"):
         OPS["bpe_train"](None, [docs], {"batch_size": 8})
+
+
+def test_bpe_batched_prior_round_symbol_disjointness(spark):
+    """A batch must exclude a pair whose symbol equals another batch
+    member's merged concatenation: with corpus 5x'ababy' + 3x'aby',
+    candidates (a, b) and (ab, y) coexist in one snapshot once 'ab'
+    is a prior-round symbol. Selecting both lets the chained (a, b)
+    replace mint fresh 'ab y' adjacencies that (ab, y) consumes, so
+    its recorded n is not the snapshot count (observed pre-fix:
+    (2, 'ab y', 3) vs exact (2, 'ab y', 8)). The two-sided
+    disjointness filter (symbols AND merged concatenations) defers
+    the colliding pick one round, which makes this corpus
+    bit-identical to the exact trainer at every batch size."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_train_batched,
+        bpe_train_rows,
+    )
+
+    rows = [(i, "ababy") for i in range(5)] + [
+        (100 + i, "aby") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = bpe_train_rows(df, n_merges=3)
+    assert exact == [(0, "a b", 13), (1, "a b", 5), (2, "ab y", 8)]
+    for bs in (2, 4):
+        got = [
+            tuple(r)
+            for r in bpe_train_batched(
+                df, n_merges=3, batch_size=bs
+            ).collect()
+        ]
+        assert got == exact, f"batch_size={bs} diverged: {got}"

@@ -44,10 +44,19 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     spark.range(1_000_000).agg(F.sum("id")).collect()
-    warm_tables = spark.read.parquet(f"{args.sf}/lineitem.parquet")
-    warm_tables.agg(F.count(F.lit(1))).collect()
-    pdf = spark.read.parquet(f"{args.sf}/documents.parquet").limit(64)
-    pdf.mapInPandas(lambda it: it, pdf.schema).count()  # pandas workers
+    # Warm-up is best-effort, not a precondition: a fixture dir
+    # missing either table (e.g. a --names run over a trimmed
+    # fixture) must not crash the census before it starts.
+    try:
+        warm_tables = spark.read.parquet(f"{args.sf}/lineitem.parquet")
+        warm_tables.agg(F.count(F.lit(1))).collect()
+    except Exception as exc:
+        print(f"warm-up skip (lineitem): {str(exc)[:120]}", file=sys.stderr)
+    try:
+        pdf = spark.read.parquet(f"{args.sf}/documents.parquet").limit(64)
+        pdf.mapInPandas(lambda it: it, pdf.schema).count()  # pandas workers
+    except Exception as exc:
+        print(f"warm-up skip (documents): {str(exc)[:120]}", file=sys.stderr)
     out = []
     for name in names:
         t0 = time.monotonic()
