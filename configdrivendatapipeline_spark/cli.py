@@ -5,8 +5,10 @@ Subcommands:
 - ``run <pipeline.yaml>``     — execute a pipeline (sinks written).
 - ``validate <pipeline.yaml>``— parse + validate config only (no Spark).
 - ``show <pipeline.yaml> <name> [-n N]`` — compile and display one
-  source/step result (no sinks executed).
-- ``explain <pipeline.yaml> <name>``     — print the physical plan.
+  source/step result (no sinks executed; compiles with
+  ``dry_run=True`` so a ``materialize`` step writes nothing).
+- ``explain <pipeline.yaml> <name>``     — print the physical plan
+  (dry compile too; a materialize cut shows its uncut lineage).
 """
 
 from __future__ import annotations
@@ -72,7 +74,11 @@ def main(argv: list[str] | None = None) -> int:
         for oname, metrics in observed_metrics().items():
             print(f"observed[{oname}]: {metrics}")
         return 0
-    frames = compile_pipeline(spark, cfg)
+    # show/explain promise "no sinks executed" — compile dry so the
+    # materialize op cannot write (or clobber) a production
+    # intermediate during inspection; the displayed plan is the
+    # uncut lineage.
+    frames = compile_pipeline(spark, cfg, dry_run=True)
     if args.name not in frames:
         print(f"unknown step/source {args.name!r}; have {sorted(frames)}", file=sys.stderr)
         return 2

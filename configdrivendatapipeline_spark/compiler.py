@@ -1346,6 +1346,23 @@ def _compact(spark, dfs, p):
     return layout.compact_write(_one(dfs), cols, target, key_col=p["key"])
 
 
+def _materialize_check_mode(mode: str) -> None:
+    """materialize's write mode is an enum of THREE: overwrite
+    (rerun refreshes the intermediate), error (refuse to clobber an
+    existing one — the safe default against concurrent runs racing
+    on a shared path), or ignore (RESTART POINT: if the intermediate
+    already exists the write — and the whole upstream build job — is
+    skipped via Spark's SaveMode.Ignore short-circuit, and consumers
+    scan the existing table). ``append`` in particular must be
+    rejected — an appended intermediate would feed consumers
+    duplicated rows."""
+    if mode not in ("overwrite", "error", "ignore"):
+        raise ValueError(
+            f"materialize mode must be overwrite|error|ignore, got "
+            f"{mode!r} (append would duplicate the intermediate's rows)"
+        )
+
+
 @op("materialize")
 def _materialize(spark, dfs, p):
     """Write this step's frame to a named intermediate table ONCE and
@@ -1357,10 +1374,27 @@ def _materialize(spark, dfs, p):
     lineage; materializing converts that N× recompute into 1× build
     plus N columnar scans, and at 100 TB the written table doubles as
     the restart point after a failure downstream. EAGER by design:
-    the write runs at compile time — the one deliberate exception to
-    the ops-only-declare rule, because cutting the plan IS the op.
+    the write runs at compile time — the one op that touches the
+    filesystem during compile, because cutting the plan IS the op
+    (``compile_pipeline(dry_run=True)`` substitutes it with a
+    schema-equivalent pass-through for write-free config
+    validation).
     Defaults to mode=overwrite so a rerun of the pipeline refreshes
-    the intermediate instead of silently reusing a stale one.
+    the intermediate instead of silently reusing a stale one;
+    ``mode: error`` instead REFUSES to clobber an existing
+    intermediate (Spark's errorifexists) — the safe choice when two
+    runs of the same pipeline could race on the path; ``mode:
+    ignore`` is the restart mode: when the intermediate already
+    exists, Spark's SaveMode.Ignore short-circuits BEFORE running
+    the upstream job, so re-running a pipeline that died downstream
+    of its cut point skips the expensive build entirely and resumes
+    from the written table (plan-asserted in
+    tests/test_compiler_ops.py). Concurrency:
+    the default ``path`` is shared by every run of the pipeline, so
+    concurrent runs would overwrite each other's intermediate
+    mid-read; run-scope the path with the existing ``${param}``
+    templating (e.g. ``path: /data/tmp/pairs_${run_id}`` +
+    ``--param run_id=...``) or set ``mode: error`` to fail fast.
     ``cluster_by`` / ``sort_by`` apply the sink layer's layout
     controls to the intermediate: co-locate each key's rows in one
     file set and tighten per-file min/max ranges, so downstream
@@ -1376,6 +1410,7 @@ def _materialize(spark, dfs, p):
         )
     fmt = p.get("format", "parquet")
     cfg = {"path": p["path"], "format": fmt, "mode": p.get("mode", "overwrite")}
+    _materialize_check_mode(cfg["mode"])
     # literal key reads only — the auto-derived param allowlist
     # cannot scan a variable-keyed p.get loop
     if p.get("cluster_by"):
@@ -1593,10 +1628,47 @@ def _salted_agg(spark, dfs, p):
 # ---------------------------------------------------------------------------
 
 
+def _materialize_dry_run(spark, dfs, p):
+    """Schema-equivalent no-write stand-in for the ``materialize`` op
+    under ``compile_pipeline(dry_run=True)``: performs the op's own
+    validation (single batch input, required ``path``, known
+    ``mode``) and hands the input frame through unchanged, so
+    downstream steps compile against the same columns the read-back
+    scan would expose — but nothing touches the filesystem.
+
+    NOT registered in OPS (it is not a config-addressable op), so the
+    param-allowlist scan still derives the real op's keys.
+    """
+    df = _one(dfs)
+    if df.isStreaming:
+        raise ValueError(
+            "materialize is a batch cut point; for streams use a "
+            "sink + a follow-up pipeline instead"
+        )
+    _ = p["path"]  # required key: missing-path configs must fail dry too
+    _materialize_check_mode(p.get("mode", "overwrite"))
+    return df
+
+
 def compile_pipeline(
-    spark: SparkSession, cfg: PipelineConfig
+    spark: SparkSession, cfg: PipelineConfig, dry_run: bool = False
 ) -> dict[str, DataFrame]:
-    """Compile every source + step to a named (lazy) DataFrame."""
+    """Compile every source + step to a named DataFrame.
+
+    Laziness: declarative ops only BUILD plans here; nothing runs
+    until a downstream action. Three op families are the documented
+    exceptions and execute Spark jobs during compile: ``materialize``
+    (writes its intermediate table eagerly — cutting the plan IS the
+    op), iterative graph ops (``components``, ``graph_rank``: each
+    pointer-doubling round is an action), and trainer ops
+    (``bpe_train``, which runs its merge loop). With
+    ``dry_run=True`` the ``materialize`` write is substituted by a
+    schema-equivalent pass-through (same validation, no filesystem
+    write), so validating a config can never clobber or create a
+    production intermediate; iterative/trainer steps still execute
+    their (read-only) jobs, and downstream-of-materialize frames
+    compile against the uncut lineage rather than a read-back scan.
+    """
     _OBSERVATIONS.clear()  # observations belong to one compiled pipeline
     frames: dict[str, DataFrame] = {}
     for name, src in cfg.sources.items():
@@ -1618,6 +1690,8 @@ def compile_pipeline(
                     "would silently fall back to defaults (accepted: "
                     f"{sorted(k for k in allowed if isinstance(k, str))})"
                 )
+        if dry_run and step.op == "materialize":
+            builder = _materialize_dry_run
         frames[step.id] = builder(spark, [frames[i] for i in step.inputs], step.params)
     return frames
 

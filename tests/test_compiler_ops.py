@@ -1572,3 +1572,91 @@ def test_skyline_null_keep_values_do_not_leak(spark):
         for r in skyline_2d(df, "x", "y", keep_cols=["cat"]).collect()
     }
     assert got == {("f", 10, 10), (None, 10, 10)}
+
+
+def test_materialize_mode_enum_and_error_refuses_clobber(spark, sf_dir, tmp_path):
+    """materialize's mode is a 3-value enum (overwrite|error|ignore):
+    a typo'd or append mode raises up front, and mode: error refuses
+    to clobber an existing intermediate (concurrent runs sharing the
+    default path must fail fast, not overwrite each other mid-read)."""
+    df = spark.range(4).withColumnRenamed("id", "k")
+    target = str(tmp_path / "mat_err")
+    with pytest.raises(ValueError, match="overwrite|error|ignore"):
+        OPS["materialize"](spark, [df], {"path": target, "mode": "append"})
+    # fresh path: error mode writes normally
+    out = OPS["materialize"](spark, [df], {"path": target, "mode": "error"})
+    assert out.count() == 4
+    # existing path: error mode refuses the clobber
+    with pytest.raises(Exception, match="already exists"):
+        OPS["materialize"](spark, [df], {"path": target, "mode": "error"})
+
+
+def test_materialize_ignore_is_restart_point(spark, sf_dir, tmp_path):
+    """The materialize docstring claims the written table doubles as
+    the restart point after a downstream failure — prove it: with
+    mode: ignore and the intermediate already present, re-running the
+    pipeline must NOT re-execute the upstream build. The re-run's
+    upstream here is poisoned with a Python UDF that raises on any
+    row, so mere survival proves the build job never ran (Spark's
+    SaveMode.Ignore short-circuits before executing the query), and
+    the returned frame's physical plan is a scan of the intermediate
+    with no trace of the poisoned lineage."""
+    import io
+    from contextlib import redirect_stdout
+
+    target = str(tmp_path / "mat_restart")
+    first = OPS["materialize"](
+        spark,
+        [spark.range(6).withColumnRenamed("id", "k")],
+        {"path": target, "mode": "ignore"},
+    )
+    assert first.count() == 6  # fresh path: ignore mode writes
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("upstream build re-executed after restart")
+
+    poison = spark.range(6).select(boom(F.col("id")).alias("k"))
+    resumed = OPS["materialize"](
+        spark, [poison], {"path": target, "mode": "ignore"}
+    )
+    assert sorted(r["k"] for r in resumed.collect()) == list(range(6))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        resumed.explain("formatted")
+    plan = buf.getvalue()
+    assert "Scan parquet" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compile_pipeline_dry_run_writes_nothing(spark):
+    """compile_pipeline(dry_run=True) substitutes the materialize
+    write with a schema-equivalent pass-through: validating
+    examples/dedup_decision.yaml creates NO intermediate on disk,
+    downstream frames still compile with the same columns, and the
+    CLI's explain subcommand (which compiles dry) also leaves the
+    filesystem untouched."""
+    import os
+    import pathlib
+    import shutil
+
+    from configdrivendatapipeline_spark.cli import main as cli_main
+    from configdrivendatapipeline_spark.config import load_pipeline
+
+    yaml_path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "dedup_decision.yaml"
+    )
+    cfg = load_pipeline(yaml_path)
+    mat_path = next(
+        s.params["path"] for s in cfg.steps if s.op == "materialize"
+    )
+    shutil.rmtree(mat_path, ignore_errors=True)
+
+    frames = compile_pipeline(spark, cfg, dry_run=True)
+    assert not pathlib.Path(mat_path).exists(), "dry_run wrote the intermediate"
+    assert set(frames["pairs"].columns) == {"id_a", "id_b"}
+    assert "component" in frames["clusters"].columns
+    assert frames["canonical"].columns == frames["survivors"].columns
+
+    assert cli_main(["explain", yaml_path, "pairs"]) == 0
+    assert not pathlib.Path(mat_path).exists(), "CLI explain wrote the intermediate"
