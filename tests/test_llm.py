@@ -1638,3 +1638,35 @@ def test_bpe_batched_prior_round_symbol_disjointness(spark):
             ).collect()
         ]
         assert got == exact, f"batch_size={bs} diverged: {got}"
+
+
+def test_bpe_batched_divergence_bound_on_fixture_corpus(spark, sf_dir):
+    """Pins the measured batched-vs-exact merge-table divergence on
+    the sf0.001 documents fixture (tools/bpe_divergence.py; SCALING.md
+    "Round-11 batched-BPE fidelity curve"): batching defers collided
+    picks, so at small n_merges/B ratios the TAIL of the table
+    reroutes (set_div up to ~0.53 at B=16, n=30) — but recorded
+    counts must stay exact snapshot counts (cnt_div == 0), which is
+    the invariant the two-sided disjointness filter buys. A code
+    change that pushes set_div above these measured bounds (or makes
+    any recorded count non-exact) changed batching semantics, not
+    just scheduling."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_train_batched,
+        bpe_train_rows,
+    )
+    from tools.bpe_divergence import divergence
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = bpe_train_rows(docs, n_merges=30)
+    for b, set_bound in ((4, 0.34), (16, 0.54)):
+        got = [
+            tuple(r)
+            for r in bpe_train_batched(
+                docs, n_merges=30, batch_size=b
+            ).collect()
+        ]
+        d = divergence(exact, got)
+        assert len(got) == 30
+        assert d["cnt_div"] == 0.0, f"B={b}: non-snapshot count recorded: {d}"
+        assert d["set_div"] <= set_bound, f"B={b}: divergence grew: {d}"

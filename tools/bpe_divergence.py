@@ -1,0 +1,108 @@
+"""Batched-BPE fidelity curve: divergence rate vs batch size B
+(VERDICT r10 item 4).
+
+Recipe #2 (llm/bpe.py:bpe_train_batched) trades merge-loop rounds for
+bounded deferral: per round it applies the top-B symbol-AND-merged-
+concatenation-disjoint pairs from one snapshot, so a pair that
+collides with a batch-mate lands one round later than exact training
+would place it. This probe MEASURES what that costs in merge-table
+fidelity on the real corpus, so the recipe ships with a tuning curve
+(B vs wall-clock vs divergence) instead of one point.
+
+Per B it reports, against the exact sequential trainer's table at the
+same n_merges:
+
+- ``pos_div``  — fraction of steps whose pair differs positionally
+  (order drift; harmless to the learned vocabulary if the SET agrees)
+- ``set_div``  — fraction of exact-table pairs missing from the
+  batched table entirely (true vocabulary drift)
+- ``cnt_div``  — among pairs present in both, fraction whose recorded
+  snapshot count differs (should be 0 for pairs applied in the same
+  relative order; deferral can legitimately change counts)
+
+Usage:
+    python tools/bpe_divergence.py [--sf DIR] [--merges N] [--batches 1,4,16,64]
+
+Prints one JSON line per B plus a trailing exact-baseline line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def divergence(exact: list, got: list) -> dict:
+    n = len(exact)
+    pos = sum(1 for a, b in zip(exact, got) if a[1] != b[1])
+    pos += abs(len(exact) - len(got))
+    eset = {p for _, p, _ in exact}
+    gset = {p for _, p, _ in got}
+    missing = len(eset - gset)
+    ecnt = {p: c for _, p, c in exact}
+    common = eset & gset
+    cnt = sum(1 for _, p, c in got if p in ecnt and p in common and ecnt[p] != c)
+    return {
+        "pos_div": round(pos / n, 4),
+        "set_div": round(missing / n, 4),
+        "cnt_div": round(cnt / max(1, len(common)), 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--merges", type=int, default=80)
+    ap.add_argument("--batches", default="1,4,16,64")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_train,
+        bpe_train_batched,
+    )
+    from configdrivendatapipeline_spark.queries import load
+    from configdrivendatapipeline_spark.session import get_spark
+
+    spark = get_spark("bpe-divergence")
+    docs = load(spark, args.sf, "documents")
+    bpe_train(docs, n_merges=3).collect()  # warm JVM/codegen/parquet
+
+    t0 = time.monotonic()
+    exact = [tuple(r) for r in bpe_train(docs, n_merges=args.merges).collect()]
+    exact_sec = round(time.monotonic() - t0, 1)
+
+    for b in [int(x) for x in args.batches.split(",")]:
+        t0 = time.monotonic()
+        got = [
+            tuple(r)
+            for r in bpe_train_batched(
+                docs, n_merges=args.merges, batch_size=b
+            ).collect()
+        ]
+        sec = round(time.monotonic() - t0, 1)
+        d = divergence(exact, got)
+        print(
+            json.dumps(
+                {
+                    "B": b,
+                    "sec": sec,
+                    "speedup": round(exact_sec / sec, 2) if sec else None,
+                    "merges": len(got),
+                    **d,
+                }
+            ),
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {"B": "exact", "sec": exact_sec, "merges": len(exact), "sf": args.sf}
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
