@@ -218,17 +218,22 @@ def _join(spark, dfs, p):
     on = p.get("on")
     if on is None:
         on = p.get(True)
-    if on is not None and not on and "condition" not in p:
+    # A condition only counts if it holds a usable expression: a bare
+    # `condition:` key (YAML None) or an empty-string template fill
+    # must be treated as ABSENT, not handed to F.expr to die with a
+    # type error.
+    cond_expr = p.get("condition")
+    if on is not None and not on and not cond_expr:
         # Empty-but-present `on` (e.g. `on: []` from parameter
-        # templating) is only an error when no `condition:` backs it
-        # up — with a condition present the empty list carries no
+        # templating) is only an error when no usable `condition:`
+        # backs it up — with one present the empty list carries no
         # signal and the condition governs the join, as it did
         # before the guard existed.
         raise ValueError(
             f"join op `on:` is present but empty ({on!r}) — supply "
             "join column(s), remove the key, or use `condition:`"
         )
-    cond = F.expr(p["condition"]) if "condition" in p else on
+    cond = F.expr(cond_expr) if cond_expr else on
     if cond is None:
         raise ValueError(
             "join op needs `on:` (quote it: \"on\") or `condition:` — "
@@ -1346,7 +1351,7 @@ def _compact(spark, dfs, p):
     return layout.compact_write(_one(dfs), cols, target, key_col=p["key"])
 
 
-def _materialize_check_mode(mode: str) -> None:
+def _materialize_check_mode(mode: str) -> str:
     """materialize's write mode is an enum of THREE: overwrite
     (rerun refreshes the intermediate), error (refuse to clobber an
     existing one — the safe default against concurrent runs racing
@@ -1355,12 +1360,34 @@ def _materialize_check_mode(mode: str) -> None:
     skipped via Spark's SaveMode.Ignore short-circuit, and consumers
     scan the existing table). ``append`` in particular must be
     rejected — an appended intermediate would feed consumers
-    duplicated rows."""
+    duplicated rows. Spark's documented ``errorifexists`` alias is
+    accepted and normalized to ``error`` (this op's own docstring
+    cites the Spark name, so the Spark spelling must not be treated
+    as a typo). Returns the normalized mode."""
+    if mode == "errorifexists":
+        return "error"
     if mode not in ("overwrite", "error", "ignore"):
         raise ValueError(
             f"materialize mode must be overwrite|error|ignore, got "
             f"{mode!r} (append would duplicate the intermediate's rows)"
         )
+    return mode
+
+
+def _materialize_check_format(fmt: str) -> str:
+    """An intermediate must round-trip its schema exactly, or the
+    dry-run pass-through and the real read-back would expose
+    DIFFERENT columns (csv reads back headerless all-string _c0/_c1;
+    json re-orders and re-types) — and at 100 TB a non-columnar
+    intermediate forfeits the pruning the cut point exists to buy.
+    Only the schema-preserving columnar formats are accepted."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(
+            f"materialize format must be parquet|orc (schema-preserving "
+            f"columnar), got {fmt!r} — text formats would read back a "
+            "different schema than the frame that was written"
+        )
+    return fmt
 
 
 @op("materialize")
@@ -1408,9 +1435,12 @@ def _materialize(spark, dfs, p):
             "materialize is a batch cut point; for streams use a "
             "sink + a follow-up pipeline instead"
         )
-    fmt = p.get("format", "parquet")
-    cfg = {"path": p["path"], "format": fmt, "mode": p.get("mode", "overwrite")}
-    _materialize_check_mode(cfg["mode"])
+    fmt = _materialize_check_format(p.get("format", "parquet"))
+    cfg = {
+        "path": p["path"],
+        "format": fmt,
+        "mode": _materialize_check_mode(p.get("mode", "overwrite")),
+    }
     # literal key reads only — the auto-derived param allowlist
     # cannot scan a variable-keyed p.get loop
     if p.get("cluster_by"):
@@ -1631,10 +1661,15 @@ def _salted_agg(spark, dfs, p):
 def _materialize_dry_run(spark, dfs, p):
     """Schema-equivalent no-write stand-in for the ``materialize`` op
     under ``compile_pipeline(dry_run=True)``: performs the op's own
-    validation (single batch input, required ``path``, known
-    ``mode``) and hands the input frame through unchanged, so
+    validation (single batch input, required ``path``, the mode and
+    format enums) and hands the input frame through unchanged, so
     downstream steps compile against the same columns the read-back
     scan would expose — but nothing touches the filesystem.
+    Schema equivalence holds because materialize only accepts
+    schema-preserving columnar formats (parquet|orc, enforced by
+    ``_materialize_check_format`` on BOTH paths); the one delta is
+    nullability, which a columnar write may relax and which no
+    downstream compile-time check depends on.
 
     NOT registered in OPS (it is not a config-addressable op), so the
     param-allowlist scan still derives the real op's keys.
@@ -1647,6 +1682,7 @@ def _materialize_dry_run(spark, dfs, p):
         )
     _ = p["path"]  # required key: missing-path configs must fail dry too
     _materialize_check_mode(p.get("mode", "overwrite"))
+    _materialize_check_format(p.get("format", "parquet"))
     return df
 
 

@@ -198,3 +198,34 @@ def test_census_warmup_is_best_effort(spark, sf_dir, tmp_path, monkeypatch, caps
     assert "project_select" in by_name
     assert "err" not in by_name["project_select"]
     assert by_name["project_select"]["rows"] > 0
+
+
+def test_bpe_divergence_metric_handles_repeats_and_empty():
+    """divergence() (tools/bpe_divergence.py) compares per-pair count
+    MULTISETS: a pair occurring at several merge steps (the ababy
+    corpus produces ('a b', 13) then ('a b', 5)) must not be reduced
+    last-wins, which would both invent divergence on identical tables
+    and mask real count drift; an empty exact table reports zeros
+    instead of dividing by zero."""
+    from tools.bpe_divergence import divergence
+
+    exact = [(0, "a b", 13), (1, "a b", 5), (2, "ab y", 8)]
+    assert divergence(exact, list(exact)) == {
+        "pos_div": 0.0,
+        "set_div": 0.0,
+        "cnt_div": 0.0,
+    }
+    # same pairs, one count drifted -> cnt_div flags exactly that pair
+    drifted = [(0, "a b", 13), (1, "a b", 4), (2, "ab y", 8)]
+    d = divergence(exact, drifted)
+    assert d["cnt_div"] == 0.5 and d["set_div"] == 0.0
+    # a deferred re-emergence (pair merged once instead of twice)
+    # counts as count drift on that pair, not as a missing pair
+    deferred = [(0, "a b", 13), (1, "ab y", 8), (2, "aby q", 2)]
+    d2 = divergence(exact, deferred)
+    assert d2["cnt_div"] == 0.5 and d2["set_div"] == 0.0
+    assert divergence([], []) == {
+        "pos_div": 0.0,
+        "set_div": 0.0,
+        "cnt_div": 0.0,
+    }

@@ -1660,3 +1660,51 @@ def test_compile_pipeline_dry_run_writes_nothing(spark):
 
     assert cli_main(["explain", yaml_path, "pairs"]) == 0
     assert not pathlib.Path(mat_path).exists(), "CLI explain wrote the intermediate"
+
+
+def test_materialize_format_enum_and_mode_alias(spark, sf_dir, tmp_path):
+    """An intermediate must round-trip its schema exactly: csv reads
+    back headerless all-string _c0/_c1, so non-columnar formats are
+    rejected up front on BOTH the real and the dry compile path
+    (otherwise dry validation would pass configs whose downstream
+    column references break at run). Spark's errorifexists alias for
+    mode: error is accepted and normalized, since the op docstring
+    itself cites the Spark name."""
+    from configdrivendatapipeline_spark.compiler import (
+        _materialize_dry_run,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="parquet\\|orc"):
+        OPS["materialize"](
+            spark, [df], {"path": str(tmp_path / "x"), "format": "csv"}
+        )
+    with pytest.raises(ValueError, match="parquet\\|orc"):
+        _materialize_dry_run(
+            spark, [df], {"path": str(tmp_path / "x"), "format": "csv"}
+        )
+    target = str(tmp_path / "alias")
+    out = OPS["materialize"](
+        spark, [df], {"path": target, "mode": "errorifexists"}
+    )
+    assert out.count() == 3
+    with pytest.raises(Exception, match="already exists"):
+        OPS["materialize"](
+            spark, [df], {"path": target, "mode": "errorifexists"}
+        )
+    # orc is a valid columnar intermediate
+    orc = OPS["materialize"](
+        spark, [df], {"path": str(tmp_path / "orc"), "format": "orc"}
+    )
+    assert orc.count() == 3 and orc.columns == ["k"]
+
+
+def test_join_bare_condition_key_gets_clean_error(spark):
+    """A bare `condition:` key (YAML None) or empty-string template
+    fill counts as ABSENT: combined with an empty `on` it must raise
+    the precise empty-on ValueError, not reach F.expr(None) and die
+    with a type error."""
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for cond in (None, ""):
+        with pytest.raises(ValueError, match="empty"):
+            OPS["join"](spark, [df, df], {"on": [], "condition": cond})

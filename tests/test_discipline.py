@@ -92,9 +92,16 @@ def test_survey_rows_and_window_names_resolve():
     rows = set(re.findall(r"^\| `([a-z0-9_]+)`", survey, re.M))
     stale = sorted(r for r in rows if r not in reg)
     assert not stale, f"SURVEY §2 rows with no registered query: {stale}"
-    missing = sorted(n for n in _ROUND11_WINDOW if n not in reg)
-    assert len(_ROUND11_WINDOW) == len(reg), (
-        "ordering window must cover the whole registry "
-        f"({len(_ROUND11_WINDOW)} != {len(reg)})"
+    # Set equality (not just matching lengths + window⊆registry):
+    # a duplicated window entry would otherwise mask an omitted
+    # registry id — registry() silently appends unlisted ids at the
+    # TAIL via its fallback loop, which is exactly the silent
+    # coverage loss this test exists to prevent.
+    dupes = sorted(
+        n for n in set(_ROUND11_WINDOW) if _ROUND11_WINDOW.count(n) > 1
     )
+    assert not dupes, f"ordering-window ids listed twice: {dupes}"
+    missing = sorted(n for n in _ROUND11_WINDOW if n not in reg)
     assert not missing, f"ordering-window ids not in registry: {missing}"
+    omitted = sorted(reg - set(_ROUND11_WINDOW))
+    assert not omitted, f"registry ids missing from ordering window: {omitted}"

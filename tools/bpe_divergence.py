@@ -35,15 +35,29 @@ import time
 
 
 def divergence(exact: list, got: list) -> dict:
+    """Merge-table divergence metrics. A pair can legitimately occur
+    at SEVERAL steps of one table (space-delimited replacement skips
+    alternating adjacent occurrences, so e.g. 'a b' re-emerges — see
+    the ababy corpus in tests/test_llm.py), so counts are compared as
+    per-pair COUNT MULTISETS, not last-wins scalars; cnt_div is the
+    fraction of shared pairs whose count multisets differ, bounded to
+    [0, 1] by construction."""
     n = len(exact)
+    if n == 0:
+        return {"pos_div": 0.0, "set_div": 0.0, "cnt_div": 0.0}
     pos = sum(1 for a, b in zip(exact, got) if a[1] != b[1])
     pos += abs(len(exact) - len(got))
-    eset = {p for _, p, _ in exact}
-    gset = {p for _, p, _ in got}
-    missing = len(eset - gset)
-    ecnt = {p: c for _, p, c in exact}
-    common = eset & gset
-    cnt = sum(1 for _, p, c in got if p in ecnt and p in common and ecnt[p] != c)
+
+    def by_pair(table: list) -> dict:
+        acc: dict = {}
+        for _, p, c in table:
+            acc.setdefault(p, []).append(c)
+        return {p: sorted(cs) for p, cs in acc.items()}
+
+    ecnt, gcnt = by_pair(exact), by_pair(got)
+    missing = len(set(ecnt) - set(gcnt))
+    common = set(ecnt) & set(gcnt)
+    cnt = sum(1 for p in common if ecnt[p] != gcnt[p])
     return {
         "pos_div": round(pos / n, 4),
         "set_div": round(missing / n, 4),
