@@ -229,3 +229,51 @@ def test_bpe_divergence_metric_handles_repeats_and_empty():
         "set_div": 0.0,
         "cnt_div": 0.0,
     }
+
+
+def test_census_diff_flags_and_explained_tail(tmp_path, monkeypatch, capsys):
+    """census_diff (tools/census_diff.py) flags >ratio growth above
+    the floor outside the explained tail (exit 1), keeps explained-
+    tail growth informational (exit 0), and ignores sub-floor ids."""
+    import json as _json
+    import sys as _sys
+
+    import tools.census_diff as cd
+
+    old = tmp_path / "old.jsonl"
+    new = tmp_path / "new.jsonl"
+    old.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"name": "q_reg", "sec": 1.0, "rows": 1},
+                {"name": "llm_dup_clusters", "sec": 50.0, "rows": 1},
+                {"name": "q_noise", "sec": 0.2, "rows": 1},
+            ]
+        )
+    )
+    new.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"name": "q_reg", "sec": 4.0, "rows": 1},       # 4x, above floor
+                {"name": "llm_dup_clusters", "sec": 120.0, "rows": 1},  # explained
+                {"name": "q_noise", "sec": 1.9, "rows": 1},     # below floor
+            ]
+        )
+    )
+    monkeypatch.setattr(_sys, "argv", ["census_diff.py", str(old), str(new)])
+    assert cd.main() == 1
+    out = capsys.readouterr().out
+    assert "FLAG  q_reg" in out
+    assert "grew  llm_dup_clusters" in out
+    assert "q_noise" not in out
+
+    # the regression drops below ratio -> clean exit
+    new.write_text(
+        _json.dumps({"name": "q_reg", "sec": 1.5, "rows": 1})
+        + "\n"
+        + _json.dumps({"name": "llm_dup_clusters", "sec": 55.0, "rows": 1})
+    )
+    monkeypatch.setattr(_sys, "argv", ["census_diff.py", str(old), str(new)])
+    assert cd.main() == 0

@@ -11,7 +11,19 @@ so only ids whose NEW time is at least ``--floor`` seconds (default
 informationally.
 
 Usage: python tools/census_diff.py OLD.jsonl NEW.jsonl [--ratio 2] [--floor 2]
+                                        [--retime --sf DIR]
 Exit 1 when any regression is flagged, 0 otherwise.
+
+Rotation artifacts: both the r10 and r11 diffs flagged ids whose only
+change was their POSITION in the coverage window — first-of-session
+executions pay JVM/codegen compilation for their plan shapes that a
+neighbor used to absorb (r10: five head-of-registry ids; r11:
+llm_bpe_encode reordered ahead of llm_bpe_train). ``--retime`` makes
+that proof mechanical: each flagged id is rebuilt TWICE in one warmed
+session and judged by its steady-state (second) time — within
+--ratio of the old census means artifact (cleared, printed with the
+steady measurement), still slower means a real regression (stays
+flagged, exit 1).
 """
 
 from __future__ import annotations
@@ -60,12 +72,45 @@ def load(path: str) -> dict[str, dict]:
     return out
 
 
+def _retime(name: str, sf: str) -> float | None:
+    """Steady-state Spark-side seconds for one registry id: build and
+    count it twice in this (warmed) session, return the second time.
+    Import cost is paid lazily so plain diffs stay Spark-free."""
+    import os
+    import time
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from configdrivendatapipeline_spark.queries import registry
+    from configdrivendatapipeline_spark.session import get_spark
+
+    spark = get_spark("census-retime")
+    q = registry().get(name)
+    if q is None:
+        return None
+    try:
+        q.build(spark, sf).count()  # warm plan-shape codegen
+        t0 = time.monotonic()
+        q.build(spark, sf).count()
+        return round(time.monotonic() - t0, 2)
+    except Exception:
+        return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--floor", type=float, default=2.0)
+    ap.add_argument(
+        "--retime",
+        action="store_true",
+        help="re-run flagged ids twice in one warmed Spark session and "
+        "clear those whose steady-state time is within --ratio of the "
+        "old census (rotation artifacts)",
+    )
+    ap.add_argument("--sf", default="/root/testdata/sf0.1",
+                    help="fixture dir for --retime")
     args = ap.parse_args()
 
     old, new = load(args.old), load(args.new)
@@ -83,6 +128,28 @@ def main() -> int:
             (explained_grew if name in EXPLAINED_TAIL else flagged).append(row)
     for name in sorted(set(old) - set(new)):
         only.append((name, old[name].get("sec"), "missing from new run"))
+
+    if args.retime and flagged:
+        cleared = []
+        still = []
+        for name, a, b, note in flagged:
+            if a is None:  # errored entries cannot be retimed away
+                still.append((name, a, b, note))
+                continue
+            steady = _retime(name, args.sf)
+            if steady is not None and steady <= a * args.ratio:
+                cleared.append((name, a, b, steady))
+            else:
+                still.append(
+                    (name, a, b, f"{note}; steady-state {steady} s")
+                )
+        for name, a, b, steady in cleared:
+            print(
+                f"clear {name}: {a} -> {b} s census, steady-state "
+                f"{steady} s (warm re-run; rotation artifact, not a "
+                "plan regression)"
+            )
+        flagged = still
 
     for name, sec, note in only:
         print(f"info  {name}: {sec} ({note})")
