@@ -1683,6 +1683,12 @@ def _materialize_dry_run(spark, dfs, p):
     _ = p["path"]  # required key: missing-path configs must fail dry too
     _materialize_check_mode(p.get("mode", "overwrite"))
     _materialize_check_format(p.get("format", "parquet"))
+    # layout params get the same shape check the real op applies, so
+    # a scalar cluster_by fails dry validation too
+    if p.get("cluster_by"):
+        df.repartition(*list(p["cluster_by"]))
+    if p.get("sort_by"):
+        df.sortWithinPartitions(*list(p["sort_by"]))
     return df
 
 
