@@ -164,6 +164,17 @@ def minhash_signatures(
         # index -1 — garbage that still LOOKS like a signature.
         raise ValueError(f"minhash n_hashes must be >= 1, got {n_hashes}")
     hashed = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
+    return hashed.select(
+        id_col, _signature_expr(n_hashes).alias("signature")
+    )
+
+
+def _signature_expr(n_hashes: int) -> Column:
+    """The H-permutation minhash signature as one Column over a
+    shingle-hash-set column named ``hs`` — shared by
+    :func:`minhash_signatures` and the audit functions that need
+    signature AND shingle set side by side without running the
+    shingle map stage once per consumer."""
     mask32 = F.lit(0xFFFFFFFF)
 
     def sig_i(i: Column) -> Column:
@@ -181,9 +192,7 @@ def minhash_signatures(
         )
 
     perm_ids = F.sequence(F.lit(0), F.lit(n_hashes - 1))
-    return hashed.select(
-        id_col, F.transform(perm_ids, sig_i).alias("signature")
-    )
+    return F.transform(perm_ids, sig_i)
 
 
 def _banded(
@@ -240,6 +249,25 @@ def _banded(
         ).select(id_col, "bh.band_id", "bh.band_hash")
     else:
         # band rows = |sig| / bands, computed in-plan to stay generic.
+        # The bands<=|sig| misconfig check moves in-plan with it:
+        # assert_true returns NULL for every passing row and raises
+        # on the first violating one, so the same config the sig_len
+        # branch rejects eagerly fails LOUDLY here instead of
+        # emitting empty-CSV band keys (one giant bucket -> cap
+        # drops it -> silent recall 0).
+        sigs = sigs.filter(
+            F.assert_true(
+                F.size("signature") >= F.lit(bands),
+                F.concat(
+                    F.lit("LSH bands ("),
+                    F.lit(str(bands)),
+                    F.lit(") must be <= signature length ("),
+                    F.size("signature").cast("string"),
+                    F.lit(")"),
+                ),
+            ).isNull()
+        )
+
         def slice_csv(b):
             return F.concat_ws(
                 ",",
@@ -406,38 +434,37 @@ def minhash_calibration(
     never O(n²)) back to two per-id maps — four id-keyed joins over
     pair-sized data. Arrays stay internal; the output is scalar.
     """
-    sigs = minhash_signatures(
-        df, id_col, text_col, n_hashes, shingle_k, token_hash
+    # Signature and shingle set come from ONE frame (the signature is
+    # an expression over the shingle-hash column), so each join side
+    # runs the shingle map stage once and the candidate scoring is
+    # two id-keyed joins, not four — the map stage has no exchange
+    # for ReuseExchange to dedup, so the sharing must happen in the
+    # logical plan.
+    hs = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
+    feat = hs.select(
+        id_col, "hs", _signature_expr(n_hashes).alias("signature")
     )
     pairs = lsh_candidate_pairs(
-        sigs,
+        feat.select(id_col, "signature"),
         id_col=id_col,
         bands=bands,
         sig_len=n_hashes,
         band_key="concat" if token_hash == "md5_32" else "xxhash64",
     )
-    hs = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
-    j = (
-        pairs.join(
-            sigs.select(
-                F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
-            ),
-            "id_a",
-        )
-        .join(
-            sigs.select(
-                F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
-            ),
-            "id_b",
-        )
-        .join(
-            hs.select(F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a")),
-            "id_a",
-        )
-        .join(
-            hs.select(F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b")),
-            "id_b",
-        )
+    j = pairs.join(
+        feat.select(
+            F.col(id_col).alias("id_a"),
+            F.col("signature").alias("sig_a"),
+            F.col("hs").alias("hs_a"),
+        ),
+        "id_a",
+    ).join(
+        feat.select(
+            F.col(id_col).alias("id_b"),
+            F.col("signature").alias("sig_b"),
+            F.col("hs").alias("hs_b"),
+        ),
+        "id_b",
     )
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
@@ -858,6 +885,12 @@ def graph_rank(
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        # .distinct() for the same reason duplicate_clusters dedups
+        # its edge list: a caller unioning two candidate generators
+        # (or emitting both (a,b) and (b,a)) must not double-count
+        # that edge's degree and rank contribution while every other
+        # edge counts once.
+        .distinct()
         .localCheckpoint(eager=True)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -960,6 +993,19 @@ def simhash(
     is the production default (one JVM-native hash per token instead
     of a cryptographic one).
     """
+    if token_hash not in ("md5_32x2", "xxhash64"):
+        # same loud-family rule as shingle_hash_sets/_banded: a typo
+        # must not silently hash with a different (JVM-private)
+        # family and produce oracle-unreplayable fingerprints
+        raise ValueError(
+            f"simhash token_hash must be md5_32x2|xxhash64, got {token_hash!r}"
+        )
+    if not 1 <= bits <= 64:
+        # bits=0 would die later with an opaque AttributeError and
+        # bits>64 silently duplicates low bits (JVM shifts are mod
+        # 64) AND double-applies the sign-bit weight — corrupt
+        # fingerprints that still look plausible
+        raise ValueError(f"simhash bits must be in [1, 64], got {bits}")
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )

@@ -405,6 +405,16 @@ def neardup_pairs(
     deterministic arithmetic planes mean an oracle can replay the
     exact same candidate set. ``exact=True`` keeps the all-pairs
     form as the small-fixture verifier ONLY — never the scale path.
+
+    Threshold contract: the cutoff applies to the 6-dp ROUNDED
+    cosine (a pair whose true cosine is within 5e-7 below the
+    threshold is admitted). Deliberate, not an oversight: two
+    engines computing the same dot/norm arithmetic agree on the
+    rounded value but can disagree at the last float ulp, so an
+    unrounded threshold would make boundary pairs engine-dependent —
+    the same determinism rule as the scale-6 DEC convention in
+    queries/__init__.py. Callers needing a strict raw-cosine cutoff
+    should over-ask by 1e-6 and re-filter.
     """
     v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
     if exact:
@@ -519,7 +529,8 @@ def semdedup(
     greedy is O(chain-length) sequential join rounds, whereas one
     pass is a single distinct + anti-join, and the extra drops are
     confined to near-duplicate chains you were thinning anyway. Use
-    :func:`connected components in dedup.cluster_assign` when exact
+    connected components (:func:`dedup.duplicate_clusters`) plus a
+    per-component canonical pick when exact
     one-representative-per-neighborhood semantics matter.
     """
     pairs = neardup_pairs(
@@ -578,9 +589,18 @@ def kmeans_assign(
     a = _kmeans_iterate(
         emb, n_clusters, refine_iters, id_col, vec_col
     )[0]
+    # cluster = a seed vector's id, so its type follows id_col: the
+    # same numeric-normalize-else-pass-through rule as _label_out
+    # (CAST('doc-0017' AS BIGINT) would throw under ANSI / NULL every
+    # cluster with ANSI off for string-id callers).
+    from pyspark.sql import types as T
+
+    cl = F.col("cluster")
+    if isinstance(emb.schema[id_col].dataType, T.NumericType):
+        cl = cl.cast("long")
     return a.select(
         id_col,
-        F.col("cluster").cast("long").alias("cluster"),
+        cl.alias("cluster"),
         F.round("__cos", 6).alias("cos_sim"),
     )
 
@@ -842,6 +862,7 @@ def hard_negatives(
             _table_buckets(F.col("__v"), n_tables, planes_per_table)
         ).alias("table_id", "bucket"),
     )
+    banded = _cap_buckets(banded, ["table_id", "bucket"], max_bucket)
     a = banded.select(
         "table_id",
         "bucket",

@@ -1670,3 +1670,107 @@ def test_bpe_batched_divergence_bound_on_fixture_corpus(spark, sf_dir):
         assert len(got) == 30
         assert d["cnt_div"] == 0.0, f"B={b}: non-snapshot count recorded: {d}"
         assert d["set_div"] <= set_bound, f"B={b}: divergence grew: {d}"
+
+
+def test_simhash_rejects_bad_family_and_bits(spark):
+    """simhash applies the same loud-family rule as
+    shingle_hash_sets/_banded (a typo'd token_hash must not silently
+    hash with a different, oracle-unreplayable family) and validates
+    bits: 0 died with an opaque AttributeError and >64 silently
+    duplicated low bits (JVM shifts are mod 64) while double-applying
+    the sign-bit weight."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm.dedup import simhash
+
+    docs = spark.createDataFrame([(0, "aa bb")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="token_hash"):
+        simhash(docs, token_hash="md5_32")
+    for bad_bits in (0, 65):
+        with pytest.raises(ValueError, match="bits"):
+            simhash(docs, bits=bad_bits)
+    assert simhash(docs, bits=8).count() == 1
+
+
+def test_lsh_banding_in_plan_guard_matches_eager_guard(spark):
+    """_banded's in-plan path (sig_len=None) must fail as LOUDLY as
+    the sig_len branch when bands exceed the signature length —
+    silently emitting empty-CSV band keys was recall 0 with no
+    error."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text body") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, n_hashes=4)
+    with pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(sigs, bands=8, sig_len=4)
+    with pytest.raises(Exception, match="signature length"):
+        lsh_candidate_pairs(sigs, bands=8).count()
+    # a valid in-plan config still produces candidates
+    assert lsh_candidate_pairs(sigs, bands=2).count() >= 0
+
+
+def test_graph_rank_ignores_duplicate_pairs(spark):
+    """graph_rank dedups its bidirectional edge list exactly like
+    duplicate_clusters: feeding the same pair twice (or both
+    orientations) must not double that edge's degree and rank
+    contribution."""
+    from configdrivendatapipeline_spark.llm.dedup import graph_rank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    clean = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    noisy = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0), (1, 2)], ["id_a", "id_b"]
+    )
+    a = sorted(
+        tuple(r) for r in graph_rank(clean, nodes, id_col="doc_id").collect()
+    )
+    b = sorted(
+        tuple(r) for r in graph_rank(noisy, nodes, id_col="doc_id").collect()
+    )
+    assert a == b
+
+
+def test_kmeans_assign_string_ids(spark):
+    """cluster = a seed vector's id, so string-id corpora must pass
+    through uncast (CAST('doc-x' AS BIGINT) throws under ANSI);
+    numeric ids still normalize to long."""
+    from configdrivendatapipeline_spark.llm.similarity import kmeans_assign
+
+    emb = spark.createDataFrame(
+        [(f"doc-{i}", [float(i % 3), 1.0]) for i in range(6)],
+        ["vec_id", "embedding"],
+    )
+    out = kmeans_assign(emb, n_clusters=2, refine_iters=1)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(isinstance(r["cluster"], str) for r in rows)
+    emb_num = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    assert all(
+        isinstance(r["cluster"], int)
+        for r in kmeans_assign(emb_num, n_clusters=2).collect()
+    )
+
+
+def test_hard_negatives_max_bucket_applied(spark):
+    """max_bucket must actually bound the candidate buckets (it was
+    accepted and silently ignored): with a cap of 1 every bucket is
+    dropped, so no negatives can surface; uncapped the same corpus
+    produces them."""
+    from configdrivendatapipeline_spark.llm.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0], i % 2) for i in range(8)],
+        ["vec_id", "embedding", "label"],
+    )
+    assert hard_negatives(emb).count() > 0
+    assert hard_negatives(emb, max_bucket=1).count() == 0
