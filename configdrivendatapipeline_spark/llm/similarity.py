@@ -89,13 +89,25 @@ def brute_force_topk(
         id_col,
         F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy(probe_id).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
+    return _rank_topk(scored, probe_id, id_col, k)
+
+
+def _rank_topk(scored: DataFrame, part_col: str, id_out: str, k: int) -> DataFrame:
+    """Shared per-partition top-k tail for the cosine-scored family
+    (brute_force_topk / lsh_topk / ivf_topk / knn_join): rank by
+    cos_sim desc with the deterministic id tie-break, keep k, emit
+    rank as long. One site, four operators — so a tie-break or
+    rank-typing fix cannot drift between them (the hard_negatives
+    max_bucket omission was exactly this class of four-copy miss)."""
+    w = Window.partitionBy(part_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_out).asc()
     )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select(probe_id, id_col, "cos_sim", F.col("rn").cast("long").alias("rank"))
+        .select(
+            part_col, id_out, "cos_sim", F.col("rn").cast("long").alias("rank")
+        )
     )
 
 
@@ -235,14 +247,7 @@ def lsh_topk(
         id_col,
         F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy(probe_id).orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(probe_id, id_col, "cos_sim", F.col("rn").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, probe_id, id_col, k)
 
 
 def ivf_topk(
@@ -315,12 +320,7 @@ def ivf_topk(
         id_col,
         F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy(probe_id).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(probe_id, id_col, "cos_sim", F.col("rn").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, probe_id, id_col, k)
 
 
 def knn_join(
@@ -375,14 +375,7 @@ def knn_join(
         "right_id",
         F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
     )
-    w = Window.partitionBy("left_id").orderBy(
-        F.col("cos_sim").desc(), F.col("right_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("left_id", "right_id", "cos_sim", F.col("rn").cast("long").alias("rank"))
-    )
+    return _rank_topk(scored, "left_id", "right_id", k)
 
 
 def neardup_pairs(
