@@ -49,13 +49,16 @@ _PAIRS = (
 _CHECKPOINT_EVERY = 50
 
 
-def bpe_train(
-    df: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 20,
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges from the corpus; returns the
-    merge table (step, pair, n) — the artifact a tokenizer ships."""
+def _prepare_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The shared vocab-preparation stage of both trainers: ONE
+    corpus scan into a persisted (cnt, sym) table of space-padded
+    symbol strings, right-sized to ~100k words per partition. Every
+    merge step afterwards is a full Spark job over this table, so
+    per-task overhead multiplies by the round count: a web-scale
+    10⁵–10⁷-word vocab still gets tens of partitions, a small one
+    collapses to 1 instead of paying default-parallelism empty tasks
+    once per round (measured 8.4s → 3.1s at sf0.01 local[32]).
+    Caller owns the returned frame's unpersist."""
     from configdrivendatapipeline_spark.llm.textstats import tokens
 
     spark = df.sparkSession
@@ -65,12 +68,6 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("cnt"))
     ).persist()
     n_vocab = words.count()  # the corpus scan happens exactly once
-    # Every merge step is a full Spark job over the VOCAB table, so
-    # per-task overhead multiplies by n_merges. Right-size the
-    # iterative stage to ~100k words per partition: a web-scale
-    # 10⁵–10⁷-word vocab still gets tens of partitions, a small one
-    # collapses to 1 instead of paying default-parallelism empty
-    # tasks 20× over (measured 8.4s → 3.1s at sf0.01 local[32]).
     parts = max(
         1,
         min(
@@ -90,6 +87,18 @@ def bpe_train(
     )
     vocab.count()  # from the words cache — no second corpus scan
     words.unpersist()
+    return vocab
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges from the corpus; returns the
+    merge table (step, pair, n) — the artifact a tokenizer ships."""
+    spark = df.sparkSession
+    vocab = _prepare_vocab(df, text_col)
     merges: list[tuple[int, str, int]] = []
     current = vocab
     try:
@@ -431,34 +440,8 @@ def bpe_train_batched(
     """
     if batch_size < 1:
         raise ValueError(f"batch_size must be >= 1, got {batch_size}")
-    from configdrivendatapipeline_spark.llm.textstats import tokens
-
     spark = df.sparkSession
-    words = (
-        df.select(F.explode(tokens(text_col)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    ).persist()
-    n_vocab = words.count()
-    parts = max(
-        1,
-        min(
-            spark.sparkContext.defaultParallelism,
-            int(n_vocab // 100_000) + 1,
-        ),
-    )
-    vocab = (
-        words.select(
-            "cnt",
-            F.concat(
-                F.lit(" "), F.concat_ws(" ", F.split("word", "")), F.lit(" ")
-            ).alias("sym"),
-        )
-        .coalesce(parts)
-        .persist()
-    )
-    vocab.count()
-    words.unpersist()
+    vocab = _prepare_vocab(df, text_col)
     merges: list[tuple[int, str, int]] = []
     current = vocab
     applied = 0

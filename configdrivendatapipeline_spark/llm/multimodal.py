@@ -177,8 +177,15 @@ def resize_plan(df: DataFrame, max_side: int = 256) -> DataFrame:
     pixel work stays in the (stubbed) decode kernel."""
     scale_num = F.lit(max_side)
     long_side = F.greatest("width", "height")
-    new_w = F.floor(F.col("width") * scale_num / long_side).cast("int")
-    new_h = F.floor(F.col("height") * scale_num / long_side).cast("int")
+    # clamp to 1: an extreme aspect ratio (w=1, h=600 at max_side
+    # 256) would otherwise emit a 0 target dimension — every real
+    # aspect-fit clamps, and the pixel kernel divides by tw*th
+    new_w = F.greatest(
+        F.lit(1), F.floor(F.col("width") * scale_num / long_side)
+    ).cast("int")
+    new_h = F.greatest(
+        F.lit(1), F.floor(F.col("height") * scale_num / long_side)
+    ).cast("int")
     return df.select(
         "doc_id",
         "width",
@@ -278,6 +285,10 @@ def decode_ppm_features(df: DataFrame) -> DataFrame:
                 img = decode_ppm(buf)
                 h, w, _ = img.shape
                 n = w * h
+                if n == 0:
+                    raise ValueError(
+                        f"doc {doc_id}: PPM payload has zero pixel area"
+                    )
                 sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
                 means = [int((int(s) * 2_000_000 + n) // (2 * n)) for s in sums]
                 rows.append((int(doc_id), w, h, *means))
@@ -365,6 +376,14 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 samples, sr = decode_wav(buf)
                 n = len(samples)
+                if n == 0:
+                    # structurally valid but empty data chunk: the
+                    # established malformed-payload behavior is a
+                    # LOUD ValueError, not a ZeroDivisionError three
+                    # lines later
+                    raise ValueError(
+                        f"doc {doc_id}: WAV payload has zero samples"
+                    )
                 abs_sum = int(np.abs(samples.astype(np.int64)).sum())
                 rows.append(
                     (int(doc_id), n, sr, (abs_sum * 2_000_000 + n) // (2 * n))
@@ -465,6 +484,10 @@ def decode_y4m_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             for doc_id, buf in zip(pdf["doc_id"], pdf["payload"]):
                 frames, (w, h) = decode_y4m(buf)
                 n = w * h
+                if n == 0:
+                    raise ValueError(
+                        f"doc {doc_id}: Y4M payload has zero frame area"
+                    )
                 for fi in range(0, len(frames), every_k):
                     y_sum = int(frames[fi][0].sum(dtype=np.int64))
                     rows.append(
@@ -511,8 +534,11 @@ def resize_ppm_features(df: DataFrame, max_side: int = 6) -> DataFrame:
                 if long_side <= max_side:
                     tw, th = w, h
                 else:
-                    tw = (w * max_side) // long_side
-                    th = (h * max_side) // long_side
+                    # same clamp as resize_plan: extreme aspect
+                    # ratios must not produce a 0-dim (and 0-pixel)
+                    # target — the mean below divides by tw*th
+                    tw = max(1, (w * max_side) // long_side)
+                    th = max(1, (h * max_side) // long_side)
                 small = resize_nearest(img, tw, th)
                 n = tw * th
                 r_sum = int(small[:, :, 0].sum(dtype=np.int64))
@@ -600,6 +626,10 @@ def ppm_ahash(df: DataFrame) -> DataFrame:
                 img = decode_ppm(buf).astype(np.int64)
                 gray = img.sum(axis=2) // 3
                 h, w = gray.shape
+                if h == 0 or w == 0:
+                    raise ValueError(
+                        f"doc {doc_id}: PPM payload has zero pixel area"
+                    )
                 ri = (np.arange(8, dtype=np.int64) * h) // 8
                 ci = (np.arange(8, dtype=np.int64) * w) // 8
                 g8 = gray[ri][:, ci]
@@ -627,7 +657,13 @@ def wav_fingerprint(df: DataFrame, frame_len: int = 160) -> DataFrame:
     bit f = energy(f+1) > energy(f), packed little-endian. Robust to
     uniform gain (scaling all samples preserves comparisons) — which
     is exactly why real audio dedup keys on deltas, not levels. The
-    fixture's ≤9 frames pack into one BIGINT with room to spare."""
+    packed SIGNED BIGINT holds 63 non-negative delta bits, so the
+    fingerprint covers the FIRST 64 frames (~0.64 s at 16 kHz/160) —
+    longer audio truncates rather than silently corrupting (int64
+    shifts past 63 are C-undefined and wrap mod 64 on x86, folding
+    late frames onto early bits; bit 63 itself would flip the sign).
+    ``n_frames`` still reports the true count. The fixture's ≤9
+    frames pack with room to spare."""
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -646,7 +682,7 @@ def wav_fingerprint(df: DataFrame, frame_len: int = 160) -> DataFrame:
                     ],
                     dtype=np.int64,
                 )
-                bits = (e[1:] > e[:-1]).astype(np.int64)
+                bits = (e[1:] > e[:-1]).astype(np.int64)[:63]
                 afp = int((bits << np.arange(len(bits), dtype=np.int64)).sum())
                 rows.append((int(doc_id), n, afp))
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "afp"])
@@ -696,7 +732,18 @@ def route_modality(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     modality = (
         F.when(F.expr("substring(payload, 1, 2) = X'5036'"), "image")
-        .when(F.expr("substring(payload, 1, 4) = X'52494646'"), "audio")
+        # RIFF is a container family (WAVE audio, but also WEBP
+        # images and AVI video): the audio verdict requires the
+        # 'WAVE' form tag at bytes 9-12 — the same check decode_wav
+        # enforces — so a WebP/AVI payload routes to 'unknown'
+        # instead of crashing the audio decode branch.
+        .when(
+            F.expr(
+                "substring(payload, 1, 4) = X'52494646' AND "
+                "substring(payload, 9, 4) = X'57415645'"
+            ),
+            "audio",
+        )
         .when(
             F.expr("substring(payload, 1, 9) = X'595556344D50454732'"),
             "video",

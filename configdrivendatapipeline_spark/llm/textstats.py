@@ -153,8 +153,13 @@ def chunk_documents(
     short; a doc shorter than N yields one chunk. Pure explode of an
     in-plan sequence — no UDF, no driver involvement.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # negative overlap passes the old guard but makes the stride
+        # EXCEED the chunk width, silently dropping the tokens
+        # between consecutive chunks from the training stream
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
     stride = chunk_tokens - overlap
     n = F.size("__toks")
     # number of chunks = 1 + ceil(max(0, n-N) / stride)
@@ -200,13 +205,18 @@ def repetition_stats(
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
         toks.alias("__toks"),
     )
-    grams = base.select(
+    # 2-grams exist only for docs with >= 2 tokens: without the
+    # filter, sequence(0, greatest(size-2, 0)) emits the lone token
+    # itself as a phantom gram for a 1-token doc (and "" for an
+    # empty one), scoring it top_gram_frac = 1.0 — maximally
+    # repetitive — when it has ZERO 2-gram positions.
+    grams = base.filter(F.col("n_tokens") >= 2).select(
         id_col,
         "n_tokens",
         "n_distinct",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("__toks") - 2, F.lit(0))),
+                F.sequence(F.lit(0), F.size("__toks") - 2),
                 lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 2)),
             )
         ).alias("gram"),
@@ -220,6 +230,16 @@ def repetition_stats(
         F.max("n_tokens").alias("n_tokens"),
         F.max("n_distinct").alias("n_distinct"),
         F.max("gram_count").alias("top_gram_count"),
+    ).unionByName(
+        # sub-2-token docs re-enter with top_gram_count 0 — a union
+        # of a ~empty frame, not a join, so the hot path keeps its
+        # carried-aggregate shape (no extra id-keyed shuffle)
+        base.filter(F.col("n_tokens") < 2).select(
+            id_col,
+            "n_tokens",
+            "n_distinct",
+            F.lit(0).cast("long").alias("top_gram_count"),
+        )
     )
     # exact 6dp fractions: floor(a·10⁶/b + ½) on integers, then /10⁶
     def frac6(a: Column, b: Column) -> Column:
@@ -396,9 +416,14 @@ def strip_markup(
     UDF); the same patterns run verbatim in the oracle, so the clean
     is engine-exact. Tag stripping is regex-based boilerplate removal
     (the CommonCrawl-style fast path), not an HTML parser — nested
-    CDATA/script edge cases belong to a real extractor upstream."""
+    CDATA/script edge cases belong to a real extractor upstream.
+    The tag pattern requires a tag-start character after ``<``
+    (letter, ``/``, or ``!``), so comparative prose like
+    ``5 < 10 and 20 > 7`` survives — a bare ``<[^>]*>`` would delete
+    everything from a lone ``<`` to the next ``>``, newlines
+    included."""
     c = F.col(text_col)
-    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    c = F.regexp_replace(c, r"<[a-zA-Z/!][^>]*>", " ")
     # &amp; decodes LAST (standard unescape order): decoding it first
     # double-decodes escaped-escapes — '&amp;lt;' is literal text
     # '&lt;' and must NOT come out as '<'.

@@ -787,9 +787,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT doc_id, width, height,
            CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width
-                ELSE FLOOR(width * 256 / GREATEST(width, height)) END AS INT) AS target_w,
+                ELSE GREATEST(1, FLOOR(width * 256 / GREATEST(width, height))) END AS INT) AS target_w,
            CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height
-                ELSE FLOOR(height * 256 / GREATEST(width, height)) END AS INT) AS target_h
+                ELSE GREATEST(1, FLOOR(height * 256 / GREATEST(width, height))) END AS INT) AS target_h
     FROM m
     """,
     _SEC,
@@ -1045,9 +1045,9 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, len(toks) AS n_tokens,
              len(list_distinct(toks)) AS n_distinct,
              unnest(list_transform(
-               range(0, greatest(len(toks) - 2, 0) + 1),
+               range(0, len(toks) - 1),
                i -> array_to_string(toks[i+1:i+2], ' '))) AS gram
-      FROM d),
+      FROM d WHERE len(toks) >= 2),
     pg AS (
       SELECT doc_id, MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct,
              gram, COUNT(*) AS gram_count
@@ -1055,7 +1055,10 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd AS (
       SELECT doc_id, MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct,
              MAX(gram_count) AS top_gram_count
-      FROM pg GROUP BY doc_id)
+      FROM pg GROUP BY doc_id
+      UNION ALL
+      SELECT doc_id, len(toks), len(list_distinct(toks)), 0
+      FROM d WHERE len(toks) < 2)
     SELECT doc_id, n_tokens, top_gram_count,
            CAST(FLOOR(((n_tokens - n_distinct) * 2000000 + n_tokens)
                       / (n_tokens * 2)) AS DOUBLE) / 1000000 AS dup_tok_frac,
@@ -1411,8 +1414,8 @@ def mm_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), t AS (
       SELECT doc_id, w, h,
-             (w * 6) // greatest(w, h) AS tw,
-             (h * 6) // greatest(w, h) AS th
+             greatest(1, (w * 6) // greatest(w, h)) AS tw,
+             greatest(1, (h * 6) // greatest(w, h)) AS th
       FROM d
     ), g AS (
       SELECT t.doc_id, t.w, t.h, t.tw, t.th, r.range AS r, c.range AS c
@@ -1751,7 +1754,7 @@ def llm_stratified_n(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              trim(regexp_replace(
                regexp_replace(
-                 regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                 regexp_replace(raw, '<[a-zA-Z/!][^>]*>', ' ', 'g'),
                  '&amp;', '&', 'g'),
                '\\s+', ' ', 'g')) AS clean_text
       FROM wrapped)

@@ -1774,3 +1774,37 @@ def test_hard_negatives_max_bucket_applied(spark):
     )
     assert hard_negatives(emb).count() > 0
     assert hard_negatives(emb, max_bucket=1).count() == 0
+
+
+def test_textstats_degenerate_docs_and_guards(spark):
+    """Round-11 textstats edge fixes: a single-token doc has ZERO
+    2-gram positions so top_gram_frac must be 0 (the phantom-gram bug
+    scored it 1.0 — maximally repetitive — and a Gopher-style filter
+    would silently drop every such doc); chunk_documents rejects
+    negative overlap (stride > width silently lost boundary tokens);
+    strip_markup preserves comparative prose around bare < and >."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm.textstats import (
+        chunk_documents,
+        repetition_stats,
+        strip_markup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "a a a a"), (2, "x y")], ["doc_id", "text"]
+    )
+    rep = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rep[0]["top_gram_count"] == 0 and rep[0]["top_gram_frac"] == 0.0
+    assert rep[1]["top_gram_frac"] == 1.0  # genuinely repetitive doc
+    assert rep[2]["top_gram_count"] == 1
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=64, overlap=-16)
+
+    prose = spark.createDataFrame(
+        [(0, "prices: 5 < 10 and 20 > 7 <b>bold</b>")], ["doc_id", "text"]
+    )
+    cleaned = strip_markup(prose).collect()[0]["clean_text"]
+    assert "5 < 10" in cleaned and "20 > 7" in cleaned
+    assert "<b>" not in cleaned and "bold" in cleaned

@@ -90,3 +90,73 @@ def test_modality_router_classifies_and_survives_junk(spark):
     # routed image payloads genuinely decode
     img = mm.decode_ppm(mm.ppm_bytes(3, 8 + 3 % 9, 8 + 3 % 7))
     assert img.shape == (8 + 3 % 7, 8 + 3 % 9, 3)
+
+
+def test_degenerate_payloads_fail_loud_not_zerodiv(spark):
+    """Structurally valid but empty media payloads (zero samples /
+    zero pixel area) raise the module's established ValueError, not a
+    ZeroDivisionError three lines into the feature math."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm import multimodal as mm
+
+    empty_wav = mm.wav_bytes(0, 0)
+    wav_df = spark.createDataFrame([(0, bytearray(empty_wav))], ["doc_id", "payload"])
+    with pytest.raises(Exception, match="zero samples"):
+        mm.decode_wav_features(wav_df).collect()
+
+    zero_ppm = b"P6\n0 5\n255\n"
+    ppm_df = spark.createDataFrame([(0, bytearray(zero_ppm))], ["doc_id", "payload"])
+    with pytest.raises(Exception, match="zero pixel area"):
+        mm.decode_ppm_features(ppm_df).collect()
+    with pytest.raises(Exception, match="zero pixel area"):
+        mm.ppm_ahash(ppm_df).collect()
+
+
+def test_resize_clamps_to_one_pixel(spark):
+    """Extreme aspect ratios clamp the short target dimension to 1 on
+    BOTH the plan side and the pixel kernel (w=4, h=32 at max_side 6
+    used to compute tw=0 and divide by zero)."""
+    from configdrivendatapipeline_spark.llm import multimodal as mm
+    from pyspark.sql import functions as F
+
+    meta = spark.createDataFrame(
+        [(0, 1, 600), (1, 600, 1)], ["doc_id", "width", "height"]
+    )
+    plan = {r["doc_id"]: (r["target_w"], r["target_h"]) for r in mm.resize_plan(meta, max_side=256).collect()}
+    assert plan[0] == (1, 256) and plan[1] == (256, 1)
+
+    skinny = mm.ppm_bytes(0, 4, 32)
+    df = spark.createDataFrame([(0, bytearray(skinny))], ["doc_id", "payload"])
+    row = mm.resize_ppm_features(df, max_side=6).collect()[0]
+    assert (row["target_w"], row["target_h"]) == (1, 6)
+    assert row["r_mean_micro"] >= 0
+
+
+def test_wav_fingerprint_truncates_at_63_delta_bits(spark):
+    """Audio longer than 64 frames fingerprints the FIRST 63 deltas
+    (a signed BIGINT's non-negative capacity) instead of shifting
+    int64 past bit 62 — shifts past 63 are C-undefined and alias late
+    frames onto early bits, and bit 63 flips the sign. n_frames still
+    reports the true count."""
+    from configdrivendatapipeline_spark.llm import multimodal as mm
+
+    long_wav = mm.wav_bytes(3, 160 * 70)  # 70 frames
+    df = spark.createDataFrame([(3, bytearray(long_wav))], ["doc_id", "payload"])
+    row = mm.wav_fingerprint(df, frame_len=160).collect()[0]
+    assert row["n_frames"] == 70
+    assert 0 <= row["afp"] < 2**63  # packed from 63 bits, sign intact
+
+
+def test_route_modality_requires_wave_form_tag(spark):
+    """RIFF is a container family: a WebP payload ('RIFF'+size+'WEBP')
+    must route to 'unknown', not crash the audio decode branch."""
+    from configdrivendatapipeline_spark.llm import multimodal as mm
+
+    webp = b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 junkjunk"
+    wav = mm.wav_bytes(1, 160)
+    df = spark.createDataFrame(
+        [(0, bytearray(webp)), (1, bytearray(wav))], ["doc_id", "payload"]
+    )
+    got = {r["doc_id"]: r["modality"] for r in mm.route_modality(df).collect()}
+    assert got == {0: "unknown", 1: "audio"}
