@@ -1351,6 +1351,45 @@ def _compact(spark, dfs, p):
     return layout.compact_write(_one(dfs), cols, target, key_col=p["key"])
 
 
+def _materialize_validate(df, path, mode, fmt, cluster_by, sort_by):
+    """ONE validation path shared by the real ``materialize`` op and
+    its dry-run stand-in (ADVICE r11): streaming rejection, required
+    path, the mode and format enums, and the layout-param shape
+    checks all live here, so a param added to the real op cannot
+    silently pass dry-run validation — extending either path means
+    extending this helper, and the other path inherits the check.
+    Takes VALUES, not the raw param dict: the auto-derived param
+    allowlist scans literal ``p[...]``/``p.get`` reads in op bodies,
+    and a ``p`` escaping into a helper would make the op unscannable.
+    Returns ``(mode, fmt, cluster_by, sort_by)`` normalized — mode
+    alias resolved, layout params as lists (a scalar fails the
+    ``list()`` shape check on both paths)."""
+    if df.isStreaming:
+        raise ValueError(
+            "materialize is a batch cut point; for streams use a "
+            "sink + a follow-up pipeline instead"
+        )
+    if not path or not isinstance(path, str):
+        raise ValueError(
+            f"materialize path must be a non-empty string, got {path!r}"
+        )
+    mode = _materialize_check_mode(mode)
+    fmt = _materialize_check_format(fmt)
+
+    def _cols(name, v):
+        # explicit shape check: a scalar "col" would iterate as
+        # characters under a bare list() and silently layout-by-'c'
+        if not v:
+            return []
+        if isinstance(v, str) or not isinstance(v, (list, tuple)):
+            raise ValueError(
+                f"materialize {name} must be a list of columns, got {v!r}"
+            )
+        return [str(c) for c in v]
+
+    return mode, fmt, _cols("cluster_by", cluster_by), _cols("sort_by", sort_by)
+
+
 def _materialize_check_mode(mode: str) -> str:
     """materialize's write mode is an enum of THREE: overwrite
     (rerun refreshes the intermediate), error (refuse to clobber an
@@ -1430,23 +1469,22 @@ def _materialize(spark, dfs, p):
     consumers will scan.
     """
     df = _one(dfs)
-    if df.isStreaming:
-        raise ValueError(
-            "materialize is a batch cut point; for streams use a "
-            "sink + a follow-up pipeline instead"
-        )
-    fmt = _materialize_check_format(p.get("format", "parquet"))
-    cfg = {
-        "path": p["path"],
-        "format": fmt,
-        "mode": _materialize_check_mode(p.get("mode", "overwrite")),
-    }
     # literal key reads only — the auto-derived param allowlist
-    # cannot scan a variable-keyed p.get loop
-    if p.get("cluster_by"):
-        cfg["cluster_by"] = list(p["cluster_by"])
-    if p.get("sort_by"):
-        cfg["sort_by"] = list(p["sort_by"])
+    # cannot scan a variable-keyed p.get loop; validation itself is
+    # shared with the dry-run stand-in via _materialize_validate
+    mode, fmt, cluster_by, sort_by = _materialize_validate(
+        df,
+        p["path"],
+        p.get("mode", "overwrite"),
+        p.get("format", "parquet"),
+        p.get("cluster_by"),
+        p.get("sort_by"),
+    )
+    cfg = {"path": p["path"], "format": fmt, "mode": mode}
+    if cluster_by:
+        cfg["cluster_by"] = cluster_by
+    if sort_by:
+        cfg["sort_by"] = sort_by
     write_sink(df, cfg)
     return read_source(spark, {"path": p["path"], "format": fmt})
 
@@ -1660,11 +1698,14 @@ def _salted_agg(spark, dfs, p):
 
 def _materialize_dry_run(spark, dfs, p):
     """Schema-equivalent no-write stand-in for the ``materialize`` op
-    under ``compile_pipeline(dry_run=True)``: performs the op's own
-    validation (single batch input, required ``path``, the mode and
-    format enums) and hands the input frame through unchanged, so
-    downstream steps compile against the same columns the read-back
-    scan would expose — but nothing touches the filesystem.
+    under ``compile_pipeline(dry_run=True)``: runs the SAME
+    ``_materialize_validate`` helper as the real op (single batch
+    input, required ``path``, the mode and format enums, layout-param
+    shape — one shared code path, so new params cannot drift between
+    the two; ADVICE r11) and hands the input frame through unchanged,
+    so downstream steps compile against the same columns the
+    read-back scan would expose — but nothing touches the
+    filesystem.
     Schema equivalence holds because materialize only accepts
     schema-preserving columnar formats (parquet|orc, enforced by
     ``_materialize_check_format`` on BOTH paths); the one delta is
@@ -1675,20 +1716,20 @@ def _materialize_dry_run(spark, dfs, p):
     param-allowlist scan still derives the real op's keys.
     """
     df = _one(dfs)
-    if df.isStreaming:
-        raise ValueError(
-            "materialize is a batch cut point; for streams use a "
-            "sink + a follow-up pipeline instead"
-        )
-    _ = p["path"]  # required key: missing-path configs must fail dry too
-    _materialize_check_mode(p.get("mode", "overwrite"))
-    _materialize_check_format(p.get("format", "parquet"))
-    # layout params get the same shape check the real op applies, so
-    # a scalar cluster_by fails dry validation too
-    if p.get("cluster_by"):
-        df.repartition(*list(p["cluster_by"]))
-    if p.get("sort_by"):
-        df.sortWithinPartitions(*list(p["sort_by"]))
+    _, _, cluster_by, sort_by = _materialize_validate(
+        df,
+        p["path"],  # required key: missing-path configs must fail dry too
+        p.get("mode", "overwrite"),
+        p.get("format", "parquet"),
+        p.get("cluster_by"),
+        p.get("sort_by"),
+    )
+    # layout columns must also EXIST: build (don't run) the same
+    # plan shapes the sink layer would, so a typo'd column fails dry
+    if cluster_by:
+        df.repartition(*cluster_by)
+    if sort_by:
+        df.sortWithinPartitions(*sort_by)
     return df
 
 

@@ -158,11 +158,6 @@ def minhash_signatures(
     source arrives in fewer splits than cores (single small file
     locally; already-split at lake scale).
     """
-    if n_hashes < 1:
-        # sequence(0, -1) DESCENDS in Spark, so n_hashes=0 would
-        # silently emit 2-slot signatures built from permutation
-        # index -1 — garbage that still LOOKS like a signature.
-        raise ValueError(f"minhash n_hashes must be >= 1, got {n_hashes}")
     hashed = shingle_hash_sets(df, id_col, text_col, shingle_k, token_hash)
     return hashed.select(
         id_col, _signature_expr(n_hashes).alias("signature")
@@ -174,7 +169,18 @@ def _signature_expr(n_hashes: int) -> Column:
     shingle-hash-set column named ``hs`` — shared by
     :func:`minhash_signatures` and the audit functions that need
     signature AND shingle set side by side without running the
-    shingle map stage once per consumer."""
+    shingle map stage once per consumer.
+
+    The ``n_hashes >= 1`` guard lives HERE so it travels with the
+    shared expression: every caller (minhash_signatures,
+    minhash_calibration) gets the dedicated minhash error instead of
+    failing later in ``_banded`` with a misleading bands-vs-signature
+    message (ADVICE r11)."""
+    if n_hashes < 1:
+        # sequence(0, -1) DESCENDS in Spark, so n_hashes=0 would
+        # silently emit 2-slot signatures built from permutation
+        # index -1 — garbage that still LOOKS like a signature.
+        raise ValueError(f"minhash n_hashes must be >= 1, got {n_hashes}")
     mask32 = F.lit(0xFFFFFFFF)
 
     def sig_i(i: Column) -> Column:

@@ -418,12 +418,13 @@ def strip_markup(
     (the CommonCrawl-style fast path), not an HTML parser — nested
     CDATA/script edge cases belong to a real extractor upstream.
     The tag pattern requires a tag-start character after ``<``
-    (letter, ``/``, or ``!``), so comparative prose like
-    ``5 < 10 and 20 > 7`` survives — a bare ``<[^>]*>`` would delete
-    everything from a lone ``<`` to the next ``>``, newlines
-    included."""
+    (letter, ``/``, ``!``, or ``?`` — the last so processing
+    instructions like ``<?xml ... ?>`` are stripped too), so
+    comparative prose like ``5 < 10 and 20 > 7`` survives — a bare
+    ``<[^>]*>`` would delete everything from a lone ``<`` to the
+    next ``>``, newlines included."""
     c = F.col(text_col)
-    c = F.regexp_replace(c, r"<[a-zA-Z/!][^>]*>", " ")
+    c = F.regexp_replace(c, r"<[a-zA-Z/!?][^>]*>", " ")
     # &amp; decodes LAST (standard unescape order): decoding it first
     # double-decodes escaped-escapes — '&amp;lt;' is literal text
     # '&lt;' and must NOT come out as '<'.

@@ -1754,7 +1754,7 @@ def llm_stratified_n(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              trim(regexp_replace(
                regexp_replace(
-                 regexp_replace(raw, '<[a-zA-Z/!][^>]*>', ' ', 'g'),
+                 regexp_replace(raw, '<[a-zA-Z/!?][^>]*>', ' ', 'g'),
                  '&amp;', '&', 'g'),
                '\\s+', ' ', 'g')) AS clean_text
       FROM wrapped)

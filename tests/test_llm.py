@@ -1808,3 +1808,14 @@ def test_textstats_degenerate_docs_and_guards(spark):
     cleaned = strip_markup(prose).collect()[0]["clean_text"]
     assert "5 < 10" in cleaned and "20 > 7" in cleaned
     assert "<b>" not in cleaned and "bold" in cleaned
+
+    # Round-12 (ADVICE r11): processing instructions are markup too —
+    # the tag-start class includes '?' so <?xml ...?> / <?php ...?>
+    # are stripped, not retained as literal text in cleaned corpora.
+    pi = spark.createDataFrame(
+        [(0, '<?xml version="1.0"?><p>body</p> 1 < 2')],
+        ["doc_id", "text"],
+    )
+    pi_clean = strip_markup(pi).collect()[0]["clean_text"]
+    assert "<?xml" not in pi_clean and "body" in pi_clean
+    assert "1 < 2" in pi_clean

@@ -195,6 +195,14 @@ def test_lsh_and_minhash_reject_degenerate_counts(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="n_hashes"):
         minhash_signatures(df, n_hashes=0)
+    # The guard lives in _signature_expr (ADVICE r11), so the
+    # calibration path — which builds signatures directly from the
+    # shared expression — gets the dedicated minhash error too, not
+    # a misleading bands-vs-signature-length failure in _banded.
+    from configdrivendatapipeline_spark.llm.dedup import minhash_calibration
+
+    with pytest.raises(ValueError, match="n_hashes"):
+        minhash_calibration(df, n_hashes=0)
     with pytest.raises(ValueError, match="shingle_k"):
         shingle_hash_sets(df, shingle_k=0)
     sigs = minhash_signatures(df, n_hashes=8)
