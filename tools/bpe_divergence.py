@@ -22,6 +22,15 @@ same n_merges:
 
 Usage:
     python tools/bpe_divergence.py [--sf DIR] [--merges N] [--batches 1,4,16,64]
+    python tools/bpe_divergence.py --synthetic-docs 400 --merges 1000 --batches 40,20,10,2
+
+The real sf0.1 documents corpus exhausts at 89 merges, so the
+production operating point (32k merges at B=64 ⇒ n/B ≈ 500 rounds)
+was unmeasurable on it (round-11 curve stops at n/B = 80).
+``--synthetic-docs`` swaps in a deterministic syllable-composed
+corpus whose word vocabulary is deep enough to sustain ≥1000
+merges, putting n/B = 25/50/100/500 inside the measured range
+(VERDICT r11 item 2).
 
 Prints one JSON line per B plus a trailing exact-baseline line.
 """
@@ -32,6 +41,51 @@ import argparse
 import json
 import sys
 import time
+
+#: Composable sub-word units for the synthetic deep-merge corpus.
+#: Two- and three-letter syllables compose into pronounceable-ish
+#: words the way natural text composes morphemes, so BPE's pair
+#: distribution is heavy-tailed (a few syllable bigrams dominate,
+#: as 'th'/'he' do in English) instead of exhausting like the tiny
+#: fixture vocabulary does.
+_SYLLABLES = (
+    "ba ce di fo gu ha ki lo mu na pe ri so tu va we xi yo zu qa "
+    "bla cre dro fle gri kno pla que sta tri vro wra sche spli "
+    "mon ter ful ish est ing ed er an on at en or"
+).split()
+
+
+def synthetic_corpus(spark, n_docs: int = 400, seed: int = 7):
+    """Deterministic synthetic documents frame (doc_id, text) with a
+    DEEP BPE merge budget: ~3000 distinct words of 3–6 syllables,
+    Zipf-weighted both in syllable choice and word choice, so pair
+    frequencies decay smoothly instead of hitting a cliff. A plain
+    LCG (same constants as Numerical Recipes) replaces ``random`` so
+    the corpus is bit-identical across platforms and Python builds —
+    the pinned divergence-bound test replays it exactly."""
+    state = seed & 0xFFFFFFFF
+
+    def rnd(n: int) -> int:
+        nonlocal state
+        state = (state * 1664525 + 1013904223) & 0xFFFFFFFF
+        return state % n
+
+    def zipf_pick(items: list) -> str:
+        # rank-weighted: rank r picked with weight ~ 1/(r+1) via
+        # rejection-free cumulative trick on a small precomputed table
+        n = len(items)
+        # triangular-ish skew: min of two uniforms biases toward rank 0
+        r = min(rnd(n), rnd(n))
+        return items[r]
+
+    words = []
+    for _ in range(3000):
+        k = 3 + rnd(4)
+        words.append("".join(zipf_pick(_SYLLABLES) for _ in range(k)))
+    docs = []
+    for i in range(n_docs):
+        docs.append((i, " ".join(zipf_pick(words) for _ in range(120))))
+    return spark.createDataFrame(docs, "doc_id INT, text STRING")
 
 
 def divergence(exact: list, got: list) -> dict:
@@ -70,6 +124,13 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--merges", type=int, default=80)
     ap.add_argument("--batches", default="1,4,16,64")
+    ap.add_argument(
+        "--synthetic-docs",
+        type=int,
+        default=0,
+        help="use the deterministic deep-merge syllable corpus with "
+        "this many documents instead of the --sf parquet corpus",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -81,7 +142,10 @@ def main() -> int:
     from configdrivendatapipeline_spark.session import get_spark
 
     spark = get_spark("bpe-divergence")
-    docs = load(spark, args.sf, "documents")
+    if args.synthetic_docs:
+        docs = synthetic_corpus(spark, n_docs=args.synthetic_docs)
+    else:
+        docs = load(spark, args.sf, "documents")
     bpe_train(docs, n_merges=3).collect()  # warm JVM/codegen/parquet
 
     t0 = time.monotonic()
@@ -112,7 +176,13 @@ def main() -> int:
         )
     print(
         json.dumps(
-            {"B": "exact", "sec": exact_sec, "merges": len(exact), "sf": args.sf}
+            {
+                "B": "exact",
+                "sec": exact_sec,
+                "merges": len(exact),
+                "sf": "synthetic" if args.synthetic_docs else args.sf,
+                "synthetic_docs": args.synthetic_docs or None,
+            }
         )
     )
     return 0

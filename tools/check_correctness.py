@@ -268,6 +268,17 @@ def main() -> int:
           f"(of {len(names)})")
     if failures:
         print("failing:", " ".join(failures))
+    # Orderly shutdown (VERDICT r11 "What's wrong" #2): streaming
+    # queries that finished their availableNow drain can still hold
+    # state-store maintenance threads; stopping them (then the
+    # session) BEFORE interpreter teardown keeps sweep logs ending at
+    # the summary line instead of a benign 1,200-line JVM race trace.
+    try:
+        for sq in spark.streams.active:
+            sq.stop()
+        spark.stop()
+    except Exception:  # noqa: BLE001 — shutdown must never flip the gate
+        pass
     return 1 if n_fail else 0
 
 
