@@ -1672,6 +1672,52 @@ def test_bpe_batched_divergence_bound_on_fixture_corpus(spark, sf_dir):
         assert d["set_div"] <= set_bound, f"B={b}: divergence grew: {d}"
 
 
+def test_bpe_batched_long_horizon_converges(spark):
+    """Pins the LONG-HORIZON operating point the production recipe
+    actually runs at (SCALING.md "Round-12 batched-BPE long-horizon
+    measurement"): on the deterministic deep-merge syllable corpus
+    (tools/bpe_divergence.synthetic_corpus — the real corpus exhausts
+    at 89 merges, so n/B ≥ 100 is unmeasurable on it), 200 merges at
+    B=2 is n/B = 100 rounds and the batched table converges to the
+    exact one: measured set_div = 0.005, cnt_div = 0 (pinned with
+    margin). B=8 (n/B = 25) measures set_div = 0.17 — the monotone
+    rounds-vs-fidelity trend the recipe guidance is built on, now
+    asserted, not extrapolated. A change that breaks convergence at
+    long horizons (set_div no longer shrinking as rounds grow)
+    changed batching semantics, not scheduling."""
+    from configdrivendatapipeline_spark.llm.bpe import (
+        bpe_train_batched,
+        bpe_train_rows,
+    )
+    from tools.bpe_divergence import divergence, synthetic_corpus
+
+    docs = synthetic_corpus(spark, n_docs=100)
+    exact = bpe_train_rows(docs, n_merges=200)
+    assert len(exact) == 200, "synthetic corpus must sustain 200 merges"
+
+    d = {}
+    for b in (2, 8):
+        got = [
+            tuple(r)
+            for r in bpe_train_batched(
+                docs, n_merges=200, batch_size=b
+            ).collect()
+        ]
+        assert len(got) == 200
+        d[b] = divergence(exact, got)
+    # long horizon (100 rounds): near-exact vocabulary, snapshot
+    # counts agree wherever pairs land in comparable order
+    assert d[2]["set_div"] <= 0.02, f"long-horizon divergence grew: {d[2]}"
+    assert d[2]["cnt_div"] == 0.0, f"non-snapshot counts at B=2: {d[2]}"
+    # monotone trend: fewer rounds (n/B=25) must diverge MORE than
+    # more rounds (n/B=100) — the inequality the recipe guidance
+    # ("pick B from the target round count") rests on
+    assert d[8]["set_div"] <= 0.25, f"mid-horizon divergence grew: {d[8]}"
+    assert d[8]["set_div"] > d[2]["set_div"], (
+        f"rounds-vs-fidelity trend inverted: {d}"
+    )
+
+
 def test_simhash_rejects_bad_family_and_bits(spark):
     """simhash applies the same loud-family rule as
     shingle_hash_sets/_banded (a typo'd token_hash must not silently
