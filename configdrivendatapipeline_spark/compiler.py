@@ -458,7 +458,16 @@ def _audit(spark, dfs, p):
 
 @op("scd2")
 def _scd2(spark, dfs, p):
-    return enrichment.scd2(_one(dfs), p["key"], p["ts"], p.get("attrs"))
+    """``tiebreak``: order columns breaking same-instant versions of
+    one key deterministically (see enrichment.scd2 — without it,
+    which same-ts version is 'current' is engine-arbitrary)."""
+    return enrichment.scd2(
+        _one(dfs),
+        p["key"],
+        p["ts"],
+        p.get("attrs"),
+        tiebreak_cols=list(p.get("tiebreak", [])) or None,
+    )
 
 
 @op("merge")

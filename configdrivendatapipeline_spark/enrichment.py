@@ -68,6 +68,13 @@ def bucketize(
     """
     if len(labels) != len(bounds) + 1:
         raise ValueError("need len(labels) == len(bounds) + 1")
+    if list(bounds) != sorted(set(bounds)):
+        # out-of-order cut points don't error downstream — the first
+        # matching `< bound` wins, so [10, 5] silently mis-bands every
+        # value in [5, 10) into the first band
+        raise ValueError(
+            f"bucketize bounds must be strictly increasing; got {bounds}"
+        )
     c = F.col(column)
     # NULL input → NULL band, stated first: every `c < bound` is
     # NULL-false, so without the guard missing data silently lands
@@ -110,14 +117,25 @@ def scd2(
     key: list[str],
     ts: str,
     attrs: list[str] | None = None,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2 from a change/snapshot log.
 
     One window pass per business key ordered by ``ts``: each version
     row gets ``valid_from`` = its ts, ``valid_to`` = next version's ts
     (null = open), ``is_current`` = no later version exists.
+
+    Two versions of one key at the SAME ``ts`` are ordered arbitrarily
+    by the engine — which version is "current" could then differ
+    between retries. Pass ``tiebreak_cols`` (a version/sequence
+    column, like :func:`cdc_apply`'s) whenever the change log can
+    carry same-instant versions; without it, determinism rests on
+    ``ts`` being unique per key.
     """
-    w = Window.partitionBy(*key).orderBy(F.col(ts).asc())
+    order = [F.col(ts).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*key).orderBy(*order)
     nxt = F.lead(F.col(ts)).over(w)
     out = (
         snapshots.withColumn("valid_from", F.col(ts))

@@ -20,7 +20,15 @@ def hash_bucket(key: Column, salt: str, buckets: int = 10_000) -> Column:
     """Deterministic bucket in [0, buckets): first 8 hex chars of
     md5(key ":" salt) parsed as an integer, mod buckets. The salt
     decorrelates independent decisions (split vs sample vs shard) on
-    the same key."""
+    the same key.
+
+    ``buckets >= 1`` is validated at plan time: ``% 0`` is NULL under
+    non-ANSI Spark, so a zero-bucket misconfig would silently turn
+    every downstream ``bucket < cut`` filter false and every routed
+    row into a dropped row — the same loud-validation contract as
+    the degenerate-count guards in llm/dedup.py."""
+    if buckets < 1:
+        raise ValueError(f"hash_bucket requires buckets >= 1, got {buckets}")
     h8 = F.substring(F.md5(F.concat(key.cast("string"), F.lit(":" + salt))), 1, 8)
     return (F.conv(h8, 16, 10).cast("long") % buckets).alias("bucket")
 
@@ -183,14 +191,19 @@ def pack_offsets(
 
     if budget <= 0 or shards <= 0:
         raise ValueError(f"budget and shards must be positive; got {budget}, {shards}")
+    # _require_key (not bare hash_bucket): a NULL id would otherwise
+    # hash to a NULL shard and the whole malformed cohort would pack
+    # silently into one phantom shard — identity-driven layout shares
+    # the split/sample contract (NULL identity = loud failure).
+    rid = _require_key(F.col(id_col), "pack_offsets")
     d = df.select(
         F.col(id_col),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
-        hash_bucket(F.col(id_col), salt, shards).alias("shard"),
+        hash_bucket(rid, salt, shards).alias("shard"),
     )
     if shuffle_salt is not None:
         order = [
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + shuffle_salt))),
+            F.md5(F.concat(rid, F.lit(":" + shuffle_salt))),
             F.col(id_col),
         ]
     else:
@@ -281,7 +294,12 @@ def budget_select(
     # Marginal band (≤1 band of docs): two-level cumsum sharded by the
     # md5 key's own leading hex chars, so shard order ⊕ in-shard order
     # IS the global md5 order.
-    order_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    # NULL-id guard: the marginal fill is ordered by this key; a NULL
+    # key would misroute the row to a NULL sub-shard (silently kept or
+    # dropped at the budget line, engine-dependent).
+    order_key = F.md5(
+        F.concat(_require_key(F.col(id_col), "budget_select"), F.lit(":" + salt))
+    )
     m = (
         q.join(F.broadcast(marginal), "quality")
         .withColumn("__okey", order_key)
@@ -432,12 +450,16 @@ def hash_shuffle(
     """
     from pyspark.sql import Window
 
-    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    # NULL-id guard: same identity contract as pack_offsets — a NULL
+    # id would land in a NULL shard with a NULL sort key, silently
+    # clustering every malformed row at one position.
+    rid = _require_key(F.col(id_col), "hash_shuffle")
+    key = F.md5(F.concat(rid, F.lit(":" + salt)))
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return (
         df.select(
             F.col(id_col),
-            hash_bucket(F.col(id_col), salt + ":shard", shards).alias("shard"),
+            hash_bucket(rid, salt + ":shard", shards).alias("shard"),
             key.alias("sort_key"),
         )
         .withColumn("pos", F.row_number().over(w).cast("long"))
@@ -569,7 +591,11 @@ def stratified_n(
 
     if n_per_stratum <= 0:
         raise ValueError(f"n_per_stratum must be positive; got {n_per_stratum}")
-    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    # NULL-id guard: a NULL id's NULL order key would sort NULLS FIRST
+    # and deterministically STEAL a sample slot in every stratum.
+    order = F.md5(
+        F.concat(_require_key(F.col(id_col), "stratified_n"), F.lit(":" + salt))
+    )
     w = (
         Window.partitionBy(*strata_cols).orderBy(order.asc(), F.col(id_col).asc())
     )

@@ -3881,7 +3881,8 @@ def llm_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
                  CAST(COUNT(*) AS BIGINT) AS n_shards FROM s)
     SELECT s.shard, s.n_docs, s.tokens,
-           (s.tokens * t.n_shards * 1000000) // t.total AS balance_micro
+           CAST((CAST(s.tokens AS HUGEINT) * t.n_shards * 1000000)
+                // t.total AS BIGINT) AS balance_micro
     FROM s CROSS JOIN t
     """,
     _SEC,
@@ -3911,9 +3912,14 @@ def llm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         "n_docs",
         "tokens",
-        F.expr("(tokens * n_shards * 1000000) div total").alias(
-            "balance_micro"
-        ),
+        # 128-bit intermediate (see skew_stats): tokens·n_shards·1e6
+        # wraps BIGINT silently once per-shard tokens reach ~1e12 —
+        # routine at 100 TB; the result itself always fits
+        # (balance ≤ n_shards·1e6).
+        F.expr(
+            "CAST((CAST(tokens AS DECIMAL(38,0)) * n_shards * 1000000)"
+            " div total AS BIGINT)"
+        ).alias("balance_micro"),
     )
 
 

@@ -447,7 +447,8 @@ def val_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rank,
            CAST(key AS VARCHAR) AS key, n_rows,
            (n_rows * 1000000) // total_rows AS share_micro,
-           (n_rows * n_keys * 1000000) // total_rows AS skew_ratio_micro
+           CAST((CAST(n_rows AS HUGEINT) * n_keys * 1000000)
+                // total_rows AS BIGINT) AS skew_ratio_micro
     FROM hot, t
     """,
     _SEC,

@@ -50,6 +50,16 @@ def salted_join(
         # typoed YAML salt must fail at plan time, not empty the
         # output.
         raise ValueError(f"salted_join requires salt >= 1, got {salt}")
+    if [c for c in big.columns if c != on] == []:
+        # the salt is a hash of the WHOLE row; a key-only frame hashes
+        # every hot-key row identically, so all of them still land on
+        # ONE salt — the split silently does nothing. Refuse rather
+        # than ship a no-op skew fix.
+        raise ValueError(
+            "salted_join cannot split a big side whose only column is "
+            f"the join key {on!r}: the row-hash salt is constant per "
+            "key; add a distinguishing column before salting"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(salt)).cast("int")
     )
@@ -144,8 +154,15 @@ def skew_stats(
             F.col("key").cast("string").alias("key"),
             "n_rows",
             F.expr("(n_rows * 1000000) div total_rows").alias("share_micro"),
-            F.expr("(n_rows * n_keys * 1000000) div total_rows").alias(
-                "skew_ratio_micro"
-            ),
+            # 128-bit intermediate: n_rows·n_keys·1e6 overflows BIGINT
+            # once a 1e9-row hot key meets 1e8 distinct keys — and a
+            # non-ANSI long multiply WRAPS silently (no error, wrong
+            # ratio). DECIMAL(38,0) here / HUGEINT in the oracle keep
+            # the math exact; the RESULT always fits (ratio ≤
+            # n_keys·1e6 since n_rows ≤ total_rows).
+            F.expr(
+                "CAST((CAST(n_rows AS DECIMAL(38,0)) * n_keys * 1000000)"
+                " div total_rows AS BIGINT)"
+            ).alias("skew_ratio_micro"),
         )
     )

@@ -191,6 +191,10 @@ def test_enrichment_and_salted_ops(spark, sf_dir):
     input: customer
     op: scd2
     params: {key: [c_nationkey], ts: c_custkey}
+  - id: sct
+    input: customer
+    op: scd2
+    params: {key: [c_mktsegment], ts: c_nationkey, tiebreak: [c_custkey]}
 """,
         extra_sources=(
             f'  nation: {{format: parquet, path: "{sf_dir}/nation.parquet",'
@@ -221,6 +225,38 @@ def test_enrichment_and_salted_ops(spark, sf_dir):
     assert frames["sc"].filter(F.col("is_current")).count() == c.select(
         "c_nationkey"
     ).distinct().count()
+    # tiebreak makes the same-ts 'current' version deterministic: per
+    # segment the current row must be the max (ts, tiebreak) pair
+    cur = {
+        (r["c_mktsegment"], r["c_nationkey"], r["c_custkey"])
+        for r in frames["sct"].filter(F.col("is_current")).collect()
+    }
+    want = {
+        tuple(r)
+        for r in c.groupBy("c_mktsegment")
+        .agg(F.max(F.struct("c_nationkey", "c_custkey")).alias("m"))
+        .select("c_mktsegment", "m.c_nationkey", "m.c_custkey")
+        .collect()
+    }
+    assert cur == want
+
+
+def test_bucketize_rejects_unordered_bounds(spark):
+    """Out-of-order cut points don't error downstream — the first
+    matching `< bound` wins, so bounds [10, 5] silently mis-band every
+    value in [5, 10). Loud plan-time validation instead (round-12
+    self-review; same contract as length_buckets caps)."""
+    import pytest
+
+    from configdrivendatapipeline_spark.enrichment import bucketize
+
+    df = spark.createDataFrame([(7.0,)], ["x"])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bucketize(df, "x", [10.0, 5.0], ["a", "b", "c"], out="band")
+    with pytest.raises(ValueError, match="strictly increasing"):
+        bucketize(df, "x", [5.0, 5.0], ["a", "b", "c"], out="band")
+    ok = bucketize(df, "x", [5.0, 10.0], ["a", "b", "c"], out="band")
+    assert ok.collect()[0]["band"] == "b"
 
 
 def test_merge_op(spark, sf_dir):

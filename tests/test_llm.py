@@ -232,6 +232,26 @@ def test_sampling_null_ids_raise_not_misroute(spark):
     ok = spark.createDataFrame([(1, "web"), (2, "web")], "doc_id INT, source STRING")
     assert sampling.hash_split(ok).count() == 2
 
+    # Round-12: the identity contract extends to the LAYOUT surface —
+    # a NULL id would otherwise pack/shuffle/sample into a phantom
+    # NULL shard (or steal a NULLS FIRST sample slot) silently.
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (None, "d e f")], "doc_id INT, text STRING"
+    )
+    with pytest.raises(Exception, match="pack_offsets: NULL id"):
+        sampling.pack_offsets(docs).collect()
+    with pytest.raises(Exception, match="hash_shuffle: NULL id"):
+        sampling.hash_shuffle(docs).collect()
+    with pytest.raises(Exception, match="stratified_n: NULL id"):
+        sampling.stratified_n(docs, ["text"], 1).collect()
+    with pytest.raises(ValueError, match="buckets >= 1"):
+        sampling.hash_bucket(F.col("doc_id"), "s", 0)
+    ok_docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id INT, text STRING"
+    )
+    assert sampling.pack_offsets(ok_docs).count() == 2
+    assert sampling.hash_shuffle(ok_docs).count() == 2
+
 
 def test_mixture_sample_rejects_bad_fractions(spark):
     """A typoed mixture config (1.3 / -0.1) must fail at plan time —

@@ -129,3 +129,53 @@ def test_salted_ops_reject_nonpositive_salt(spark, sf_dir):
             salted_agg(
                 li, ["l_returnflag"], {"n": ("count", "l_orderkey")}, salt=bad
             )
+
+
+def test_salted_join_rejects_key_only_big_side(spark, sf_dir):
+    """The salt is a full-row hash: a big side whose ONLY column is
+    the join key hashes every hot-key row identically, so the whole
+    hot key still lands on one salt — the split is a silent no-op.
+    Refuse at plan time (round-12 self-review)."""
+    import pytest
+
+    from configdrivendatapipeline_spark.queries import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey")
+    sup = load(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    with pytest.raises(ValueError, match="only column is the join key"):
+        salted_join(li, sup, on="l_suppkey")
+
+
+def test_skew_ratio_exact_beyond_bigint_intermediates(spark):
+    """skew_stats / llm_shard_balance compute ratio numerators as
+    n_rows·n_keys·1e6 — at 100 TB that intermediate exceeds BIGINT
+    and a non-ANSI long multiply WRAPS silently (verified: the old
+    expression returns a negative 'ratio'). Both engines now widen to
+    128 bits (DECIMAL(38,0) / HUGEINT); this pins that the widened
+    expression is exact exactly where the long one corrupts."""
+    import duckdb
+
+    n_rows, n_keys, total = 3_000_000_000, 4_000_000_000, 9_000_000_000_000
+    want = (n_rows * n_keys * 1_000_000) // total  # Python int = exact
+    got_spark = spark.sql(
+        f"SELECT CAST((CAST({n_rows} AS DECIMAL(38,0)) * {n_keys} * 1000000)"
+        f" div {total} AS BIGINT) AS r"
+    ).collect()[0]["r"]
+    got_duck = duckdb.sql(
+        f"SELECT CAST((CAST({n_rows} AS HUGEINT) * {n_keys} * 1000000)"
+        f" // {total} AS BIGINT) AS r"
+    ).fetchone()[0]
+    assert got_spark == got_duck == want
+    # and the OLD long expression really is broken at this magnitude:
+    # ANSI mode throws ARITHMETIC_OVERFLOW (query dies at scale),
+    # non-ANSI silently wraps to a wrong ratio — both failure modes
+    # are the bug the widening fixes
+    try:
+        wrapped = spark.sql(
+            f"SELECT ({n_rows} * {n_keys} * 1000000) div {total} AS r"
+        ).collect()[0]["r"]
+        assert wrapped != want
+    except Exception as e:  # noqa: BLE001
+        assert "ARITHMETIC_OVERFLOW" in str(e)
