@@ -1678,6 +1678,7 @@ def _asof_join(spark, dfs, p):
         direction=p.get("direction", "backward"),
         tolerance_s=p.get("tolerance_s"),
         take=dict(p.get("take") or {}),
+        validate_unique=bool(p.get("validate_unique", False)),
     )
 
 

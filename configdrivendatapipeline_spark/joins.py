@@ -143,6 +143,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_s: int | None = None,
     take: dict[str, str] | None = None,
+    validate_unique: bool = False,
 ) -> DataFrame:
     """Generic as-of join: attach to each left row the single best
     right row sharing the ``by`` keys — latest at-or-before
@@ -151,7 +152,14 @@ def asof_join(
     ``tolerance_s`` bounds the match distance in seconds (unmatched
     rows null-extend, like pandas merge_asof). ``take`` maps output
     names to right-side columns; ``left_key`` must uniquely identify
-    left rows (the window partitions on it — never on the full row,
+    left rows — ``validate_unique=True`` puts that contract IN the
+    plan (a keyed window count + raise_error on the left side, the
+    merge_upsert pattern), so duplicate left keys fail loudly instead
+    of silently dropping all but one row; it is opt-in because the
+    guard costs one extra shuffle of the LEFT side (the big side of
+    an as-of join), where merge_upsert guards its small side for
+    free. Leave it off when key discipline is enforced upstream
+    (the window partitions on it — never on the full row,
     which would silently merge duplicate lefts).
 
     Composition: one equi-join on the by-keys (the range predicate
@@ -165,6 +173,25 @@ def asof_join(
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"direction must be backward|forward|nearest, got {direction!r}")
     take = dict(take or {})
+    if validate_unique:
+        # ride the guard on left_ts (always referenced by the range
+        # predicate, so pruning can never drop it) — merge_upsert's
+        # pattern
+        lw = Window.partitionBy(left_key)
+        ts_type = left.schema[left_ts].dataType.simpleString()
+        left = left.withColumn(
+            left_ts,
+            F.when(
+                F.count(F.lit(1)).over(lw) > 1,
+                F.raise_error(
+                    F.lit(
+                        f"asof_join: duplicate left_key {left_key!r} — "
+                        "the per-left top-1 window would silently drop "
+                        "rows; dedup the left side or pick a unique key"
+                    )
+                ).cast(ts_type),
+            ).otherwise(F.col(left_ts)),
+        )
     # NTZ-tolerant: unix_micros requires TIMESTAMP; parquet feeds often
     # arrive TIMESTAMP_NTZ (Spark 4 reads isAdjustedToUTC=false micros
     # that way) and the cast is value-preserving under the UTC session

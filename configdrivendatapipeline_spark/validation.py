@@ -46,6 +46,10 @@ def _fail_not_null(p: dict[str, Any]) -> Column:
 def _fail_range(p: dict[str, Any]) -> Column:
     c = F.col(p["column"])
     lo, hi = p.get("min"), p.get("max")
+    if lo is None and hi is None:
+        # without at least one bound the rule passes every row — a
+        # typo'd `mim:`/`mx:` key silently turns the check off
+        raise KeyError("min/max")
     ok = F.lit(True)
     if lo is not None:
         ok = ok & (c >= F.lit(lo))
@@ -55,6 +59,13 @@ def _fail_range(p: dict[str, Any]) -> Column:
 
 
 def _fail_set(p: dict[str, Any]) -> Column:
+    if not p["allowed"]:
+        # isin() of an empty list is false for EVERY row — the rule
+        # would quarantine the whole dataset; an empty allowed list is
+        # a config error, not a judgment
+        raise ValueError(
+            f"set rule on {p['column']!r}: allowed values list is empty"
+        )
     return ~F.coalesce(F.col(p["column"]).isin(*p["allowed"]), F.lit(False))
 
 
@@ -150,7 +161,16 @@ def run_rules(
         )
 
     for r in set_rules:
-        metric_dfs.append(_run_set_rule(df, r, dims or {}))
+        try:
+            metric_dfs.append(_run_set_rule(df, r, dims or {}))
+        except KeyError as exc:
+            # same friendly contract as row_fail_predicate: a missing
+            # param or dim table is a config error, named as such
+            raise ValueError(
+                f"set rule {r.name!r} ({r.rule}): missing required "
+                f"param or dim table {exc.args[0]!r} "
+                f"(got params: {sorted(r.params)})"
+            ) from None
 
     if not metric_dfs:
         raise ValueError("no rules supplied")

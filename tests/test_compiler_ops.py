@@ -1067,9 +1067,26 @@ def test_asof_join_op_directions(spark, sf_dir):
     inputs: [ls, rs]
     op: asof_join
     params: {by: [user_id], left_key: event_id, take: {sign_ts: ts}}
+  - id: ajv
+    inputs: [ls, rs]
+    op: asof_join
+    params: {by: [user_id], left_key: event_id, take: {sign_ts: ts},
+             validate_unique: true}
 """,
     )
     assert rows(frames["aj"].select("event_id", "user_id", "sign_ts")) == rows(back)
+    # validate_unique on a genuinely-unique key is a pass-through...
+    assert rows(frames["ajv"].select("event_id", "user_id", "sign_ts")) == rows(back)
+    # ...and on a DUPLICATE left key it raises in-plan instead of
+    # silently dropping all but one left row (round-12 self-review)
+    import pytest
+
+    dup_left = left.unionByName(left.limit(1))
+    with pytest.raises(Exception, match="duplicate left_key"):
+        joins.asof_join(
+            dup_left, right, by=["user_id"], left_key="event_id",
+            take={"sign_ts": "ts"}, validate_unique=True,
+        ).count()
 
 
 def test_route_modality_op(spark, sf_dir):

@@ -180,6 +180,28 @@ def test_zscore_rule_flags_planted_outlier(spark):
     assert not row.passed
 
 
+def test_degenerate_rule_configs_fail_loudly(spark):
+    """Round-12 self-review: a range rule with NEITHER bound passes
+    every row (a typo'd `mim:` key silently disables the check), a
+    set rule with an empty allowed list quarantines the WHOLE dataset
+    — both are config errors and must say so; set-rule missing params
+    get the same friendly naming row rules already had."""
+    import pytest
+
+    from configdrivendatapipeline_spark.validation import Rule, run_rules
+
+    df = spark.createDataFrame([(1, "A")], "id INT, seg STRING")
+    with pytest.raises(ValueError, match="missing required param"):
+        run_rules(df, [Rule("r", "range", {"column": "id", "mim": 0})])
+    with pytest.raises(ValueError, match="allowed values list is empty"):
+        run_rules(df, [Rule("s", "set", {"column": "seg", "allowed": []})])
+    with pytest.raises(ValueError, match="missing required param or dim"):
+        run_rules(df, [Rule("ri", "ref_integrity", {"column": "seg"})])
+    # a one-bound range still works
+    ok = run_rules(df, [Rule("r", "range", {"column": "id", "min": 0})]).metrics
+    assert ok.collect()[0].passed
+
+
 def test_all_example_yamls_compile(spark):
     """Every shipped example in examples/ must parse and plan-compile
     (catching op-name drift between docs and the op registry). The
