@@ -36,10 +36,23 @@ def write_sink(df: DataFrame, cfg: dict[str, Any]) -> None:
     a driver-side step; sort-within-partitions never triggers a
     global range exchange.
     """
-    cluster_by = cfg.get("cluster_by")
+    def _cols(name):
+        # same scalar-shape check as the materialize op: a bare string
+        # "col" would iterate as characters under *spread and lay out
+        # by one-letter phantom columns
+        v = cfg.get(name)
+        if not v:
+            return []
+        if isinstance(v, str) or not isinstance(v, (list, tuple)):
+            raise ValueError(
+                f"sink {name} must be a list of columns, got {v!r}"
+            )
+        return [str(c) for c in v]
+
+    cluster_by = _cols("cluster_by")
     if cluster_by:
         df = df.repartition(*cluster_by)
-    sort_by = cfg.get("sort_by")
+    sort_by = _cols("sort_by")
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     fmt = cfg.get("format", "parquet")

@@ -732,6 +732,16 @@ def test_sink_cluster_and_sort_layout(spark, sf_dir, tmp_path):
         ):
             seen.setdefault(s, set()).add(f)
     assert all(len(fs) == 1 for fs in seen.values()), seen
+    # scalar layout params are a shape error, not a char-iterable
+    # (round-12: same check the materialize op applies)
+    import pytest
+
+    with pytest.raises(ValueError, match="cluster_by must be a list"):
+        write_sink(df, {"format": "parquet", "path": out,
+                        "mode": "overwrite", "cluster_by": "o_orderstatus"})
+    with pytest.raises(ValueError, match="sort_by must be a list"):
+        write_sink(df, {"format": "parquet", "path": out,
+                        "mode": "overwrite", "sort_by": "o_orderdate"})
 
 
 def test_bloom_prefilter_through_yaml(spark, sf_dir):
