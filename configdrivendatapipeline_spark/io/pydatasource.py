@@ -48,10 +48,17 @@ class SyntheticDocsDataSource(DataSource):
         return "doc_id BIGINT, shard INT, text STRING"
 
     def reader(self, schema) -> "SyntheticDocsReader":
-        return SyntheticDocsReader(
-            int(self.options.get("shards", 4)),
-            int(self.options.get("rows_per_shard", 50)),
-        )
+        shards = int(self.options.get("shards", 4))
+        rows = int(self.options.get("rows_per_shard", 50))
+        if shards < 1 or rows < 1:
+            # zero/negative counts would yield an EMPTY source with no
+            # signal — the same loud-validation contract as the rest
+            # of the config surface
+            raise ValueError(
+                f"synthetic_docs needs shards >= 1 and rows_per_shard "
+                f">= 1; got shards={shards}, rows_per_shard={rows}"
+            )
+        return SyntheticDocsReader(shards, rows)
 
 
 class SyntheticDocsReader(DataSourceReader):
