@@ -232,9 +232,21 @@ def _expand(doc: Any, overrides: dict | None, origin: str) -> Any:
                 raise ConfigError(
                     f"{origin}: foreach needs 'var' and 'values'"
                 )
+            if "id" not in raw:
+                # caught here, not as a raw KeyError mid-stamp: every
+                # foreach copy derives its id from the template's
+                raise ConfigError(f"{origin}: foreach step needs an 'id'")
             values = _subst(fe["values"], params, origin)
             if isinstance(values, str):
                 values = [v for v in values.split(",") if v]
+            if not values:
+                # zero stamped copies silently deletes the step AND
+                # every downstream reference fails with a confusing
+                # 'unknown input' — name the real cause
+                raise ConfigError(
+                    f"{origin}: foreach over step {raw['id']!r} has no "
+                    "values — nothing would be stamped"
+                )
             for v in values:
                 scoped = dict(params)
                 scoped[str(fe["var"])] = v

@@ -325,6 +325,36 @@ steps:
     assert preds["by_status_O"] == "o_orderstatus = 'O'"
     assert preds["by_status_F"] == "o_orderstatus = 'F'"
 
+    # round-12: degenerate foreach configs name the real cause instead
+    # of a raw KeyError / a silently-deleted step
+    from configdrivendatapipeline_spark.config import ConfigError
+
+    with pytest.raises(ConfigError, match="foreach step needs an 'id'"):
+        load_pipeline_str(
+            """
+sources:
+  o: {format: parquet, path: "/tmp/o.parquet"}
+steps:
+  - input: o
+    op: distinct
+    params: {}
+    foreach: {var: st, values: [O]}
+"""
+        )
+    with pytest.raises(ConfigError, match="has no values"):
+        load_pipeline_str(
+            """
+sources:
+  o: {format: parquet, path: "/tmp/o.parquet"}
+steps:
+  - id: s
+    input: o
+    op: distinct
+    params: {}
+    foreach: {var: st, values: []}
+"""
+        )
+
 
 def test_include_composes_with_namespace(tmp_path):
     from configdrivendatapipeline_spark.config import load_pipeline
