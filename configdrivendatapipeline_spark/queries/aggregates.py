@@ -1209,7 +1209,8 @@ def agg_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(*) >= 20)
     SELECT p.item_a, p.item_b, p.n_pair,
            (p.n_pair * 1000000) // n.n_orders AS support_micro,
-           (p.n_pair * n.n_orders * 1000000) // (ca.n_item * cb.n_item)
+           CAST((CAST(p.n_pair AS HUGEINT) * n.n_orders * 1000000)
+             // (CAST(ca.n_item AS HUGEINT) * cb.n_item) AS BIGINT)
              AS lift_micro
     FROM pairs p
     JOIN cnt ca ON ca.item = p.item_a
@@ -1258,9 +1259,13 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "item_b",
             "n_pair",
             F.expr("(n_pair * 1000000) div n_orders").alias("support_micro"),
-            F.expr("(n_pair * n_orders * 1000000) div (na * nb)").alias(
-                "lift_micro"
-            ),
+            # 128-bit intermediates: n_pair·n_orders·1e6 and na·nb
+            # both wrap BIGINT at lake-scale basket counts (see
+            # skew_stats); the lift ratio itself fits
+            F.expr(
+                "CAST((CAST(n_pair AS DECIMAL(38,0)) * n_orders * 1000000)"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("lift_micro"),
         )
     )
 
@@ -2169,9 +2174,12 @@ from configdrivendatapipeline_spark.queries import omd5bucket as _oab  # noqa: E
     SELECT na AS n_users_a, ca AS n_conv_a, nb AS n_users_b, cb AS n_conv_b,
            ca * 1000000 // na AS rate_a_micro,
            cb * 1000000 // nb AS rate_b_micro,
-           CASE WHEN cb * na >= ca * nb THEN 1 ELSE -1 END
-             * (abs(cb * na - ca * nb) * 1000000 // (ca * nb))
-             AS rel_lift_micro
+           CAST(
+             (CASE WHEN CAST(cb AS HUGEINT) * na >= CAST(ca AS HUGEINT) * nb
+                   THEN 1 ELSE -1 END)
+             * (abs(CAST(cb AS HUGEINT) * na - CAST(ca AS HUGEINT) * nb)
+                * 1000000 // (CAST(ca AS HUGEINT) * nb))
+             AS BIGINT) AS rel_lift_micro
     FROM w
     """,
     _SEC,
@@ -2223,9 +2231,17 @@ def agg_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cb").alias("n_conv_b"),
         F.expr("ca * 1000000 div na").alias("rate_a_micro"),
         F.expr("cb * 1000000 div nb").alias("rate_b_micro"),
+        # 128-bit intermediates: conversion-count × user-count cross
+        # products (cb·na, ca·nb) wrap BIGINT at 1e10-user arms; the
+        # relative lift fits. abs() keeps the div numerator
+        # non-negative (Spark truncates, DuckDB floors — they only
+        # agree on non-negatives), sign applied outside as before.
         F.expr(
-            "(CASE WHEN cb * na >= ca * nb THEN 1 ELSE -1 END)"
-            " * (abs(cb * na - ca * nb) * 1000000 div (ca * nb))"
+            "CAST((CASE WHEN CAST(cb AS DECIMAL(38,0)) * na >="
+            " CAST(ca AS DECIMAL(38,0)) * nb THEN 1 ELSE -1 END)"
+            " * (abs(CAST(cb AS DECIMAL(38,0)) * na"
+            " - CAST(ca AS DECIMAL(38,0)) * nb)"
+            " * 1000000 div (CAST(ca AS DECIMAL(38,0)) * nb)) AS BIGINT)"
         ).alias("rel_lift_micro"),
     )
 

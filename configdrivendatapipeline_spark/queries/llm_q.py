@@ -2520,8 +2520,9 @@ def llm_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_tot AS (SELECT CAST(SUM(all_cnt) AS BIGINT) AS total FROM corpus),
     lifted AS (
       SELECT p.source, p.term,
-             (p.src_cnt * t.total * 1000000)
-               // (s.src_total * c.all_cnt) AS lift_micro
+             CAST((CAST(p.src_cnt AS HUGEINT) * t.total * 1000000)
+               // (CAST(s.src_total AS HUGEINT) * c.all_cnt)
+               AS BIGINT) AS lift_micro
       FROM per_src p
       JOIN src_tot s USING (source)
       JOIN corpus c USING (term)
@@ -2563,8 +2564,14 @@ def llm_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "term",
+            # 128-bit intermediates (see skew_stats): both the
+            # numerator (src_cnt·total·1e6) and denominator
+            # (src_total·all_cnt) wrap BIGINT at corpus-scale token
+            # counts; the lift itself fits
             F.expr(
-                "(src_cnt * total * 1000000) div (src_total * all_cnt)"
+                "CAST((CAST(src_cnt AS DECIMAL(38,0)) * total * 1000000)"
+                " div (CAST(src_total AS DECIMAL(38,0)) * all_cnt)"
+                " AS BIGINT)"
             ).alias("lift_micro"),
         )
     )
@@ -3351,7 +3358,8 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM hist)
     SELECT h.cluster_size, h.n_clusters,
            CAST(h.cluster_size * h.n_clusters AS BIGINT) AS n_docs_in_size,
-           ((h.cluster_size - 1) * h.n_clusters * 1000000) // t.n_docs
+           CAST((CAST(h.cluster_size - 1 AS HUGEINT) * h.n_clusters
+                 * 1000000) // t.n_docs AS BIGINT)
              AS removable_share_micro
     FROM hist h CROSS JOIN tot t
     """,
@@ -3378,8 +3386,11 @@ def llm_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         "n_clusters",
         (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs_in_size"),
+        # 128-bit intermediate: (size-1)·n_clusters·1e6 wraps BIGINT
+        # once cluster counts reach lake scale; the share fits
         F.expr(
-            "((cluster_size - 1) * n_clusters * 1000000) div n_docs"
+            "CAST((CAST(cluster_size - 1 AS DECIMAL(38,0)) * n_clusters"
+            " * 1000000) div n_docs AS BIGINT)"
         ).alias("removable_share_micro"),
     )
 

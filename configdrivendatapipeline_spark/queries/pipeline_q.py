@@ -2199,7 +2199,8 @@ from configdrivendatapipeline_spark.queries.llm_q import _opagerank_iter  # noqa
     UNION ALL
     SELECT 'size_hist', h.cluster_size, h.n_clusters,
            CAST(h.cluster_size * h.n_clusters AS BIGINT),
-           ((h.cluster_size - 1) * h.n_clusters * 1000000) // t.n_docs,
+           CAST((CAST(h.cluster_size - 1 AS HUGEINT) * h.n_clusters
+                 * 1000000) // t.n_docs AS BIGINT),
            CAST(NULL AS BIGINT)
     FROM hist h CROSS JOIN tot t
     UNION ALL
@@ -2319,8 +2320,8 @@ steps:
         SELECT 'size_hist' AS section, CAST(cluster_size AS BIGINT) AS k1,
                CAST(n_clusters AS BIGINT) AS k2,
                CAST(cluster_size * n_clusters AS BIGINT) AS v1,
-               CAST(((cluster_size - 1) * n_clusters * 1000000) div n_docs
-                    AS BIGINT) AS v2,
+               CAST((CAST(cluster_size - 1 AS DECIMAL(38,0)) * n_clusters
+                     * 1000000) div n_docs AS BIGINT) AS v2,
                CAST(NULL AS BIGINT) AS v3
         FROM hist CROSS JOIN tot
   - id: combined
