@@ -590,13 +590,13 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     s AS (
       SELECT user_id, COUNT(*) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM pts GROUP BY user_id)
     SELECT user_id, n,
-           ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
-             AS slope_micro_per_day
+           CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+             AS BIGINT) AS slope_micro_per_day
     FROM s
     WHERE n >= 2 AND n * sxx - sx * sx <> 0
     """,
@@ -617,21 +617,25 @@ def agg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x"),
         F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("y"),
     )
+    # 128-bit moment sums (see skew_stats): Σxy over a heavy user's
+    # 1e6 events at day-index × micro-value magnitudes passes 2^63,
+    # and n·Σxy passes it even sooner; the slope itself fits BIGINT
     s = pts.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
     )
     return s.filter(
         (F.col("n") >= 2) & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0)
     ).select(
         "user_id",
         "n",
-        F.expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)").alias(
-            "slope_micro_per_day"
-        ),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
+            " AS BIGINT)"
+        ).alias("slope_micro_per_day"),
     )
 
 
@@ -862,11 +866,11 @@ def agg_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(cents) AS BIGINT) AS total,
-             CAST(SUM(rnk * cents) AS BIGINT) AS weighted
+             SUM(CAST(rnk AS HUGEINT) * cents) AS weighted
       FROM r GROUP BY c_nationkey)
     SELECT c_nationkey, n, total,
-           (2000000 * weighted) // (n * total)
-             - (1000000 * (n + 1)) // n AS gini_micro
+           CAST((2000000 * weighted) // (CAST(n AS HUGEINT) * total)
+             - (1000000 * (n + 1)) // n AS BIGINT) AS gini_micro
     FROM s
     """,
     _SEC,
@@ -895,18 +899,22 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = v.select(
         "c_nationkey", "cents", F.row_number().over(w).cast("long").alias("rnk")
     )
+    # 128-bit rank-weighted sum: Σ rnk·cents reaches ~1e25 at 1e9
+    # accounts per partition (rnk up to n TIMES cents), far past
+    # BIGINT — the sum itself must be decimal, not just the ratio.
+    # n·total and 2e6·weighted widen the same way; gini fits BIGINT.
     s = r.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("total"),
-        F.sum(F.col("rnk") * F.col("cents")).alias("weighted"),
+        F.sum(F.expr("CAST(rnk AS DECIMAL(38,0)) * cents")).alias("weighted"),
     )
     return s.select(
         "c_nationkey",
         "n",
         "total",
         F.expr(
-            "(2000000 * weighted) div (n * total)"
-            " - (1000000 * (n + 1)) div n"
+            "CAST((2000000 * weighted) div (CAST(n AS DECIMAL(38,0)) * total)"
+            " - (1000000 * (n + 1)) div n AS BIGINT)"
         ).alias("gini_micro"),
     )
 
@@ -973,11 +981,11 @@ def agg_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (SELECT user_id, day, vu, dur_s FROM s WHERE dur_s IS NOT NULL),
     g AS (
       SELECT user_id, day,
-             CAST(SUM(vu * dur_s) AS BIGINT) AS vt,
+             SUM(CAST(vu AS HUGEINT) * dur_s) AS vt,
              CAST(SUM(dur_s) AS BIGINT) AS t
       FROM h GROUP BY user_id, day)
     SELECT user_id, day, t AS held_seconds,
-           vt // t AS twap_micro
+           CAST(vt // t AS BIGINT) AS twap_micro
     FROM g WHERE t > 0
     """,
     _SEC,
@@ -1004,15 +1012,18 @@ def agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.lead("ts").over(w)) - F.unix_timestamp("ts")
         ).alias("dur_s"),
     ).filter(F.col("dur_s").isNotNull())
+    # 128-bit value·time sum: micro-value × held-seconds is ~1e12 per
+    # row, so a day of rapid updates wraps the BIGINT Σ long before
+    # the TWAP itself (which is value-scaled and always fits)
     g = s.groupBy("user_id", "day").agg(
-        F.sum(F.col("vu") * F.col("dur_s")).alias("vt"),
+        F.sum(F.expr("CAST(vu AS DECIMAL(38,0)) * dur_s")).alias("vt"),
         F.sum("dur_s").alias("t"),
     )
     return g.filter(F.col("t") > 0).select(
         "user_id",
         "day",
         F.col("t").alias("held_seconds"),
-        F.expr("vt div t").alias("twap_micro"),
+        F.expr("CAST(vt div t AS BIGINT)").alias("twap_micro"),
     )
 
 
@@ -1029,10 +1040,10 @@ def agg_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
       FROM p GROUP BY user_id)
     SELECT user_id, n,
            CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
@@ -1063,13 +1074,17 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.select(
         "user_id", x.alias("x"), F.lead(x).over(w).alias("y")
     ).filter(F.col("y").isNotNull())
+    # 128-bit moment sums: cents-squared terms (~1e14 each) wrap the
+    # BIGINT Σ within ~1e5 events of one user; the closed-form r is
+    # computed from the same true integers either way (identical
+    # IEEE doubles on both engines at any magnitude)
     g = s.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0))")).alias("sx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0))")).alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).alias("syy"),
     )
     return g.select(
         "user_id",
@@ -1095,10 +1110,10 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT l_partkey,
              CAST(COUNT(*) AS BIGINT) AS n_months,
-             CAST(SUM(q) AS BIGINT) AS sq,
-             CAST(SUM(q * q) AS BIGINT) AS sqq
+             CAST(SUM(q) AS HUGEINT) AS sq,
+             SUM(CAST(q AS HUGEINT) * q) AS sqq
       FROM m GROUP BY l_partkey)
-    SELECT l_partkey, n_months, sq AS total_qty,
+    SELECT l_partkey, n_months, CAST(sq AS BIGINT) AS total_qty,
            CAST(n_months * sqq - sq * sq AS BIGINT) AS var_num,
            CASE WHEN (n_months * sqq - sq * sq) * 4 <= sq * sq THEN 'X'
                 WHEN (n_months * sqq - sq * sq) <= sq * sq THEN 'Y'
@@ -1120,16 +1135,19 @@ def agg_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = li.groupBy(
         "l_partkey", F.date_trunc("month", "l_shipdate").alias("mth")
     ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    # 128-bit moment sums: sq2 at lake-scale part volumes passes
+    # 2^63 (sq ~ 1e10 gives sq*sq ~ 1e20); the cross-multiplied
+    # class comparisons stay exact in decimal on both engines
     s = m.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_months"),
-        F.sum("q").alias("sq"),
-        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0))")).alias("sq"),
+        F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("sqq"),
     )
     var_num = F.col("n_months") * F.col("sqq") - F.col("sq") * F.col("sq")
     return s.filter(F.col("sq") > 0).select(
         "l_partkey",
         "n_months",
-        F.col("sq").alias("total_qty"),
+        F.col("sq").cast("long").alias("total_qty"),
         var_num.cast("long").alias("var_num"),
         F.when(var_num * 4 <= F.col("sq") * F.col("sq"), "X")
         .when(var_num <= F.col("sq") * F.col("sq"), "Y")
@@ -1298,8 +1316,10 @@ def agg_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT c_nationkey, CAST(SUM(decile_cents) AS BIGINT) AS total_cents
       FROM g GROUP BY c_nationkey)
     SELECT g.c_nationkey, g.decile, g.n_accounts,
-           (g.decile_cents * 1000000) // t.total_cents AS share_micro,
-           CAST(SUM(g.decile_cents * 1000000 // t.total_cents) OVER (
+           CAST((CAST(g.decile_cents AS HUGEINT) * 1000000)
+                // t.total_cents AS BIGINT) AS share_micro,
+           CAST(SUM(CAST(g.decile_cents AS HUGEINT) * 1000000
+                    // t.total_cents) OVER (
              PARTITION BY g.c_nationkey ORDER BY g.decile
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_share_micro
@@ -1347,7 +1367,13 @@ def agg_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "decile",
         "n_accounts",
-        F.expr("(decile_cents * 1000000) div total_cents").alias("share_micro"),
+        # 128-bit intermediate: decile_cents·1e6 wraps BIGINT once a
+        # partition's money total passes ~9e12 cents ($90B) — routine
+        # for a 100-TB revenue table; the share itself is <= 1e6
+        F.expr(
+            "CAST((CAST(decile_cents AS DECIMAL(38,0)) * 1000000)"
+            " div total_cents AS BIGINT)"
+        ).alias("share_micro"),
     )
     wc = (
         Window.partitionBy("c_nationkey")
@@ -1736,10 +1762,11 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n_users,
              CAST(SUM(c) AS BIGINT) AS total,
-             CAST(SUM(c * c) AS BIGINT) AS sum_sq
+             SUM(CAST(c AS HUGEINT) * c) AS sum_sq
       FROM per GROUP BY event_type)
     SELECT event_type, n_users, total,
-           (sum_sq * 10000) // (total * total) AS hhi_bp
+           CAST((sum_sq * 10000) // (CAST(total AS HUGEINT) * total)
+                AS BIGINT) AS hhi_bp
     FROM g
     """,
     _SEC,
@@ -1749,9 +1776,9 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "skew-detection number a partitioning planner reads before "
     "keying a shuffle on a column. Exact integers end to end: "
     "Σc² · 10⁴ div (Σc)², no floating shares; two aggregations, "
-    "both map-side combinable. (At counts where Σc² · 10⁴ would "
-    "overflow a long — Σc² > 9·10¹⁴ — pre-aggregate per coarser key "
-    "or lift to DECIMAL(38,0); the div identity is unchanged.)",
+    "both map-side combinable. The squared sums run in "
+    "DECIMAL(38,0)/HUGEINT so no count magnitude can wrap them; "
+    "hhi_bp itself is <= 10000 and always fits BIGINT.",
 )
 def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -1759,13 +1786,16 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = per.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("c").alias("total"),
-        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("sum_sq"),
     )
     return g.select(
         "event_type",
         "n_users",
         "total",
-        F.expr("(sum_sq * 10000) div (total * total)").alias("hhi_bp"),
+        F.expr(
+            "CAST((sum_sq * 10000) div (CAST(total AS DECIMAL(38,0))"
+            " * total) AS BIGINT)"
+        ).alias("hhi_bp"),
     )
 
 

@@ -686,12 +686,12 @@ def win_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(rev_cents) OVER (PARTITION BY c_nationkey) AS tot_cents
       FROM cust)
     SELECT c_nationkey, o_custkey, rev_cents,
-           CAST((CAST(cum_cents AS BIGINT) * 1000000)
-                // CAST(tot_cents AS BIGINT) AS BIGINT) AS cum_share_micro,
-           CASE WHEN (CAST(cum_cents AS BIGINT) * 1000000)
-                     // CAST(tot_cents AS BIGINT) <= 800000 THEN 'A'
-                WHEN (CAST(cum_cents AS BIGINT) * 1000000)
-                     // CAST(tot_cents AS BIGINT) <= 950000 THEN 'B'
+           CAST((CAST(cum_cents AS HUGEINT) * 1000000)
+                // CAST(tot_cents AS HUGEINT) AS BIGINT) AS cum_share_micro,
+           CASE WHEN (CAST(cum_cents AS HUGEINT) * 1000000)
+                     // CAST(tot_cents AS HUGEINT) <= 800000 THEN 'A'
+                WHEN (CAST(cum_cents AS HUGEINT) * 1000000)
+                     // CAST(tot_cents AS HUGEINT) <= 950000 THEN 'B'
                 ELSE 'C' END AS abc
     FROM ranked
     """,
@@ -726,7 +726,12 @@ def win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_cents").over(run).alias("cum_cents"),
         F.sum("rev_cents").over(tot).alias("tot_cents"),
     )
-    share = F.expr("(cum_cents * 1000000) div tot_cents")
+    # 128-bit intermediate: cum_cents·1e6 wraps BIGINT once a
+    # nation's revenue passes ~9e12 cents ($90B) — see agg_lorenz
+    share = F.expr(
+        "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000)"
+        " div tot_cents AS BIGINT)"
+    )
     return ranked.select(
         "c_nationkey",
         "o_custkey",
