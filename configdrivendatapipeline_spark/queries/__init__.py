@@ -650,8 +650,16 @@ _MILLION = __import__("decimal").Decimal(1_000_000)
 
 
 def _sum6(c: Column) -> Column:
-    """Exact SUM as an integer count of micro-units (long)."""
-    return F.floor(F.sum(c.cast(DEC)) * F.lit(_MILLION)).cast("long")
+    """Exact SUM as an integer count of micro-units, kept DECIMAL.
+
+    No long cast: a coarse group of a 100-TB money table passes
+    9.2e18 micro-units (~$9.2T) where CAST AS BIGINT silently wraps
+    on Spark and ERRORS on DuckDB — the one failure mode worse than
+    wrong is the two engines failing differently. The integer-valued
+    decimal converts to double exactly once at the cents division
+    (IEEE round-to-nearest of the same exact integer on both
+    engines), so parity holds at any magnitude."""
+    return F.floor(F.sum(c.cast(DEC)) * F.lit(_MILLION))
 
 
 def dsum(col: Column | str, alias: str) -> Column:
@@ -667,14 +675,20 @@ def dsum(col: Column | str, alias: str) -> Column:
     DuckDB twin: :func:`odsum`.
     """
     c = F.col(col) if isinstance(col, str) else col
-    cents = F.floor((_sum6(c) + F.lit(5000)) / F.lit(10000))
+    # explicit double cast BEFORE the division: decimal / int would be
+    # DECIMAL division (different rounding); this keeps the original
+    # one-IEEE-division structure with no BIGINT cliff upstream
+    cents = F.floor((_sum6(c) + F.lit(5000)).cast("double") / F.lit(10000))
     return (cents.cast("double") / 100).alias(alias)
 
 
 def odsum(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`dsum` (identical arithmetic)."""
-    s6 = f"CAST(FLOOR(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000) AS BIGINT)"
-    return f"CAST(FLOOR(({s6} + 5000) / 10000) AS DOUBLE) / 100 AS {alias}"
+    s6 = f"CAST(FLOOR(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000) AS HUGEINT)"
+    return (
+        f"CAST(FLOOR(CAST({s6} + 5000 AS DOUBLE) / 10000) AS DOUBLE)"
+        f" / 100 AS {alias}"
+    )
 
 
 def omd5bucket(key_expr: str, salt: str, buckets: int) -> str:
@@ -700,15 +714,17 @@ def davg(col: Column | str, alias: str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     n = F.count(c)
-    cents = F.floor((_sum6(c) * 2 + n * 10000) / (n * 20000))
+    cents = F.floor(
+        (_sum6(c) * 2 + n * 10000).cast("double") / (n * 20000)
+    )
     return (cents.cast("double") / 100).alias(alias)
 
 
 def odavg(expr: str, alias: str) -> str:
     """DuckDB twin of :func:`davg` (identical arithmetic)."""
-    s6 = f"CAST(FLOOR(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000) AS BIGINT)"
+    s6 = f"CAST(FLOOR(SUM(CAST({expr} AS DECIMAL(18,6))) * 1000000) AS HUGEINT)"
     return (
-        f"CAST(FLOOR(({s6} * 2 + COUNT({expr}) * 10000)"
+        f"CAST(FLOOR(CAST({s6} * 2 + COUNT({expr}) * 10000 AS DOUBLE)"
         f" / (COUNT({expr}) * 20000)) AS DOUBLE) / 100 AS {alias}"
     )
 
