@@ -2058,14 +2058,14 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s),
     g AS (
       SELECT event_type,
-             CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT)
-               AS r2_pos,
+             SUM(CASE WHEN label = 1 THEN CAST(r2 AS HUGEINT)
+                 ELSE 0 END) AS r2_pos,
              CAST(SUM(label) AS BIGINT) AS n_pos,
              CAST(SUM(1 - label) AS BIGINT) AS n_neg
       FROM r GROUP BY event_type)
     SELECT event_type, n_pos, n_neg,
-           (r2_pos - n_pos * (n_pos + 1)) * 1000000
-             // (2 * n_pos * n_neg) AS auc_micro
+           CAST((r2_pos - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+             // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_micro
     FROM g
     """,
     _SEC,
@@ -2096,10 +2096,14 @@ def agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
     )
+    # 128-bit rank sums (see skew_stats): Σ 2·rank over positives is
+    # O(n²) in magnitude — 1e22 at 1e11-row strata — as are the
+    # n_pos·(n_pos+1) and 2·n_pos·n_neg terms; AUC fits BIGINT
     g = r.groupBy("event_type").agg(
-        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0)).alias(
-            "r2_pos"
-        ),
+        F.sum(
+            F.when(F.col("label") == 1, F.expr("CAST(r2 AS DECIMAL(38,0))"))
+            .otherwise(F.lit(0))
+        ).alias("r2_pos"),
         F.sum("label").alias("n_pos"),
         F.sum(1 - F.col("label")).alias("n_neg"),
     )
@@ -2108,8 +2112,8 @@ def agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         F.expr(
-            "(r2_pos - n_pos * (n_pos + 1)) * 1000000"
-            " div (2 * n_pos * n_neg)"
+            "CAST((r2_pos - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1)) * 1000000"
+            " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"
         ).alias("auc_micro"),
     )
 
@@ -2131,11 +2135,18 @@ def agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(b) AS BIGINT) AS nb1
       FROM s GROUP BY event_type)
     SELECT event_type, n, agree,
-           CASE WHEN agree * n >= (na1 * nb1 + (n - na1) * (n - nb1))
-                THEN 1 ELSE -1 END
-             * (abs(agree * n - (na1 * nb1 + (n - na1) * (n - nb1))) * 1000000
-                // (n * n - (na1 * nb1 + (n - na1) * (n - nb1))))
-             AS kappa_micro
+           CAST(
+             (CASE WHEN CAST(agree AS HUGEINT) * n >=
+                   (CAST(na1 AS HUGEINT) * nb1
+                    + CAST(n - na1 AS HUGEINT) * (n - nb1))
+                   THEN 1 ELSE -1 END)
+             * (abs(CAST(agree AS HUGEINT) * n
+                    - (CAST(na1 AS HUGEINT) * nb1
+                       + CAST(n - na1 AS HUGEINT) * (n - nb1))) * 1000000
+                // (CAST(n AS HUGEINT) * n
+                    - (CAST(na1 AS HUGEINT) * nb1
+                       + CAST(n - na1 AS HUGEINT) * (n - nb1))))
+             AS BIGINT) AS kappa_micro
     FROM g
     """,
     _SEC,
@@ -2165,14 +2176,22 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").alias("na1"),
         F.sum("b").alias("nb1"),
     )
-    e = "(na1 * nb1 + (n - na1) * (n - nb1))"
+    # 128-bit cross products (see skew_stats): agree·n, n², and the
+    # marginal products na1·nb1 all wrap BIGINT at 1e11-row strata;
+    # kappa_micro itself is in [-1e6, 1e6]
+    e = (
+        "(CAST(na1 AS DECIMAL(38,0)) * nb1"
+        " + CAST(n - na1 AS DECIMAL(38,0)) * (n - nb1))"
+    )
     return g.select(
         "event_type",
         "n",
         "agree",
         F.expr(
-            f"(CASE WHEN agree * n >= {e} THEN 1 ELSE -1 END)"
-            f" * (abs(agree * n - {e}) * 1000000 div (n * n - {e}))"
+            f"CAST((CASE WHEN CAST(agree AS DECIMAL(38,0)) * n >= {e}"
+            f" THEN 1 ELSE -1 END)"
+            f" * (abs(CAST(agree AS DECIMAL(38,0)) * n - {e}) * 1000000"
+            f" div (CAST(n AS DECIMAL(38,0)) * n - {e})) AS BIGINT)"
         ).alias("kappa_micro"),
     )
 
