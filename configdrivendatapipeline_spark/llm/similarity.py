@@ -98,7 +98,15 @@ def _rank_topk(scored: DataFrame, part_col: str, id_out: str, k: int) -> DataFra
     cos_sim desc with the deterministic id tie-break, keep k, emit
     rank as long. One site, four operators — so a tie-break or
     rank-typing fix cannot drift between them (the hard_negatives
-    max_bucket omission was exactly this class of four-copy miss)."""
+    max_bucket omission was exactly this class of four-copy miss).
+
+    ``k >= 1`` is validated HERE so all four operators share the
+    guard: ``rn <= 0`` matches nothing, so a zero/negative k would
+    silently return an EMPTY result from every ANN surface instead
+    of naming the misconfig (round-12; same contract as the
+    degenerate-count guards in dedup.py)."""
+    if k < 1:
+        raise ValueError(f"top-k requires k >= 1, got {k}")
     w = Window.partitionBy(part_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_out).asc()
     )
@@ -273,6 +281,13 @@ def ivf_topk(
     equi-join on the list id replaces the crossJoin, scanning
     ~n_probe/n_centroids of the corpus.
     """
+    if n_centroids < 1 or n_probe < 1:
+        # limit(0) centroids → empty lists → every probe silently
+        # returns zero neighbors; fail at plan time instead
+        raise ValueError(
+            f"ivf_topk requires n_centroids >= 1 and n_probe >= 1; "
+            f"got n_centroids={n_centroids}, n_probe={n_probe}"
+        )
     c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
     if centroids is not None:
         cents = centroids.select(

@@ -215,6 +215,27 @@ def test_lsh_and_minhash_reject_degenerate_counts(spark):
     with pytest.raises(ValueError, match="planes_per_table"):
         _table_buckets(F.col("v"), 6, 0)
 
+    # round-12: k<=0 silently emptied every ANN top-k surface
+    # (rn <= 0 matches nothing); n_centroids/n_probe<=0 silently
+    # emptied the IVF route — all loud now
+    from configdrivendatapipeline_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    probes = spark.createDataFrame(
+        [(1, [1.0, 0.0])], ["probe_id", "probe_vec"]
+    )
+    with pytest.raises(ValueError, match="k >= 1"):
+        brute_force_topk(emb, probes, k=0)
+    with pytest.raises(ValueError, match="n_centroids"):
+        ivf_topk(emb, probes, n_centroids=0)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_topk(emb, probes, n_probe=0)
+
 
 def test_hash_family_params_reject_typos(spark):
     """token_hash / band_key name the cross-engine hash FAMILY; a
