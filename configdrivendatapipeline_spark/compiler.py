@@ -1483,7 +1483,7 @@ def _materialize(spark, dfs, p):
     # shared with the dry-run stand-in via _materialize_validate
     mode, fmt, cluster_by, sort_by = _materialize_validate(
         df,
-        p["path"],
+        p.get("path"),  # .get: the helper's named error covers missing too
         p.get("mode", "overwrite"),
         p.get("format", "parquet"),
         p.get("cluster_by"),
@@ -1728,7 +1728,7 @@ def _materialize_dry_run(spark, dfs, p):
     df = _one(dfs)
     _, _, cluster_by, sort_by = _materialize_validate(
         df,
-        p["path"],  # required key: missing-path configs must fail dry too
+        p.get("path"),  # .get: missing path fails with the helper's error
         p.get("mode", "overwrite"),
         p.get("format", "parquet"),
         p.get("cluster_by"),

@@ -595,7 +595,9 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM pts GROUP BY user_id)
     SELECT user_id, n,
-           CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+           CAST((CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)
+                * ((abs(n * sxy - sx * sy) * 1000000)
+                   // (n * sxx - sx * sx))
              AS BIGINT) AS slope_micro_per_day
     FROM s
     WHERE n >= 2 AND n * sxx - sx * sx <> 0
@@ -606,7 +608,16 @@ def agg_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x and micro-unit y, emitted as micro-units/day via integer div. "
     "The built-in regr_slope sums doubles order-dependently — a "
     "retried partition can flip the last bit; integer sums cannot. "
-    "One partial-combine aggregation per group, map-side products.",
+    "Slopes can be NEGATIVE (declining trend), so the quotient is "
+    "taken on abs(numerator) (denominator nΣx²−(Σx)² is > 0 by "
+    "Cauchy–Schwarz + the <> 0 filter) and the sign reapplied via "
+    "CASE — the agg_ab_lift pattern. Measured today both Spark div "
+    "and DuckDB integer // truncate toward zero (pinned in "
+    "tests/test_money_sum_magnitude.py), but the sign/abs form "
+    "equals trunc BY CONSTRUCTION, so non-exact negative slopes "
+    "agree regardless of either engine's negative-division "
+    "convention. One partial-combine aggregation per group, "
+    "map-side products.",
 )
 def agg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -633,8 +644,9 @@ def agg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n",
         F.expr(
-            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)"
-            " AS BIGINT)"
+            "CAST((CASE WHEN n * sxy - sx * sy >= 0 THEN 1 ELSE -1 END)"
+            " * ((abs(n * sxy - sx * sy) * 1000000)"
+            "    div (n * sxx - sx * sx)) AS BIGINT)"
         ).alias("slope_micro_per_day"),
     )
 
@@ -1114,7 +1126,7 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(CAST(q AS HUGEINT) * q) AS sqq
       FROM m GROUP BY l_partkey)
     SELECT l_partkey, n_months, CAST(sq AS BIGINT) AS total_qty,
-           CAST(n_months * sqq - sq * sq AS BIGINT) AS var_num,
+           CAST((n_months * sqq - sq * sq) // n_months AS BIGINT) AS demand_ss,
            CASE WHEN (n_months * sqq - sq * sq) * 4 <= sq * sq THEN 'X'
                 WHEN (n_months * sqq - sq * sq) <= sq * sq THEN 'Y'
                 ELSE 'Z' END AS xyz_class
@@ -1126,9 +1138,18 @@ def agg_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CoV <= 0.5), Y (variable, <= 1.0), Z (erratic) — the "
     "forecastability partner of Pareto/ABC in inventory analytics. "
     "The CoV thresholds are CROSS-MULTIPLIED integer comparisons "
-    "(var_num*4 <= sum^2 etc.), so classification is exact on every "
-    "engine — no division, no sqrt, no float variance. Two "
-    "aggregations, both partial-combining on their keys.",
+    "(var_num*4 <= sum^2 etc.) taken on the un-cast 128-bit "
+    "intermediates, so classification is exact on every engine — no "
+    "division, no sqrt, no float variance. The emitted spread "
+    "column is demand_ss = (nΣq²−(Σq)²) div n — the centered sum "
+    "of squares Σ(q−mean)² floored — because the raw variance "
+    "numerator nΣq²−(Σq)² itself passes 2^63 at lake-scale part "
+    "volumes (a BIGINT cast would silently NULL in Spark and raise "
+    "in DuckDB, r12 ADVICE). demand_ss ≤ Σq² ≤ 120 months × "
+    "(1e8)² = 1.2e18 < 2^63 under the same defended envelope, and "
+    "it is ≥ 0 by Cauchy–Schwarz so Spark div (truncate) and "
+    "DuckDB // (floor) agree exactly. Two aggregations, both "
+    "partial-combining on their keys.",
 )
 def agg_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -1148,7 +1169,12 @@ def agg_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         "n_months",
         F.col("sq").cast("long").alias("total_qty"),
-        var_num.cast("long").alias("var_num"),
+        # var_num itself passes 2^63 at lake scale; emit the centered
+        # sum of squares (÷ n_months, ≥ 0 so div == floor-//) which
+        # provably fits BIGINT under the defended magnitude envelope
+        F.expr(
+            "CAST((n_months * sqq - sq * sq) div n_months AS BIGINT)"
+        ).alias("demand_ss"),
         F.when(var_num * 4 <= F.col("sq") * F.col("sq"), "X")
         .when(var_num <= F.col("sq") * F.col("sq"), "Y")
         .otherwise("Z")

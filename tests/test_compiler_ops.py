@@ -1771,3 +1771,22 @@ def test_join_bare_condition_key_gets_clean_error(spark):
     for cond in (None, ""):
         with pytest.raises(ValueError, match="empty"):
             OPS["join"](spark, [df, df], {"on": [], "condition": cond})
+
+
+def test_materialize_missing_path_gets_named_error_both_paths(spark):
+    """ADVICE r12: a config that OMITS `path:` entirely must surface
+    the helper's named 'non-empty string' ValueError — not a raw
+    KeyError from the caller indexing p["path"] before validation —
+    on BOTH the real op and the dry-run stand-in, so the one
+    validation message covers missing, empty, and wrongly-typed
+    path uniformly."""
+    from configdrivendatapipeline_spark.compiler import (
+        _materialize_dry_run,
+    )
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for params in ({}, {"path": ""}, {"path": 7}):
+        with pytest.raises(ValueError, match="non-empty string"):
+            OPS["materialize"](spark, [df], dict(params))
+        with pytest.raises(ValueError, match="non-empty string"):
+            _materialize_dry_run(spark, [df], dict(params))
