@@ -181,77 +181,25 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
-#: (observed exactly 50 in rounds 1-11), so registry order is the
-#: correctness-coverage budget. Round-12 window: ALL 390 ids ordered
-#: by how stale their latest driver hash-green evidence is (r3 tail
-#: first … r11 cohort last; sorted within a cohort), computed over
-#: CORRECTNESS_r01..r11. The never-driver-checked backlog closed in
-#: round 10, so staleness is the only ordering key left. Covering the
-#: WHOLE registry keeps the rotation self-maintaining: as rounds
-#: drain the head, the stale-evidence refresh happens with no
-#: further reordering.
+#: (observed exactly 50 in rounds 1-12), so registry order is the
+#: correctness-coverage budget. Round-13 window: ALL 390 ids ordered
+#: by how stale their latest driver hash-green evidence is, computed
+#: over CORRECTNESS_r01..r12 (r5 tail first ... r12 cohort last;
+#: sorted within a cohort). No never-driver-checked ids remain (the
+#: backlog closed in round 10), so staleness is the only ordering
+#: key. Covering the WHOLE registry keeps the rotation
+#: self-maintaining: as rounds drain the head, the stale-evidence
+#: refresh happens with no further reordering.
 #:
-#: ROUND-13 HANDOFF: rebuild this list from CORRECTNESS_r01..r12 the
+#: ROUND-14 HANDOFF: rebuild this list from CORRECTNESS_r01..r13 the
 #: same way — never-checked ids first (none should remain), then every
 #: id ordered by how stale its latest driver hash-green evidence is
-#: (oldest cohort first; sorted within a cohort). Round 12's 50-budget
-#: drains the 6-id r3 tail plus the 35-id r4 cohort plus 9 of the
-#: 49-id r5 cohort, so after r12 the oldest remaining evidence should
-#: be the r5 tail (~40 ids) followed by the r6 cohort.
-_ROUND12_WINDOW = (
-    # ---- latest driver evidence r3 (6 ids) ----
-    "win_moving_avg",
-    "win_range_frame",
-    "win_rank",
-    "win_row_number",
-    "win_running_sum",
-    "win_topk_per_group",
-    # ---- latest driver evidence r4 (35 ids) ----
-    "agg_groupby",
-    "agg_percentile",
-    "agg_stats",
-    "fn_array_hof",
-    "fn_hash_fast",
-    "llm_cosine_topk",
-    "llm_cross_dedup",
-    "llm_decontaminate",
-    "llm_dup_clusters",
-    "llm_embed_neardup",
-    "llm_embed_quantize",
-    "llm_hash_sample",
-    "llm_hash_split",
-    "llm_jaccard_neardup",
-    "llm_knn_ivf",
-    "llm_knn_join",
-    "llm_knn_lsh",
-    "llm_mixture_sample",
-    "llm_ngram_jaccard",
-    "llm_repetition",
-    "llm_tfidf",
-    "pipeline_corpus",
-    "pipeline_enrich",
-    "pipeline_join_agg",
-    "pipeline_knn",
-    "pipeline_pivot_unpivot",
-    "pipeline_project",
-    "pipeline_salted",
-    "pipeline_union_distinct",
-    "pipeline_validate",
-    "pipeline_window_dedup",
-    "src_orc",
-    "val_profile",
-    "win_ntile",
-    "win_percent_rank",
-    # ---- latest driver evidence r5 (49 ids) ----
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_conditional",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_first_last",
-    "agg_global",
-    "agg_grouping_sets",
-    "agg_having",
+#: (oldest cohort first; sorted within a cohort). Round 13's 50-budget
+#: drains the whole 40-id r5 tail plus 10 of the 50-id r6 cohort, so
+#: after r13 the oldest remaining evidence should be the r6 tail
+#: (~40 ids) followed by the r7 cohort.
+_ROUND13_WINDOW = (
+    # ---- latest driver evidence r5 (40 ids) ----
     "agg_pivot",
     "agg_rollup",
     "agg_unpivot",
@@ -598,13 +546,64 @@ _ROUND12_WINDOW = (
     "win_dense_rank",
     "win_first_last_value",
     "win_lag_lead",
+    # ---- latest driver evidence r12 (50 ids) ----
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_conditional",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_first_last",
+    "agg_global",
+    "agg_groupby",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentile",
+    "agg_stats",
+    "fn_array_hof",
+    "fn_hash_fast",
+    "llm_cosine_topk",
+    "llm_cross_dedup",
+    "llm_decontaminate",
+    "llm_dup_clusters",
+    "llm_embed_neardup",
+    "llm_embed_quantize",
+    "llm_hash_sample",
+    "llm_hash_split",
+    "llm_jaccard_neardup",
+    "llm_knn_ivf",
+    "llm_knn_join",
+    "llm_knn_lsh",
+    "llm_mixture_sample",
+    "llm_ngram_jaccard",
+    "llm_repetition",
+    "llm_tfidf",
+    "pipeline_corpus",
+    "pipeline_enrich",
+    "pipeline_join_agg",
+    "pipeline_knn",
+    "pipeline_pivot_unpivot",
+    "pipeline_project",
+    "pipeline_salted",
+    "pipeline_union_distinct",
+    "pipeline_validate",
+    "pipeline_window_dedup",
+    "src_orc",
+    "val_profile",
+    "win_moving_avg",
+    "win_ntile",
+    "win_percent_rank",
+    "win_range_frame",
+    "win_rank",
+    "win_row_number",
+    "win_running_sum",
+    "win_topk_per_group",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND12_WINDOW`` ordering
+    operators first: the explicit ``_ROUND13_WINDOW`` ordering
     (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
@@ -625,7 +624,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND12_WINDOW:
+    for name in _ROUND13_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:

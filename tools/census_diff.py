@@ -163,6 +163,14 @@ def main() -> int:
     print(f"total: {tot_old:.0f} s ({len(old)} ids) -> "
           f"{tot_new:.0f} s ({len(new)} ids); "
           f"{len(flagged)} flagged, {len(explained_grew)} explained-grew")
+    # One-file gate read (verdict r12 item 5): the committed diff
+    # artifact must end with the post-retime verdict on its own, so
+    # the judge never has to chase a separately-run retime pass.
+    print(
+        f"verdict: {len(flagged)} unexplained flags "
+        + ("(after --retime steady-state pass)" if args.retime
+           else "(no --retime pass — rotation artifacts NOT yet cleared)")
+    )
     return 1 if flagged else 0
 
 
