@@ -14,11 +14,15 @@ Determinism conventions (SURVEY.md §5, FIXTURES.md):
 - collected lists are ``array_sort``-ed; no ``current_timestamp``,
   ``monotonically_increasing_id`` or unordered ``first()``;
 - timestamps are emitted as dates or truncated timestamps only;
-- never integer-divide a POSSIBLY-NEGATIVE numerator: DuckDB's
-  ``//`` floors while Spark's ``div`` truncates, so they disagree on
-  every non-exact negative quotient. Keep numerators provably
+- never integer-divide a POSSIBLY-NEGATIVE numerator: negative
+  integer division is convention-defined (floor vs truncate).
+  Measured today BOTH engines truncate toward zero on
+  BIGINT/HUGEINT operands (pinned as a canary in
+  tests/test_money_sum_magnitude.py), but agreement must not rest
+  on that coincidence of conventions. Keep numerators provably
   non-negative (weighted-average forms, abs-based magnitudes) or
-  sign-decompose: ``sign(x) * (abs(x) div d)``;
+  sign-decompose: ``sign(x) * (abs(x) div d)``, which equals trunc
+  by construction on any engine;
 - never emit DECIMAL/array/map-typed OUTPUT columns: the driver's
   canonicalizer hashes Spark's ``decimal.Decimal``/list cells
   differently from DuckDB's float64/ndarray rendering even when every
