@@ -130,6 +130,16 @@ def test_negative_slope_div_agrees_across_engines(spark):
     finally:
         con.close()
     assert raw_spark == -333333 and raw_duck == -333333
+    # companion canary for % (same audit): both engines take the
+    # DIVIDEND's sign (C-style), so hash-derived possibly-negative
+    # keys (e.g. xxhash64 minhash keys mod 2^21) bucket identically
+    mod_spark = spark.sql("SELECT -7 % 3 AS m").collect()[0]["m"]
+    con = duckdb.connect()
+    try:
+        mod_duck = con.execute("SELECT -7 % 3").fetchone()[0]
+    finally:
+        con.close()
+    assert mod_spark == mod_duck == -1  # floor-style would give +2
 
 
 def test_demand_ss_exact_and_in_range_at_lake_magnitude(spark):
