@@ -27,6 +27,14 @@ from configdrivendatapipeline_spark.llm.sampling import hash_bucket
 
 WORD_BITS = 32
 
+#: bloom_build's plan-size ceiling: one agg expression per 32-bit
+#: word (each a k-way CASE over md5-fold probes), so analyzer/codegen
+#: cost grows superlinearly with words — measured on this box: 128
+#: words plan+run in ~11 s, 256 in ~8 s, 512 in ~27 s, 2048 OOMs the
+#: JVM heap outright. 2^14 bits = 2 KiB = 512 words is the last
+#: healthy point and matches the KB-scale design (module docstring).
+MAX_BITS = 1 << 14
+
 
 def probe_positions(key: Column, n_bits: int, k: int, salt: str) -> list[Column]:
     """The k Bloom bit positions of ``key`` — k independent md5 salts."""
@@ -56,6 +64,21 @@ def bloom_build(
     """
     if n_bits % WORD_BITS:
         raise ValueError(f"n_bits must be a multiple of {WORD_BITS}; got {n_bits}")
+    if n_bits > MAX_BITS:
+        # The bitmap is one agg EXPRESSION per 32-bit word: a
+        # "more bits = fewer false positives" misconfig like
+        # n_bits=10_000_000 builds a 312k-expression aggregate that
+        # dies in the analyzer/codegen with an opaque error long
+        # before data size matters. The operator's design envelope
+        # is a KB-scale broadcastable bitmap (module docstring);
+        # past it, raise k, split the build side into partitioned
+        # blooms, or use an exact pre-aggregated semi-join.
+        raise ValueError(
+            f"bloom n_bits must be <= {MAX_BITS} (a {MAX_BITS // 8192} KiB "
+            f"bitmap, {MAX_BITS // WORD_BITS} aggregate words); got "
+            f"{n_bits}. For larger key sets raise k, partition the "
+            "build side into multiple blooms, or use an exact semi-join"
+        )
     n_words = n_bits // WORD_BITS
     keyed = df.select(
         *[

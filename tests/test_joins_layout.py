@@ -281,3 +281,23 @@ def test_asof_join_nearest_matches_python_reference(spark):
         direction="nearest", take={"m": "ts"},
     ).collect()[0]
     assert tie["m"] == ts(4)
+
+
+def test_bloom_rejects_oversized_bitmap(spark):
+    """n_bits is one agg EXPRESSION per 32-bit word: a
+    more-bits-fewer-FPs misconfig (say 10M bits) builds a
+    312k-expression aggregate that dies opaquely in the
+    analyzer/codegen. The KB-scale design envelope is enforced with
+    the real cause and the alternatives named."""
+    import pytest
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="n_bits must be <="):
+        joins.bloom_build(df, "id", n_bits=10_000_000 - (10_000_000 % 32))
+    with pytest.raises(ValueError, match="n_bits must be <="):
+        joins.bloom_build(df, "id", n_bits=joins.MAX_BITS * 2)
+    # well inside the ceiling still builds (the ceiling itself works
+    # too — measured ~27 s of pure planning — but a unit test should
+    # not pay that; the boundary numbers live in joins.MAX_BITS's doc)
+    rows = joins.bloom_build(df, "id", n_bits=4096).collect()
+    assert len(rows[0]["bloom"]) == 4096 // joins.WORD_BITS
