@@ -645,17 +645,31 @@ def _mixture_plan(spark, dfs, p):
     )
     tot = a.agg(F.sum("w").cast("long").alias("big_w"))
     a2 = a.crossJoin(F.broadcast(tot))
+    # 128-bit products (r13 token-scale audit, lockstep with
+    # llm_mixture_plan): tokens_avail·big_w, total_max·w and
+    # planned·1e6 pass 2^63 at 100-TB token inventories; the emitted
+    # values (token counts, utilization ≤ 1e6) fit BIGINT
     tmax = a2.agg(
-        F.min(F.expr("tokens_avail * big_w div w")).cast("long").alias("total_max")
+        F.min(F.expr("CAST(tokens_avail AS DECIMAL(38,0)) * big_w div w"))
+        .cast("long")
+        .alias("total_max")
     )
-    return a2.crossJoin(F.broadcast(tmax)).select(
-        key,
-        "w",
-        "tokens_avail",
-        F.expr("total_max * w div big_w").alias("planned_tokens"),
-        F.expr("(total_max * w div big_w) * 1000000 div tokens_avail").alias(
-            "utilization_micro"
-        ),
+    return (
+        a2.crossJoin(F.broadcast(tmax))
+        .withColumn(
+            "planned_tokens",
+            F.expr("CAST(total_max AS DECIMAL(38,0)) * w div big_w"),
+        )
+        .select(
+            key,
+            "w",
+            "tokens_avail",
+            "planned_tokens",
+            F.expr(
+                "CAST(planned_tokens AS DECIMAL(38,0)) * 1000000"
+                " div tokens_avail"
+            ).alias("utilization_micro"),
+        )
     )
 
 

@@ -224,9 +224,14 @@ def bpe_fertility(
             group_col,
             "n_words",
             "n_bpe_tokens",
-            F.expr("(n_bpe_tokens * 1000000) div n_words").alias(
-                "fertility_micro"
-            ),
+            # n_bpe_tokens is a per-stratum TOKEN count (~1e14 at
+            # 100 TB) — widen the micro product; the fertility ratio
+            # itself (tokens per word, ≤ max word length × 1e6) fits
+            # BIGINT (r13 token-scale audit)
+            F.expr(
+                "(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000)"
+                " div n_words"
+            ).alias("fertility_micro"),
         )
     )
 

@@ -510,8 +510,14 @@ def temperature_sample(
         .select(
             group_col,
             "n_docs",
+            # mn is a stratum ROW count that reaches 1e12 at lake
+            # scale, so 1e8·mn passes 2^63 (Spark wraps silently,
+            # DuckDB raises — the divergent pair); the quotient
+            # (≤ 1e8 = grid²) fits the isqrt contract (r13 audit)
             F.expr(
-                _isqrt_expr("(100000000 * mn) div n_docs")
+                _isqrt_expr(
+                    "(CAST(100000000 AS DECIMAL(38,0)) * mn) div n_docs"
+                )
             ).alias("keep_cut"),
         )
     )
@@ -564,9 +570,12 @@ def length_buckets(
             "n_docs",
             "tokens_total",
             "pad_waste",
-            F.expr("(pad_waste * 1000000) div (n_docs * bucket_cap)").alias(
-                "waste_micro"
-            ),
+            # pad_waste sums token-scale slot counts (r13 audit):
+            # widen the micro product; the ratio (≤ 1e6) fits BIGINT
+            F.expr(
+                "(CAST(pad_waste AS DECIMAL(38,0)) * 1000000)"
+                " div (n_docs * bucket_cap)"
+            ).alias("waste_micro"),
         )
     )
 

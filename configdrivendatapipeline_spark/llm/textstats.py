@@ -341,8 +341,15 @@ def unigram_lm_score(
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
+    # 128-bit product (r13 token-scale audit): cnt is a TOKEN count —
+    # a head token holds ~5% of a 100-TB corpus's ~1e14 tokens, so
+    # cnt·1e6 passes 2^63 where a row-count ratio would not; the
+    # quotient (≤ 1e6) fits BIGINT, so only the product widens
     freq = vocab.crossJoin(F.broadcast(total)).select(
-        "token", F.expr("(cnt * 1000000) div total").alias("freq_micro")
+        "token",
+        F.expr(
+            "(CAST(cnt AS DECIMAL(38,0)) * 1000000) div total"
+        ).alias("freq_micro"),
     )
     return (
         tok.join(F.broadcast(freq), "token")
@@ -398,7 +405,11 @@ def bigram_lm_score(
     scored = (
         bi.join(F.broadcast(bgc), ["w1", "w2"])
         .join(F.broadcast(uni), bi.w1 == uni.tok)
-        .select(id_col, F.expr("(bc * 1000000) div ucnt").alias("cm"))
+        # bc is a token-scaled bigram count — widen (r13 audit)
+        .select(
+            id_col,
+            F.expr("(CAST(bc AS DECIMAL(38,0)) * 1000000) div ucnt").alias("cm"),
+        )
     )
     return (
         scored.groupBy(id_col)

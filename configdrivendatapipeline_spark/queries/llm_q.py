@@ -1659,7 +1659,7 @@ def llm_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
-    freq AS (SELECT token, (cnt * 1000000) // total AS freq_micro
+    freq AS (SELECT token, (CAST(cnt AS HUGEINT) * 1000000) // total AS freq_micro
              FROM vocab, tot)
     SELECT doc_id, COUNT(*) AS n_tokens,
            CAST(SUM(freq_micro) AS BIGINT) // COUNT(*) AS lm_micro
@@ -1696,7 +1696,7 @@ def llm_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     uc AS (SELECT tok, COUNT(*) AS ucnt FROM uni GROUP BY tok),
     bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bx GROUP BY w1, w2),
     sc AS (
-      SELECT doc_id, (bc * 1000000) // ucnt AS cm
+      SELECT doc_id, (CAST(bc AS HUGEINT) * 1000000) // ucnt AS cm
       FROM bx JOIN bgc USING (w1, w2) JOIN uc ON uc.tok = bx.w1)
     SELECT doc_id, COUNT(*) AS n_bigrams,
            CAST(SUM(cm) AS BIGINT) // COUNT(*) AS lm2_micro
@@ -1994,7 +1994,7 @@ def llm_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
-    freq AS (SELECT token, (cnt * 1000000) // total AS freq_micro
+    freq AS (SELECT token, (CAST(cnt AS HUGEINT) * 1000000) // total AS freq_micro
              FROM vocab, tot),
     sc AS (
       SELECT doc_id, COUNT(*) AS n_tokens,
@@ -2596,7 +2596,7 @@ _OISQRT_S0 = "CAST(FLOOR(SQRT(CAST(x AS DOUBLE))) AS BIGINT)"
       FROM documents GROUP BY lang),
     mn AS (SELECT MIN(n_docs) AS mn FROM c),
     cuts AS (
-      SELECT lang, n_docs, (100000000 * mn) // n_docs AS x
+      SELECT lang, n_docs, (CAST(100000000 AS HUGEINT) * mn) // n_docs AS x
       FROM c CROSS JOIN mn),
     k AS (
       SELECT lang, n_docs, x, {_OISQRT_S0} AS s0 FROM cuts),
@@ -2651,8 +2651,8 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
            CAST(SUM(bucket_cap - n_tokens) AS BIGINT) AS pad_waste,
-           (CAST(SUM(bucket_cap - n_tokens) AS BIGINT) * 1000000)
-             // (CAST(COUNT(*) AS BIGINT) * bucket_cap) AS waste_micro
+           CAST((CAST(SUM(bucket_cap - n_tokens) AS HUGEINT) * 1000000)
+             // (CAST(COUNT(*) AS BIGINT) * bucket_cap) AS BIGINT) AS waste_micro
     FROM b GROUP BY bucket_cap
     """,
     _SEC,
@@ -2841,7 +2841,7 @@ def llm_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dw JOIN v20 v ON v.word = dw.word
       GROUP BY dw.lang)
     SELECT lang, n_words, n_bpe_tokens,
-           (n_bpe_tokens * 1000000) // n_words AS fertility_micro
+           CAST((CAST(n_bpe_tokens AS HUGEINT) * 1000000) // n_words AS BIGINT) AS fertility_micro
     FROM g
     """,
     _SEC,
@@ -4932,14 +4932,19 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY source),
     tot AS (
       SELECT CAST(SUM(w) AS BIGINT) AS big_w,
-             CAST(MIN(tokens_avail * (SELECT SUM(w) FROM avail) // w)
+             CAST(MIN(CAST(tokens_avail AS HUGEINT)
+                      * (SELECT SUM(w) FROM avail) // w)
                   AS BIGINT) AS total_max
-      FROM avail)
-    SELECT a.source, a.w, a.tokens_avail,
-           t.total_max * a.w // t.big_w AS planned_tokens,
-           (t.total_max * a.w // t.big_w) * 1000000 // a.tokens_avail
-             AS utilization_micro
-    FROM avail a CROSS JOIN tot t
+      FROM avail),
+    pl AS (
+      SELECT a.source, a.w, a.tokens_avail,
+             CAST(CAST(t.total_max AS HUGEINT) * a.w // t.big_w
+                  AS BIGINT) AS planned_tokens
+      FROM avail a CROSS JOIN tot t)
+    SELECT source, w, tokens_avail, planned_tokens,
+           CAST(CAST(planned_tokens AS HUGEINT) * 1000000 // tokens_avail
+                AS BIGINT) AS utilization_micro
+    FROM pl
     """,
     _SEC,
     "Availability-constrained mixture planning (water-filling): "
@@ -4966,20 +4971,29 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("big_w"),
     )
     a2 = avail.crossJoin(F.broadcast(tot))
+    # 128-bit products throughout (r13 token-scale audit): at 100-TB
+    # token inventories tokens_avail·big_w, total_max·w and
+    # planned·1e6 all pass 2^63; every emitted value (token counts
+    # ≤ corpus size, utilization ≤ 1e6) fits BIGINT
     tmax = a2.agg(
-        F.min(F.expr("tokens_avail * big_w div w")).cast("long").alias(
-            "total_max"
-        )
+        F.min(
+            F.expr("CAST(tokens_avail AS DECIMAL(38,0)) * big_w div w")
+        ).cast("long").alias("total_max")
     )
     return (
         a2.crossJoin(F.broadcast(tmax))
+        .withColumn(
+            "planned_tokens",
+            F.expr("CAST(total_max AS DECIMAL(38,0)) * w div big_w"),
+        )
         .select(
             "source",
             "w",
             "tokens_avail",
-            F.expr("total_max * w div big_w").alias("planned_tokens"),
+            "planned_tokens",
             F.expr(
-                "(total_max * w div big_w) * 1000000 div tokens_avail"
+                "CAST(planned_tokens AS DECIMAL(38,0)) * 1000000"
+                " div tokens_avail"
             ).alias("utilization_micro"),
         )
     )
@@ -5003,7 +5017,8 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum
       FROM vf)
     SELECT CAST(r.rank AS INT) AS rank, r.token, r.cnt,
-           r.cum * 1000000 // t.n_total AS cum_share_micro
+           CAST(CAST(r.cum AS HUGEINT) * 1000000 // t.n_total
+                AS BIGINT) AS cum_share_micro
     FROM r CROSS JOIN tot t
     """,
     _SEC,
@@ -5038,7 +5053,11 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("int").alias("rank"),
         "token",
         "cnt",
-        F.expr("cum * 1000000 div n_total").alias("cum_share_micro"),
+        # cum is a token-scale running sum (≤ corpus tokens ~1e14 at
+        # 100 TB) — widen the micro product; the share ≤ 1e6 (r13)
+        F.expr(
+            "CAST(cum AS DECIMAL(38,0)) * 1000000 div n_total"
+        ).alias("cum_share_micro"),
     )
 
 
@@ -5049,7 +5068,7 @@ def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
-    freq AS (SELECT token, (cnt * 1000000) // total AS freq_micro
+    freq AS (SELECT token, (CAST(cnt AS HUGEINT) * 1000000) // total AS freq_micro
              FROM vocab, tot),
     sc AS (
       SELECT t.doc_id, d.lang,
@@ -5209,8 +5228,8 @@ def llm_pack_rehydrate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id,
              CASE
                WHEN t.prev IS NOT NULL AND b.c2 IS NOT NULL
-                 THEN (b.c2 * 1000000) // up.c1
-               ELSE ((u.c1 * 1000000) // ut.n) * 4 // 10
+                 THEN (CAST(b.c2 AS HUGEINT) * 1000000) // up.c1
+               ELSE ((CAST(u.c1 AS HUGEINT) * 1000000) // ut.n) * 4 // 10
              END AS s_micro
       FROM tok t
       JOIN uni u ON u.w = t.w
@@ -5265,11 +5284,17 @@ def llm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(big, ["prev", "w"], "left")
         .select(
             "doc_id",
+            # c1/c2 are token-scaled counts — widen the micro
+            # products; each score (≤ 1e6) fits BIGINT (r13 audit)
             F.when(
                 F.col("prev").isNotNull() & F.col("c2").isNotNull(),
-                F.expr("(c2 * 1000000) div cp"),
+                F.expr("(CAST(c2 AS DECIMAL(38,0)) * 1000000) div cp"),
             )
-            .otherwise(F.expr("((c1 * 1000000) div n) * 4 div 10"))
+            .otherwise(
+                F.expr(
+                    "((CAST(c1 AS DECIMAL(38,0)) * 1000000) div n) * 4 div 10"
+                )
+            )
             .alias("s_micro"),
         )
     )

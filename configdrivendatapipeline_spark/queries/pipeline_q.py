@@ -1034,7 +1034,7 @@ steps:
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
     tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
-    freq AS (SELECT token, (cnt * 1000000) // total AS freq_micro
+    freq AS (SELECT token, (CAST(cnt AS HUGEINT) * 1000000) // total AS freq_micro
              FROM vocab, tot),
     sc AS (
       SELECT doc_id, COUNT(*) AS n_tokens,

@@ -173,3 +173,44 @@ def test_demand_ss_exact_and_in_range_at_lake_magnitude(spark):
     finally:
         con.close()
     assert got_spark == got_duck == want
+
+
+def test_token_scale_micro_products_exact_past_bigint(spark):
+    """r13 token-scale audit: micro ratios whose numerator is a TOKEN
+    count (not a row count) reach ~1e14 at 100 TB, so numerator·1e6
+    passes 2^63 — Spark non-ANSI wraps silently, DuckDB raises (the
+    divergent pair). The widened freq/fertility/waste/utilization
+    expressions must return the exact quotient at that magnitude on
+    both engines; the quotients themselves (≤ 1e6-scale ratios) fit
+    BIGINT. Fails if anyone narrows the DECIMAL/HUGEINT casts back."""
+    cnt, total = 20_000_000_000_000, 100_000_000_000_000  # 20% head token
+    want = cnt * 1_000_000 // total
+    assert cnt * 1_000_000 > 2**63 - 1  # the scenario is past the cliff
+    got_spark = spark.sql(
+        f"SELECT (CAST({cnt} AS DECIMAL(38,0)) * 1000000) div {total} AS f"
+    ).collect()[0]["f"]
+    con = duckdb.connect()
+    try:
+        got_duck = con.execute(
+            f"SELECT CAST((CAST({cnt} AS HUGEINT) * 1000000) // {total}"
+            f" AS BIGINT)"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert got_spark == got_duck == want == 200_000
+    # and the narrow form genuinely fails there, divergently
+    try:
+        wrapped = spark.sql(
+            f"SELECT ({cnt} * 1000000) div {total} AS f"
+        ).collect()[0]["f"]
+        assert wrapped is None or wrapped != want
+    except Exception as e:  # noqa: BLE001 — ANSI raises
+        assert "OVERFLOW" in str(e).upper()
+    con = duckdb.connect()
+    try:
+        with pytest.raises(Exception):
+            con.execute(
+                f"SELECT (CAST({cnt} AS BIGINT) * 1000000) // {total}"
+            ).fetchone()
+    finally:
+        con.close()
