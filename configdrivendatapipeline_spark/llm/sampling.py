@@ -415,6 +415,12 @@ def source_weights(
     One aggregation plus a broadcast scalar max; half-up integer
     micro-units (exact `div` on longs, never double division) so the
     weights hash identically on every engine and retry.
+
+    Kept narrow in the r13 token-scale audit, with the bound: the
+    ``mx·2e6`` numerator is a ROW count times 2e6, wrapping BIGINT
+    only past 4.6e12 documents per stratum — below a 22-byte average
+    document at 100 TB, outside the defended envelope (SCALING.md
+    "Round-13 token-scale overflow audit").
     """
     c = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_docs"))
     m = c.agg(F.max("n_docs").alias("mx"))
