@@ -459,3 +459,36 @@ def test_bpe_local_equals_distributed_on_random_corpora(spark, texts):
         ["doc_id", "text"],
     )
     assert bpe_train_local(df, n_merges=6) == bpe_train_rows(df, n_merges=6)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**15), max_value=10**15),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_sign_decomposed_div_equals_trunc_for_any_ints(spark, pairs):
+    """The r13 division discipline (queries/__init__.py docstring):
+    ``sign(x)·(abs(x) div d)`` equals Python-int truncation toward
+    zero for EVERY numerator sign and magnitude — the identity every
+    sign-decomposed micro ratio (agg_trend, agg_ab_lift,
+    agg_jackknife shift, agg_wow_growth…) stands on. Hypothesis
+    drives both signs and the exact-division boundary cases."""
+    df = spark.createDataFrame(pairs, "num LONG, den LONG")
+    got = {
+        (r["num"], r["den"]): r["q"]
+        for r in df.selectExpr(
+            "num",
+            "den",
+            "CAST((CASE WHEN num >= 0 THEN 1 ELSE -1 END)"
+            " * (abs(num) div den) AS BIGINT) AS q",
+        ).collect()
+    }
+    for num, den in pairs:
+        want = -((-num) // den) if num < 0 else num // den  # trunc
+        assert got[(num, den)] == want, (num, den)
