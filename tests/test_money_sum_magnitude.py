@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -30,18 +31,35 @@ from configdrivendatapipeline_spark.queries import davg, dsum, odavg, odsum
 _BIG = 999_999_999_999.99
 _N = 10
 
+#: Per-row micro-units derived from the ACTUAL IEEE double (ADVICE
+#: r13): the double nearest 999_999_999_999.99 is
+#: 999999999999.989990234375, so each row's DECIMAL(18,6) cast yields
+#: 999_999_999_999_989_990 micro-units — 10 fewer than the idealized
+#: literal's 999_999_999_999_990_000. The old hardcode was right only
+#: by coincidence (both integers round to the same double at ~1e19,
+#: ULP ~2048); deriving keeps the pin correct if _N or _BIG change.
+#: The 6-dp digit string of the exact expansion is ...989990|234375 —
+#: nowhere near a tie, so HALF_UP here matches whatever half-rounding
+#: either engine applies in its double→decimal cast.
+_MICRO_PER_ROW = int(
+    decimal.Decimal(_BIG).quantize(
+        decimal.Decimal("1.000000"), rounding=decimal.ROUND_HALF_UP
+    )
+    * 10**6
+)
+_S6 = _N * _MICRO_PER_ROW
+assert _MICRO_PER_ROW == 999_999_999_999_989_990  # doc of the 10-unit gap
+
 
 def _expected_dsum() -> float:
     # replay dsum's exact arithmetic in Python (floats are IEEE
     # doubles; float(int) is correctly rounded, / is one IEEE div)
-    s6 = _N * 99_999_999_999_999_0000  # exact integer micro-units
-    cents = math.floor(float(s6 + 5000) / 10000)
+    cents = math.floor(float(_S6 + 5000) / 10000)
     return float(cents) / 100
 
 
 def _expected_davg() -> float:
-    s6 = _N * 99_999_999_999_999_0000
-    cents = math.floor(float(s6 * 2 + _N * 10000) / (_N * 20000))
+    cents = math.floor(float(_S6 * 2 + _N * 10000) / (_N * 20000))
     return float(cents) / 100
 
 
@@ -69,7 +87,7 @@ def test_old_bigint_cast_really_breaks_at_this_magnitude(spark):
     raises out-of-range — the divergent-failure mode the widening
     removed. Accept every failure shape; only a CORRECT value fails
     the test (that would mean the cliff moved and the pin is stale)."""
-    want_micro = _N * 99_999_999_999_999_0000
+    want_micro = _S6
     assert want_micro > 2**63 - 1  # the scenario is past the cliff
     expr = (
         f"SELECT CAST(FLOOR(SUM(CAST(v AS DECIMAL(18,6))) * 1000000)"
