@@ -648,9 +648,22 @@ def _mixture_plan(spark, dfs, p):
     # 128-bit products (r13 token-scale audit, lockstep with
     # llm_mixture_plan): tokens_avail·big_w, total_max·w and
     # planned·1e6 pass 2^63 at 100-TB token inventories; the emitted
-    # values (token counts, utilization ≤ 1e6) fit BIGINT
+    # values (token counts, utilization ≤ 1e6) fit BIGINT. The MIN
+    # argument stays DECIMAL through the MIN (ADVICE r13): `div`
+    # coerces per-row quotients to BIGINT and WRAPS a tiny-weight
+    # source's ≳9.2e18 quotient to a garbage negative that would win
+    # the MIN; (prod − prod % w) / w is exactly divisible, so the
+    # decimal division is exact and integer-valued, and the min
+    # provably fits BIGINT (Σ planned = total_max ≤ Σ tokens_avail).
+    # See llm_q.llm_mixture_plan for the measured-wrap note.
     tmax = a2.agg(
-        F.min(F.expr("CAST(tokens_avail AS DECIMAL(38,0)) * big_w div w"))
+        F.min(
+            F.expr(
+                "(CAST(tokens_avail AS DECIMAL(38,0)) * big_w"
+                " - (CAST(tokens_avail AS DECIMAL(38,0)) * big_w) % w)"
+                " / w"
+            )
+        )
         .cast("long")
         .alias("total_max")
     )

@@ -4974,10 +4974,26 @@ def llm_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 128-bit products throughout (r13 token-scale audit): at 100-TB
     # token inventories tokens_avail·big_w, total_max·w and
     # planned·1e6 all pass 2^63; every emitted value (token counts
-    # ≤ corpus size, utilization ≤ 1e6) fits BIGINT
+    # ≤ corpus size, utilization ≤ 1e6) fits BIGINT.
+    #
+    # The per-row MIN argument stays DECIMAL through the MIN (ADVICE
+    # r13): `... div w` coerces each quotient to BIGINT, and for a
+    # non-constraining tiny-weight source (avail·big_w/w ≳ 9.2e18)
+    # Spark WRAPS it to a garbage negative (measured, ANSI and
+    # non-ANSI both) which would then WIN the MIN — while DuckDB
+    # carries exact HUGEINT. The remainder-subtraction form
+    # (prod − prod % w) / w is exactly divisible, so the scale-6
+    # decimal division is exact and integer-valued — both engines
+    # min over identical integers, and the min itself provably fits
+    # BIGINT (Σ planned_i = total_max ≤ Σ avail_i = corpus tokens),
+    # so the post-MIN cast cannot overflow.
     tmax = a2.agg(
         F.min(
-            F.expr("CAST(tokens_avail AS DECIMAL(38,0)) * big_w div w")
+            F.expr(
+                "(CAST(tokens_avail AS DECIMAL(38,0)) * big_w"
+                " - (CAST(tokens_avail AS DECIMAL(38,0)) * big_w) % w)"
+                " / w"
+            )
         ).cast("long").alias("total_max")
     )
     return (

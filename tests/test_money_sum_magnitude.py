@@ -193,6 +193,45 @@ def test_demand_ss_exact_and_in_range_at_lake_magnitude(spark):
     assert got_spark == got_duck == want
 
 
+def test_mixture_min_quotient_stays_decimal_past_bigint(spark):
+    """ADVICE r13 (mixture_plan): the water-filling MIN argument
+    avail·big_w/w exceeds BIGINT for a non-constraining tiny-weight
+    source; the old ``... div w`` form coerces it to BIGINT and Spark
+    WRAPS it to a garbage negative (measured below — NOT the benign
+    NULL-skip the advice presumed), which would then WIN the MIN.
+    The shipped remainder-subtraction form keeps the quotient an
+    exact integer-valued DECIMAL through the MIN, matching DuckDB's
+    HUGEINT carry; the min itself provably fits BIGINT (it is the
+    total planned token budget, ≤ Σ tokens_avail)."""
+    rows = [(5_000_000_000_000_000_000, 1), (1_000, 1_000_000)]
+    big_w = sum(w for _, w in rows)
+    # row 1's true quotient passes 2^63; row 2 is the binding source
+    assert rows[0][0] * big_w // rows[0][1] > 2**63 - 1
+    want = min(a * big_w // w for a, w in rows)  # = 1000
+    vals = ",".join(f"({a}, {w})" for a, w in rows)
+    dec = f"CAST(avail AS DECIMAL(38,0)) * {big_w}"
+    got_spark = spark.sql(
+        f"SELECT CAST(MIN(({dec} - ({dec}) % w) / w) AS BIGINT) AS m"
+        f" FROM VALUES {vals} AS t(avail, w)"
+    ).collect()[0]["m"]
+    con = duckdb.connect()
+    try:
+        got_duck = con.execute(
+            f"SELECT CAST(MIN(CAST(avail AS HUGEINT) * {big_w} // w)"
+            f" AS BIGINT) FROM (VALUES {vals}) t(avail, w)"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert got_spark == got_duck == want == 1000
+    # pin the failure mode the rewrite removes: the old div form
+    # wraps row 1 negative and the wrapped garbage wins the MIN
+    old = spark.sql(
+        f"SELECT MIN({dec} div w) AS m FROM VALUES {vals} AS t(avail, w)"
+    ).collect()[0]["m"]
+    assert old is None or old != want  # if this fails, div got fixed
+    # upstream and the decimal form is merely equivalent, not required
+
+
 def test_token_scale_micro_products_exact_past_bigint(spark):
     """r13 token-scale audit: micro ratios whose numerator is a TOKEN
     count (not a row count) reach ~1e14 at 100 TB, so numerator·1e6
