@@ -1790,3 +1790,61 @@ def test_materialize_missing_path_gets_named_error_both_paths(spark):
             OPS["materialize"](spark, [df], dict(params))
         with pytest.raises(ValueError, match="non-empty string"):
             _materialize_dry_run(spark, [df], dict(params))
+
+
+def test_cli_run_end_to_end_writes_sink(spark, tmp_path, capsys):
+    """VERDICT r13 item 3: prove the YAML→sink-files product promise
+    through the actual CLI entry point (cli.main(["run", ...]) — the
+    "sinks written" path), not just through compile_pipeline
+    in-process. Runs the flagship examples/pricing_summary.yaml with
+    its sink pointed at a tmpdir: exit code 0, parquet files +
+    _SUCCESS exist, the success line is printed, and the read-back
+    equals the dry-compiled `ordered` frame row for row (floats to
+    1e-9 relative — the sink run and the re-compile may legally sum
+    double partials in different partition orders)."""
+    import os
+    import pathlib
+
+    from configdrivendatapipeline_spark.cli import main as cli_main
+    from configdrivendatapipeline_spark.config import load_pipeline
+
+    src = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "pricing_summary.yaml"
+    )
+    text = pathlib.Path(src).read_text()
+    assert "/tmp/cddp_out/pricing_summary" in text  # flagship sink target
+    out_dir = tmp_path / "pricing_summary_out"
+    yaml_path = tmp_path / "pricing_summary.yaml"
+    yaml_path.write_text(
+        text.replace("/tmp/cddp_out/pricing_summary", str(out_dir))
+    )
+
+    assert cli_main(["run", str(yaml_path)]) == 0
+    stdout = capsys.readouterr().out
+    assert "pipeline 'pricing_summary' complete: 1 sinks written" in stdout
+
+    files = sorted(p.name for p in out_dir.iterdir())
+    assert "_SUCCESS" in files, files
+    assert any(f.startswith("part-") and f.endswith(".parquet") for f in files)
+
+    got = sorted(
+        spark.read.parquet(str(out_dir)).collect(),
+        key=lambda r: (r["l_returnflag"], r["l_linestatus"]),
+    )
+    want = sorted(
+        compile_pipeline(
+            spark, load_pipeline(str(yaml_path)), dry_run=True
+        )["ordered"].collect(),
+        key=lambda r: (r["l_returnflag"], r["l_linestatus"]),
+    )
+    assert len(got) == len(want) > 0
+    assert [r.asDict().keys() for r in got] == [
+        r.asDict().keys() for r in want
+    ]
+    for g, w in zip(got, want):
+        for k, wv in w.asDict().items():
+            gv = g[k]
+            if isinstance(wv, float):
+                assert gv == pytest.approx(wv, rel=1e-9), k
+            else:
+                assert gv == wv, k
