@@ -31,9 +31,14 @@ WORD_BITS = 32
 #: word (each a k-way CASE over md5-fold probes), so analyzer/codegen
 #: cost grows superlinearly with words — measured on this box: 128
 #: words plan+run in ~11 s, 256 in ~8 s, 512 in ~27 s, 2048 OOMs the
-#: JVM heap outright. 2^14 bits = 2 KiB = 512 words is the last
-#: healthy point and matches the KB-scale design (module docstring).
-MAX_BITS = 1 << 14
+#: JVM heap outright. The ceiling sits at the last HEALTHY point,
+#: 2^13 bits = 1 KiB = 256 words (~8 s of planning), not the last
+#: SURVIVABLE one — 512 words' ~27 s of pure analyzer time is legal
+#: Spark but a planning-cost cliff no production pipeline should be
+#: one config keystroke away from (VERDICT r13 item 4). The boundary
+#: test builds AT the ceiling so an analyzer regression here is
+#: caught, not just documented.
+MAX_BITS = 1 << 13
 
 
 def probe_positions(key: Column, n_bits: int, k: int, salt: str) -> list[Column]:

@@ -288,16 +288,30 @@ def test_bloom_rejects_oversized_bitmap(spark):
     more-bits-fewer-FPs misconfig (say 10M bits) builds a
     312k-expression aggregate that dies opaquely in the
     analyzer/codegen. The KB-scale design envelope is enforced with
-    the real cause and the alternatives named."""
+    the real cause and the alternatives named. VERDICT r13 item 4:
+    the ceiling is the measured HEALTHY point (2^13 = 256 words,
+    ~8 s planning on this box), so the boundary build runs AT the
+    ceiling under a wall-clock pin — an analyzer regression that
+    pushes the healthy point past the documented envelope fails
+    here instead of shipping as a silent planning-cost cliff."""
+    import time
+
     import pytest
 
     df = spark.range(1)
     with pytest.raises(ValueError, match="n_bits must be <="):
         joins.bloom_build(df, "id", n_bits=10_000_000 - (10_000_000 % 32))
     with pytest.raises(ValueError, match="n_bits must be <="):
-        joins.bloom_build(df, "id", n_bits=joins.MAX_BITS * 2)
-    # well inside the ceiling still builds (the ceiling itself works
-    # too — measured ~27 s of pure planning — but a unit test should
-    # not pay that; the boundary numbers live in joins.MAX_BITS's doc)
-    rows = joins.bloom_build(df, "id", n_bits=4096).collect()
-    assert len(rows[0]["bloom"]) == 4096 // joins.WORD_BITS
+        joins.bloom_build(df, "id", n_bits=joins.MAX_BITS + joins.WORD_BITS)
+    # 2^14's ~27 s planning (and 2^16's JVM OOM) are exactly what the
+    # ceiling exists to keep one keystroke away — the guard fires
+    # BEFORE any expression tree is built, so the rejects above are
+    # instant regardless of how big the misconfig is.
+    assert joins.MAX_BITS == 8192  # 1 KiB — the measured healthy point
+    t0 = time.monotonic()
+    rows = joins.bloom_build(df, "id", n_bits=joins.MAX_BITS).collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows[0]["bloom"]) == joins.MAX_BITS // joins.WORD_BITS
+    # measured ~8 s at the ceiling; 60 s absorbs CI noise while still
+    # tripping well before the next doubling's ~27 s-plus regime
+    assert elapsed < 60, f"ceiling build took {elapsed:.1f}s — analyzer regression"
