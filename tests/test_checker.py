@@ -277,3 +277,56 @@ def test_census_diff_flags_and_explained_tail(tmp_path, monkeypatch, capsys):
     )
     monkeypatch.setattr(_sys, "argv", ["census_diff.py", str(old), str(new)])
     assert cd.main() == 0
+
+
+def test_census_diff_retime_closes_explained_grews(
+    tmp_path, monkeypatch, capsys
+):
+    """VERDICT r13 item 5: under --retime, an explained-tail id that
+    grew >ratio gets the same steady-state warm re-run as a flag and
+    the committed diff line closes it mechanically — 'environmental,
+    explanation holds' when the steady time is back within ratio,
+    'STILL above ratio' when it is not. Either way the tail stays
+    exit-0 (the gate is the unexplained set); _retime is stubbed so
+    the unit test never spins Spark."""
+    import json as _json
+    import sys as _sys
+
+    import tools.census_diff as cd
+
+    old = tmp_path / "old.jsonl"
+    new = tmp_path / "new.jsonl"
+    old.write_text(
+        _json.dumps({"name": "llm_embed_neardup", "sec": 8.0, "rows": 1})
+        + "\n"
+        + _json.dumps({"name": "llm_dup_clusters", "sec": 50.0, "rows": 1})
+    )
+    new.write_text(
+        _json.dumps({"name": "llm_embed_neardup", "sec": 37.0, "rows": 1})
+        + "\n"
+        + _json.dumps({"name": "llm_dup_clusters", "sec": 120.0, "rows": 1})
+    )
+    steady = {"llm_embed_neardup": 9.0, "llm_dup_clusters": 140.0}
+    monkeypatch.setattr(cd, "_retime", lambda name, sf: steady[name])
+    monkeypatch.setattr(
+        _sys, "argv", ["census_diff.py", str(old), str(new), "--retime"]
+    )
+    assert cd.main() == 0
+    out = capsys.readouterr().out
+    assert (
+        "grew  llm_embed_neardup: 8.0 -> 37.0 s (4.6x; steady-state 9.0 s"
+        " — environmental, explanation holds)" in out
+    )
+    assert (
+        "grew  llm_dup_clusters: 50.0 -> 120.0 s (2.4x; steady-state"
+        " 140.0 s — STILL above ratio; re-check its SCALING.md"
+        " explanation)" in out
+    )
+    assert "verdict: 0 unexplained flags (after --retime" in out
+    # without --retime the line still carries the manual re-check cue
+    monkeypatch.setattr(
+        _sys, "argv", ["census_diff.py", str(old), str(new)]
+    )
+    assert cd.main() == 0
+    out = capsys.readouterr().out
+    assert "explained tail — re-check its SCALING.md explanation" in out

@@ -23,7 +23,12 @@ that proof mechanical: each flagged id is rebuilt TWICE in one warmed
 session and judged by its steady-state (second) time — within
 --ratio of the old census means artifact (cleared, printed with the
 steady measurement), still slower means a real regression (stays
-flagged, exit 1).
+flagged, exit 1). Explained-tail ids that grew past --ratio get the
+same steady-state pass (r13: llm_embed_neardup's grow needed a
+hand-written closing note; now the committed diff closes grews
+mechanically) — they stay exit-0 either way, but the line records
+whether the grow was environmental or the SCALING.md explanation
+needs a re-check.
 """
 
 from __future__ import annotations
@@ -151,11 +156,41 @@ def main() -> int:
             )
         flagged = still
 
+    # Explained-tail ids that grew are informational (their cost has a
+    # written SCALING.md explanation), but verdict r13 item 5: a >2x
+    # grow there still needed a hand-written closing note. Under
+    # --retime, close them mechanically the same way as flags — a
+    # steady-state warm re-run within --ratio of the old census means
+    # the grow was environmental; above it, the printed line says the
+    # SCALING.md explanation needs a re-check (still exit 0: the tail
+    # is explained, the gate is the unexplained set).
+    if args.retime and explained_grew:
+        closed = []
+        for name, a, b, note in explained_grew:
+            steady = _retime(name, args.sf)
+            if steady is not None and steady <= a * args.ratio:
+                closed.append(
+                    (name, a, b,
+                     f"{note}; steady-state {steady} s — environmental, "
+                     "explanation holds")
+                )
+            else:
+                closed.append(
+                    (name, a, b,
+                     f"{note}; steady-state {steady} s — STILL above "
+                     "ratio; re-check its SCALING.md explanation")
+                )
+        explained_grew = closed
+
     for name, sec, note in only:
         print(f"info  {name}: {sec} ({note})")
     for name, a, b, note in explained_grew:
-        print(f"grew  {name}: {a} -> {b} s ({note}; explained tail — "
-              "re-check its SCALING.md explanation still holds)")
+        tailnote = (
+            "" if args.retime
+            else "; explained tail — re-check its SCALING.md explanation "
+            "still holds"
+        )
+        print(f"grew  {name}: {a} -> {b} s ({note}{tailnote})")
     for name, a, b, note in flagged:
         print(f"FLAG  {name}: {a} -> {b} s ({note})")
     tot_old = sum(r["sec"] for r in old.values() if "sec" in r)
