@@ -492,3 +492,114 @@ def test_sign_decomposed_div_equals_trunc_for_any_ints(spark, pairs):
     for num, den in pairs:
         want = -((-num) // den) if num < 0 else num // den  # trunc
         assert got[(num, den)] == want, (num, den)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            # token-scale numerators: past the ~9.2e18/1e6 cliff where
+            # BIGINT·1e6 wraps, up to the 1e14-token 100-TB regime x100
+            st.integers(min_value=0, max_value=10**16),
+            st.integers(min_value=1, max_value=10**16),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@SLOW
+def test_widened_micro_ratio_equals_python_int_for_any_magnitude(
+    spark, pairs
+):
+    """The r13 token-scale widening (llm_vocab_coverage,
+    llm_tokenizer_fertility, llm_ccnet_buckets…): micro ratios whose
+    numerator is a token count go through
+    ``(CAST(cnt AS DECIMAL(38,0)) * 1000000) div total`` so the
+    128-bit product survives numerators past 2^63/1e6. Property:
+    for ANY magnitudes with cnt ≤ total·2^43-ish (quotient fits
+    BIGINT — here cnt, total ≤ 1e16 keeps cnt·1e6/total ≤ 1e22 only
+    when total is tiny, so clamp cnt to ≤ total·9e12 below), the
+    Spark expression, the DuckDB HUGEINT twin, and Python int ground
+    truth agree exactly."""
+    import duckdb
+
+    # keep every quotient inside BIGINT (the expressions' documented
+    # envelope: emitted ratios are ≤ 1e6-scale shares)
+    pairs = [
+        (min(cnt, total * (2**62 // 10**6)), total) for cnt, total in pairs
+    ]
+    df = spark.createDataFrame(pairs, "cnt LONG, total LONG")
+    got = {
+        (r["cnt"], r["total"]): r["f"]
+        for r in df.selectExpr(
+            "cnt",
+            "total",
+            "(CAST(cnt AS DECIMAL(38,0)) * 1000000) div total AS f",
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        vals = ",".join(f"({c},{t})" for c, t in pairs)
+        duck = {
+            (c, t): f
+            for c, t, f in con.execute(
+                f"SELECT cnt, total, CAST(CAST(cnt AS HUGEINT) * 1000000"
+                f" // total AS BIGINT) FROM (VALUES {vals}) v(cnt, total)"
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    for cnt, total in pairs:
+        want = cnt * 1_000_000 // total
+        assert got[(cnt, total)] == duck[(cnt, total)] == want, (cnt, total)
+
+
+@given(
+    rows_=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**15),  # tokens_avail
+            st.integers(min_value=1, max_value=10**9),   # weight w
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SLOW
+def test_mixture_decimal_min_quotient_equals_python_for_any_weights(
+    spark, rows_
+):
+    """ADVICE r13 (mixture_plan), property form: the water-filling
+    MIN argument ``(prod − prod % w) / w`` with
+    prod = avail·big_w as DECIMAL(38,0) equals Python's exact
+    avail·big_w // w for EVERY row — including rows whose quotient
+    passes 2^63, where the old ``div`` form wraps — and
+    min-of-floors == floor-of-min, so the aggregated total_max
+    matches the Python ground truth (and DuckDB's HUGEINT carry)
+    regardless of weight skew."""
+    import duckdb
+
+    big_w = sum(w for _, w in rows_)
+    want_rows = [a * big_w // w for a, w in rows_]
+    want_min = min(want_rows)
+    dec = f"CAST(avail AS DECIMAL(38,0)) * {big_w}"
+    df = spark.createDataFrame(rows_, "avail LONG, w LONG")
+    got_rows = [
+        int(r["q"])
+        for r in df.selectExpr(
+            f"({dec} - ({dec}) % w) / w AS q"
+        ).collect()
+    ]
+    assert sorted(got_rows) == sorted(want_rows)
+    got_min = df.selectExpr(
+        f"CAST(MIN(({dec} - ({dec}) % w) / w) AS DECIMAL(38,0)) AS m"
+    ).collect()[0]["m"]
+    assert int(got_min) == want_min
+    con = duckdb.connect()
+    try:
+        vals = ",".join(f"({a},{w})" for a, w in rows_)
+        duck_min = con.execute(
+            f"SELECT MIN(CAST(avail AS HUGEINT) * {big_w} // w)"
+            f" FROM (VALUES {vals}) v(avail, w)"
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert int(duck_min) == want_min
