@@ -1848,3 +1848,32 @@ def test_cli_run_end_to_end_writes_sink(spark, tmp_path, capsys):
                 assert gv == pytest.approx(wv, rel=1e-9), k
             else:
                 assert gv == wv, k
+
+
+def test_cli_validate_show_and_error_paths(spark, tmp_path, capsys):
+    """The remaining CLI subcommands and their exit-code contract:
+    `validate` is config-only (exit 0 + summary line), `show`
+    prints a step preview without executing sinks, and the error
+    paths return 2 with a named cause — missing file, malformed
+    --param, unknown step — instead of tracebacks."""
+    import os
+
+    from configdrivendatapipeline_spark.cli import main as cli_main
+
+    yaml_path = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "pricing_summary.yaml"
+    )
+    assert cli_main(["validate", yaml_path]) == 0
+    out = capsys.readouterr().out
+    assert "OK: pipeline 'pricing_summary': 1 sources, 4 steps, 1 sinks" in out
+
+    assert cli_main(["show", yaml_path, "summary", "-n", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "l_returnflag" in out and "sum_qty" in out
+
+    assert cli_main(["run", str(tmp_path / "nope.yaml")]) == 2
+    assert "no such file" in capsys.readouterr().err
+    assert cli_main(["run", yaml_path, "--param", "oops"]) == 2
+    assert "NAME=VALUE" in capsys.readouterr().err
+    assert cli_main(["show", yaml_path, "no_such_step"]) == 2
+    assert "unknown step/source" in capsys.readouterr().err
