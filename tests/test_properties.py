@@ -603,3 +603,68 @@ def test_mixture_decimal_min_quotient_equals_python_for_any_weights(
     finally:
         con.close()
     assert int(duck_min) == want_min
+
+
+@given(
+    cents=st.lists(
+        # ±1e8 dollars in cents: ULP of the double stays ≤ ~1.5e-8,
+        # far inside the 5e-7 half-grid margin the scale-6 cast needs
+        st.integers(min_value=-(10**10), max_value=10**10),
+        min_size=1,
+        max_size=25,
+    )
+)
+@SLOW
+def test_dsum_davg_equal_decimal_replay_on_random_money(spark, cents):
+    """The core money path (dsum/davg and their DuckDB twins) as a
+    property, not a single-magnitude pin: for ANY vector of 2-dp
+    money doubles, both engines must emit exactly the Python Decimal
+    replay of the documented arithmetic — per-element scale-6
+    quantize of the ACTUAL double, exact integer sum, one
+    identically-rounded IEEE division to cents (floor((s6+5000)/1e4),
+    matching the ADVICE-r13-corrected derivation in
+    test_money_sum_magnitude). Negative sums exercise floor's
+    toward-negative-infinity branch on both engines."""
+    import decimal
+    import math
+
+    import duckdb
+
+    from configdrivendatapipeline_spark.queries import (
+        davg,
+        dsum,
+        odavg,
+        odsum,
+    )
+
+    vals = [c / 100 for c in cents]
+    n = len(vals)
+    q6 = decimal.Decimal("1.000000")
+    s6 = sum(
+        int(
+            decimal.Decimal(v).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+            * 10**6
+        )
+        for v in vals
+    )
+    want_sum = float(math.floor(float(s6 + 5000) / 10000)) / 100
+    want_avg = (
+        float(math.floor(float(s6 * 2 + n * 10000) / (n * 20000))) / 100
+    )
+
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    row = df.agg(dsum("v", "s"), davg("v", "a")).collect()[0]
+    # repr round-trips doubles exactly; CAST(... AS DOUBLE) makes
+    # DuckDB parse the literal as the identical IEEE double (a bare
+    # decimal literal would become DECIMAL and change the cast input)
+    lits = ",".join(f"(CAST({v!r} AS DOUBLE))" for v in vals)
+    con = duckdb.connect()
+    try:
+        orow = con.execute(
+            f"SELECT {odsum('v', 's')}, {odavg('v', 'a')}"
+            f" FROM (VALUES {lits}) t(v)"
+        ).fetchone()
+    finally:
+        con.close()
+    assert row["s"] == orow[0] == want_sum, (vals, s6)
+    assert row["a"] == orow[1] == want_avg, (vals, s6)
