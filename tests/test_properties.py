@@ -668,3 +668,57 @@ def test_dsum_davg_equal_decimal_replay_on_random_money(spark, cents):
         con.close()
     assert row["s"] == orow[0] == want_sum, (vals, s6)
     assert row["a"] == orow[1] == want_avg, (vals, s6)
+
+
+@given(
+    keys=st.lists(
+        st.text(min_size=0, max_size=24).filter(
+            # Spark CAST AS STRING and DuckDB VARCHAR literals must
+            # carry the same code points; exclude surrogates (invalid
+            # UTF-8, unrepresentable in either engine's string type)
+            lambda s: all(not 0xD800 <= ord(c) <= 0xDFFF for c in s)
+        ),
+        min_size=1,
+        max_size=15,
+        unique=True,
+    ),
+    buckets=st.integers(min_value=1, max_value=10**9),
+)
+@SLOW
+def test_hash_bucket_matches_duckdb_twin_for_any_key(spark, keys, buckets):
+    """Every hash-routed operator (splits, samples, shards, Bloom
+    probes, banded LSH keys) stands on hash_bucket ≡ omd5bucket.
+    Property: for ANY unicode key (empty string, colons — the salt
+    separator — embedded NULs excluded only by DuckDB literal
+    escaping below) and ANY bucket count, the Spark md5-fold and the
+    DuckDB twin assign the identical bucket. A drift here would not
+    fail loudly anywhere — splits would silently route differently
+    per engine — so the parity deserves its own property."""
+    import duckdb
+
+    from configdrivendatapipeline_spark.llm.sampling import hash_bucket
+    from configdrivendatapipeline_spark.queries import omd5bucket
+
+    keys = [k.replace("\x00", "") or "k" for k in keys]
+    df = spark.createDataFrame([(k,) for k in keys], "k STRING")
+    got = {
+        r["k"]: r["bucket"]
+        for r in df.select(
+            "k", hash_bucket(F.col("k"), "prop:v1", buckets)
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        # parameter binding sidesteps literal-escaping pitfalls for
+        # arbitrary unicode keys
+        duck = dict(
+            con.execute(
+                "SELECT k, "
+                + omd5bucket("k", "prop:v1", buckets)
+                + " FROM (SELECT unnest(?) AS k)",
+                [keys],
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == duck, buckets
