@@ -120,6 +120,10 @@ def ensure_session_confs(spark: SparkSession) -> None:
     session — a registry sweep calls this per query and the conf
     round-trips add up."""
     if _CONF_DONE.get(id(spark)) is spark:
+        # refresh recency (move-to-end) so a long-lived primary
+        # session is never evicted by transient-session churn —
+        # eviction order below is the dict's insertion order
+        _CONF_DONE[id(spark)] = _CONF_DONE.pop(id(spark))
         return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -357,3 +357,29 @@ def test_session_caches_are_lru_bounded():
     finally:
         q._CONF_DONE.clear(), q._CONF_DONE.update(saved_conf)
         q._LOAD_CACHE.clear(), q._LOAD_CACHE.update(saved_load)
+
+
+def test_session_cache_eviction_is_recency_ordered():
+    """A long-lived primary session that keeps getting used must
+    never be evicted by transient-session churn: touching a cached
+    session refreshes its recency, so eviction hits the
+    least-recently-TOUCHED session, not the first-seen one."""
+    from configdrivendatapipeline_spark import queries as q
+
+    saved_conf, saved_load = dict(q._CONF_DONE), dict(q._LOAD_CACHE)
+    q._CONF_DONE.clear()
+    q._LOAD_CACHE.clear()
+    try:
+        primary, *churn = [object() for _ in range(q._MAX_SESSIONS + 2)]
+        q._CONF_DONE[id(primary)] = primary
+        for s in churn:
+            # touch primary between each new transient session, the
+            # way ensure_session_confs' move-to-end refresh does
+            q._CONF_DONE[id(primary)] = q._CONF_DONE.pop(id(primary))
+            q._CONF_DONE[id(s)] = s
+            q._evict_lru_sessions()
+        assert id(primary) in q._CONF_DONE, "primary evicted by churn"
+        assert len(q._CONF_DONE) == q._MAX_SESSIONS
+    finally:
+        q._CONF_DONE.clear(), q._CONF_DONE.update(saved_conf)
+        q._LOAD_CACHE.clear(), q._LOAD_CACHE.update(saved_load)
