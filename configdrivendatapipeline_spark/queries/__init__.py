@@ -187,6 +187,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     key = (id(spark), sf_dir, table)
     hit = _LOAD_CACHE.get(key)
     if hit is not None and hit[0] is spark:
+        # Refresh LRU recency on cached loads too (r14 advice): a
+        # primary session touched only via this fast path must not be
+        # evictable by transient-session churn. ensure_session_confs'
+        # own hit path is a dict move-to-end — no conf round-trip.
+        ensure_session_confs(spark)
         return hit[1]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -209,77 +214,26 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
-#: (observed exactly 50 in rounds 1-13), so registry order is the
-#: correctness-coverage budget. Round-14 window: ALL 390 ids ordered
+#: (observed exactly 50 in rounds 1-14), so registry order is the
+#: correctness-coverage budget. Round-15 window: ALL 390 ids ordered
 #: by how stale their latest driver hash-green evidence is, computed
-#: over CORRECTNESS_r01..r13 (r6 tail first ... r13 cohort last;
+#: over CORRECTNESS_r01..r14 (r7 tail first ... r14 cohort last;
 #: sorted alphabetically within a cohort). No never-driver-checked
 #: ids remain (the backlog closed in round 10), so staleness is the
 #: only ordering key. Covering the WHOLE registry keeps the rotation
 #: self-maintaining: as rounds drain the head, the stale-evidence
 #: refresh happens with no further reordering.
 #:
-#: ROUND-15 HANDOFF: rebuild this list from CORRECTNESS_r01..r14 the
+#: ROUND-16 HANDOFF: rebuild this list from CORRECTNESS_r01..r15 the
 #: same way — never-checked ids first (none should remain), then every
 #: id ordered by how stale its latest driver hash-green evidence is
-#: (oldest cohort first; alphabetical within a cohort). Round 14's
-#: 50-budget drains the whole 40-id r6 tail plus 10 of the 50-id r7
-#: cohort (agg_arg_extrema … fn_collate), so after r14 the oldest
-#: remaining evidence should be the r7 tail (~40 ids, fn_struct …
-#: win_streaks) followed by the r8 cohort.
-_ROUND14_WINDOW = (
-    # ---- latest driver evidence r6 (40 ids) ----
-    "layout_zorder",
-    "llm_bigram_lm",
-    "llm_bpe_encode",
-    "llm_bpe_train",
-    "llm_chunking",
-    "llm_curation_verdict",
-    "llm_embed_outliers",
-    "llm_fingerprint",
-    "llm_kmeans",
-    "llm_knn_ivf_trained",
-    "llm_lang_id",
-    "llm_markup_strip",
-    "llm_multimodal_cols",
-    "llm_pii_redact",
-    "llm_quality_filter",
-    "llm_seq_packing",
-    "llm_seq_packing_shuffled",
-    "llm_stratified_n",
-    "llm_unigram_lm",
-    "llm_word_freq",
-    "mm_audio_rms",
-    "mm_binary_meta",
-    "mm_decode_stub",
-    "mm_frame_sample",
-    "mm_resize_plan",
-    "mm_video_motion",
-    "pipeline_bloom",
-    "pipeline_curation_stats",
-    "pipeline_stream_join",
-    "sql_recursive",
-    "stream_dedup_watermark",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "val_checksum",
-    "val_drift",
-    "val_skew",
-    "win_funnel",
-    "win_gapfill_locf",
-    "win_retention",
-    "win_sessionize",
-    # ---- latest driver evidence r7 (50 ids) ----
-    "agg_arg_extrema",
-    "agg_bitmap_distinct",
-    "agg_histogram",
-    "agg_weighted_avg",
-    "enr_json_flatten",
-    "enr_scd3",
-    "enr_winsorize",
-    "fn_base64",
-    "fn_bits",
-    "fn_collate",
+#: (oldest cohort first; alphabetical within a cohort). Round 15's
+#: 50-budget drains the whole 40-id r7 tail plus 10 of the 50-id r8
+#: cohort (agg_autocorr ... enr_range_merge), so after r15 the oldest
+#: remaining evidence should be the r8 tail (~40 ids, enr_survivorship
+#: ... win_seasonal_lite) followed by the r9 cohort.
+_ROUND15_WINDOW = (
+    # ---- latest driver evidence r7 (40 ids) ----
     "fn_struct",
     "fn_try_arith",
     "join_dpp",
@@ -626,13 +580,64 @@ _ROUND14_WINDOW = (
     "stream_watermark",
     "val_anomaly",
     "win_dedup_latest",
+    # ---- latest driver evidence r14 (50 ids) ----
+    "agg_arg_extrema",
+    "agg_bitmap_distinct",
+    "agg_histogram",
+    "agg_weighted_avg",
+    "enr_json_flatten",
+    "enr_scd3",
+    "enr_winsorize",
+    "fn_base64",
+    "fn_bits",
+    "fn_collate",
+    "layout_zorder",
+    "llm_bigram_lm",
+    "llm_bpe_encode",
+    "llm_bpe_train",
+    "llm_chunking",
+    "llm_curation_verdict",
+    "llm_embed_outliers",
+    "llm_fingerprint",
+    "llm_kmeans",
+    "llm_knn_ivf_trained",
+    "llm_lang_id",
+    "llm_markup_strip",
+    "llm_multimodal_cols",
+    "llm_pii_redact",
+    "llm_quality_filter",
+    "llm_seq_packing",
+    "llm_seq_packing_shuffled",
+    "llm_stratified_n",
+    "llm_unigram_lm",
+    "llm_word_freq",
+    "mm_audio_rms",
+    "mm_binary_meta",
+    "mm_decode_stub",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_video_motion",
+    "pipeline_bloom",
+    "pipeline_curation_stats",
+    "pipeline_stream_join",
+    "sql_recursive",
+    "stream_dedup_watermark",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "val_checksum",
+    "val_drift",
+    "val_skew",
+    "win_funnel",
+    "win_gapfill_locf",
+    "win_retention",
+    "win_sessionize",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND14_WINDOW`` ordering
+    operators first: the explicit ``_ROUND15_WINDOW`` ordering
     (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
@@ -653,7 +658,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND14_WINDOW:
+    for name in _ROUND15_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:

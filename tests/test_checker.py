@@ -300,13 +300,21 @@ def test_census_diff_retime_closes_explained_grews(
         _json.dumps({"name": "llm_embed_neardup", "sec": 8.0, "rows": 1})
         + "\n"
         + _json.dumps({"name": "llm_dup_clusters", "sec": 50.0, "rows": 1})
+        + "\n"
+        + _json.dumps({"name": "sql_recursive", "sec": 10.0, "rows": 1})
     )
     new.write_text(
         _json.dumps({"name": "llm_embed_neardup", "sec": 37.0, "rows": 1})
         + "\n"
         + _json.dumps({"name": "llm_dup_clusters", "sec": 120.0, "rows": 1})
+        + "\n"
+        + _json.dumps({"name": "sql_recursive", "sec": 30.0, "rows": 1})
     )
-    steady = {"llm_embed_neardup": 9.0, "llm_dup_clusters": 140.0}
+    steady = {
+        "llm_embed_neardup": 9.0,
+        "llm_dup_clusters": 140.0,
+        "sql_recursive": None,  # retime errored — r14 advice case
+    }
     monkeypatch.setattr(cd, "_retime", lambda name, sf: steady[name])
     monkeypatch.setattr(
         _sys, "argv", ["census_diff.py", str(old), str(new), "--retime"]
@@ -322,6 +330,15 @@ def test_census_diff_retime_closes_explained_grews(
         " 140.0 s — STILL above ratio; re-check its SCALING.md"
         " explanation)" in out
     )
+    # r14 advice: a retime that errored must NOT print
+    # "steady-state None s — STILL above ratio" (a failed measurement
+    # is not a confirmed over-ratio steady time)
+    assert (
+        "grew  sql_recursive: 10.0 -> 30.0 s (3.0x; retime"
+        " failed/errored — grow unconfirmed; re-run or check the"
+        " query by hand)" in out
+    )
+    assert "None" not in out
     assert "verdict: 0 unexplained flags (after --retime" in out
     # without --retime the line still carries the manual re-check cue
     monkeypatch.setattr(
@@ -380,6 +397,35 @@ def test_session_cache_eviction_is_recency_ordered():
             q._evict_lru_sessions()
         assert id(primary) in q._CONF_DONE, "primary evicted by churn"
         assert len(q._CONF_DONE) == q._MAX_SESSIONS
+    finally:
+        q._CONF_DONE.clear(), q._CONF_DONE.update(saved_conf)
+        q._LOAD_CACHE.clear(), q._LOAD_CACHE.update(saved_load)
+
+
+def test_load_cache_hit_refreshes_recency():
+    """r14 advice: load()'s cache-hit fast path must ALSO refresh the
+    session's LRU recency — a primary session touched only via cached
+    loads would otherwise still be evictable by 4+ transient sessions,
+    voiding the recency guarantee the move-to-end refresh claims."""
+    from configdrivendatapipeline_spark import queries as q
+
+    saved_conf, saved_load = dict(q._CONF_DONE), dict(q._LOAD_CACHE)
+    q._CONF_DONE.clear()
+    q._LOAD_CACHE.clear()
+    try:
+        primary, *churn = [object() for _ in range(q._MAX_SESSIONS + 2)]
+        q._CONF_DONE[id(primary)] = primary
+        sentinel = object()
+        q._LOAD_CACHE[(id(primary), "/sf", "t")] = (primary, sentinel)
+        for s in churn:
+            # touch primary ONLY through the load() hit path
+            assert q.load(primary, "/sf", "t") is sentinel
+            q._CONF_DONE[id(s)] = s
+            q._evict_lru_sessions()
+        assert id(primary) in q._CONF_DONE, (
+            "primary evicted despite cached-load touches"
+        )
+        assert (id(primary), "/sf", "t") in q._LOAD_CACHE
     finally:
         q._CONF_DONE.clear(), q._CONF_DONE.update(saved_conf)
         q._LOAD_CACHE.clear(), q._LOAD_CACHE.update(saved_load)

@@ -5,6 +5,7 @@ the module-level guarantees the oracles can't express)."""
 from __future__ import annotations
 
 import io
+import os
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -308,6 +309,12 @@ def test_bloom_rejects_oversized_bitmap(spark):
     # BEFORE any expression tree is built, so the rejects above are
     # instant regardless of how big the misconfig is.
     assert joins.MAX_BITS == 8192  # 1 KiB — the measured healthy point
+    # r14 advice: the full at-the-ceiling build costs ~8-10 s per unit
+    # run and its wall-clock pin can flake on a loaded CI box, so it
+    # is opt-in (the planning-cost regression sweep that sets the flag
+    # runs it; the default suite keeps only the instant guard checks).
+    if os.environ.get("SPARK_GRAFT_SLOW_TESTS") != "1":
+        pytest.skip("ceiling-build timing pin is opt-in: SPARK_GRAFT_SLOW_TESTS=1")
     t0 = time.monotonic()
     rows = joins.bloom_build(df, "id", n_bits=joins.MAX_BITS).collect()
     elapsed = time.monotonic() - t0

@@ -174,6 +174,15 @@ def main() -> int:
                      f"{note}; steady-state {steady} s — environmental, "
                      "explanation holds")
                 )
+            elif steady is None:
+                # r14 advice: a failed re-measurement is NOT a
+                # confirmed over-ratio steady time — say so distinctly
+                # instead of "steady-state None s — STILL above ratio".
+                closed.append(
+                    (name, a, b,
+                     f"{note}; retime failed/errored — grow "
+                     "unconfirmed; re-run or check the query by hand")
+                )
             else:
                 closed.append(
                     (name, a, b,
