@@ -722,3 +722,193 @@ def test_hash_bucket_matches_duckdb_twin_for_any_key(spark, keys, buckets):
     finally:
         con.close()
     assert got == duck, buckets
+
+
+def _winnow_py(text: str, k: int, w: int) -> set[tuple[int, int]]:
+    """Pure-Python replay of winnow_fingerprints' exact arithmetic
+    (md5-prefix token hashes, mixer-weighted shingle hash, packed
+    (hash asc, pos desc) window-min) — an independent twin, so any
+    off-by-one in the Spark window frame or rightmost tie-break
+    diverges here."""
+    import hashlib
+
+    m48, m32 = (1 << 48) - 1, (1 << 32) - 1
+    toks = text.split(" ")
+    th = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+    mixers = [((j + 1) * 2654435761) % (2**29) | 1 for j in range(k)]
+    hs = []
+    for i in range(max(len(th) - k, 0) + 1):
+        acc = 0
+        for j in range(k):
+            v = th[i + j] if i + j < len(th) else 0
+            acc += (v * mixers[j]) & m48
+        hs.append(acc & m32)
+    cap = (1 << 20) - 1
+    keys = [h * (1 << 21) + (cap - min(p, cap)) for p, h in enumerate(hs, 1)]
+    n_sh = len(hs)
+    out = set()
+    for p in range(1, n_sh + 1):
+        mkey = min(keys[max(0, p - w):p])
+        if p >= w or p == n_sh:
+            out.add((cap - (mkey % (1 << 21)), mkey // (1 << 21)))
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "aa", "ab", "z"]),
+            min_size=1, max_size=30,
+        ).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+    w=st.integers(min_value=1, max_value=6),
+)
+@SLOW
+def test_winnow_equals_python_replay(spark, docs, k, w):
+    """VERDICT r14 item 5a: winnow_fingerprints must equal an
+    independent pure-Python replay EXACTLY — (pos, fp) set per doc —
+    for any token stream and any (k, w). The duplicate-token corpora
+    the sampled alphabet forces exercise the rightmost-tie-break
+    packing; short docs exercise the p == n_sh boundary emission."""
+    from configdrivendatapipeline_spark.llm.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    for i, text in enumerate(docs):
+        assert got.get(i, set()) == _winnow_py(text, k, w), (i, text, k, w)
+
+
+@given(
+    passage=st.lists(
+        st.sampled_from(["p", "q", "r", "s"]), min_size=8, max_size=16
+    ),
+    pre_a=st.integers(min_value=0, max_value=12),
+    pre_b=st.integers(min_value=0, max_value=12),
+    post_a=st.integers(min_value=0, max_value=6),
+    post_b=st.integers(min_value=0, max_value=6),
+)
+@SLOW
+def test_winnow_pair_recovery_is_position_shift_invariant(
+    spark, passage, pre_a, pre_b, post_a, post_b
+):
+    """VERDICT r14 item 5a: the SWA guarantee — a shared passage of
+    >= w + k - 1 tokens yields at least one shared fingerprint — must
+    hold at ANY byte offset in either document, because the packed
+    tie-break is by RELATIVE position within the window (a absolute-
+    position tie-break would select different shingles per doc and
+    silently lose the pair). Junk alphabets are disjoint per doc, so
+    the passage is the only shared content."""
+    from configdrivendatapipeline_spark.llm.dedup import winnow_candidate_pairs
+
+    k, w = 4, 5
+    assert len(passage) >= w + k - 1
+    doc_a = " ".join(
+        [f"ja{i}" for i in range(pre_a)] + passage
+        + [f"xa{i}" for i in range(post_a)]
+    )
+    doc_b = " ".join(
+        [f"jb{i}" for i in range(pre_b)] + passage
+        + [f"xb{i}" for i in range(post_b)]
+    )
+    df = spark.createDataFrame([(0, doc_a), (1, doc_b)], ["doc_id", "text"])
+    pairs = winnow_candidate_pairs(df, k=k, w=w, min_shared=1).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 1 for r in pairs), (
+        doc_a, doc_b
+    )
+
+
+def test_winnow_density_approaches_two_over_w_plus_one(spark):
+    """Winnowing's published density guarantee (SWA SIGMOD'03 §5):
+    on a random stream the expected fraction of shingle positions
+    selected is 2/(w+1). Seeded 3000-token stream, w=5 -> expect
+    ~1/3 of 2997 shingles; a window off-by-one shifts density to
+    2/w or 2/(w+2), both outside the +/-12% band asserted here."""
+    import random
+
+    from configdrivendatapipeline_spark.llm.dedup import winnow_fingerprints
+
+    rng = random.Random(20260816)
+    toks = [f"t{rng.randrange(10**9)}" for _ in range(3000)]
+    k, w = 4, 5
+    df = spark.createDataFrame([(0, " ".join(toks))], ["doc_id", "text"])
+    n_fp = winnow_fingerprints(df, k=k, w=w).count()
+    n_sh = len(toks) - k + 1
+    density = n_fp / n_sh
+    expected = 2 / (w + 1)
+    assert abs(density - expected) / expected < 0.12, density
+    # the off-by-one densities the band must exclude
+    assert abs(density - 2 / w) / (2 / w) > 0.12
+    assert abs(density - 2 / (w + 2)) / (2 / (w + 2)) > 0.12
+
+
+@given(
+    data=st.data(),
+    dim=st.integers(min_value=2, max_value=6),
+    m=st.integers(min_value=1, max_value=3),
+    n=st.integers(min_value=3, max_value=8),
+)
+@SLOW
+def test_pq_encode_picks_argmax_centroid_per_subspace(spark, data, dim, m, n):
+    """VERDICT r14 item 5b: pq_encode's code_i must be the argmax-
+    cosine seed over subspace i's slice [i*(dim div m), +width] with
+    the last subspace taking the remainder, ties to the LOWEST seed
+    id — replayed here with the same left-fold float arithmetic. An
+    off-by-one in the slice start/width (the classic 1-based slice()
+    bug) or a wrong tie direction fails the code comparison."""
+    import math
+
+    from configdrivendatapipeline_spark.llm.similarity import pq_encode
+
+    if m > dim:
+        m = dim
+    vecs = [
+        (
+            i,
+            data.draw(
+                st.lists(
+                    st.integers(min_value=-3, max_value=3),
+                    min_size=dim, max_size=dim,
+                ).map(lambda xs: [float(x) for x in xs])
+            ),
+        )
+        for i in range(n)
+    ]
+    n_clusters = min(3, n)
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r.asDict()
+        for r in pq_encode(
+            df, m=m, n_clusters=n_clusters, refine_iters=0
+        ).collect()
+    }
+
+    def cos(x, y):
+        d = 0.0
+        for a, b in zip(x, y):  # left fold, same order as dot()
+            d += a * b
+        nx = 0.0
+        for a in x:
+            nx += a * a
+        ny = 0.0
+        for b in y:
+            ny += b * b
+        denom = math.sqrt(nx) * math.sqrt(ny)
+        return d / denom if denom > 0 else 0.0
+
+    step = dim // m
+    for i in range(m):
+        start = i * step
+        width = dim - (m - 1) * step if i == m - 1 else step
+        seeds = [(vid, v[start:start + width]) for vid, v in vecs[:n_clusters]]
+        for vid, v in vecs:
+            sub = v[start:start + width]
+            # argmax cosine, ties -> lowest seed id (window orders
+            # __cos desc, cluster asc)
+            best = max(seeds, key=lambda s: (cos(sub, s[1]), -s[0]))[0]
+            assert out[vid][f"code_{i}"] == best, (
+                vid, i, sub, seeds, out[vid]
+            )

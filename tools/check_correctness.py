@@ -167,6 +167,11 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--rows-only-too", action="store_true",
                     help="also run queries with no oracle (rows>0 check)")
+    ap.add_argument("--ansi", action="store_true",
+                    help="run the sweep under spark.sql.ansi.enabled=true "
+                         "(VERDICT r14 item 3: the one untested execution "
+                         "posture — ANSI raises where non-ANSI yields NULL "
+                         "on overflow/bad-cast/div-0)")
     args = ap.parse_args()
 
     reg = registry()
@@ -177,6 +182,12 @@ def main() -> int:
         return 2
 
     spark = get_spark("check-correctness")
+    if args.ansi:
+        # Runtime-settable; DuckDB is always-ANSI, so this posture is
+        # the closer match to the oracle — divergences it surfaces are
+        # places the engine relies on non-ANSI NULL semantics.
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("# spark.sql.ansi.enabled=true for this sweep")
     con = duckdb.connect()
     # Bound the oracle: the degenerate fixture corpus makes pair-query
     # RESULTS quadratic at sf>=0.1; without a cap DuckDB exhausts RAM
