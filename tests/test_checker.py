@@ -302,6 +302,8 @@ def test_census_diff_retime_closes_explained_grews(
         + _json.dumps({"name": "llm_dup_clusters", "sec": 50.0, "rows": 1})
         + "\n"
         + _json.dumps({"name": "sql_recursive", "sec": 10.0, "rows": 1})
+        + "\n"
+        + _json.dumps({"name": "fn_struct", "sec": 0.15, "rows": 1})
     )
     new.write_text(
         _json.dumps({"name": "llm_embed_neardup", "sec": 37.0, "rows": 1})
@@ -309,11 +311,17 @@ def test_census_diff_retime_closes_explained_grews(
         + _json.dumps({"name": "llm_dup_clusters", "sec": 120.0, "rows": 1})
         + "\n"
         + _json.dumps({"name": "sql_recursive", "sec": 30.0, "rows": 1})
+        + "\n"
+        + _json.dumps({"name": "fn_struct", "sec": 3.08, "rows": 1})
     )
     steady = {
         "llm_embed_neardup": 9.0,
         "llm_dup_clusters": 140.0,
         "sql_recursive": None,  # retime errored — r14 advice case
+        # sub-floor steady on a tiny old census: 0.32 > 0.15*2 but far
+        # below the 2 s flag floor — must clear, not stay flagged
+        # (r15: the real fn_struct case, rotation-head warmup)
+        "fn_struct": 0.32,
     }
     monkeypatch.setattr(cd, "_retime", lambda name, sf: steady[name])
     monkeypatch.setattr(
@@ -339,14 +347,21 @@ def test_census_diff_retime_closes_explained_grews(
         " query by hand)" in out
     )
     assert "None" not in out
+    assert (
+        "clear fn_struct: 0.15 -> 3.08 s census, steady-state 0.32 s"
+        in out
+    )
     assert "verdict: 0 unexplained flags (after --retime" in out
-    # without --retime the line still carries the manual re-check cue
+    # without --retime the explained line still carries the manual
+    # re-check cue, and the unexplained fn_struct flag now gates
+    # (exit 1) since no steady-state pass has cleared it
     monkeypatch.setattr(
         _sys, "argv", ["census_diff.py", str(old), str(new)]
     )
-    assert cd.main() == 0
+    assert cd.main() == 1
     out = capsys.readouterr().out
     assert "explained tail — re-check its SCALING.md explanation" in out
+    assert "FLAG  fn_struct" in out
 
 
 def test_session_caches_are_lru_bounded():

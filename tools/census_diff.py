@@ -142,7 +142,14 @@ def main() -> int:
                 still.append((name, a, b, note))
                 continue
             steady = _retime(name, args.sf)
-            if steady is not None and steady <= a * args.ratio:
+            # Clear when the steady time is back within ratio OR below
+            # the flag floor itself: the floor already encodes "census
+            # times under it are noise", so a steady-state 0.32 s must
+            # not stay flagged just because the old census was 0.15 s
+            # (sub-floor ratios are measurement-floor artifacts).
+            if steady is not None and (
+                steady <= a * args.ratio or steady < args.floor
+            ):
                 cleared.append((name, a, b, steady))
             else:
                 still.append(
@@ -168,7 +175,9 @@ def main() -> int:
         closed = []
         for name, a, b, note in explained_grew:
             steady = _retime(name, args.sf)
-            if steady is not None and steady <= a * args.ratio:
+            if steady is not None and (
+                steady <= a * args.ratio or steady < args.floor
+            ):
                 closed.append(
                     (name, a, b,
                      f"{note}; steady-state {steady} s — environmental, "
