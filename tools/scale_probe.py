@@ -159,10 +159,18 @@ def main() -> int:
 
     print(f"{'query':24s} {'sf0.1':>8s} {f'x{args.factor}':>8s} {'ratio':>6s}")
     for name in names:
-        run(name, BASE_SF)  # warm (codegen, file listing)
-        base = min(run(name, BASE_SF) for _ in range(2))
-        big = min(run(name, scaled) for _ in range(2))
-        print(f"{name:24s} {base:8.2f} {big:8.2f} {big / base:6.2f}")
+        # Per-id isolation: one id whose semantics reject replication
+        # (e.g. a uniqueness guard under the fixed-offset mode) must
+        # not kill the rest of a long coverage wave.
+        try:
+            run(name, BASE_SF)  # warm (codegen, file listing)
+            base = min(run(name, BASE_SF) for _ in range(2))
+            big = min(run(name, scaled) for _ in range(2))
+            print(f"{name:24s} {base:8.2f} {big:8.2f} {big / base:6.2f}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).split("\n")[0][:120]
+            print(f"{name:24s} ERROR {type(e).__name__}: {msg}", flush=True)
     return 0
 
 
