@@ -271,3 +271,23 @@ def test_token_scale_micro_products_exact_past_bigint(spark):
             ).fetchone()
     finally:
         con.close()
+
+
+def test_money_sum_exact_past_cliff_under_ansi(spark):
+    """Round-15 ANSI posture, magnitude edition: the sf0.01 ANSI
+    sweep can't reach the ~1e19-micro regime, so pin it directly —
+    the widened dsum/davg path must stay exact (and NOT raise) under
+    spark.sql.ansi.enabled=true at the same past-BIGINT-cliff
+    magnitude the non-ANSI test covers. The decimal SUM's widened
+    precision (38,6) holds ~1e19 micro-units with 12 digits to
+    spare, so ANSI has nothing to raise on; a re-introduced BIGINT
+    cast would turn this test into an ANSI Arithmetic exception."""
+    prior = spark.conf.get("spark.sql.ansi.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        df = spark.range(_N).selectExpr(f"CAST({_BIG} AS DOUBLE) AS v")
+        row = df.agg(dsum("v", "s"), davg("v", "a")).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prior)
+    assert row["s"] == _expected_dsum()
+    assert row["a"] == _expected_davg()
