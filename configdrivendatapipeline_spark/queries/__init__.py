@@ -214,77 +214,33 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
-#: (observed exactly 50 in rounds 1-14), so registry order is the
-#: correctness-coverage budget. Round-15 window: ALL 390 ids ordered
+#: (observed exactly 50 in rounds 1-15), so registry order is the
+#: correctness-coverage budget. Round-16 window: ALL 390 ids ordered
 #: by how stale their latest driver hash-green evidence is, computed
-#: over CORRECTNESS_r01..r14 (r7 tail first ... r14 cohort last;
+#: over CORRECTNESS_r01..r15 (r8 tail first ... r15 cohort last;
 #: sorted alphabetically within a cohort). No never-driver-checked
 #: ids remain (the backlog closed in round 10), so staleness is the
 #: only ordering key. Covering the WHOLE registry keeps the rotation
 #: self-maintaining: as rounds drain the head, the stale-evidence
 #: refresh happens with no further reordering.
 #:
-#: ROUND-16 HANDOFF: rebuild this list from CORRECTNESS_r01..r15 the
+#: Round 15's 50-budget drained the whole 40-id r7 tail plus the
+#: first 10 r8 ids alphabetically (agg_autocorr ... enr_survivorship
+#: — ten ids, fixing the prior handoff's off-by-one that named
+#: enr_range_merge as the end of a 9-id drain). The oldest remaining
+#: evidence is therefore the 40-id r8 tail (fn_variant ...
+#: win_seasonal_lite), followed by the 50-id r9 cohort.
+#:
+#: ROUND-17 HANDOFF: rebuild this list from CORRECTNESS_r01..r16 the
 #: same way — never-checked ids first (none should remain), then every
 #: id ordered by how stale its latest driver hash-green evidence is
-#: (oldest cohort first; alphabetical within a cohort). Round 15's
-#: 50-budget drains the whole 40-id r7 tail plus 10 of the 50-id r8
-#: cohort (agg_autocorr ... enr_range_merge), so after r15 the oldest
-#: remaining evidence should be the r8 tail (~40 ids, enr_survivorship
-#: ... win_seasonal_lite) followed by the r9 cohort.
-_ROUND15_WINDOW = (
-    # ---- latest driver evidence r7 (40 ids) ----
-    "fn_struct",
-    "fn_try_arith",
-    "join_dpp",
-    "join_lateral",
-    "join_null_safe",
-    "join_range_bucketed",
-    "llm_char_stats",
-    "llm_chat_template",
-    "llm_dataset_card",
-    "llm_dup_pagerank",
-    "llm_fuzzy_match",
-    "llm_length_buckets",
-    "llm_license_filter",
-    "llm_ngram_novelty",
-    "llm_pack_manifest",
-    "llm_snapshot_diff",
-    "llm_temperature_sample",
-    "llm_tokenizer_fertility",
-    "llm_topic_keywords",
-    "llm_url_filter",
-    "mm_audio_fingerprint",
-    "mm_image_phash",
-    "pipeline_e2e_curation",
-    "pipeline_include",
-    "pipeline_lineage",
-    "pipeline_lm_curation",
-    "pipeline_params",
-    "pipeline_training_layout",
-    "sort_local",
-    "src_csv_corrupt",
-    "src_partition_pruning",
-    "src_schema_evolution",
-    "src_text_wholefile",
-    "stream_parquet_sink",
-    "val_benford",
-    "val_monotonic",
-    "val_outlier_mad",
-    "win_moving_median",
-    "win_pareto",
-    "win_streaks",
-    # ---- latest driver evidence r8 (50 ids) ----
-    "agg_autocorr",
-    "agg_basket_pairs",
-    "agg_cohort_matrix",
-    "agg_cycle_time",
-    "agg_gini",
-    "agg_transition_matrix",
-    "agg_twap",
-    "agg_xyz_class",
-    "enr_range_merge",
-    "enr_survivorship",
+#: (oldest cohort first; alphabetical within a cohort). Round 16's
+#: 50-budget drains the whole 40-id r8 tail plus 10 of the 50-id r9
+#: cohort (agg_approx_topk ... agg_rfm), so after r16 the oldest
+#: remaining evidence should be the r9 tail (40 ids, agg_top_paths
+#: ... win_time_to_event) followed by the r10 cohort.
+_ROUND16_WINDOW = (
+    # ---- latest driver evidence r8 (40 ids) ----
     "fn_variant",
     "join_asof_nearest",
     "llm_budget_select",
@@ -631,13 +587,64 @@ _ROUND15_WINDOW = (
     "win_gapfill_locf",
     "win_retention",
     "win_sessionize",
+    # ---- latest driver evidence r15 (50 ids) ----
+    "agg_autocorr",
+    "agg_basket_pairs",
+    "agg_cohort_matrix",
+    "agg_cycle_time",
+    "agg_gini",
+    "agg_transition_matrix",
+    "agg_twap",
+    "agg_xyz_class",
+    "enr_range_merge",
+    "enr_survivorship",
+    "fn_struct",
+    "fn_try_arith",
+    "join_dpp",
+    "join_lateral",
+    "join_null_safe",
+    "join_range_bucketed",
+    "llm_char_stats",
+    "llm_chat_template",
+    "llm_dataset_card",
+    "llm_dup_pagerank",
+    "llm_fuzzy_match",
+    "llm_length_buckets",
+    "llm_license_filter",
+    "llm_ngram_novelty",
+    "llm_pack_manifest",
+    "llm_snapshot_diff",
+    "llm_temperature_sample",
+    "llm_tokenizer_fertility",
+    "llm_topic_keywords",
+    "llm_url_filter",
+    "mm_audio_fingerprint",
+    "mm_image_phash",
+    "pipeline_e2e_curation",
+    "pipeline_include",
+    "pipeline_lineage",
+    "pipeline_lm_curation",
+    "pipeline_params",
+    "pipeline_training_layout",
+    "sort_local",
+    "src_csv_corrupt",
+    "src_partition_pruning",
+    "src_schema_evolution",
+    "src_text_wholefile",
+    "stream_parquet_sink",
+    "val_benford",
+    "val_monotonic",
+    "val_outlier_mad",
+    "win_moving_median",
+    "win_pareto",
+    "win_streaks",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND15_WINDOW`` ordering
+    operators first: the explicit ``_ROUND16_WINDOW`` ordering
     (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
@@ -658,7 +665,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND15_WINDOW:
+    for name in _ROUND16_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:

@@ -151,6 +151,17 @@ def main() -> int:
                 steady <= a * args.ratio or steady < args.floor
             ):
                 cleared.append((name, a, b, steady))
+            elif steady is None:
+                # Mirror the explained-grew branch (r15 advice): a
+                # failed re-measurement is NOT a confirmed over-ratio
+                # steady time — keep the id flagged (conservative) but
+                # say the retime itself failed instead of printing
+                # "steady-state None s" as if it were a measurement.
+                still.append(
+                    (name, a, b,
+                     f"{note}; retime failed/errored — re-run or "
+                     "check the query by hand")
+                )
             else:
                 still.append(
                     (name, a, b, f"{note}; steady-state {steady} s")

@@ -171,6 +171,7 @@ def main() -> int:
         return time.monotonic() - t0
 
     print(f"{'query':24s} {'sf0.1':>8s} {f'x{args.factor}':>8s} {'ratio':>6s}")
+    errored = 0
     for name in names:
         # Per-id isolation: one id whose semantics reject replication
         # (e.g. a uniqueness guard under the fixed-offset mode) must
@@ -184,6 +185,14 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             msg = str(e).split("\n")[0][:120]
             print(f"{name:24s} ERROR {type(e).__name__}: {msg}", flush=True)
+            errored += 1
+    # r15 advice: per-id isolation must not turn an all-ERROR wave
+    # (missing fixtures, broken import inside build) into a clean
+    # exit — make failures machine-visible in the exit status so
+    # committed probe artifacts can't silently record a broken run.
+    if errored:
+        print(f"{errored} id(s) errored", flush=True)
+        return 1
     return 0
 
 
