@@ -581,6 +581,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
     tokens_col: str | None = None,
+    raw_counts: bool = False,
 ) -> DataFrame:
     """Exact token-set Jaccard ≥ threshold via prefix filtering.
 
@@ -596,7 +597,10 @@ def jaccard_pairs(
     pairs. With ``candidates`` (e.g. LSH) the prefix step is skipped
     and only those pairs are scored. ``tokens_col`` names a
     ready-made array column to use as the set elements (e.g. k-token
-    shingles) instead of whitespace tokens.
+    shingles) instead of whitespace tokens. ``raw_counts=True``
+    returns the pre-round integer columns ``(id_a, id_b, n_inter,
+    n_a, n_b)`` instead of the 6-dp jaccard readout — the stageable
+    shape (see :func:`filter_jaccard`).
     """
     elems = (
         F.col(tokens_col)
@@ -656,30 +660,52 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
-    # Threshold on the EXACT integer cross-multiply (n_inter·1e6 ≥
-    # t6·union), never on the 6-dp ROUNDED output value: rounding
-    # first admits pairs just below t (J = t − 4e-7 rounds up to t)
-    # and drops true pairs at thresholds finer than 1e-6 — the same
-    # float-boundary class the prefix filter's ceil machinery above
-    # exists to avoid. The rounded column remains the readout.
-    t6_cut = int(round(threshold * 1_000_000))
-    return (
+    scored = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(
-            F.col("n_inter") * F.lit(1_000_000)
-            >= F.lit(t6_cut)
-            * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
+    )
+    scored = filter_jaccard(scored, threshold)
+    if raw_counts:
+        # Raw integer counts, pre-round: a staged/materialized pair
+        # table in this shape can be re-thresholded EXACTLY at any
+        # t' ≥ threshold via filter_jaccard (prefix filtering at the
+        # weaker t is lossless for the stronger t'), so one expensive
+        # PPJoin build serves every downstream consumer — the rounded
+        # 6-dp readout could not (rounding admits J = t' − 4e-7).
+        return scored
+    return jaccard_readout(scored)
+
+
+def jaccard_readout(scored: DataFrame) -> DataFrame:
+    """6-dp rounded jaccard readout over raw-count pair rows — the
+    output shape of :func:`jaccard_pairs`, recoverable from a staged
+    raw-count table. The rounded value is the human-facing readout
+    ONLY; thresholding always goes through :func:`filter_jaccard`."""
+    return scored.withColumn(
+        "jaccard",
+        F.round(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+            6,
+        ),
+    ).select("id_a", "id_b", "jaccard")
+
+
+def filter_jaccard(scored: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard-threshold filter over raw-count pair rows
+    ``(id_a, id_b, n_inter, n_a, n_b)``.
+
+    The cut is the EXACT integer cross-multiply n_inter·1e6 ≥
+    t6·union with t6 = round(t·1e6) — never a comparison against the
+    rounded 6-dp jaccard readout, which admits pairs just below t
+    (J = t − 4e-7 rounds up to t). Shared by :func:`jaccard_pairs`
+    and every consumer that re-thresholds a staged raw-count pair
+    table at a stronger threshold."""
+    t6 = int(round(threshold * 1_000_000))
+    return scored.filter(
+        F.col("n_inter") * F.lit(1_000_000)
+        >= F.lit(t6) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     )
 
 

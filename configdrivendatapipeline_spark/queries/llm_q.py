@@ -250,6 +250,43 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32, band_key="concat")
 
 
+def _staged_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared near-dup pair table, staged to parquet once per
+    documents fixture.
+
+    Four declared queries consume the same expensive PPJoin pair
+    build (llm_jaccard_neardup at t=0.8; llm_dup_clusters,
+    llm_cluster_sizes and llm_dedup_canonical at t=0.95) — measured
+    at sf0.1 the build is 113 s where the downstream CC loop is 7 s,
+    so re-building per consumer made the family ~3× more expensive
+    than the data requires (r15 verdict item 3; SCALING.md round-16
+    note). The t=0.8 RAW-COUNT table (id_a, id_b, n_inter, n_a, n_b)
+    is staged once per sf_dir — identity-keyed on documents.parquet
+    via _scratch (mtime+size), the exact precedent the staged
+    streaming feeds set — and each consumer recovers its threshold
+    EXACTLY with dedup.filter_jaccard: prefix filtering at the weaker
+    t is lossless for every t' ≥ t, and the integer cross-multiply
+    cut is rounding-free, so staged-then-filtered output is
+    bit-identical to a direct jaccard_pairs(t') build. At 100 TB this
+    is the materialize-once pattern pipeline_dedup_reuse demonstrates
+    in-pipeline: the pair table is the costly artifact; every
+    consumer after the first is a parquet scan.
+    """
+    import os
+
+    from configdrivendatapipeline_spark.queries.streaming_q import _scratch
+
+    out = _scratch(sf_dir, "neardup_scores_t80", src_table="documents")
+    marker = out + ".staged"  # written only after a complete stage
+    if not os.path.exists(marker):
+        docs = load(spark, sf_dir, "documents")
+        dedup.jaccard_pairs(docs, threshold=0.8, raw_counts=True).write.mode(
+            "overwrite"
+        ).parquet(out)
+        open(marker, "w").close()
+    return spark.read.parquet(out)
+
+
 @declare(
     "llm_jaccard_neardup",
     """
@@ -276,11 +313,12 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rarest tokens — provably lossless for J ≥ t), so the join "
     "groups are bounded by rare-token df, not stopword df; the "
     "oracle states the naive all-shared-token spec, which the "
-    "prefix-filtered plan must (and does) reproduce exactly.",
+    "prefix-filtered plan must (and does) reproduce exactly. The "
+    "raw-count pair table is STAGED once per fixture and shared "
+    "with the whole CC family (r16: 4 consumers, one build).",
 )
 def llm_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, threshold=0.8)
+    return dedup.jaccard_readout(_staged_neardup_scores(spark, sf_dir))
 
 
 def _simhash_oracle(bits: int = 64) -> str:
@@ -891,11 +929,15 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Duplicate-cluster assignment: connected components (iterative "
     "min-label propagation, one shuffle per round, localCheckpoint'd) "
     "over exact-Jaccard>=0.95 edges; oracle is a recursive-CTE "
-    "transitive closure.",
+    "transitive closure. Edges come from the staged shared pair "
+    "table, re-thresholded with the exact integer cut (one PPJoin "
+    "build amortized across the CC family).",
 )
 def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    pairs = dedup.filter_jaccard(
+        _staged_neardup_scores(spark, sf_dir), 0.95
+    ).select("id_a", "id_b")
     return dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
 
 
@@ -3046,22 +3088,22 @@ def mm_modality_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     "highest-ranked member (most-connected — the best-quality pick "
     "where keep-lowest-id is arbitrary), ties to the lowest id. "
     "Emits every doc with its cluster, rank, and is_canonical flag "
-    "so the drop set is auditable. The edge list is built ONCE and "
-    "feeds both label propagation and the 3 rank iterations — "
-    "O(E)-per-round shuffles; the per-cluster argmax is one window "
-    "over cluster-sized groups.",
+    "so the drop set is auditable. The edge list comes from the "
+    "staged shared pair table (one PPJoin build amortized across "
+    "the CC family) and feeds both label propagation and the 3 rank "
+    "iterations — O(E)-per-round shuffles; the per-cluster argmax "
+    "is one window over cluster-sized groups.",
 )
 def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    # One checkpoint shares the PPJoin pair computation between the
-    # component and rank branches (both iterate over these edges).
-    pairs = (
-        dedup.jaccard_pairs(docs, threshold=0.95)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # The staged raw-count table shares the PPJoin pair computation
+    # across the whole CC family; the component and rank branches
+    # both read the cheap filtered parquet scan.
+    pairs = dedup.filter_jaccard(
+        _staged_neardup_scores(spark, sf_dir), 0.95
+    ).select("id_a", "id_b")
     clusters = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
     ranks = dedup.graph_rank(pairs, docs.select("doc_id"), id_col="doc_id")
     joined = clusters.join(ranks, "doc_id")
@@ -3371,11 +3413,14 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster is usually boilerplate, not duplication). Rolls up the "
     "same connected components as llm_dup_clusters into a "
     "histogram-sized result; removable share is exact integer "
-    "micro-units.",
+    "micro-units. Edges come from the staged shared pair table "
+    "(one PPJoin build amortized across the CC family).",
 )
 def llm_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, threshold=0.95).select("id_a", "id_b")
+    pairs = dedup.filter_jaccard(
+        _staged_neardup_scores(spark, sf_dir), 0.95
+    ).select("id_a", "id_b")
     comp = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
     cs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     hist = cs.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))

@@ -199,6 +199,48 @@ def test_jaccard_prefix_filter_lossless_at_fp_hostile_threshold(spark):
     assert got == want
 
 
+def test_jaccard_raw_counts_rethreshold_matches_direct_build(spark):
+    """The staged-pair-table contract (r16): jaccard_pairs at a weak
+    threshold with raw_counts=True, re-thresholded with
+    filter_jaccard at any stronger t', must be row-identical
+    (ids AND 6-dp readout) to a direct jaccard_pairs(t') build —
+    the lossless-superset property the CC family's shared staged
+    table relies on (queries/llm_q.py _staged_neardup_scores)."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = [f"w{i}" for i in range(25)]
+    base = random.Random(3).sample(vocab, 20)
+    corpus = []
+    for i in range(30):
+        toks = list(base)
+        # Perturb 0-7 positions so exact jaccard values straddle all
+        # three thresholds below (clones, near-dups, and misses).
+        for j in rnd.sample(range(20), rnd.randrange(0, 8)):
+            toks[j] = rnd.choice(vocab)
+        corpus.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    staged = dedup.jaccard_pairs(docs, threshold=0.5, raw_counts=True)
+    assert set(staged.columns) == {"id_a", "id_b", "n_inter", "n_a", "n_b"}
+    for t in (0.5, 0.8, 0.95):
+        via_staged = {
+            tuple(r)
+            for r in dedup.jaccard_readout(
+                dedup.filter_jaccard(staged, t)
+            ).collect()
+        }
+        direct = {
+            tuple(r)
+            for r in dedup.jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert via_staged == direct, f"divergence at t'={t}"
+    # And the strongest cut is non-trivial in both directions: some
+    # pair survives, some staged pair is filtered out.
+    n_staged = staged.count()
+    n_95 = dedup.filter_jaccard(staged, 0.95).count()
+    assert 0 < n_95 < n_staged
+
+
 def test_hash_split_rejects_inconsistent_percentages(spark, sf_dir):
     import pytest
 
