@@ -709,6 +709,12 @@ def filter_jaccard(scored: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: Rounds the most recent duplicate_clusters call used to converge —
+#: probe-facing instrumentation only (tools/cc_probe.py records it at
+#: 1x/5x/25x to show round count tracks graph DIAMETER, not rows).
+LAST_CC_ROUNDS = 0
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -771,7 +777,10 @@ def duplicate_clusters(
         F.col(id_col).alias("id"), F.col(id_col).alias("comp")
     ).coalesce(parts)
     converged = False
+    global LAST_CC_ROUNDS
+    LAST_CC_ROUNDS = 0
     for _ in range(max_iter):
+        LAST_CC_ROUNDS += 1
         neighbor = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "comp")

@@ -97,10 +97,11 @@ DEFAULT_QUERIES = [
 ]
 
 
-def stage(spark, factor: int, fresh_keys: bool = False) -> str:
+def stage(spark, factor: int, fresh_keys: bool = False,
+          salt_docs: bool = False) -> str:
     from pyspark.sql import functions as F
 
-    ident = (f"{BASE_SF}:{factor}:{fresh_keys}:"
+    ident = (f"{BASE_SF}:{factor}:{fresh_keys}:{salt_docs}:"
              f"{os.stat(BASE_SF + '/orders.parquet').st_mtime_ns}")
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), "cddp_scale", tag)
@@ -120,6 +121,26 @@ def stage(spark, factor: int, fresh_keys: bool = False) -> str:
                 for col, step in offs.items():
                     rep = rep.withColumn(
                         col, (F.col(col) + F.lit(i * step)).cast("long")
+                    )
+                if salt_docs and table == "documents" and i > 0:
+                    # Per-replica token salt: replicas share NO
+                    # vocabulary, so cross-replica Jaccard is 0 and a
+                    # duplicate-heavy corpus replicates with its pair
+                    # table and cluster structure scaling EXACTLY
+                    # k× (the plain key-offset replica keeps the text
+                    # identical, so near-dup pair OUTPUT grows ~k² and
+                    # the probe would measure result volume, not plan
+                    # efficiency — the documented quadratic-pair
+                    # exclusion class this mode exists to close).
+                    rep = rep.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split("text", " "),
+                                lambda t, i=i: F.concat(t, F.lit(f"~{i}")),
+                            ),
+                            " ",
+                        ),
                     )
                 parts.append(rep)
             big = parts[0]
