@@ -364,6 +364,34 @@ def test_census_diff_retime_closes_explained_grews(
     assert "FLAG  fn_struct" in out
 
 
+def test_census_diff_retime_failure_on_unexplained_flag(
+    tmp_path, monkeypatch, capsys
+):
+    """r15 ADVICE: the r14 failed-retime wording fix covered only the
+    explained-grew loop; an UNEXPLAINED flag whose retime errors
+    (steady None) must also say 'retime failed/errored' — and stay
+    flagged (exit 1, conservative) — instead of interpolating
+    'steady-state None s' as if a measurement existed."""
+    import json as _json
+    import sys as _sys
+
+    import tools.census_diff as cd
+
+    old = tmp_path / "old.jsonl"
+    new = tmp_path / "new.jsonl"
+    old.write_text(_json.dumps({"name": "fn_math", "sec": 5.0, "rows": 1}))
+    new.write_text(_json.dumps({"name": "fn_math", "sec": 15.0, "rows": 1}))
+    monkeypatch.setattr(cd, "_retime", lambda name, sf: None)
+    monkeypatch.setattr(
+        _sys, "argv", ["census_diff.py", str(old), str(new), "--retime"]
+    )
+    assert cd.main() == 1
+    out = capsys.readouterr().out
+    assert "FLAG  fn_math" in out
+    assert "retime failed/errored — re-run or check the query by hand" in out
+    assert "None" not in out
+
+
 def test_session_caches_are_lru_bounded():
     """Judge r13 residual nit: the id(session)-keyed conf/load caches
     must not pin sessions (or grow) for process lifetime when the
