@@ -392,6 +392,33 @@ def test_census_diff_retime_failure_on_unexplained_flag(
     assert "None" not in out
 
 
+def test_scale_probe_errored_ids_exit_nonzero(monkeypatch, capsys):
+    """r15 ADVICE: per-id error isolation in scale_probe must not turn
+    an all-ERROR wave into a clean exit — any id that hits the except
+    branch makes main() return 1 and prints an 'N errored' summary."""
+    import sys as _sys
+
+    import tools.scale_probe as sp
+
+    class _BadQuery:
+        def build(self, spark, sf_dir):
+            raise RuntimeError("boom: fixture missing")
+
+    import configdrivendatapipeline_spark.queries as q
+    import configdrivendatapipeline_spark.session as sess
+
+    monkeypatch.setattr(q, "registry", lambda: {"bad_id": _BadQuery()})
+    monkeypatch.setattr(sess, "get_spark", lambda *a, **k: object())
+    monkeypatch.setattr(sp, "stage", lambda *a, **k: sp.BASE_SF)
+    monkeypatch.setattr(
+        _sys, "argv", ["scale_probe.py", "--factor", "5", "bad_id"]
+    )
+    assert sp.main() == 1
+    out = capsys.readouterr().out
+    assert "bad_id" in out and "ERROR RuntimeError: boom" in out
+    assert "1 id(s) errored" in out
+
+
 def test_session_caches_are_lru_bounded():
     """Judge r13 residual nit: the id(session)-keyed conf/load caches
     must not pin sessions (or grow) for process lifetime when the

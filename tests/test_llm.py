@@ -241,6 +241,35 @@ def test_jaccard_raw_counts_rethreshold_matches_direct_build(spark):
     assert 0 < n_95 < n_staged
 
 
+def test_filter_jaccard_exact_at_threshold_boundary(spark):
+    """filter_jaccard is >= with an EXACT integer cross-multiply: a
+    pair sitting exactly ON the threshold (J = 4/5 at t = 0.8) must
+    be kept, and the nearest constructible value below (J = 3/4) must
+    be dropped — directly on raw-count rows, no float division
+    anywhere in the decision."""
+    rows = [
+        # (id_a, id_b, n_inter, n_a, n_b): J = inter / (a + b - inter)
+        (1, 2, 4, 5, 4),   # J = 4/5 = 0.8 exactly -> keep at t=0.8
+        (3, 4, 3, 4, 3),   # J = 3/4 = 0.75       -> drop at t=0.8
+        (5, 6, 5, 5, 5),   # J = 1.0              -> keep
+    ]
+    scored = spark.createDataFrame(
+        rows, "id_a long, id_b long, n_inter long, n_a long, n_b long"
+    )
+    kept = {
+        (r.id_a, r.id_b)
+        for r in dedup.filter_jaccard(scored, 0.8).collect()
+    }
+    assert kept == {(1, 2), (5, 6)}
+    # the same rows through the readout round-trip to the exact 6-dp
+    # values (0.8 stays 0.8, not 0.799999x)
+    vals = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_readout(scored).collect()
+    }
+    assert vals[(1, 2)] == 0.8 and vals[(5, 6)] == 1.0
+
+
 def test_hash_split_rejects_inconsistent_percentages(spark, sf_dir):
     import pytest
 
