@@ -214,84 +214,33 @@ def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
 
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
-#: (observed exactly 50 in rounds 1-15), so registry order is the
-#: correctness-coverage budget. Round-16 window: ALL 390 ids ordered
+#: (observed exactly 50 in rounds 1-16), so registry order is the
+#: correctness-coverage budget. Round-17 window: ALL 390 ids ordered
 #: by how stale their latest driver hash-green evidence is, computed
-#: over CORRECTNESS_r01..r15 (r8 tail first ... r15 cohort last;
-#: sorted alphabetically within a cohort). No never-driver-checked
-#: ids remain (the backlog closed in round 10), so staleness is the
-#: only ordering key. Covering the WHOLE registry keeps the rotation
-#: self-maintaining: as rounds drain the head, the stale-evidence
-#: refresh happens with no further reordering.
+#: mechanically by ``tools/rotation_window.py`` over
+#: CORRECTNESS_r01..r16 (r9 tail first ... r16 cohort last; sorted
+#: alphabetically within a cohort). hash_match must be literally True
+#: to count as evidence (r16 advice fix); no never-driver-checked ids
+#: remain, so staleness is the only ordering key. Covering the WHOLE
+#: registry keeps the rotation self-maintaining: as rounds drain the
+#: head, the stale-evidence refresh happens with no further
+#: reordering.
 #:
-#: Round 15's 50-budget drained the whole 40-id r7 tail plus the
-#: first 10 r8 ids alphabetically (agg_autocorr ... enr_survivorship
-#: — ten ids, fixing the prior handoff's off-by-one that named
-#: enr_range_merge as the end of a 9-id drain). The oldest remaining
-#: evidence is therefore the 40-id r8 tail (fn_variant ...
-#: win_seasonal_lite), followed by the 50-id r9 cohort.
+#: Round 16's 50-budget drained the whole 40-id r8 tail plus the
+#: first 10 r9 ids alphabetically (agg_approx_topk ... agg_rfm),
+#: confirmed 50/50 green in CORRECTNESS_r16.json. The oldest
+#: remaining evidence is therefore the 40-id r9 tail (agg_top_paths
+#: ... win_time_to_event), followed by the 50-id r10 cohort.
 #:
-#: ROUND-17 HANDOFF: rebuild this list from CORRECTNESS_r01..r16 the
-#: same way — never-checked ids first (none should remain), then every
-#: id ordered by how stale its latest driver hash-green evidence is
-#: (oldest cohort first; alphabetical within a cohort). Round 16's
-#: 50-budget drains the whole 40-id r8 tail plus 10 of the 50-id r9
-#: cohort (agg_approx_topk ... agg_rfm), so after r16 the oldest
-#: remaining evidence should be the r9 tail (40 ids, agg_top_paths
-#: ... win_time_to_event) followed by the r10 cohort.
-_ROUND16_WINDOW = (
-    # ---- latest driver evidence r8 (40 ids) ----
-    "fn_variant",
-    "join_asof_nearest",
-    "llm_budget_select",
-    "llm_cluster_purity",
-    "llm_cluster_sizes",
-    "llm_curriculum",
-    "llm_dedup_canonical",
-    "llm_embed_drift",
-    "llm_hard_negatives",
-    "llm_lsh_recall",
-    "llm_minhash_calibration",
-    "llm_source_overlap",
-    "llm_split_aware_dedup",
-    "llm_triplets",
-    "mm_modality_router",
-    "pipeline_mm_ingest",
-    "pipeline_release_gate",
-    "sql_params",
-    "sql_pipe",
-    "src_binaryfile",
-    "src_python_datasource",
-    "src_xml",
-    "stream_content_dedup",
-    "stream_quality_gate",
-    "udf_arrow",
-    "udtf_analyze",
-    "val_interval_integrity",
-    "val_kanonymity",
-    "val_ldiversity",
-    "val_reconciliation",
-    "val_split_leakage",
-    "win_bollinger",
-    "win_cusum",
-    "win_drawdown",
-    "win_ewma",
-    "win_gapfill_linear",
-    "win_hampel",
-    "win_rank_change",
-    "win_running_distinct",
-    "win_seasonal_lite",
-    # ---- latest driver evidence r9 (50 ids) ----
-    "agg_approx_topk",
-    "agg_auc",
-    "agg_cohens_kappa",
-    "agg_countmin",
-    "agg_decayed_engagement",
-    "agg_growth_accounting",
-    "agg_hhi",
-    "agg_lorenz",
-    "agg_peak_concurrency",
-    "agg_rfm",
+#: ROUND-18 HANDOFF: run ``python tools/rotation_window.py`` and paste
+#: its tuple body here (rename to _ROUND18_WINDOW; update registry()'s
+#: docstring + loop). Round 17's 50-budget drains the whole 40-id r9
+#: tail plus 10 of the 50-id r10 cohort (agg_ab_lift ... filter_bool),
+#: so after r17 the oldest remaining evidence should be the r10 tail
+#: (40 ids, filter_compare ... win_dwell_time) followed by the r11
+#: cohort.
+_ROUND17_WINDOW = (
+    # ---- latest driver evidence r9 (40 ids) ----
     "agg_top_paths",
     "agg_triangle_count",
     "agg_wow_growth",
@@ -638,13 +587,64 @@ _ROUND16_WINDOW = (
     "win_moving_median",
     "win_pareto",
     "win_streaks",
+    # ---- latest driver evidence r16 (50 ids) ----
+    "agg_approx_topk",
+    "agg_auc",
+    "agg_cohens_kappa",
+    "agg_countmin",
+    "agg_decayed_engagement",
+    "agg_growth_accounting",
+    "agg_hhi",
+    "agg_lorenz",
+    "agg_peak_concurrency",
+    "agg_rfm",
+    "fn_variant",
+    "join_asof_nearest",
+    "llm_budget_select",
+    "llm_cluster_purity",
+    "llm_cluster_sizes",
+    "llm_curriculum",
+    "llm_dedup_canonical",
+    "llm_embed_drift",
+    "llm_hard_negatives",
+    "llm_lsh_recall",
+    "llm_minhash_calibration",
+    "llm_source_overlap",
+    "llm_split_aware_dedup",
+    "llm_triplets",
+    "mm_modality_router",
+    "pipeline_mm_ingest",
+    "pipeline_release_gate",
+    "sql_params",
+    "sql_pipe",
+    "src_binaryfile",
+    "src_python_datasource",
+    "src_xml",
+    "stream_content_dedup",
+    "stream_quality_gate",
+    "udf_arrow",
+    "udtf_analyze",
+    "val_interval_integrity",
+    "val_kanonymity",
+    "val_ldiversity",
+    "val_reconciliation",
+    "val_split_leakage",
+    "win_bollinger",
+    "win_cusum",
+    "win_drawdown",
+    "win_ewma",
+    "win_gapfill_linear",
+    "win_hampel",
+    "win_rank_change",
+    "win_running_distinct",
+    "win_seasonal_lite",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND16_WINDOW`` ordering
+    operators first: the explicit ``_ROUND17_WINDOW`` ordering
     (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
@@ -665,7 +665,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND16_WINDOW:
+    for name in _ROUND17_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:

@@ -85,7 +85,7 @@ def test_survey_rows_and_window_names_resolve():
     must exist (a typo there silently reorders coverage)."""
     import re
 
-    from configdrivendatapipeline_spark.queries import registry, _ROUND16_WINDOW
+    from configdrivendatapipeline_spark.queries import registry, _ROUND17_WINDOW
 
     reg = set(registry())
     survey = (PKG.parent / "SURVEY.md").read_text()
@@ -98,10 +98,10 @@ def test_survey_rows_and_window_names_resolve():
     # TAIL via its fallback loop, which is exactly the silent
     # coverage loss this test exists to prevent.
     dupes = sorted(
-        n for n in set(_ROUND16_WINDOW) if _ROUND16_WINDOW.count(n) > 1
+        n for n in set(_ROUND17_WINDOW) if _ROUND17_WINDOW.count(n) > 1
     )
     assert not dupes, f"ordering-window ids listed twice: {dupes}"
-    missing = sorted(n for n in _ROUND16_WINDOW if n not in reg)
+    missing = sorted(n for n in _ROUND17_WINDOW if n not in reg)
     assert not missing, f"ordering-window ids not in registry: {missing}"
-    omitted = sorted(reg - set(_ROUND16_WINDOW))
+    omitted = sorted(reg - set(_ROUND17_WINDOW))
     assert not omitted, f"registry ids missing from ordering window: {omitted}"

@@ -26,7 +26,15 @@ from collections import Counter
 
 
 def latest_green(repo: str) -> dict[str, int]:
-    """id -> newest round with rows+schema+hash green (no err)."""
+    """id -> newest round with rows+schema+HASH green (no err).
+
+    ``hash_match`` must be literally True: a rows/schema-only pass
+    (``hash_match: None`` — the driver skipped the value hash that
+    round, e.g. the r01/r02/r04 rows-only entries) does NOT count as
+    hash-green evidence, so such an id stays stale-ordered until a
+    real hash-true round lands. (r16 advice: ``is not False`` silently
+    advanced staleness for never-hash-verified ids.)
+    """
     latest: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
@@ -38,7 +46,7 @@ def latest_green(repo: str) -> dict[str, int]:
                 ok = (
                     res.get("rows_match")
                     and res.get("schema_match")
-                    and res.get("hash_match") is not False
+                    and res.get("hash_match") is True
                     and not res.get("err")
                 )
             if ok and rnd > latest.get(qid, -1):
