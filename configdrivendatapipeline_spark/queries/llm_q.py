@@ -11,6 +11,10 @@ buckets are pure integer arithmetic the oracle replays directly.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -250,6 +254,30 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_candidate_pairs(sigs, bands=8, sig_len=32, band_key="concat")
 
 
+#: Version token folded into the staged pair table's scratch key.
+#: _scratch already keys on documents.parquet identity (mtime+size),
+#: which tracks FIXTURE changes but not CODE changes — bump this on
+#: any change to dedup.jaccard_pairs' tokenization, prefix filter, or
+#: the raw-count schema so staged tables from the old code are never
+#: served to the new (r16 advice: a stale stage would otherwise
+#: surface only as a confusing oracle hash mismatch).
+_NEARDUP_STAGE_VERSION = "v1"
+
+
+def _staged_neardup_paths(sf_dir: str) -> tuple[str, str]:
+    """(table_dir, marker_path) for the staged t=0.8 raw-count pair
+    table — shared with tools/cc_probe.py so the probe can read and
+    reset the staged state it is timing."""
+    from configdrivendatapipeline_spark.queries.streaming_q import _scratch
+
+    out = _scratch(
+        sf_dir,
+        f"neardup_scores_t80_{_NEARDUP_STAGE_VERSION}",
+        src_table="documents",
+    )
+    return out, out + ".staged"
+
+
 def _staged_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared near-dup pair table, staged to parquet once per
     documents fixture.
@@ -271,18 +299,29 @@ def _staged_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the materialize-once pattern pipeline_dedup_reuse demonstrates
     in-pipeline: the pair table is the costly artifact; every
     consumer after the first is a parquet scan.
+
+    Staging is concurrency-safe (r16 advice): the table is written to
+    a process-unique temp dir and ``os.rename``d into place, so the
+    final path only ever appears ATOMICALLY holding a complete table —
+    two sweeps/probes racing on one fixture can no longer interleave
+    ``mode("overwrite")`` writes into the same directory (the loser's
+    rename fails and its temp dir is discarded). Existence of the
+    final dir, not the marker, is therefore the staged test; the
+    ``.staged`` marker remains as the observable cold/warm signal
+    (tools/cc_probe.py reads it to label its build timings).
     """
-    import os
-
-    from configdrivendatapipeline_spark.queries.streaming_q import _scratch
-
-    out = _scratch(sf_dir, "neardup_scores_t80", src_table="documents")
-    marker = out + ".staged"  # written only after a complete stage
-    if not os.path.exists(marker):
+    out, marker = _staged_neardup_paths(sf_dir)
+    if not os.path.isdir(out):
         docs = load(spark, sf_dir, "documents")
+        tmp = f"{out}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         dedup.jaccard_pairs(docs, threshold=0.8, raw_counts=True).write.mode(
             "overwrite"
-        ).parquet(out)
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    if not os.path.exists(marker):
         open(marker, "w").close()
     return spark.read.parquet(out)
 

@@ -58,13 +58,21 @@ def main() -> int:
                          "worth dropping at x25 — its warm run pays an "
                          "in-pipeline t=0.95 build of the SAME pair "
                          "artifact the build row already times)")
+    ap.add_argument("--cold", action="store_true",
+                    help="delete any pre-staged pair table (and its "
+                         "marker) before the timed build, so build_s "
+                         "is a true cold PPJoin build even on a "
+                         "fixture prior sweeps already staged")
     args = ap.parse_args()
+
+    import shutil
 
     from pyspark.sql import functions as F  # noqa: F401
 
     from configdrivendatapipeline_spark.llm import dedup
     from configdrivendatapipeline_spark.queries import load, registry
     from configdrivendatapipeline_spark.queries.llm_q import (
+        _staged_neardup_paths,
         _staged_neardup_scores,
     )
     from configdrivendatapipeline_spark.session import get_spark
@@ -81,8 +89,19 @@ def main() -> int:
         docs = load(spark, sf_dir, "documents")
         n_docs = docs.count()
 
-        # Shared pair build (first touch stages to parquet; time it
-        # cold by reading the marker state before the call).
+        # Shared pair build. The staged state is READ (and with --cold,
+        # reset) before the timed call, so build_s is labeled rather
+        # than silently mixing cold PPJoin builds with warm parquet
+        # scans (r16 advice: at factor 1 BASE_SF is typically already
+        # staged by prior sweeps).
+        staged_dir, staged_marker = _staged_neardup_paths(sf_dir)
+        if args.cold and os.path.isdir(staged_dir):
+            shutil.rmtree(staged_dir, ignore_errors=True)
+            try:
+                os.remove(staged_marker)
+            except FileNotFoundError:
+                pass
+        build_label = "warm" if os.path.isdir(staged_dir) else "cold"
         t0 = time.monotonic()
         scored = _staged_neardup_scores(spark, sf_dir)
         n_pairs = scored.count()
@@ -97,8 +116,8 @@ def main() -> int:
 
         print(
             f"\nfactor x{factor}: docs={n_docs} pairs_t80={n_pairs} "
-            f"build={build_s:.1f}s  cc={cc_s:.1f}s rounds={rounds} "
-            f"components={n_comp}",
+            f"build={build_s:.1f}s ({build_label})  cc={cc_s:.1f}s "
+            f"rounds={rounds} components={n_comp}",
             flush=True,
         )
         for name in args.ids:
