@@ -392,6 +392,75 @@ def test_census_diff_retime_failure_on_unexplained_flag(
     assert "None" not in out
 
 
+def test_census_diff_big_id_drift_rule(tmp_path, monkeypatch, capsys):
+    """r16 verdict item 2: ids whose NEW census time is >= --abs-floor
+    (30 s) are held to the tighter --abs-ratio (1.3x), so the census's
+    biggest ids cannot drift sub-2x silently — FLAG (exit 1) outside
+    the explained tail, a 'grew' line inside it, and nothing for a big
+    id under the tight ratio. Retime clearing must judge a big-id
+    drift against ITS rule: a steady-state still 1.4x the old census
+    stays flagged even though it is under the main 2x ratio."""
+    import json as _json
+    import sys as _sys
+
+    import tools.census_diff as cd
+
+    old = tmp_path / "old.jsonl"
+    new = tmp_path / "new.jsonl"
+    old.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"name": "q_big", "sec": 78.2, "rows": 1},
+                {"name": "pipeline_dedup_reuse", "sec": 78.2, "rows": 1},
+                {"name": "q_big_steady", "sec": 40.0, "rows": 1},
+            ]
+        )
+    )
+    new.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                # 1.4x at 109 s: above abs-floor + abs-ratio, under the
+                # main 2x ratio — exactly the r16 silent-drift shape.
+                {"name": "q_big", "sec": 109.2, "rows": 1},
+                {"name": "pipeline_dedup_reuse", "sec": 109.2, "rows": 1},
+                # 1.2x at 48 s: big, but under abs-ratio — not flagged.
+                {"name": "q_big_steady", "sec": 48.0, "rows": 1},
+            ]
+        )
+    )
+    monkeypatch.setattr(_sys, "argv", ["census_diff.py", str(old), str(new)])
+    assert cd.main() == 1
+    out = capsys.readouterr().out
+    assert "FLAG  q_big" in out and "big-id drift" in out
+    assert "grew  pipeline_dedup_reuse" in out  # explained tail: exit-0 path
+    assert "q_big_steady" not in out
+
+    # Retime: steady-state 109 s is still 1.4x the old 78.2 s census —
+    # under the main 2x ratio but above the big-id 1.3x rule that
+    # flagged it, so it must STAY flagged (and the tail line must say
+    # the SCALING.md explanation needs a re-check).
+    monkeypatch.setattr(cd, "_retime", lambda name, sf: 109.0)
+    monkeypatch.setattr(
+        _sys, "argv", ["census_diff.py", str(old), str(new), "--retime"]
+    )
+    assert cd.main() == 1
+    out = capsys.readouterr().out
+    assert "FLAG  q_big" in out and "steady-state 109.0 s" in out
+    assert "STILL above ratio" in out  # the explained-tail closing line
+
+    # Steady-state back at 85 s (1.09x): within the big-id rule —
+    # cleared as environmental, exit 0.
+    monkeypatch.setattr(cd, "_retime", lambda name, sf: 85.0)
+    monkeypatch.setattr(
+        _sys, "argv", ["census_diff.py", str(old), str(new), "--retime"]
+    )
+    assert cd.main() == 0
+    out = capsys.readouterr().out
+    assert "clear q_big" in out
+
+
 def test_scale_probe_errored_ids_exit_nonzero(monkeypatch, capsys):
     """r15 ADVICE: per-id error isolation in scale_probe must not turn
     an all-ERROR wave into a clean exit — any id that hits the except

@@ -10,7 +10,17 @@ so only ids whose NEW time is at least ``--floor`` seconds (default
 2 s) can be flagged; ids present in only one run are listed
 informationally.
 
+Big-id drift rule (r16 verdict item 2): the pure ratio gate let the
+census's single largest id (pipeline_dedup_reuse, 78.2 -> 109.2 s)
+drift 1.4x with no line in the committed diff. Ids whose NEW time is
+at least ``--abs-floor`` seconds (default 30 s) are therefore held to
+the tighter ``--abs-ratio`` (default 1.3x): above it they flag (or,
+for explained-tail ids, print a ``grew`` line) even when under the
+main ratio — the biggest census ids cannot drift sub-2x silently.
+Retime clearing judges each id against the rule that flagged it.
+
 Usage: python tools/census_diff.py OLD.jsonl NEW.jsonl [--ratio 2] [--floor 2]
+                                        [--abs-ratio 1.3] [--abs-floor 30]
                                         [--retime --sf DIR]
 Exit 1 when any regression is flagged, 0 otherwise.
 
@@ -107,6 +117,12 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--ratio", type=float, default=2.0)
     ap.add_argument("--floor", type=float, default=2.0)
+    ap.add_argument("--abs-ratio", type=float, default=1.3,
+                    help="tighter growth ratio applied to ids whose new "
+                    "census time is at least --abs-floor seconds")
+    ap.add_argument("--abs-floor", type=float, default=30.0,
+                    help="census seconds above which the --abs-ratio "
+                    "big-id drift rule applies")
     ap.add_argument(
         "--retime",
         action="store_true",
@@ -120,6 +136,10 @@ def main() -> int:
 
     old, new = load(args.old), load(args.new)
     flagged, explained_grew, only = [], [], []
+    # id -> (ratio, floor) of the rule that flagged it; retime
+    # clearing judges the steady-state against the SAME rule (a 1.4x
+    # big-id drift must not clear just because it is under 2x).
+    eff: dict[str, tuple[float, float]] = {}
     for name, r in sorted(new.items()):
         if "sec" not in r:
             flagged.append((name, None, None, f"errored: {r.get('err')}"))
@@ -128,8 +148,23 @@ def main() -> int:
         if o is None or "sec" not in o:
             only.append((name, r["sec"], "new in this run"))
             continue
-        if r["sec"] >= args.floor and r["sec"] > o["sec"] * args.ratio:
-            row = (name, o["sec"], r["sec"], f"{r['sec'] / max(o['sec'], 0.01):.1f}x")
+        growth = f"{r['sec'] / max(o['sec'], 0.01):.1f}x"
+        ratio_hit = r["sec"] >= args.floor and r["sec"] > o["sec"] * args.ratio
+        abs_hit = (
+            r["sec"] >= args.abs_floor
+            and r["sec"] > o["sec"] * args.abs_ratio
+        )
+        if ratio_hit or abs_hit:
+            if ratio_hit:
+                eff[name] = (args.ratio, args.floor)
+                note = growth
+            else:
+                eff[name] = (args.abs_ratio, args.abs_floor)
+                note = (
+                    f"{growth} big-id drift: >= {args.abs_floor:.0f} s "
+                    f"and > {args.abs_ratio}x"
+                )
+            row = (name, o["sec"], r["sec"], note)
             (explained_grew if name in EXPLAINED_TAIL else flagged).append(row)
     for name in sorted(set(old) - set(new)):
         only.append((name, old[name].get("sec"), "missing from new run"))
@@ -142,13 +177,16 @@ def main() -> int:
                 still.append((name, a, b, note))
                 continue
             steady = _retime(name, args.sf)
-            # Clear when the steady time is back within ratio OR below
-            # the flag floor itself: the floor already encodes "census
-            # times under it are noise", so a steady-state 0.32 s must
-            # not stay flagged just because the old census was 0.15 s
-            # (sub-floor ratios are measurement-floor artifacts).
+            # Clear when the steady time is back within the flagging
+            # rule's ratio OR below that rule's floor: the floor
+            # already encodes "census times under it are noise", so a
+            # steady-state 0.32 s must not stay flagged just because
+            # the old census was 0.15 s (sub-floor ratios are
+            # measurement-floor artifacts). Big-id drift flags use
+            # their own tighter (abs_ratio, abs_floor) pair here.
+            e_ratio, e_floor = eff.get(name, (args.ratio, args.floor))
             if steady is not None and (
-                steady <= a * args.ratio or steady < args.floor
+                steady <= a * e_ratio or steady < e_floor
             ):
                 cleared.append((name, a, b, steady))
             elif steady is None:
@@ -186,8 +224,9 @@ def main() -> int:
         closed = []
         for name, a, b, note in explained_grew:
             steady = _retime(name, args.sf)
+            e_ratio, e_floor = eff.get(name, (args.ratio, args.floor))
             if steady is not None and (
-                steady <= a * args.ratio or steady < args.floor
+                steady <= a * e_ratio or steady < e_floor
             ):
                 closed.append(
                     (name, a, b,
