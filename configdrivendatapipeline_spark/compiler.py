@@ -1142,13 +1142,19 @@ def _bpe_train(spark, dfs, p):
     if p.get("batch_size") is not None and mode != "batched":
         raise ValueError("bpe_train batch_size requires mode: batched")
     if mode == "local":
+        # An absent max_vocab inherits bpe.DEFAULT_MAX_VOCAB (1M): the
+        # driver-side vocab collect is bounded by default, and the
+        # config surface has no uncapped spelling — pointing the local
+        # trainer at a whole uncapped corpus is a deliberate Python
+        # API call (max_vocab=None), never a config omission.
+        kwargs = {}
+        if p.get("max_vocab") is not None:
+            kwargs["max_vocab"] = int(p["max_vocab"])
         return bpe_train_local_table(
             _one(dfs),
             text_col=p.get("text_column", "text"),
             n_merges=int(p.get("n_merges", 20)),
-            max_vocab=(
-                int(p["max_vocab"]) if p.get("max_vocab") is not None else None
-            ),
+            **kwargs,
         )
     if mode == "batched":
         from configdrivendatapipeline_spark.llm.bpe import bpe_train_batched

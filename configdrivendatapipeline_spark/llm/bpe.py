@@ -277,11 +277,22 @@ def _sym_pairs(sym: str) -> list:
     return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
 
 
+#: Default cap on bpe_train_local's collected vocabulary. 1M weighted
+#: (word, count) rows is tens of MB on the driver — comfortably a
+#: "model input", far above any sane tokenizer-training vocab — while
+#: an UNCAPPED distinct-word table on a 100 TB web corpus is billions
+#: of rows and would OOM the driver (r16 verdict item: the cap used to
+#: be optional, so the local trainer could be pointed at an uncapped
+#: corpus by accident). Pass ``max_vocab=None`` to explicitly opt in
+#: to the uncapped whole-corpus collect.
+DEFAULT_MAX_VOCAB = 1_000_000
+
+
 def bpe_train_local(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
-    max_vocab: int | None = None,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
 ) -> list:
     """Production BPE recipe #1 (SCALING.md "Round-9 BPE wall-clock
     boundary"): Spark runs the ONE corpus-sized job — the
@@ -304,10 +315,17 @@ def bpe_train_local(
     minutes for a 32k-merge production vocabulary where the
     driver-paced exact trainer measures ~13.4 h.
 
-    ``max_vocab`` optionally caps the collected vocabulary to the
-    top-K words by (count desc, word asc) — the corpus-sample
-    training mode; the merge table then reflects the capped vocab
-    (documented divergence from exact whole-corpus training).
+    ``max_vocab`` caps the collected vocabulary to the top-K words by
+    (count desc, word asc) — the corpus-sample training mode; the
+    merge table then reflects the capped vocab (documented divergence
+    from exact whole-corpus training when the corpus has more distinct
+    words than the cap). It DEFAULTS to :data:`DEFAULT_MAX_VOCAB` (1M)
+    so the driver-side collect is bounded by construction; pass
+    ``max_vocab=None`` to explicitly opt in to the uncapped
+    whole-corpus collect. The cap's top-K is a
+    ``TakeOrderedAndProject`` (orderBy+limit), not a global sort, so
+    the bounded path costs no extra shuffle over the aggregation that
+    precedes it.
 
     Raises on supplementary-plane characters: Spark splits symbols
     on UTF-16 code units (surrogate halves), Python on code points —
@@ -398,11 +416,12 @@ def bpe_train_local_table(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
-    max_vocab: int | None = None,
+    max_vocab: int | None = DEFAULT_MAX_VOCAB,
 ) -> DataFrame:
     """:func:`bpe_train_local` emitted as the same (step, pair, n)
     relation :func:`bpe_train` produces — the drop-in artifact for
-    the ``bpe_train`` op's ``mode: local``."""
+    the ``bpe_train`` op's ``mode: local``. Inherits the default
+    :data:`DEFAULT_MAX_VOCAB` collect cap."""
     rows = bpe_train_local(df, text_col, n_merges, max_vocab)
     return df.sparkSession.createDataFrame(
         rows, "step INT, pair STRING, n BIGINT"

@@ -32,6 +32,10 @@ ALLOWED = {
     # BPE training: one 1-row top-pair reduction per merge iteration
     # (bounded by n_merges, like the k-means convergence scalar) —
     # the corpus is scanned once; iterations run on the vocab table.
+    # The local trainer's one corpus-sized job (the distinct-word
+    # vocab collect) is bounded by DEFAULT_MAX_VOCAB (1M rows) by
+    # default; uncapped whole-corpus collect is an explicit
+    # max_vocab=None opt-in, never the default.
     # (The trained BPE merge TABLE is a model artifact — n_merges
     # rows by definition, a tokenizer parameter list, not row data —
     # so bpe.py also hosts the artifact collects other layers use:

@@ -1641,6 +1641,38 @@ def test_bpe_local_max_vocab_caps_training_corpus(spark):
     assert merges == [(0, "q q", 3)]
 
 
+def test_bpe_local_vocab_collect_capped_by_default(spark):
+    """The local trainer's driver-side vocab collect is bounded by
+    DEFAULT_MAX_VOCAB unless the caller explicitly opts out with
+    max_vocab=None (r16 verdict: the cap used to be optional, so the
+    local trainer could be pointed at an uncapped web corpus by
+    accident). Under the cap — every realistic tokenizer-training
+    vocab — the default path is bit-identical to the explicit
+    uncapped opt-in."""
+    import inspect
+
+    from configdrivendatapipeline_spark.llm import bpe
+
+    assert bpe.DEFAULT_MAX_VOCAB == 1_000_000
+    for fn in (bpe.bpe_train_local, bpe.bpe_train_local_table):
+        default = inspect.signature(fn).parameters["max_vocab"].default
+        assert default == bpe.DEFAULT_MAX_VOCAB, fn.__name__
+
+    df = spark.createDataFrame(
+        [(0, "ab ab cd"), (1, "ab cd cd ef")], ["doc_id", "text"]
+    )
+    capped = bpe.bpe_train_local(df, n_merges=4)
+    assert capped == bpe.bpe_train_local(df, n_merges=4, max_vocab=None)
+    # and the config surface has no uncapped spelling: an omitted
+    # max_vocab inherits the default cap (compiler passes no kwarg)
+    from configdrivendatapipeline_spark.compiler import OPS
+
+    via_op = OPS["bpe_train"](
+        spark, [df], {"mode": "local", "n_merges": 4}
+    )
+    assert [tuple(r) for r in via_op.orderBy("step").collect()] == capped
+
+
 def test_bpe_batched_b1_is_bit_identical_and_batches_are_disjoint(spark):
     """Recipe #2: batch_size=1 degenerates to exact sequential
     training (bit-identical merge table, including the
