@@ -461,6 +461,57 @@ def test_census_diff_big_id_drift_rule(tmp_path, monkeypatch, capsys):
     assert "clear q_big" in out
 
 
+def test_census_diff_cold_stage_attribution(tmp_path, monkeypatch, capsys):
+    """r16 verdict item 8: the census annotates ids that built a
+    scratch fixture inside their timed window (cold_stage list); the
+    diff must carry that attribution into its flag/grew notes so
+    census-vs-steady gaps are explainable mechanically — in BOTH
+    directions (new run paid the cold build, or the old one did and
+    the new run looks 'faster' only because it read a warm stage)."""
+    import json as _json
+    import sys as _sys
+
+    import tools.census_diff as cd
+
+    old = tmp_path / "old.jsonl"
+    new = tmp_path / "new.jsonl"
+    old.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"name": "q_cold_new", "sec": 2.2, "rows": 1},
+                {"name": "stream_stream_join", "sec": 3.0, "rows": 1,
+                 "cold_stage": ["events_two_batch"]},
+            ]
+        )
+    )
+    new.write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                # flagged at 7.3x — but the line says the run paid the
+                # doubled-feed build inside its window
+                {"name": "q_cold_new", "sec": 16.0, "rows": 1,
+                 "cold_stage": ["events_doubled_wm"]},
+                # explained-tail id grew with a WARM stage the old run
+                # built — attribution points the other way
+                {"name": "stream_stream_join", "sec": 9.1, "rows": 1},
+            ]
+        )
+    )
+    monkeypatch.setattr(_sys, "argv", ["census_diff.py", str(old), str(new)])
+    assert cd.main() == 1
+    out = capsys.readouterr().out
+    assert (
+        "FLAG  q_cold_new" in out
+        and "new run paid cold stage build: events_doubled_wm" in out
+    )
+    assert (
+        "grew  stream_stream_join" in out
+        and "old run paid cold stage build: events_two_batch" in out
+    )
+
+
 def test_scale_probe_errored_ids_exit_nonzero(monkeypatch, capsys):
     """r15 ADVICE: per-id error isolation in scale_probe must not turn
     an all-ERROR wave into a clean exit — any id that hits the except

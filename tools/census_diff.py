@@ -149,6 +149,22 @@ def main() -> int:
             only.append((name, r["sec"], "new in this run"))
             continue
         growth = f"{r['sec'] / max(o['sec'], 0.01):.1f}x"
+        # Cold-stage attribution (r16 verdict item 8): the census
+        # annotates ids that built a scratch fixture inside their
+        # timed window; a growth whose new run paid a cold stage the
+        # old didn't (or vice versa) is explained mechanically — the
+        # retime pass then confirms via the steady-state.
+        stage_note = ""
+        if r.get("cold_stage") and not o.get("cold_stage"):
+            stage_note = (
+                "; new run paid cold stage build: "
+                + ",".join(r["cold_stage"])
+            )
+        elif o.get("cold_stage") and not r.get("cold_stage"):
+            stage_note = (
+                "; old run paid cold stage build: "
+                + ",".join(o["cold_stage"])
+            )
         ratio_hit = r["sec"] >= args.floor and r["sec"] > o["sec"] * args.ratio
         abs_hit = (
             r["sec"] >= args.abs_floor
@@ -157,12 +173,12 @@ def main() -> int:
         if ratio_hit or abs_hit:
             if ratio_hit:
                 eff[name] = (args.ratio, args.floor)
-                note = growth
+                note = growth + stage_note
             else:
                 eff[name] = (args.abs_ratio, args.abs_floor)
                 note = (
                     f"{growth} big-id drift: >= {args.abs_floor:.0f} s "
-                    f"and > {args.abs_ratio}x"
+                    f"and > {args.abs_ratio}x{stage_note}"
                 )
             row = (name, o["sec"], r["sec"], note)
             (explained_grew if name in EXPLAINED_TAIL else flagged).append(row)

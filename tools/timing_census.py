@@ -14,12 +14,27 @@ Usage: python tools/timing_census.py [--sf DIR] [--top 15] [names...]
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stage_markers() -> set[str]:
+    """Fixture-staging markers currently on disk. Every scratch
+    fixture the queries stage (doubled streaming feeds, the near-dup
+    pair table, binary-file stages) lands under /tmp/cddp_stream/
+    <fixture-tag>/<name> with a ``<name>.staged`` marker, so the
+    marker set is the complete observable staging state."""
+    return set(
+        glob.glob(
+            os.path.join(tempfile.gettempdir(), "cddp_stream", "*", "*.staged")
+        )
+    )
 
 
 def main() -> int:
@@ -59,12 +74,27 @@ def main() -> int:
         print(f"warm-up skip (documents): {str(exc)[:120]}", file=sys.stderr)
     out = []
     for name in names:
+        # Snapshot the staging-marker set around each timed run: an id
+        # that builds a scratch fixture inside its window (a doubled
+        # streaming feed, the near-dup pair table) pays that one-off
+        # build in ITS census seconds on a cold /tmp. Annotating the
+        # line makes the census-vs-steady gap attributable
+        # mechanically (r16 verdict item 8: stream_dedup_watermark's
+        # 16 s census / 2.2 s steady needed a human to explain).
+        pre_markers = _stage_markers()
         t0 = time.monotonic()
         try:
             n = reg[name].build(spark, args.sf).count()
             sec = round(time.monotonic() - t0, 2)
-            out.append({"name": name, "sec": sec, "rows": n})
-            print(json.dumps(out[-1]), flush=True)
+            rec = {"name": name, "sec": sec, "rows": n}
+            staged = sorted(
+                os.path.basename(m)[: -len(".staged")]
+                for m in _stage_markers() - pre_markers
+            )
+            if staged:
+                rec["cold_stage"] = staged
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
         except Exception as exc:  # keep the census moving; report
             print(
                 json.dumps({"name": name, "err": str(exc)[:200]}), flush=True
