@@ -539,6 +539,60 @@ def test_scale_probe_errored_ids_exit_nonzero(monkeypatch, capsys):
     assert "1 id(s) errored" in out
 
 
+def test_scale_probe_vector_salt_preserves_within_replica_cosine(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """r17: --salt-vectors replicates embeddings with a per-replica
+    cyclic rotation of the array. The probe's honesty rests on two
+    invariants: (a) one permutation applied to every vector of a
+    replica preserves all within-replica dot products and norms
+    EXACTLY, so each replica's neighbor structure is isomorphic to
+    base; (b) replica vectors are NOT elementwise-identical to base,
+    so LSH buckets spread instead of concentrating k copies (plain
+    replication measured pipeline_contrastive at 111x under x25 —
+    result volume, not plan efficiency)."""
+    import tempfile as _tempfile
+
+    import tools.scale_probe as sp
+
+    monkeypatch.setattr(sp, "BASE_SF", sf_dir)
+    monkeypatch.setattr(_tempfile, "gettempdir", lambda: str(tmp_path))
+    out = sp.stage(spark, 2, salt_vectors=True)
+
+    base = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(4)
+        .collect()
+    }
+    step = sp.OFFSETS["embeddings"]["vec_id"]
+    staged = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{out}/embeddings.parquet")
+        .filter(f"vec_id in ({','.join(str(k) for k in base)}) or "
+                f"vec_id in ({','.join(str(k + step) for k in base)})")
+        .collect()
+    }
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    ids = sorted(base)
+    for v in ids:
+        # replica 0 is the base data verbatim
+        assert staged[v] == base[v]
+        # replica 1 is rotated: same length, NOT identical...
+        rot = staged[v + step]
+        assert len(rot) == len(base[v]) and rot != base[v]
+        # ...with norms preserved exactly (a permutation)
+        assert abs(dot(rot, rot) - dot(base[v], base[v])) < 1e-6
+    # within-replica pairwise dot products match base pairwise
+    a, b = ids[0], ids[1]
+    assert abs(
+        dot(staged[a + step], staged[b + step]) - dot(base[a], base[b])
+    ) < 1e-6
+
+
 def test_session_caches_are_lru_bounded():
     """Judge r13 residual nit: the id(session)-keyed conf/load caches
     must not pin sessions (or grow) for process lifetime when the

@@ -98,10 +98,11 @@ DEFAULT_QUERIES = [
 
 
 def stage(spark, factor: int, fresh_keys: bool = False,
-          salt_docs: bool = False) -> str:
+          salt_docs: bool = False, salt_vectors: bool = False) -> str:
     from pyspark.sql import functions as F
 
     ident = (f"{BASE_SF}:{factor}:{fresh_keys}:{salt_docs}:"
+             f"{salt_vectors}:"
              f"{os.stat(BASE_SF + '/orders.parquet').st_mtime_ns}")
     tag = hashlib.md5(ident.encode()).hexdigest()[:10]
     out = os.path.join(tempfile.gettempdir(), "cddp_scale", tag)
@@ -109,6 +110,13 @@ def stage(spark, factor: int, fresh_keys: bool = False,
     if os.path.exists(marker):
         return out
     offsets = fresh_key_offsets(spark) if fresh_keys else OFFSETS
+    emb_dim = 0
+    if salt_vectors:
+        emb_dim = len(
+            spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+            .limit(1)
+            .collect()[0]["embedding"]
+        )
     for table, offs in offsets.items():
         src = f"{BASE_SF}/{table}.parquet"
         if not os.path.exists(src):
@@ -142,6 +150,31 @@ def stage(spark, factor: int, fresh_keys: bool = False,
                             " ",
                         ),
                     )
+                if salt_vectors and table == "embeddings" and i > 0:
+                    # Per-replica cyclic rotation of the embedding
+                    # array — the EMBEDDING analogue of the token
+                    # salt above. One permutation applied to every
+                    # vector of a replica preserves all within-replica
+                    # dot products and norms EXACTLY (the neighbor
+                    # structure is isomorphic to base), while rotated
+                    # replicas hash to unrelated hyperplane buckets.
+                    # Plain key-offset replication keeps the VECTORS
+                    # identical, so every LSH bucket concentrates k
+                    # copies of its members and candidate-pair volume
+                    # grows ~k² — the probe then measures duplicate-
+                    # corpus result volume, not plan efficiency
+                    # (r17: pipeline_contrastive 111x at x25 under
+                    # plain replication; the quadratic-pair exclusion
+                    # class, vector edition).
+                    d = i % emb_dim
+                    if d:
+                        rep = rep.withColumn(
+                            "embedding",
+                            F.concat(
+                                F.slice("embedding", d + 1, emb_dim - d),
+                                F.slice("embedding", 1, d),
+                            ),
+                        )
                 parts.append(rep)
             big = parts[0]
             for p in parts[1:]:
@@ -165,6 +198,12 @@ def main() -> int:
                     help="include build() in the timed window (for "
                          "eager builders: streaming drains, "
                          "write-then-read-back sinks)")
+    ap.add_argument("--salt-vectors", action="store_true",
+                    help="cyclically rotate each replica's embedding "
+                         "arrays so LSH buckets spread instead of "
+                         "concentrating k identical copies — the "
+                         "honest replication mode for the embedding-"
+                         "similarity family (see stage())")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -174,7 +213,8 @@ def main() -> int:
     spark = get_spark("scale-probe")
     reg = registry()
     names = args.names or DEFAULT_QUERIES
-    scaled = stage(spark, args.factor, fresh_keys=args.fresh_keys)
+    scaled = stage(spark, args.factor, fresh_keys=args.fresh_keys,
+                   salt_vectors=args.salt_vectors)
 
     def run(name: str, sf_dir: str) -> float:
         # Default protocol times the ACTION only (plan build excluded:
