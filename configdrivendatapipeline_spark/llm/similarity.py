@@ -30,6 +30,38 @@ def as_double(col: str | Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def lsh_scale_params(
+    n: int, target_bucket: int = 200, max_planes: int = 24
+) -> tuple[int, int]:
+    """(planes_per_table, max_bucket) sized for an n-vector corpus —
+    the production sizing rule the hyperplane-LSH family documents
+    ("size planes ~log₂ n") made executable.
+
+    planes_per_table is the smallest p with EXPECTED bucket density
+    n/2^p <= target_bucket, clamped to [1, max_planes]; max_bucket is
+    4x the target — headroom for ordinary occupancy variance while
+    still truncating pathological buckets. Both matter, for different
+    failure modes (measured, r17 ann_probe at 25x sf0.1,
+    docs/SCALE_PROBE_r17_census_top.txt): with FIXED planes a k×
+    corpus is k× denser per bucket and candidate volume grows ~k²
+    (1.2B pairs at x25); re-sizing planes restores the EXPECTED
+    density, but on clustered corpora locality lands tight cosine
+    clusters whole in a bucket at any granularity (4→9 planes
+    recovered only 2.3×) — the cap is what bounds those (1.2B →
+    1.26M candidates, walls in seconds). Defaults keep expected
+    per-anchor candidate work at ~target_bucket · n_tables,
+    independent of corpus size.
+    """
+    import math
+
+    if n <= 0:
+        raise ValueError(f"corpus size must be positive, got {n}")
+    if target_bucket < 1:
+        raise ValueError(f"target_bucket must be >= 1, got {target_bucket}")
+    p = max(1, math.ceil(math.log2(max(n / target_bucket, 2.0))))
+    return min(p, max_planes), 4 * target_bucket
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ, fixed left-fold order (engine-reproducible)."""
     return F.aggregate(

@@ -255,3 +255,35 @@ def test_hash_family_params_reject_typos(spark):
     sigs = minhash_signatures(df, n_hashes=8)
     with pytest.raises(ValueError, match="band_key"):
         _banded(sigs, "doc_id", 4, 8, band_key="concatt")
+
+
+def test_lsh_scale_params_sizing_rule():
+    """r17: the executable form of the LSH sizing contract ("size
+    planes ~log2 n", measured in docs/SCALE_PROBE_r17_census_top.txt).
+    Expected bucket density n/2^p comes out at or under target_bucket,
+    planes grow ~log2 of the corpus ratio (constant expected density
+    at any scale), the cap is 4x target, clamps hold, and degenerate
+    inputs are loud."""
+    import pytest
+
+    from configdrivendatapipeline_spark.llm.similarity import lsh_scale_params
+
+    for n in (100, 2_000, 50_000, 10_000_000, 10**12):
+        p, cap = lsh_scale_params(n)
+        assert cap == 800
+        assert n / 2**p <= 200 or p == 24  # density target (or clamp)
+        assert p >= 1
+    # the r17 probe's shapes: sf0.1 corpus vs its x25 replication —
+    # planes grow ~log2 of the corpus ratio (4 ≈ log2 25), expected
+    # density constant to within the power-of-two rounding
+    p1, _ = lsh_scale_params(2_000)
+    p25, _ = lsh_scale_params(50_000)
+    assert p25 - p1 == 4
+    assert abs(2_000 / 2**p1 - 50_000 / 2**p25) < 2_000 / 2**p1
+    # clamps: tiny corpus floors at 1 plane, huge corpus ceils
+    assert lsh_scale_params(1)[0] == 1
+    assert lsh_scale_params(10**12, target_bucket=1, max_planes=24)[0] == 24
+    with pytest.raises(ValueError, match="positive"):
+        lsh_scale_params(0)
+    with pytest.raises(ValueError, match="target_bucket"):
+        lsh_scale_params(100, target_bucket=0)
