@@ -123,9 +123,19 @@ def shingle_hash_sets(
         return acc.bitwiseAND(F.lit(0xFFFFFFFF))
 
     idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("__th")) - shingle_k, F.lit(0)))
+    # NULL-text guard BEFORE the token-hash projection, phrased on the
+    # raw column. The previous form — .filter(F.size("__th") > 0)
+    # after the projection — was row-equivalent (split() never yields
+    # an empty array for non-null input, so size(__th) > 0 ⇔ text IS
+    # NOT NULL) but the optimizer pushed it below the widening
+    # exchange by SUBSTITUTING the whole per-token md5/xxhash
+    # transform into the filter condition: every token of every doc
+    # was hashed twice, once of those in the narrow pre-shuffle stage
+    # (guide §4.4's duplicated-evaluation trap, expression flavor).
+    # Filtering on text itself pushes a plain IsNotNull to the scan.
     return (
-        src.select(id_col, th.alias("__th"))
-        .filter(F.size("__th") > 0)
+        src.filter(F.col(text_col).isNotNull())
+        .select(id_col, th.alias("__th"))
         .select(
             id_col,
             F.array_distinct(F.transform(idx, shingle_hash)).alias("hs"),
@@ -1125,9 +1135,14 @@ def winnow_fingerprints(
         return acc.bitwiseAND(F.lit(m32))
 
     idx = F.sequence(F.lit(0), F.greatest(F.size(F.col("__th")) - k, F.lit(0)))
+    # Same NULL-text guard hoisting as shingle_hash_sets: filter on
+    # the raw column (row-equivalent — split() is never empty-array on
+    # non-null input) so the pushed-down predicate is a plain
+    # IsNotNull instead of a substituted copy of the whole per-token
+    # md5 transform evaluated once per row per operator.
     sh = (
-        df.select(id_col, th.alias("__th"))
-        .filter(F.size("__th") > 0)
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, th.alias("__th"))
         .select(
             F.col(id_col),
             F.posexplode(F.transform(idx, shingle_hash)).alias("p0", "h"),

@@ -94,8 +94,31 @@ def cosine(a: Column, b: Column) -> Column:
     Spark 4's default ANSI mode (DIVIDE_BY_ZERO) — and every topk /
     neardup / kmeans / semdedup operator funnels through here. For
     non-zero vectors the arithmetic is unchanged (bit-identical to
-    the unguarded form)."""
+    the unguarded form).
+
+    Cost note: inlined like this, each norm() appears twice (guard +
+    value) and array-lambda expressions are excluded from codegen
+    subexpression elimination, so a pair-scoring projection pays ~4
+    norm traversals per PAIR. Everywhere the two sides of the pair
+    come from separate frames, prefer attaching :func:`norm` columns
+    per SIDE before the join and scoring with :func:`cosine_dn` —
+    O(n·d) norm work instead of O(pairs·d·4), identical doubles."""
     d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def cosine_dn(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with precomputed norm columns.
+
+    ``na``/``nb`` MUST be plain column references to norms computed
+    by :func:`norm` on ``a``/``b`` in an upstream operator (a select
+    on each join side — the join boundary stops CollapseProject from
+    re-inlining them). The expression tree is then
+    ``when(na·nb > 0, dot/(na·nb))`` — the same multiply, compare and
+    divide on the same doubles as :func:`cosine`, so results are
+    bit-identical while each pair pays one dot traversal instead of
+    one dot plus four norm traversals."""
+    d = na * nb
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
@@ -112,14 +135,24 @@ def brute_force_topk(
     ``probes``: (probe_id, probe_vec). The probe side broadcasts;
     the corpus is scanned once; per-probe top-k via one window.
     """
+    # Norms are attached per SIDE before the join (cosine_dn): the
+    # corpus pays n norm traversals instead of 4·n·|probes| inside
+    # the scoring projection. Same doubles, same ranks.
     c = corpus.select(
         F.col(id_col), as_double(vec_col).alias("__v")
-    )
-    p = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
+    ).withColumn("__nv", norm(F.col("__v")))
+    p = probes.select(
+        F.col(probe_id), as_double("probe_vec").alias("__q")
+    ).withColumn("__nq", norm(F.col("__q")))
     scored = c.crossJoin(F.broadcast(p)).select(
         probe_id,
         id_col,
-        F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
+        F.round(
+            cosine_dn(
+                F.col("__v"), F.col("__q"), F.col("__nv"), F.col("__nq")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     return _rank_topk(scored, probe_id, id_col, k)
 
@@ -256,7 +289,9 @@ def lsh_topk(
     """
     if n_planes is not None:
         planes_per_table = n_planes
-    cv = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    cv = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("__v")
+    ).withColumn("__nv", norm(F.col("__v")))
     # Slim candidate generation (same discipline as knn_join /
     # neardup_pairs): only (probe_id, id) pairs flow through the
     # bucket join and the multi-table dedup — each candidate appears
@@ -270,7 +305,9 @@ def lsh_topk(
         ),
     )
     c = _cap_buckets(c, ["table_id", "bucket"], max_bucket)
-    pv = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
+    pv = probes.select(
+        F.col(probe_id), as_double("probe_vec").alias("__q")
+    ).withColumn("__nq", norm(F.col("__q")))
     p = pv.select(
         probe_id,
         F.posexplode(_table_buckets(F.col("__q"), n_tables, planes_per_table)).alias(
@@ -285,7 +322,12 @@ def lsh_topk(
     scored = candidates.join(cv, id_col).join(F.broadcast(pv), probe_id).select(
         probe_id,
         id_col,
-        F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
+        F.round(
+            cosine_dn(
+                F.col("__v"), F.col("__q"), F.col("__nv"), F.col("__nq")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     return _rank_topk(scored, probe_id, id_col, k)
 
@@ -320,7 +362,9 @@ def ivf_topk(
             f"ivf_topk requires n_centroids >= 1 and n_probe >= 1; "
             f"got n_centroids={n_centroids}, n_probe={n_probe}"
         )
-    c = corpus.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    c = corpus.select(
+        F.col(id_col), as_double(vec_col).alias("__v")
+    ).withColumn("__nv", norm(F.col("__v")))
     if centroids is not None:
         cents = centroids.select(
             F.col("cluster").alias("cent_id"), F.col("__c")
@@ -331,12 +375,20 @@ def ivf_topk(
             .limit(n_centroids)
             .select(F.col(id_col).alias("cent_id"), F.col("__v").alias("__c"))
         )
+    # Centroid norms once per centroid (k rows) instead of 4× per
+    # (vector, centroid) score — see cosine_dn.
+    cents = cents.withColumn("__nc", norm(F.col("__c")))
     bc = F.broadcast(cents)
 
     # invert: each corpus vector → nearest centroid's list
     assigned = (
         c.crossJoin(bc)
-        .withColumn("__sim", cosine(F.col("__v"), F.col("__c")))
+        .withColumn(
+            "__sim",
+            cosine_dn(
+                F.col("__v"), F.col("__c"), F.col("__nv"), F.col("__nc")
+            ),
+        )
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -344,14 +396,21 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__rn") == 1)
-        .select(id_col, "__v", F.col("cent_id").alias("list_id"))
+        .select(id_col, "__v", "__nv", F.col("cent_id").alias("list_id"))
     )
 
     # route each probe to its n_probe nearest lists
-    p = probes.select(F.col(probe_id), as_double("probe_vec").alias("__q"))
+    p = probes.select(
+        F.col(probe_id), as_double("probe_vec").alias("__q")
+    ).withColumn("__nq", norm(F.col("__q")))
     routed = (
         p.crossJoin(bc)
-        .withColumn("__sim", cosine(F.col("__q"), F.col("__c")))
+        .withColumn(
+            "__sim",
+            cosine_dn(
+                F.col("__q"), F.col("__c"), F.col("__nq"), F.col("__nc")
+            ),
+        )
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -359,13 +418,18 @@ def ivf_topk(
             ),
         )
         .filter(F.col("__rn") <= n_probe)
-        .select(probe_id, "__q", F.col("cent_id").alias("list_id"))
+        .select(probe_id, "__q", "__nq", F.col("cent_id").alias("list_id"))
     )
 
     scored = assigned.join(F.broadcast(routed), "list_id").select(
         probe_id,
         id_col,
-        F.round(cosine(F.col("__v"), F.col("__q")), 6).alias("cos_sim"),
+        F.round(
+            cosine_dn(
+                F.col("__v"), F.col("__q"), F.col("__nv"), F.col("__nq")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     return _rank_topk(scored, probe_id, id_col, k)
 
@@ -414,13 +478,27 @@ def knn_join(
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
-    va = v.select(F.col(id_col).alias("left_id"), F.col("__v").alias("__va"))
-    vb = v.select(F.col(id_col).alias("right_id"), F.col("__v").alias("__vb"))
+    vn = v.withColumn("__n", norm(F.col("__v")))
+    va = vn.select(
+        F.col(id_col).alias("left_id"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("right_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     cand = pairs.join(va, "left_id").join(vb, "right_id")
     scored = cand.select(
         "left_id",
         "right_id",
-        F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        F.round(
+            cosine_dn(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     return _rank_topk(scored, "left_id", "right_id", k)
 
@@ -457,9 +535,18 @@ def neardup_pairs(
     should over-ask by 1e-6 and re-filter.
     """
     v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    vn = v.withColumn("__n", norm(F.col("__v")))
     if exact:
-        a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-        b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+        a = vn.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        b = vn.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         # Slim candidate generation: the pair join and multi-table
@@ -484,14 +571,27 @@ def neardup_pairs(
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
-        va = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-        vb = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+        va = vn.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
+        vb = vn.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
         cand = pairs.join(va, "id_a").join(vb, "id_b")
     return (
         cand.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+            F.round(
+                cosine_dn(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -668,6 +768,7 @@ def _kmeans_iterate(
     """(assignments with __cos, refined centroids) — shared core."""
     q = 1 << 20
     v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    vn = v.withColumn("__nv", norm(F.col("__v")))
     cents = (
         v.orderBy(id_col)
         .limit(n_clusters)
@@ -675,11 +776,16 @@ def _kmeans_iterate(
     )
 
     def assign(cdf: DataFrame) -> DataFrame:
-        scored = v.crossJoin(F.broadcast(cdf)).select(
+        # Vector norms once per row, centroid norms once per centroid
+        # (k rows) — not 4× per (row, centroid) score; see cosine_dn.
+        cn = cdf.withColumn("__nc", norm(F.col("__c")))
+        scored = vn.crossJoin(F.broadcast(cn)).select(
             id_col,
             "__v",
             "cluster",
-            cosine(F.col("__v"), F.col("__c")).alias("__cos"),
+            cosine_dn(
+                F.col("__v"), F.col("__c"), F.col("__nv"), F.col("__nc")
+            ).alias("__cos"),
         )
         w = Window.partitionBy(id_col).orderBy(
             F.col("__cos").desc(), F.col("cluster")
@@ -857,10 +963,19 @@ def label_outliers(
             lambda s: s.getField("mean"),
         ).alias("__c")
     )
-    scored = v.join(F.broadcast(cents), label_col).select(
-        id_col,
-        label_col,
-        cosine(F.col("__v"), F.col("__c")).alias("__cs"),
+    scored = (
+        v.withColumn("__nv", norm(F.col("__v")))
+        .join(
+            F.broadcast(cents.withColumn("__nc", norm(F.col("__c")))),
+            label_col,
+        )
+        .select(
+            id_col,
+            label_col,
+            cosine_dn(
+                F.col("__v"), F.col("__c"), F.col("__nv"), F.col("__nc")
+            ).alias("__cs"),
+        )
     )
     return scored.select(
         id_col,
@@ -921,14 +1036,25 @@ def hard_negatives(
         .select("anchor_id", "anchor_label", "neg_id", "neg_label")
         .dropDuplicates(["anchor_id", "neg_id"])
     )
-    va = v.select(F.col(id_col).alias("anchor_id"), F.col("__v").alias("__va"))
-    vb = v.select(F.col(id_col).alias("neg_id"), F.col("__v").alias("__vb"))
+    vn = v.withColumn("__n", norm(F.col("__v")))
+    va = vn.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    vb = vn.select(
+        F.col(id_col).alias("neg_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
     scored = pairs.join(va, "anchor_id").join(vb, "neg_id").select(
         "anchor_id",
         "anchor_label",
         "neg_id",
         "neg_label",
-        cosine(F.col("__va"), F.col("__vb")).alias("__cs"),
+        cosine_dn(
+            F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+        ).alias("__cs"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("__cs").desc(), F.col("neg_id")

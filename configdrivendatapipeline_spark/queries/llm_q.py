@@ -4775,7 +4775,11 @@ def llm_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from configdrivendatapipeline_spark.llm.similarity import as_double, cosine
+    from configdrivendatapipeline_spark.llm.similarity import (
+        as_double,
+        cosine_dn,
+        norm,
+    )
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
@@ -4802,9 +4806,13 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_kw") <= 20)
         .select("qid", "doc_id", "r_kw")
     )
-    v = emb.select("vec_id", as_double("embedding").alias("__v"))
+    v = emb.select("vec_id", as_double("embedding").alias("__v")).withColumn(
+        "__nv", norm(F.col("__v"))
+    )
     probes = v.filter(F.col("vec_id").isin(0, 1, 2)).select(
-        F.col("vec_id").alias("qid"), F.col("__v").alias("__p")
+        F.col("vec_id").alias("qid"),
+        F.col("__v").alias("__p"),
+        F.col("__nv").alias("__np"),
     )
     wd = Window.partitionBy("qid").orderBy(
         F.col("__cos").desc(), F.col("doc_id")
@@ -4815,7 +4823,9 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "qid",
             F.col("vec_id").alias("doc_id"),
-            cosine(F.col("__v"), F.col("__p")).alias("__cos"),
+            cosine_dn(
+                F.col("__v"), F.col("__p"), F.col("__nv"), F.col("__np")
+            ).alias("__cos"),
         )
         .withColumn("r_dense", F.row_number().over(wd))
         .filter(F.col("r_dense") <= 20)
