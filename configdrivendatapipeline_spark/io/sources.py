@@ -78,6 +78,14 @@ def read_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
             # parquet — cheap even on huge lakes).
             static = spark.read.format(fmt).options(**options).load(path)
             reader = reader.schema(static.schema)
+        if streaming:
+            # Size the eventual stateful shuffle from the backlog
+            # (see streaming.ops.note_stream_source).
+            from configdrivendatapipeline_spark.streaming.ops import (
+                note_stream_source,
+            )
+
+            note_stream_source(spark, path)
         if streaming and os.path.isfile(path):
             # FileStreamSource monitors directories; stage a bare
             # file behind a symlinked dir.

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from configdrivendatapipeline_spark.queries import declare, load
-from configdrivendatapipeline_spark.streaming import run_available_now, stream_events
+from configdrivendatapipeline_spark.streaming import (
+    note_stream_source,
+    run_available_now,
+    stream_events,
+)
 
 _SEC = "2.10"
 
@@ -225,6 +229,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from configdrivendatapipeline_spark.queries import normalize_ts
 
     schema = spark.read.parquet(os.path.join(feed, "0000.parquet")).schema
+    note_stream_source(spark, feed)
     sdf = normalize_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -254,6 +259,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
     ev.unionByName(ev).write.mode("overwrite").parquet(path)
     static = spark.read.parquet(path)
+    note_stream_source(spark, path)
     sdf = spark.readStream.schema(static.schema).parquet(path)
     return run_available_now(sdf.dropDuplicates(["event_id"]), "append")
 
@@ -549,6 +555,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     static = spark.read.parquet(path)
     from configdrivendatapipeline_spark.queries import normalize_ts
 
+    note_stream_source(spark, path)
     sdf = normalize_ts(spark.readStream.schema(static.schema).parquet(path))
     dedup = (
         sdf.withWatermark("ts", "1 hour")
@@ -622,6 +629,7 @@ def stream_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feed.write.mode("overwrite").parquet(path)
     static = spark.read.parquet(path)
+    note_stream_source(spark, path)
     sdf = spark.readStream.schema(static.schema).parquet(path)
     deduped = (
         sdf.select(
@@ -676,6 +684,7 @@ def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(path + ".staged", "w") as f:
             f.write("ok")
     static = spark.read.parquet(path)
+    note_stream_source(spark, path)
     sdf = spark.readStream.schema(static.schema).parquet(path)
     gated = quality_score(sdf).filter(F.col("quality") >= 70)
     return run_available_now(gated, "append")

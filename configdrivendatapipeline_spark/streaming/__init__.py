@@ -7,8 +7,9 @@ the batch form also verifies the streaming plan.
 """
 
 from configdrivendatapipeline_spark.streaming.ops import (
+    note_stream_source,
     run_available_now,
     stream_events,
 )
 
-__all__ = ["stream_events", "run_available_now"]
+__all__ = ["stream_events", "run_available_now", "note_stream_source"]

@@ -226,3 +226,51 @@ def test_normalize_ts_canonicalizes_every_parquet_encoding(spark):
     )
     q.awaitTermination()
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_scaled_stream_partitions_sizing(spark):
+    """The streaming stateful-shuffle sizing rule: ceil(bytes /
+    advisory) clamped to [min(dp, 4), dp] — small backlogs stop
+    paying per-partition state overhead, big backlogs still get full
+    parallelism."""
+    from configdrivendatapipeline_spark.streaming.ops import (
+        _parse_byte_conf,
+        scaled_stream_partitions,
+    )
+
+    dp = spark.sparkContext.defaultParallelism
+    floor = min(dp, 4)
+    adv = _parse_byte_conf(
+        spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+        )
+    )
+    # tiny backlog → floor, huge backlog → cores
+    assert scaled_stream_partitions(spark, 1) == floor
+    assert scaled_stream_partitions(spark, adv * dp * 100) == dp
+    # mid-range tracks ceil(bytes / advisory) once above the floor
+    want = max(floor, min(dp, 7))
+    assert scaled_stream_partitions(spark, adv * 7) == want
+    # byte-suffix parsing used for the advisory conf
+    assert _parse_byte_conf("64MB") == 64 * 1024 * 1024
+    assert _parse_byte_conf("256m") == 256 * 1024 * 1024
+    assert _parse_byte_conf("1073741824") == 1 << 30
+
+
+def test_run_available_now_restores_shuffle_conf(spark, sf_dir):
+    """The transient stateful-shuffle sizing must not leak into batch
+    plans built after the drain."""
+    from configdrivendatapipeline_spark.streaming import (
+        run_available_now,
+        stream_events,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = run_available_now(
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "complete",
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
