@@ -56,7 +56,11 @@ _Q1_CUTOFF = "2000-12-01"
     "Pricing summary (TPC-H Q1 shape): hash group-by with partial aggregation.",
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spread(load(spark, sf_dir, "lineitem"))
+    # Keyed widening: hash on the high-cardinality orderkey instead
+    # of round-robin — skips the sort-before-repartition pass the
+    # keyless exchange pays, and the row→partition map is retry-
+    # deterministic by construction (guide §2.5).
+    li = spread(load(spark, sf_dir, "lineitem"), key="l_orderkey")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
