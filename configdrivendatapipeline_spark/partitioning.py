@@ -33,9 +33,9 @@ projections; keep it that way.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def scan_split_count(df: DataFrame) -> Optional[int]:
@@ -55,7 +55,7 @@ def widen_narrow_scan(
     df: DataFrame,
     *,
     min_factor: int = 2,
-    key: Optional[str] = None,
+    key: Optional[Union[str, Column]] = None,
 ) -> DataFrame:
     """Repartition a frame that arrived in fewer file splits than
     cores (the local single-row-group-parquet case). At lake scale
@@ -66,4 +66,6 @@ def widen_narrow_scan(
     splits = scan_split_count(df)
     if splits is None or splits * min_factor > target:
         return df
-    return df.repartition(target, key) if key else df.repartition(target)
+    if key is not None:
+        return df.repartition(target, key)
+    return df.repartition(target)

@@ -56,11 +56,16 @@ _Q1_CUTOFF = "2000-12-01"
     "Pricing summary (TPC-H Q1 shape): hash group-by with partial aggregation.",
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Keyed widening: hash on the high-cardinality orderkey instead
+    # Keyed widening: hash on columns the query already reads instead
     # of round-robin — skips the sort-before-repartition pass the
-    # keyless exchange pays, and the row→partition map is retry-
-    # deterministic by construction (guide §2.5).
-    li = spread(load(spark, sf_dir, "lineitem"), key="l_orderkey")
+    # keyless exchange pays, the row→partition map is retry-
+    # deterministic by construction (guide §2.5), and unlike keying
+    # on l_orderkey the scan's ReadSchema stays pruned to the
+    # measure columns (no extra I/O or shuffle bytes, guide §2.3).
+    li = spread(
+        load(spark, sf_dir, "lineitem"),
+        key=F.xxhash64("l_extendedprice", "l_quantity", "l_shipdate"),
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
