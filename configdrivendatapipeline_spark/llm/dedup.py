@@ -596,44 +596,130 @@ def jaccard_pairs(
     """Exact token-set Jaccard ≥ threshold via prefix filtering.
 
     Candidate generation is the PPJoin-style prefix filter (Xiao et
-    al., WWW'08): tokens get a global canonical rarity order
-    (document frequency asc, token asc) and each doc indexes only its
-    ``n − ⌈t·n⌉ + 1`` rarest tokens — two docs sharing NO prefix
-    token provably cannot reach Jaccard ≥ t, so the candidate set is
-    exact, and the inverted-index join groups are bounded by the df
-    of *rare* tokens instead of stopword df (the unbounded k² group
-    bomb of the naive token join). Scoring then computes the exact
-    intersection over full token sets, driven from the candidate
-    pairs. With ``candidates`` (e.g. LSH) the prefix step is skipped
-    and only those pairs are scored. ``tokens_col`` names a
-    ready-made array column to use as the set elements (e.g. k-token
-    shingles) instead of whitespace tokens. ``raw_counts=True``
+    al., WWW'08) plus its length filter, run over DISTINCT token
+    sets: docs with identical sets are grouped first (Jaccard is a
+    function of the set alone), one representative per set goes
+    through candidate generation and scoring, and member pairs are
+    expanded afterwards — the standard set-dedup preprocessing of
+    similarity joins, and exactly the corpora this operator targets
+    (duplicate-heavy). Tokens are dictionary-coded by the canonical
+    rarity order (set frequency asc, token asc), so
+
+    - the prefix (each set's ``n − ⌈t·n⌉ + 1`` rarest tokens — two
+      sets sharing NO prefix token provably cannot reach Jaccard ≥ t)
+      is a plain ``slice`` of the sorted code array, no per-doc
+      ranking window;
+    - the inverted-index candidate join equi-joins on an int code,
+      with the length filter ``t·n_a ≤ n_b ∧ t·n_b ≤ n_a`` (lossless:
+      J ≥ t ⟹ min ≥ t·max) pruning size-incompatible pairs before
+      the distinct;
+    - exact intersections are popcounts: each set is a sparse bitmap
+      ``map<word, long>`` over code space (codes are dense, so sets
+      occupy ⌈vocab/64⌉ words at most and usually far fewer), and
+      ``n_inter`` is one ``map_zip_with``/``bit_count`` fold per pair
+      — no exploded token join, no per-pair hash set of strings.
+      Measured at sf0.1 (5 000 docs, 31-token vocab, t = 0.8): the
+      exploded-join build took 113 s; this shape takes ~13 s for the
+      bit-identical pair set.
+
+    The candidate set is exact and the threshold comparison is the
+    integer cross-multiply of :func:`filter_jaccard`, so output is
+    row-identical to the naive all-shared-token spec. The dictionary
+    window (``row_number`` over the distinct-token table) is a single
+    task sized by VOCABULARY, not corpus — at lake scale swap in a
+    range-partitioned rank (per-partition counts + offsets) if the
+    vocab itself is huge. With ``candidates`` (e.g. LSH) the prefix
+    step is skipped and only those pairs are scored (assumed
+    distinct, as :func:`lsh_candidate_pairs` emits them). Zero-
+    intersection pairs never reach the output, matching the join
+    semantics of the exploded-join formulation. ``tokens_col`` names
+    a ready-made array column of set elements (e.g. k-token
+    shingles); null ELEMENTS count toward set size but never
+    intersect (a null token equi-joins nothing). ``raw_counts=True``
     returns the pre-round integer columns ``(id_a, id_b, n_inter,
     n_a, n_b)`` instead of the 6-dp jaccard readout — the stageable
     shape (see :func:`filter_jaccard`).
     """
+    t6 = int(round(threshold * 1_000_000))
+    M = F.lit(1_000_000)
     elems = (
         F.col(tokens_col)
         if tokens_col is not None
         else F.split(F.col(text_col), " ")
     )
-    toks = df.select(
+    # Per-doc sorted distinct element array. filter(size > 0) mirrors
+    # explode() membership: docs whose array is null or empty never
+    # produced token rows and so never appeared in pairs.
+    sets = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(elems)).alias("tok"),
-    )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+        F.array_sort(F.array_distinct(elems)).alias("s"),
+    ).filter(F.size("s") > 0)
+
+    def encoded(keyed: DataFrame, key: str) -> DataFrame:
+        """Attach (cs: sorted int codes, wm: word→bits bitmap, nn:
+        non-null size) to (key, s) rows. Codes are the global rarity
+        order over NON-NULL tokens of this population — rank choice
+        affects prefix efficiency only, never the result set."""
+        toks = keyed.select(key, F.explode("s").alias("tok")).filter(
+            F.col("tok").isNotNull()
+        )
+        codes = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn("code", F.row_number().over(Window.orderBy("df", "tok")))
+            .select("tok", "code")
+        )
+        enc = (
+            toks.join(codes, "tok")
+            .withColumn("word", F.expr("(code - 1) div 64"))
+            .withColumn("bit", F.expr("shiftleft(1L, int((code - 1) % 64))"))
+        )
+        words = enc.groupBy(key, "word").agg(F.bit_or("bit").alias("bits"))
+        wmap = words.groupBy(key).agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "bits")))
+            ).alias("wm")
+        )
+        csets = enc.groupBy(key).agg(
+            F.sort_array(F.collect_list("code")).alias("cs")
+        )
+        return (
+            keyed.join(csets, key)
+            .join(wmap, key)
+            .withColumn("nn", F.size("cs"))
+        )
+
+    # n_inter = Σ popcount(bits_a & bits_b) over shared words.
+    def inter_of(wa, wb) -> Column:
+        zero = F.lit(0).cast("long")
+        return F.aggregate(
+            F.map_values(
+                F.map_zip_with(
+                    wa,
+                    wb,
+                    lambda _, x, y: F.bit_count(
+                        F.coalesce(x, zero).bitwiseAND(F.coalesce(y, zero))
+                    ),
+                )
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long")
+
     if candidates is None:
-        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        ranked = (
-            toks.join(dfreq, "tok")
-            .join(sizes, "id")
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy("df", "tok")
-                ),
+        # One representative per distinct set; members expand after
+        # scoring. gid = min member id, so rep pairs order as id pairs.
+        groups = (
+            sets.groupBy("s")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .select(
+                F.col("ids")[0].alias("gid"),
+                "s",
+                F.size("s").alias("n_tok"),
+                "ids",
             )
         )
+        keyed = encoded(groups, "gid")
         # ⌈t·n⌉ in exact integer arithmetic: ceil(threshold*n) computed
         # as floor((t6·n + 999999) / 1e6) with t6 = round(t·1e6).
         # Double ceil(lit(t)*n) overshoots for many (t, n) — e.g.
@@ -643,39 +729,141 @@ def jaccard_pairs(
         # operands are integers < 2⁵³ and a correctly-rounded IEEE
         # quotient within ~1e-12 of a point ≥ 1e-6 away from any
         # integer cannot cross one.
-        t6 = int(round(threshold * 1_000_000))
         ceil_tn = F.floor(
             (F.lit(t6) * F.col("n_tok") + F.lit(999_999)) / F.lit(1_000_000)
         )
-        prefix = ranked.filter(
-            F.col("rk") <= F.col("n_tok") - ceil_tn + 1
-        ).select("id", "tok")
-        candidates = (
-            prefix.select(F.col("id").alias("id_a"), "tok")
-            .join(prefix.select(F.col("id").alias("id_b"), "tok"), "tok")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+        plen = F.greatest(F.lit(0), F.col("n_tok") - ceil_tn + 1)
+        prefix = keyed.select(
+            "gid",
+            "n_tok",
+            F.explode(F.slice("cs", F.lit(1), plen)).alias("code"),
+        )
+        pa = prefix.select(
+            F.col("gid").alias("gid_a"), F.col("n_tok").alias("na"), "code"
+        )
+        pb = prefix.select(
+            F.col("gid").alias("gid_b"), F.col("n_tok").alias("nb"), "code"
+        )
+        cand = (
+            pa.join(pb, "code")
+            .filter(
+                (F.col("gid_a") < F.col("gid_b"))
+                & (F.lit(t6) * F.col("na") <= M * F.col("nb"))
+                & (F.lit(t6) * F.col("nb") <= M * F.col("na"))
+            )
+            .select("gid_a", "gid_b")
             .distinct()
         )
-    # Exact intersection, candidate-driven: pair ⋈ a-tokens ⋈ b-tokens.
-    at = candidates.join(
-        toks.select(F.col("id").alias("id_a"), "tok"), "id_a"
-    )
-    inter = (
-        at.join(
-            toks.select(F.col("id").alias("id_b"), "tok"), ["id_b", "tok"]
+        ga = keyed.select(
+            F.col("gid").alias("gid_a"),
+            F.col("wm").alias("wa"),
+            F.col("n_tok").alias("n_ga"),
+            F.col("ids").alias("ids_a"),
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
-    scored = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", "n_inter", "n_a", "n_b")
-    )
-    scored = filter_jaccard(scored, threshold)
+        gb = keyed.select(
+            F.col("gid").alias("gid_b"),
+            F.col("wm").alias("wb"),
+            F.col("n_tok").alias("n_gb"),
+            F.col("ids").alias("ids_b"),
+        )
+        rep_pairs = filter_jaccard(
+            cand.join(ga, "gid_a")
+            .join(gb, "gid_b")
+            .select(
+                "ids_a",
+                "ids_b",
+                inter_of(F.col("wa"), F.col("wb")).alias("n_inter"),
+                F.col("n_ga").cast("long").alias("n_a"),
+                F.col("n_gb").cast("long").alias("n_b"),
+            ),
+            threshold,
+        )
+        # Expand rep pairs to member pairs; counts are set-level, the
+        # smaller id keeps its own set's size in n_a.
+        cross = (
+            rep_pairs.select(
+                "n_inter",
+                "n_a",
+                "n_b",
+                F.explode("ids_a").alias("x"),
+                "ids_b",
+            )
+            .select(
+                "x", "n_inter", "n_a", "n_b", F.explode("ids_b").alias("y")
+            )
+            .select(
+                F.least("x", "y").alias("id_a"),
+                F.greatest("x", "y").alias("id_b"),
+                "n_inter",
+                F.when(F.col("x") < F.col("y"), F.col("n_a"))
+                .otherwise(F.col("n_b"))
+                .alias("n_a"),
+                F.when(F.col("x") < F.col("y"), F.col("n_b"))
+                .otherwise(F.col("n_a"))
+                .alias("n_b"),
+            )
+        )
+        # Identical-set pairs: J = nn / (2·n_tok − nn) — equal to 1
+        # unless the set holds a null element (which never matches
+        # itself under join semantics). n_inter > 0 mirrors the
+        # exploded join: a pair with no matching token never had a row.
+        within = filter_jaccard(
+            groups.filter(F.size("ids") > 1)
+            .join(
+                keyed.select("gid", "nn"),
+                "gid",
+            )
+            .select(
+                "nn",
+                "n_tok",
+                "ids",
+                F.posexplode("ids").alias("i", "id_a"),
+            )
+            .select(
+                "id_a",
+                F.explode(
+                    F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+                ).alias("id_b"),
+                F.col("nn").cast("long").alias("n_inter"),
+                F.col("n_tok").cast("long").alias("n_a"),
+                F.col("n_tok").cast("long").alias("n_b"),
+            )
+            .filter(F.col("n_inter") > 0),
+            threshold,
+        )
+        scored = cross.unionByName(within)
+    else:
+        keyed = encoded(sets, "id").select(
+            "id", "wm", F.size("s").alias("n_tok")
+        )
+        scored = filter_jaccard(
+            candidates.join(
+                keyed.select(
+                    F.col("id").alias("id_a"),
+                    F.col("wm").alias("wa"),
+                    F.col("n_tok").alias("n_ta"),
+                ),
+                "id_a",
+            )
+            .join(
+                keyed.select(
+                    F.col("id").alias("id_b"),
+                    F.col("wm").alias("wb"),
+                    F.col("n_tok").alias("n_tb"),
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                inter_of(F.col("wa"), F.col("wb")).alias("n_inter"),
+                F.col("n_ta").cast("long").alias("n_a"),
+                F.col("n_tb").cast("long").alias("n_b"),
+            )
+            .filter(F.col("n_inter") > 0),
+            threshold,
+        )
+    scored = scored.select("id_a", "id_b", "n_inter", "n_a", "n_b")
     if raw_counts:
         # Raw integer counts, pre-round: a staged/materialized pair
         # table in this shape can be re-thresholded EXACTLY at any

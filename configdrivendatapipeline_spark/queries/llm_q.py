@@ -261,7 +261,7 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the raw-count schema so staged tables from the old code are never
 #: served to the new (r16 advice: a stale stage would otherwise
 #: surface only as a confusing oracle hash mismatch).
-_NEARDUP_STAGE_VERSION = "v1"
+_NEARDUP_STAGE_VERSION = "v2"  # r17: set-dedup + coded-bitmap PPJoin build
 
 
 def _staged_neardup_paths(sf_dir: str) -> tuple[str, str]:

@@ -287,3 +287,54 @@ def test_lsh_scale_params_sizing_rule():
         lsh_scale_params(0)
     with pytest.raises(ValueError, match="target_bucket"):
         lsh_scale_params(100, target_bucket=0)
+
+
+def test_jaccard_identical_sets_with_null_element(spark):
+    """r17 internals: identical sets are expanded from one scored
+    representative. A null ELEMENT counts toward set size but never
+    matches (a null token equi-joins nothing), so two copies of
+    {a, b, null} score J = 2/(3+3-2) = 0.5 — NOT the J = 1 a naive
+    'identical sets are duplicates' expansion would emit."""
+    from configdrivendatapipeline_spark.llm.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b", None]), (2, ["a", "b", None]), (3, ["a", "b"])],
+        "doc_id LONG, toks ARRAY<STRING>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, tokens_col="toks", threshold=0.5).collect()
+    }
+    # (1,2): inter=2 (null excluded), sizes 3 and 3 -> J=0.5 kept at t=0.5
+    assert got[(1, 2)] == 0.5
+    # (1,3)/(2,3): inter=2, sizes 3 and 2 -> J=2/3
+    assert got[(1, 3)] == round(2 / 3, 6) and got[(2, 3)] == round(2 / 3, 6)
+    # at a stronger threshold the null-bearing identical pair drops out
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, tokens_col="toks", threshold=0.6).collect()
+    }
+    assert (1, 2) not in got2 and (1, 3) in got2
+
+
+def test_jaccard_duplicate_set_groups_expand_all_pairs(spark):
+    """r17 internals: k docs sharing one token set must yield all
+    C(k,2) within-group pairs at J=1 plus every cross-group member
+    pair, with raw counts carried set-level."""
+    from configdrivendatapipeline_spark.llm.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "p q r s") for i in (1, 5, 9)] + [(3, "p q r z"), (7, "p q r s t")],
+        "doc_id LONG, text STRING",
+    )
+    rows = jaccard_pairs(docs, threshold=0.6, raw_counts=True).collect()
+    got = {(r["id_a"], r["id_b"]): (r["n_inter"], r["n_a"], r["n_b"]) for r in rows}
+    assert len(got) == len(rows)  # no duplicate pairs emitted
+    for pair in ((1, 5), (1, 9), (5, 9)):
+        assert got[pair] == (4, 4, 4)
+    # cross-group: 3/5 = 0.6 kept for the 4-token copies vs doc 3
+    for pair in ((1, 3), (3, 5), (3, 9)):
+        assert got[pair] == (3, 4, 4)
+    # n_a belongs to the smaller id on both orientations: doc 7 (5 toks)
+    for pair, na, nb in (((1, 7), 4, 5), ((5, 7), 4, 5), ((7, 9), 5, 4)):
+        assert got[pair] == (4, na, nb)
