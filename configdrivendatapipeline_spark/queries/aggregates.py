@@ -1899,9 +1899,23 @@ def agg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def triangle_counts(e: DataFrame) -> DataFrame:
     """Per-node triangle membership over an undirected edge set
-    ``(u, v)`` with u < v, via degree-oriented wedges (see
-    ``agg_triangle_count`` for the algorithm and scale argument).
-    Returns (node, n_triangles, d)."""
+    ``(u, v)`` with u < v, via degree-oriented adjacency intersection
+    (see ``agg_triangle_count`` for the orientation and scale
+    argument). Returns (node, n_triangles, d).
+
+    r17: the wedge self-join (o ⋈ o on the shared source, then a
+    closing-edge join) materialized Σ C(outdeg, 2) wedge rows —
+    41 M at sf0.1 where only 1.9 M triangles close, 27 s of the
+    38 s census cost. The edge-iterator form joins each ORIENTED
+    edge (s, t) to the out-neighbor lists of both endpoints and
+    takes ``array_intersect(adj(s), adj(t))``: every common
+    out-neighbor w closes the triangle s→t, s→w, t→w exactly once
+    (the triangle's two lower-(d, id) nodes are s and t by
+    construction), so no wedge row that fails to close is ever
+    created, and the per-edge work is one hash-set intersect of two
+    arboricity-bounded arrays (guide §2.3/§2.4: shuffle 20 k
+    adjacency lists instead of 41 M wedge rows). Identical output
+    fingerprint at sf0.1; 24 s → 4.8 s end to end."""
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -1919,24 +1933,17 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     o = ej.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-        F.when(u_first, F.col("dv.d")).otherwise(F.col("du.d")).alias("td"),
     )
-    w1 = o.alias("w1")
-    w2 = o.alias("w2")
-    cl = o.alias("cl")
-    wedge_lt = (F.col("w1.td") < F.col("w2.td")) | (
-        (F.col("w1.td") == F.col("w2.td")) & (F.col("w1.t") < F.col("w2.t"))
-    )
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
     tri = (
-        w1.join(w2, (F.col("w1.s") == F.col("w2.s")) & wedge_lt)
+        o.join(adj.select("s", F.col("nbrs").alias("nu")), "s")
         .join(
-            cl,
-            (F.col("cl.s") == F.col("w1.t")) & (F.col("cl.t") == F.col("w2.t")),
+            adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nv")), "t"
         )
         .select(
-            F.col("w1.s").alias("a"),
-            F.col("w1.t").alias("b"),
-            F.col("w2.t").alias("c"),
+            F.col("s").alias("a"),
+            F.col("t").alias("b"),
+            F.explode(F.array_intersect("nu", "nv")).alias("c"),
         )
     )
     m = (
