@@ -602,38 +602,54 @@ def jaccard_pairs(
     through candidate generation and scoring, and member pairs are
     expanded afterwards — the standard set-dedup preprocessing of
     similarity joins, and exactly the corpora this operator targets
-    (duplicate-heavy). Tokens are dictionary-coded by the canonical
-    rarity order (set frequency asc, token asc), so
+    (duplicate-heavy). The group table is materialized eagerly
+    (local checkpoint): it feeds several consumers whose subtrees
+    prune different columns (so ReuseExchange cannot dedup them),
+    and the RDD boundary stops InferFiltersFromGenerate's
+    ``size(s) > 0`` predicate from pushing the full element
+    expression below the source's widening exchange (guide §4.4's
+    duplicated-evaluation trap — measured 3.5 s → 66 s on the
+    shingle-hash corpus when the shingle transform leaks into a
+    narrow-stage filter).
 
-    - the prefix (each set's ``n − ⌈t·n⌉ + 1`` rarest tokens — two
-      sets sharing NO prefix token provably cannot reach Jaccard ≥ t)
-      is a plain ``slice`` of the sorted code array, no per-doc
-      ranking window;
-    - the inverted-index candidate join equi-joins on an int code,
-      with the length filter ``t·n_a ≤ n_b ∧ t·n_b ≤ n_a`` (lossless:
-      J ≥ t ⟹ min ≥ t·max) pruning size-incompatible pairs before
-      the distinct;
-    - exact intersections are popcounts: each set is a sparse bitmap
-      ``map<word, long>`` over code space (codes are dense, so sets
-      occupy ⌈vocab/64⌉ words at most and usually far fewer), and
-      ``n_inter`` is one ``map_zip_with``/``bit_count`` fold per pair
-      — no exploded token join, no per-pair hash set of strings.
-      Measured at sf0.1 (5 000 docs, 31-token vocab, t = 0.8): the
-      exploded-join build took 113 s; this shape takes ~13 s for the
-      bit-identical pair set.
+    Scoring is then DATA-ADAPTIVE (one cheap stats pass over the
+    materialized groups, AQE-style — plans derive from measured
+    input shape, never a fixture constant):
 
-    The candidate set is exact and the threshold comparison is the
-    integer cross-multiply of :func:`filter_jaccard`, so output is
-    row-identical to the naive all-shared-token spec. The dictionary
-    window (``row_number`` over the distinct-token table) is a single
-    task sized by VOCABULARY, not corpus — at lake scale swap in a
-    range-partitioned rank (per-partition counts + offsets) if the
-    vocab itself is huge. With ``candidates`` (e.g. LSH) the prefix
-    step is skipped and only those pairs are scored (assumed
-    distinct, as :func:`lsh_candidate_pairs` emits them). Zero-
-    intersection pairs never reach the output, matching the join
-    semantics of the exploded-join formulation. ``tokens_col`` names
-    a ready-made array column of set elements (e.g. k-token
+    - **Dense vocabulary** (mean token set-frequency ≥ 32 — stopword
+      corpora, small controlled vocabularies): tokens are
+      dictionary-coded in canonical rarity order (set frequency asc,
+      token asc), the prefix is a ``slice`` of the sorted code
+      array, the inverted-index join keys on an int, and exact
+      intersections are popcounts over sparse bitmaps
+      (``map<word, long>`` in dense code space, one
+      ``map_zip_with``/``bit_count`` fold per pair — no exploded
+      token join, no per-pair hash set of strings). Measured at
+      sf0.1 (5 000 docs, 31-token vocab, t = 0.8): 113 s exploded
+      build → ~9 s, bit-identical pairs.
+    - **Sparse vocabulary** (shingle/hash sets, most tokens near-
+      unique): the dictionary would cost more than it saves, so the
+      prefix slices the naturally-sorted element array directly —
+      the prefix theorem is valid for ANY consistent global token
+      order; rarity order only tightens candidate counts, which
+      sparse corpora don't need — and pairs are scored with one
+      ``array_intersect`` of the two (null-stripped) element
+      arrays. Candidate volume stays bounded by prefix df, which in
+      this regime is ~1.
+
+    Both paths produce the same exact pair set; the threshold
+    comparison is the integer cross-multiply of
+    :func:`filter_jaccard`, so output is row-identical to the naive
+    all-shared-token spec either way. The dense path's dictionary
+    window (``row_number`` over the distinct-token table) is a
+    single task sized by VOCABULARY, not corpus — and by
+    construction the dense branch only runs when vocab ≤ tokens/32.
+    With ``candidates`` (e.g. LSH) the prefix step is skipped and
+    only those pairs are scored directly (assumed distinct, as
+    :func:`lsh_candidate_pairs` emits them). Zero-intersection
+    pairs never reach the output, matching the join semantics of
+    the exploded-join formulation. ``tokens_col`` names a
+    ready-made array column of set elements (e.g. k-token
     shingles); null ELEMENTS count toward set size but never
     intersect (a null token equi-joins nothing). ``raw_counts=True``
     returns the pre-round integer columns ``(id_a, id_b, n_inter,
@@ -647,50 +663,19 @@ def jaccard_pairs(
         if tokens_col is not None
         else F.split(F.col(text_col), " ")
     )
-    # Per-doc sorted distinct element array. filter(size > 0) mirrors
-    # explode() membership: docs whose array is null or empty never
-    # produced token rows and so never appeared in pairs.
+    # Per-doc sorted distinct element array (array_sort puts null
+    # elements last) plus the non-null size. NO size/null filter
+    # here — see the checkpoint rationale in the docstring; explode
+    # membership (docs whose array is null, empty, or all-null never
+    # appear in pairs) is enforced by joins/filters downstream.
+    nn_of = F.size(F.filter("s", lambda x: x.isNotNull()))
     sets = df.select(
         F.col(id_col).alias("id"),
         F.array_sort(F.array_distinct(elems)).alias("s"),
-    ).filter(F.size("s") > 0)
+    )
 
-    def encoded(keyed: DataFrame, key: str) -> DataFrame:
-        """Attach (cs: sorted int codes, wm: word→bits bitmap, nn:
-        non-null size) to (key, s) rows. Codes are the global rarity
-        order over NON-NULL tokens of this population — rank choice
-        affects prefix efficiency only, never the result set."""
-        toks = keyed.select(key, F.explode("s").alias("tok")).filter(
-            F.col("tok").isNotNull()
-        )
-        codes = (
-            toks.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .withColumn("code", F.row_number().over(Window.orderBy("df", "tok")))
-            .select("tok", "code")
-        )
-        enc = (
-            toks.join(codes, "tok")
-            .withColumn("word", F.expr("(code - 1) div 64"))
-            .withColumn("bit", F.expr("shiftleft(1L, int((code - 1) % 64))"))
-        )
-        words = enc.groupBy(key, "word").agg(F.bit_or("bit").alias("bits"))
-        wmap = words.groupBy(key).agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("word", "bits")))
-            ).alias("wm")
-        )
-        csets = enc.groupBy(key).agg(
-            F.sort_array(F.collect_list("code")).alias("cs")
-        )
-        return (
-            keyed.join(csets, key)
-            .join(wmap, key)
-            .withColumn("nn", F.size("cs"))
-        )
-
-    # n_inter = Σ popcount(bits_a & bits_b) over shared words.
-    def inter_of(wa, wb) -> Column:
+    # n_inter via sparse bitmaps: Σ popcount(bits_a & bits_b).
+    def inter_bitmap(wa, wb) -> Column:
         zero = F.lit(0).cast("long")
         return F.aggregate(
             F.map_values(
@@ -706,46 +691,107 @@ def jaccard_pairs(
             lambda acc, x: acc + x,
         ).cast("long")
 
-    if candidates is None:
-        # One representative per distinct set; members expand after
-        # scoring. gid = min member id, so rep pairs order as id pairs.
-        groups = (
-            sets.groupBy("s")
-            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-            .select(
-                F.col("ids")[0].alias("gid"),
-                "s",
-                F.size("s").alias("n_tok"),
-                "ids",
+    # n_inter via direct set intersection of null-stripped arrays.
+    def inter_direct(sa, sb) -> Column:
+        return F.size(
+            F.array_intersect(
+                F.filter(sa, lambda x: x.isNotNull()),
+                F.filter(sb, lambda x: x.isNotNull()),
             )
+        ).cast("long")
+
+    if candidates is not None:
+        # Score exactly the given pairs. Direct intersection: LSH
+        # candidate sets are per-doc and modest by construction (the
+        # bucket cap bounds them), so a dictionary pass would cost
+        # more than the scoring it accelerates.
+        keyed = sets.select(
+            "id", "s", F.size("s").alias("n_tok")
+        ).localCheckpoint(eager=True)
+        scored = filter_jaccard(
+            candidates.join(
+                keyed.select(
+                    F.col("id").alias("id_a"),
+                    F.col("s").alias("sa"),
+                    F.col("n_tok").alias("n_ta"),
+                ),
+                "id_a",
+            )
+            .join(
+                keyed.select(
+                    F.col("id").alias("id_b"),
+                    F.col("s").alias("sb"),
+                    F.col("n_tok").alias("n_tb"),
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                inter_direct(F.col("sa"), F.col("sb")).alias("n_inter"),
+                F.col("n_ta").cast("long").alias("n_a"),
+                F.col("n_tb").cast("long").alias("n_b"),
+            )
+            .filter(F.col("n_inter") > 0),
+            threshold,
+        ).select("id_a", "id_b", "n_inter", "n_a", "n_b")
+        return scored if raw_counts else jaccard_readout(scored)
+
+    # One representative per distinct set; members expand after
+    # scoring. gid = min member id, so rep pairs order as id pairs.
+    groups = (
+        sets.groupBy("s")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .select(
+            F.col("ids")[0].alias("gid"),
+            "s",
+            F.size("s").alias("n_tok"),
+            nn_of.alias("nn"),
+            "ids",
         )
-        keyed = encoded(groups, "gid")
-        # ⌈t·n⌉ in exact integer arithmetic: ceil(threshold*n) computed
-        # as floor((t6·n + 999999) / 1e6) with t6 = round(t·1e6).
-        # Double ceil(lit(t)*n) overshoots for many (t, n) — e.g.
-        # t=0.55, n=100: 0.55*100 = 55.000000000000007 → ceil 56 —
-        # which shortens the indexed prefix by one token and silently
-        # drops pairs with J ≥ t. The division below is exact: both
-        # operands are integers < 2⁵³ and a correctly-rounded IEEE
-        # quotient within ~1e-12 of a point ≥ 1e-6 away from any
-        # integer cannot cross one.
-        ceil_tn = F.floor(
-            (F.lit(t6) * F.col("n_tok") + F.lit(999_999)) / F.lit(1_000_000)
+    ).localCheckpoint(eager=True)
+
+    # ⌈t·n⌉ in exact integer arithmetic: ceil(threshold*n) computed
+    # as floor((t6·n + 999999) / 1e6) with t6 = round(t·1e6).
+    # Double ceil(lit(t)*n) overshoots for many (t, n) — e.g.
+    # t=0.55, n=100: 0.55*100 = 55.000000000000007 → ceil 56 —
+    # which shortens the indexed prefix by one token and silently
+    # drops pairs with J ≥ t. The division below is exact: both
+    # operands are integers < 2⁵³ and a correctly-rounded IEEE
+    # quotient within ~1e-12 of a point ≥ 1e-6 away from any
+    # integer cannot cross one.
+    ceil_tn = F.floor(
+        (F.lit(t6) * F.col("n_tok") + F.lit(999_999)) / F.lit(1_000_000)
+    )
+    plen = F.greatest(F.lit(0), F.col("n_tok") - ceil_tn + 1)
+
+    # Regime stats on the MATERIALIZED groups (milliseconds): mean
+    # token set-frequency = token occurrences / approx vocabulary.
+    # Routing only — correctness is identical on both paths, so the
+    # approximation cannot affect results.
+    stat = (
+        groups.select(F.explode("s").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("t"),
+            F.approx_count_distinct("tok").alias("v"),
         )
-        plen = F.greatest(F.lit(0), F.col("n_tok") - ceil_tn + 1)
-        prefix = keyed.select(
-            "gid",
-            "n_tok",
-            F.explode(F.slice("cs", F.lit(1), plen)).alias("code"),
-        )
+        .collect()[0]
+    )
+    dense = stat["v"] > 0 and (stat["t"] / stat["v"]) >= 32.0
+
+    def cand_pairs(prefix: DataFrame) -> DataFrame:
+        """(gid_a, gid_b) sharing ≥1 prefix token, length-compatible
+        (t·n_a ≤ n_b ∧ t·n_b ≤ n_a — lossless: J ≥ t ⟹ min ≥ t·max),
+        deduped."""
         pa = prefix.select(
-            F.col("gid").alias("gid_a"), F.col("n_tok").alias("na"), "code"
+            F.col("gid").alias("gid_a"), F.col("n_tok").alias("na"), "tok"
         )
         pb = prefix.select(
-            F.col("gid").alias("gid_b"), F.col("n_tok").alias("nb"), "code"
+            F.col("gid").alias("gid_b"), F.col("n_tok").alias("nb"), "tok"
         )
-        cand = (
-            pa.join(pb, "code")
+        return (
+            pa.join(pb, "tok")
             .filter(
                 (F.col("gid_a") < F.col("gid_b"))
                 & (F.lit(t6) * F.col("na") <= M * F.col("nb"))
@@ -754,6 +800,51 @@ def jaccard_pairs(
             .select("gid_a", "gid_b")
             .distinct()
         )
+
+    if dense:
+        # Dictionary-code tokens by rarity; sets become sorted code
+        # arrays (cs) + sparse bitmaps (wm). Codes live in a dense
+        # [1, vocab] space, so a 31-token vocab packs every set into
+        # ONE 64-bit word and n_inter is a single AND+popcount.
+        toks = groups.select("gid", F.explode("s").alias("tok")).filter(
+            F.col("tok").isNotNull()
+        )
+        codes = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .withColumn(
+                "code", F.row_number().over(Window.orderBy("df", "tok"))
+            )
+            .select("tok", "code")
+        )
+        enc = (
+            toks.join(codes, "tok")
+            .withColumn("word", F.expr("(code - 1) div 64"))
+            .withColumn("bit", F.expr("shiftleft(1L, int((code - 1) % 64))"))
+        )
+        words = enc.groupBy("gid", "word").agg(F.bit_or("bit").alias("bits"))
+        wmap = words.groupBy("gid").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("word", "bits")))
+            ).alias("wm")
+        )
+        csets = enc.groupBy("gid").agg(
+            F.sort_array(F.collect_list("code")).alias("cs")
+        )
+        # Materialized for the same two reasons as groups: four
+        # differently-pruned consumers below, and the prefix explode
+        # would re-infer a pushable size predicate.
+        keyed = (
+            groups.select("gid", "n_tok", "ids")
+            .join(csets, "gid")
+            .join(wmap, "gid")
+        ).localCheckpoint(eager=True)
+        prefix = keyed.select(
+            "gid",
+            "n_tok",
+            F.explode(F.slice("cs", F.lit(1), plen)).alias("tok"),
+        )
+        cand = cand_pairs(prefix)
         ga = keyed.select(
             F.col("gid").alias("gid_a"),
             F.col("wm").alias("wa"),
@@ -772,98 +863,100 @@ def jaccard_pairs(
             .select(
                 "ids_a",
                 "ids_b",
-                inter_of(F.col("wa"), F.col("wb")).alias("n_inter"),
+                inter_bitmap(F.col("wa"), F.col("wb")).alias("n_inter"),
                 F.col("n_ga").cast("long").alias("n_a"),
                 F.col("n_gb").cast("long").alias("n_b"),
             ),
             threshold,
         )
-        # Expand rep pairs to member pairs; counts are set-level, the
-        # smaller id keeps its own set's size in n_a.
-        cross = (
-            rep_pairs.select(
-                "n_inter",
-                "n_a",
-                "n_b",
-                F.explode("ids_a").alias("x"),
-                "ids_b",
-            )
-            .select(
-                "x", "n_inter", "n_a", "n_b", F.explode("ids_b").alias("y")
-            )
-            .select(
-                F.least("x", "y").alias("id_a"),
-                F.greatest("x", "y").alias("id_b"),
-                "n_inter",
-                F.when(F.col("x") < F.col("y"), F.col("n_a"))
-                .otherwise(F.col("n_b"))
-                .alias("n_a"),
-                F.when(F.col("x") < F.col("y"), F.col("n_b"))
-                .otherwise(F.col("n_a"))
-                .alias("n_b"),
-            )
-        )
-        # Identical-set pairs: J = nn / (2·n_tok − nn) — equal to 1
-        # unless the set holds a null element (which never matches
-        # itself under join semantics). n_inter > 0 mirrors the
-        # exploded join: a pair with no matching token never had a row.
-        within = filter_jaccard(
-            groups.filter(F.size("ids") > 1)
-            .join(
-                keyed.select("gid", "nn"),
-                "gid",
-            )
-            .select(
-                "nn",
-                "n_tok",
-                "ids",
-                F.posexplode("ids").alias("i", "id_a"),
-            )
-            .select(
-                "id_a",
-                F.explode(
-                    F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
-                ).alias("id_b"),
-                F.col("nn").cast("long").alias("n_inter"),
-                F.col("n_tok").cast("long").alias("n_a"),
-                F.col("n_tok").cast("long").alias("n_b"),
-            )
-            .filter(F.col("n_inter") > 0),
-            threshold,
-        )
-        scored = cross.unionByName(within)
     else:
-        keyed = encoded(sets, "id").select(
-            "id", "wm", F.size("s").alias("n_tok")
+        # Sparse: prefix = first p elements of the naturally-sorted
+        # set (any consistent global order is lossless; nulls sort
+        # last so they never enter a non-degenerate prefix, and a
+        # null prefix token equi-joins nothing). No dictionary, no
+        # bitmap build; intersections are direct.
+        prefix = groups.select(
+            "gid",
+            "n_tok",
+            F.explode(F.slice("s", F.lit(1), plen)).alias("tok"),
         )
-        scored = filter_jaccard(
-            candidates.join(
-                keyed.select(
-                    F.col("id").alias("id_a"),
-                    F.col("wm").alias("wa"),
-                    F.col("n_tok").alias("n_ta"),
-                ),
-                "id_a",
-            )
-            .join(
-                keyed.select(
-                    F.col("id").alias("id_b"),
-                    F.col("wm").alias("wb"),
-                    F.col("n_tok").alias("n_tb"),
-                ),
-                "id_b",
-            )
+        cand = cand_pairs(prefix)
+        ga = groups.select(
+            F.col("gid").alias("gid_a"),
+            F.col("s").alias("sa"),
+            F.col("n_tok").alias("n_ga"),
+            F.col("ids").alias("ids_a"),
+        )
+        gb = groups.select(
+            F.col("gid").alias("gid_b"),
+            F.col("s").alias("sb"),
+            F.col("n_tok").alias("n_gb"),
+            F.col("ids").alias("ids_b"),
+        )
+        rep_pairs = filter_jaccard(
+            cand.join(ga, "gid_a")
+            .join(gb, "gid_b")
             .select(
-                "id_a",
-                "id_b",
-                inter_of(F.col("wa"), F.col("wb")).alias("n_inter"),
-                F.col("n_ta").cast("long").alias("n_a"),
-                F.col("n_tb").cast("long").alias("n_b"),
+                "ids_a",
+                "ids_b",
+                inter_direct(F.col("sa"), F.col("sb")).alias("n_inter"),
+                F.col("n_ga").cast("long").alias("n_a"),
+                F.col("n_gb").cast("long").alias("n_b"),
             )
             .filter(F.col("n_inter") > 0),
             threshold,
         )
-    scored = scored.select("id_a", "id_b", "n_inter", "n_a", "n_b")
+
+    # Expand rep pairs to member pairs; counts are set-level, the
+    # smaller id keeps its own set's size in n_a.
+    cross = (
+        rep_pairs.select(
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.explode("ids_a").alias("x"),
+            "ids_b",
+        )
+        .select("x", "n_inter", "n_a", "n_b", F.explode("ids_b").alias("y"))
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "n_inter",
+            F.when(F.col("x") < F.col("y"), F.col("n_a"))
+            .otherwise(F.col("n_b"))
+            .alias("n_a"),
+            F.when(F.col("x") < F.col("y"), F.col("n_b"))
+            .otherwise(F.col("n_a"))
+            .alias("n_b"),
+        )
+    )
+    # Identical-set pairs: J = nn / (2·n_tok − nn) — equal to 1
+    # unless the set holds a null element (which never matches
+    # itself under join semantics). n_inter > 0 mirrors the
+    # exploded join: a pair with no matching token never had a row.
+    within = filter_jaccard(
+        groups.filter(F.size("ids") > 1)
+        .select(
+            "nn",
+            "n_tok",
+            "ids",
+            F.posexplode("ids").alias("i", "id_a"),
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+            F.col("nn").cast("long").alias("n_inter"),
+            F.col("n_tok").cast("long").alias("n_a"),
+            F.col("n_tok").cast("long").alias("n_b"),
+        )
+        .filter(F.col("n_inter") > 0),
+        threshold,
+    )
+    scored = cross.unionByName(within).select(
+        "id_a", "id_b", "n_inter", "n_a", "n_b"
+    )
     if raw_counts:
         # Raw integer counts, pre-round: a staged/materialized pair
         # table in this shape can be re-thresholded EXACTLY at any
