@@ -110,9 +110,14 @@ def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = docs.unionByName(
         docs.withColumn("doc_id", F.col("doc_id") + 1000000)
     )
-    return doubled.groupBy("text").agg(
+    # Group by the 16-byte digest, not the document text: the digest
+    # IS this query's content identity (content_key in the output),
+    # and hashing before the exchange ships ~16 B per distinct doc
+    # per map partition instead of the full text (guide §2.3:
+    # shuffle keys and metadata, not payloads — at corpus scale the
+    # difference between a GB-scale and a MB-scale exchange).
+    return doubled.groupBy(F.md5("text").alias("content_key")).agg(
         F.min("doc_id").alias("doc_id"),
-        F.md5("text").alias("content_key"),
         F.count(F.lit(1)).alias("n_copies"),
     ).select("doc_id", "content_key", "n_copies")
 
