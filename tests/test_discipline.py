@@ -41,6 +41,13 @@ ALLOWED = {
     # so bpe.py also hosts the artifact collects other layers use:
     # bpe_train_rows / merge_pairs_from_table.)
     ("llm/bpe.py", "collect"),
+    # jaccard_pairs regime routing: one 1-row aggregate (token count
+    # + approx vocab cardinality) over the materialized group table
+    # decides dense-bitmap vs sparse-prefix scoring. Scalar only —
+    # both paths compute identical results, so the stat never touches
+    # correctness; it is the AQE-style "look at the data, pick the
+    # plan" decision from the r17 optimization round.
+    ("llm/dedup.py", "collect"),
 }
 
 
