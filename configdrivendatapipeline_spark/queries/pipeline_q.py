@@ -1878,6 +1878,7 @@ steps:
     op: bpe_train
     params:
       n_merges: 20
+      mode: local
   - id: encoded
     inputs: [documents, merges]
     op: bpe_encode
