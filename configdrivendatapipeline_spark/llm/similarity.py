@@ -267,6 +267,53 @@ def _cap_buckets(
     )
 
 
+def banded_norms(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra: tuple[str, ...] = (),
+    n_tables: int = 6,
+    planes_per_table: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, vn) — the two frames every LSH self-join consumer
+    needs, each materialized ONCE via a lazy ``localCheckpoint``.
+
+    Why (guide §3.3 / §4.4 shape, r17 plan evidence): a candidate
+    self-join references its input twice, and each leg of a
+    pos/neg miner references it again — the UNtruncated llm_triplets
+    plan held 16 parquet scans and 4 full banding evaluations
+    (24 hyperplane dot products per vector EACH) of the same
+    2 000-row table (`plans/r17/llm_triplets_before.txt`). Lineage
+    truncation makes the expensive banding a compute-once artifact:
+    one corpus scan, one banding pass, however many consumers.
+    At 100 TB the banded frame is (id, table, bucket) — ~20 bytes/row
+    × n_tables, a small multiple of the id column, NOT the vectors —
+    and ``vn`` holds vector + norm exactly once instead of once per
+    join side. localCheckpoint is lazy (eager=False): nothing runs
+    at plan-build time, the first action materializes, later
+    references read the persisted partitions. Results are rows-
+    identical by construction (checkpointing never changes values) —
+    r17 fingerprint A/B pinned identical hashes for every consumer.
+
+    ``banded`` is UNcapped: per-consumer skew caps key on different
+    column sets (knn_join caps within the group, hard_negatives
+    across it), so :func:`_cap_buckets` stays a cheap window applied
+    by each caller on top of the shared frame.
+    """
+    v = emb.select(
+        F.col(id_col), *[F.col(c) for c in extra], as_double(vec_col).alias("__v")
+    )
+    vn = v.withColumn("__n", norm(F.col("__v"))).localCheckpoint(eager=False)
+    banded = vn.select(
+        id_col,
+        *extra,
+        F.posexplode(
+            _table_buckets(F.col("__v"), n_tables, planes_per_table)
+        ).alias("table_id", "bucket"),
+    ).localCheckpoint(eager=False)
+    return banded, vn
+
+
 def lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -289,21 +336,16 @@ def lsh_topk(
     """
     if n_planes is not None:
         planes_per_table = n_planes
-    cv = corpus.select(
-        F.col(id_col), as_double(vec_col).alias("__v")
-    ).withColumn("__nv", norm(F.col("__v")))
     # Slim candidate generation (same discipline as knn_join /
     # neardup_pairs): only (probe_id, id) pairs flow through the
     # bucket join and the multi-table dedup — each candidate appears
     # in up to n_tables buckets, and shuffling the 64-double vectors
     # through that dedup was the measured 1.7× overhead on the
     # sibling ops. Vectors join back onto the deduped pairs.
-    c = cv.select(
-        id_col,
-        F.posexplode(_table_buckets(F.col("__v"), n_tables, planes_per_table)).alias(
-            "table_id", "bucket"
-        ),
-    )
+    # banded_norms materializes the corpus scan + banding once: the
+    # corpus frame is otherwise referenced twice (candidate source
+    # and score join) and would scan + band twice (§3.3).
+    c, cv = banded_norms(corpus, id_col, vec_col, (), n_tables, planes_per_table)
     c = _cap_buckets(c, ["table_id", "bucket"], max_bucket)
     pv = probes.select(
         F.col(probe_id), as_double("probe_vec").alias("__q")
@@ -324,7 +366,7 @@ def lsh_topk(
         id_col,
         F.round(
             cosine_dn(
-                F.col("__v"), F.col("__q"), F.col("__nv"), F.col("__nq")
+                F.col("__v"), F.col("__q"), F.col("__n"), F.col("__nq")
             ),
             6,
         ).alias("cos_sim"),
@@ -443,6 +485,7 @@ def knn_join(
     vec_col: str = "embedding",
     group_col: str | None = None,
     max_bucket: int | None = None,
+    shared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate k-NN self-join: top-k neighbors for EVERY vector.
 
@@ -455,18 +498,16 @@ def knn_join(
     instead of forming one k² pair bomb. The deterministic arithmetic
     planes (:func:`_weight_from`) mean a SQL oracle replays the
     identical candidate set, keeping the operator hash-checkable.
+
+    ``shared``: a (banded, vn) pair from :func:`banded_norms` built
+    with compatible params (same plane family; ``extra`` covering
+    ``group_col``) — lets a multi-miner caller (triplet prep) band
+    the corpus once for all legs. Default None builds (and
+    materializes) them here.
     """
     extra = [group_col] if group_col else []
-    v = emb.select(F.col(id_col), *extra, as_double(vec_col).alias("__v"))
-    # Slim candidate generation (see neardup_pairs): id pairs only
-    # through the bucket join and dedup, vectors joined back after —
-    # measured 1.7× faster at sf0.1 with identical results.
-    banded = v.select(
-        id_col,
-        *extra,
-        F.posexplode(_table_buckets(F.col("__v"), n_tables, planes_per_table)).alias(
-            "table_id", "bucket"
-        ),
+    banded, vn = shared if shared is not None else banded_norms(
+        emb, id_col, vec_col, tuple(extra), n_tables, planes_per_table
     )
     keys = extra + ["table_id", "bucket"]
     banded = _cap_buckets(banded, keys, max_bucket)
@@ -478,7 +519,6 @@ def knn_join(
         .select("left_id", "right_id")
         .dropDuplicates(["left_id", "right_id"])
     )
-    vn = v.withColumn("__n", norm(F.col("__v")))
     va = vn.select(
         F.col(id_col).alias("left_id"),
         F.col("__v").alias("__va"),
@@ -534,9 +574,9 @@ def neardup_pairs(
     queries/__init__.py. Callers needing a strict raw-cosine cutoff
     should over-ask by 1e-6 and re-filter.
     """
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
-    vn = v.withColumn("__n", norm(F.col("__v")))
     if exact:
+        v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
+        vn = v.withColumn("__n", norm(F.col("__v")))
         a = vn.select(
             F.col(id_col).alias("id_a"),
             F.col("__v").alias("__va"),
@@ -555,12 +595,10 @@ def neardup_pairs(
         # Measured 1.7× faster at sf0.1 (identical pairs); at corpus
         # scale this is the difference between shuffling ~0.5 KB and
         # 16 bytes per candidate-pair copy (each pair appears in up
-        # to n_tables buckets before dedup).
-        banded = v.select(
-            id_col,
-            F.posexplode(
-                _table_buckets(F.col("__v"), n_tables, planes_per_table)
-            ).alias("table_id", "bucket"),
+        # to n_tables buckets before dedup). banded_norms materializes
+        # the scan+band subtree once for both join sides (§3.3).
+        banded, vn = banded_norms(
+            emb, id_col, vec_col, (), n_tables, planes_per_table
         )
         banded = _cap_buckets(banded, ["table_id", "bucket"], max_bucket)
         a = banded.select("table_id", "bucket", F.col(id_col).alias("id_a"))
@@ -993,6 +1031,7 @@ def hard_negatives(
     n_tables: int = 6,
     planes_per_table: int = 4,
     max_bucket: int | None = None,
+    shared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: each anchor's
     most-similar vector carrying a DIFFERENT label — the negatives
@@ -1006,16 +1045,13 @@ def hard_negatives(
     bucketmate produce no row — at training time those contribute
     only easy negatives anyway. Deterministic planes mean the oracle
     replays the identical candidate set.
+
+    ``shared``: (banded, vn) from :func:`banded_norms` built with
+    ``extra=(label_col,)`` — the triplet miners band once and feed
+    both the positive and negative leg. Default None builds here.
     """
-    v = emb.select(
-        F.col(id_col), F.col(label_col), as_double(vec_col).alias("__v")
-    )
-    banded = v.select(
-        id_col,
-        label_col,
-        F.posexplode(
-            _table_buckets(F.col("__v"), n_tables, planes_per_table)
-        ).alias("table_id", "bucket"),
+    banded, vn = shared if shared is not None else banded_norms(
+        emb, id_col, vec_col, (label_col,), n_tables, planes_per_table
     )
     banded = _cap_buckets(banded, ["table_id", "bucket"], max_bucket)
     a = banded.select(
@@ -1036,7 +1072,6 @@ def hard_negatives(
         .select("anchor_id", "anchor_label", "neg_id", "neg_label")
         .dropDuplicates(["anchor_id", "neg_id"])
     )
-    vn = v.withColumn("__n", norm(F.col("__v")))
     va = vn.select(
         F.col(id_col).alias("anchor_id"),
         F.col("__v").alias("__va"),

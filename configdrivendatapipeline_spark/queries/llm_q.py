@@ -3726,9 +3726,20 @@ def llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
+    # Band the corpus ONCE for both legs: the positive (same-label
+    # knn) and negative (cross-label) miners consume the identical
+    # banded + norm frames, so the 24-plane banding pass and the
+    # corpus scan happen once instead of four times (§3.3; the
+    # untruncated plan held 16 scans — plans/r17/llm_triplets_*).
+    shared = similarity.banded_norms(emb, extra=("label",))
     pos = (
         similarity.knn_join(
-            emb, k=1, n_tables=6, planes_per_table=4, group_col="label"
+            emb,
+            k=1,
+            n_tables=6,
+            planes_per_table=4,
+            group_col="label",
+            shared=shared,
         )
         .select(
             F.col("left_id").alias("anchor_id"),
@@ -3736,7 +3747,7 @@ def llm_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cos_sim").alias("pos_cos"),
         )
     )
-    neg = similarity.hard_negatives(emb).select(
+    neg = similarity.hard_negatives(emb, shared=shared).select(
         "anchor_id",
         "neg_id",
         F.col("cos_sim").alias("neg_cos"),
