@@ -2525,17 +2525,40 @@ def llm_char_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "micro-units.",
 )
 def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A novel gram (n_docs = 1) belongs to exactly ONE document, so
+    # min(doc_id) inside the gram-frequency aggregate IS that owner —
+    # no gram→doc join-back and no vocabulary-sized broadcast (the
+    # previous shape broadcast the full gram-frequency table and
+    # re-joined every exploded gram row; a 100 TB corpus's shingle
+    # vocabulary neither broadcasts nor needs to). Per-doc gram counts
+    # come straight off the shingle array (size(sh) == exploded row
+    # count: sh is distinct, explode drops only empty/null arrays —
+    # the size > 0 filter keeps that exact semantics).
     docs = dedup.with_shingles(
         load(spark, sf_dir, "documents"), "text", k=3, out="sh"
     )
-    s = docs.select("doc_id", F.explode("sh").alias("gram"))
-    gdf = s.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
-        s.join(F.broadcast(gdf), "gram")
-        .groupBy("doc_id")
+    sizes = docs.select(
+        "doc_id", F.size("sh").cast("long").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    gdf = (
+        docs.select("doc_id", F.explode("sh").alias("gram"))
+        .groupBy("gram")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.count(F.when(F.col("n_docs") == 1, 1)).alias("n_novel"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("__owner"),
+        )
+    )
+    novel = (
+        gdf.filter(F.col("n_docs") == 1)
+        .groupBy(F.col("__owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        sizes.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
         )
         .select(
             "doc_id",
@@ -3307,23 +3330,25 @@ def llm_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster", "label")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = lab.groupBy("cluster").agg(F.sum("n").alias("n_total"))
+    # Cluster totals as a window over the SAME (cluster, label) frame
+    # instead of a second aggregate joined back: the previous
+    # tot ⋈ top shape referenced `lab` twice, so the whole upstream
+    # k-means assignment (broadcast crossJoin + per-vector top-1
+    # window) executed twice. Both windows share the cluster
+    # partitioning — one shuffle, one pass, identical rows.
+    w_tot = Window.partitionBy("cluster")
     w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), F.col("label"))
-    top = (
-        lab.withColumn("rn", F.row_number().over(w))
+    return (
+        lab.withColumn("n_total", F.sum("n").over(w_tot))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
-            "cluster",
+            F.col("cluster").cast("long").alias("cluster"),
             F.col("label").cast("long").alias("majority_label"),
             F.col("n").alias("n_majority"),
+            "n_total",
+            F.expr("(n * 1000000) div n_total").alias("purity_micro"),
         )
-    )
-    return tot.join(top, "cluster").select(
-        F.col("cluster").cast("long").alias("cluster"),
-        "majority_label",
-        "n_majority",
-        "n_total",
-        F.expr("(n_majority * 1000000) div n_total").alias("purity_micro"),
     )
 
 
@@ -3372,9 +3397,15 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
         )
     )
+    # Materialize the distinct inventory once (§3.3): it feeds the
+    # self-join's two sides plus TWO broadcast size frames — four
+    # evaluations of the scan + shingle transform + distinct without
+    # the lineage cut. The frame is (source, gram) — vocabulary-sized,
+    # the corpus-snapshot scale the jaccard build already stages.
     s = (
         docs.select("source", F.explode(grams).alias("gram"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sizes = s.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = s.select(F.col("source").alias("source_a"), "gram")
