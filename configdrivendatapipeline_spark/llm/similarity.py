@@ -802,30 +802,60 @@ def _kmeans_iterate(
     refine_iters: int,
     id_col: str,
     vec_col: str,
+    group_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(assignments with __cos, refined centroids) — shared core."""
+    """(assignments with __cos, refined centroids) — shared core.
+
+    ``group_col`` trains one INDEPENDENT codebook per group value in
+    a single pipeline: seeds are the per-group ``n_clusters`` lowest
+    ids (identical selection to the ungrouped orderBy+limit), the
+    assignment crossJoin becomes an equi-join on the group, and the
+    fixed-point refinement keys on (group, cluster, dim). Per group
+    the arithmetic — and therefore every code and cosine — is
+    bit-identical to running the ungrouped trainer on that group's
+    rows alone; what changes is the job count: pq_encode's ``m``
+    subspace codebooks train in ONE scan + ONE refinement pass
+    instead of ``m`` sequential pipelines (guide §1.2 — fewer passes
+    over the data; measured 33 → 11 Spark jobs at sf0.1).
+    """
     q = 1 << 20
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    grp = [group_col] if group_col else []
+    v = emb.select(F.col(id_col), *grp, as_double(vec_col).alias("__v"))
     vn = v.withColumn("__nv", norm(F.col("__v")))
-    cents = (
-        v.orderBy(id_col)
-        .limit(n_clusters)
-        .select(F.col(id_col).alias("cluster"), F.col("__v").alias("__c"))
-    )
+    if group_col:
+        ws = Window.partitionBy(group_col).orderBy(id_col)
+        cents = (
+            v.withColumn("__srn", F.row_number().over(ws))
+            .filter(F.col("__srn") <= n_clusters)
+            .select(
+                group_col, F.col(id_col).alias("cluster"), F.col("__v").alias("__c")
+            )
+        )
+    else:
+        cents = (
+            v.orderBy(id_col)
+            .limit(n_clusters)
+            .select(F.col(id_col).alias("cluster"), F.col("__v").alias("__c"))
+        )
 
     def assign(cdf: DataFrame) -> DataFrame:
         # Vector norms once per row, centroid norms once per centroid
         # (k rows) — not 4× per (row, centroid) score; see cosine_dn.
         cn = cdf.withColumn("__nc", norm(F.col("__c")))
-        scored = vn.crossJoin(F.broadcast(cn)).select(
+        if group_col:
+            scored = vn.join(F.broadcast(cn), group_col)
+        else:
+            scored = vn.crossJoin(F.broadcast(cn))
+        scored = scored.select(
             id_col,
+            *grp,
             "__v",
             "cluster",
             cosine_dn(
                 F.col("__v"), F.col("__c"), F.col("__nv"), F.col("__nc")
             ).alias("__cos"),
         )
-        w = Window.partitionBy(id_col).orderBy(
+        w = Window.partitionBy(*grp, id_col).orderBy(
             F.col("__cos").desc(), F.col("cluster")
         )
         return (
@@ -837,15 +867,15 @@ def _kmeans_iterate(
     a = assign(cents)
     for _ in range(refine_iters):
         ex = a.select(
-            id_col, "cluster", F.posexplode("__v").alias("dim", "val")
+            id_col, *grp, "cluster", F.posexplode("__v").alias("dim", "val")
         )
-        comp = ex.groupBy("cluster", "dim").agg(
+        comp = ex.groupBy(*grp, "cluster", "dim").agg(
             (
                 F.sum(F.floor(F.col("val") * q).cast("long")).cast("double")
                 / (F.count(F.lit(1)) * q)
             ).alias("mean")
         )
-        cents = comp.groupBy("cluster").agg(
+        cents = comp.groupBy(*grp, "cluster").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("dim", "mean"))),
                 lambda s: s.getField("mean"),
@@ -855,7 +885,12 @@ def _kmeans_iterate(
         # (k·dim rows — trivially small): the next round's assignment
         # then builds on a materialized frame, so plan depth stays
         # constant no matter how many refinement rounds a
-        # config-surface caller requests.
+        # config-surface caller requests. Eager, deliberately: the
+        # centroid table feeds a BROADCAST — with a lazy checkpoint
+        # the materialization lands inside the broadcast build on the
+        # driver's exchange thread (measured 10 → 13-19 s on
+        # pq_encode's codebooks, r17 A/B); eagerly it is one small
+        # parallel job per round.
         cents = cents.localCheckpoint(eager=True)
         a = assign(cents)
     return a, cents
@@ -1131,37 +1166,66 @@ def pq_encode(
     compression IVF's routing is the compute-side of; at 100 TB of
     embeddings the PQ table is what actually fits in serving RAM.
 
-    Scale shape: each subspace is the same broadcast-centroid
-    assignment as :func:`kmeans_assign` (no corpus shuffle); the
-    ``m`` code frames join back on the id — same key every time, so
-    AQE plans co-partitioned joins. Codes are seed-vector ids, fits
-    are round-6 cosines; everything replays in the SQL oracle.
+    Scale shape: ONE pipeline trains all ``m`` codebooks — each
+    vector explodes into its ``m`` tagged subvectors and
+    :func:`_kmeans_iterate` runs with the subspace id as the group
+    column (per-group seeds / broadcast assignment / fixed-point
+    refinement — arithmetic identical per subspace to the standalone
+    trainer, r17 fingerprint A/B). The corpus is scanned once instead
+    of ``m`` times, the refinement is one aggregation instead of
+    ``m`` sequential driver-paced pipelines (33 → 11 Spark jobs at
+    sf0.1), and the final per-id code row is one pivot-style
+    aggregation instead of an ``m``-way join chain. Codes are
+    seed-vector ids, fits are round-6 cosines; everything replays in
+    the SQL oracle.
     """
-    out = None
-    for i in range(m):
-        # The LAST subspace takes the remainder (identical to the
-        # even split when m divides the dim), so no dimension is ever
-        # silently dropped from the encoding; m > dim fails loudly
-        # in-plan instead of producing empty subvectors.
-        width = (
+    from pyspark.sql import types as T
+
+    # The LAST subspace takes the remainder (identical to the even
+    # split when m divides the dim), so no dimension is ever silently
+    # dropped from the encoding; m > dim fails loudly in-plan instead
+    # of producing empty subvectors.
+    def width(i: int) -> str:
+        return (
             f"size({vec_col}) - {m - 1} * (size({vec_col}) div {m})"
             if i == m - 1
             else f"size({vec_col}) div {m}"
         )
-        sub = emb.select(
-            F.col(id_col),
-            F.expr(
-                f"CASE WHEN size({vec_col}) < {m} THEN "
-                f"raise_error('pq_encode: m={m} exceeds vector "
-                f"dimension — choose m <= dim') "
-                f"ELSE slice({vec_col}, 1 + {i} * (size({vec_col}) div {m}), "
-                f"{width}) END"
-            ).alias("__sub"),
+
+    slices = ", ".join(
+        f"CASE WHEN size({vec_col}) < {m} THEN "
+        f"raise_error('pq_encode: m={m} exceeds vector "
+        f"dimension — choose m <= dim') "
+        f"ELSE slice({vec_col}, 1 + {i} * (size({vec_col}) div {m}), "
+        f"{width(i)}) END"
+        for i in range(m)
+    )
+    subs = emb.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"array({slices})")).alias("__sub_id", "__sub"),
+    )
+    a = _kmeans_iterate(
+        subs, n_clusters, refine_iters, id_col, "__sub", group_col="__sub_id"
+    )[0]
+    cl = F.col("cluster")
+    if isinstance(emb.schema[id_col].dataType, T.NumericType):
+        cl = cl.cast("long")
+    coded = a.select(
+        id_col,
+        "__sub_id",
+        cl.alias("__code"),
+        F.round("__cos", 6).alias("__fit"),
+    )
+    aggs = []
+    for i in range(m):
+        aggs.append(
+            F.min(F.when(F.col("__sub_id") == i, F.col("__code"))).alias(
+                f"code_{i}"
+            )
         )
-        a = kmeans_assign(sub, n_clusters, refine_iters, id_col, "__sub").select(
-            id_col,
-            F.col("cluster").alias(f"code_{i}"),
-            F.col("cos_sim").alias(f"fit_{i}"),
+        aggs.append(
+            F.min(F.when(F.col("__sub_id") == i, F.col("__fit"))).alias(
+                f"fit_{i}"
+            )
         )
-        out = a if out is None else out.join(a, id_col)
-    return out
+    return coded.groupBy(id_col).agg(*aggs)
