@@ -1916,11 +1916,20 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     arboricity-bounded arrays (guide §2.3/§2.4: shuffle 20 k
     adjacency lists instead of 41 M wedge rows). Identical output
     fingerprint at sf0.1; 24 s → 4.8 s end to end."""
+    # Materialize the edge set, degree table and oriented edges once
+    # (lazy localCheckpoint, same §3.3 pattern as banded_norms): the
+    # untruncated plan re-evaluates the EDGE BUILD — for the declared
+    # query an lineitem⋈lineitem self-join + distinct — through every
+    # reference (deg's two join aliases, the orientation join, and o's
+    # three references via the adjacency build and the wedge join).
+    # The frames are edge/node-sized, never wedge-sized.
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)
     )
     du = deg.alias("du")
     dv = deg.alias("dv")
@@ -1933,7 +1942,7 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     o = ej.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-    )
+    ).localCheckpoint(eager=False)
     adj = o.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
     tri = (
         o.join(adj.select("s", F.col("nbrs").alias("nu")), "s")
