@@ -103,10 +103,17 @@ def skyline_2d(
     from pyspark.sql import Window
 
     keep = keep_cols or []
+    # Materialize the point set once (lazy localCheckpoint — §3.3
+    # discipline shared with similarity.banded_norms): pts feeds the
+    # bucket-width aggregate AND the bucketed frame, and the survivor
+    # set below feeds three references, so the untruncated static
+    # plan re-evaluated the whole upstream (for agg_skyline, a
+    # lineitem aggregation) 24 times. pts is the operator's working
+    # set (one row per key), cand is the pruned survivor frame.
     pts = df.select(
         *keep, F.col(x_col).cast("long").alias("__x"),
         F.col(y_col).cast("long").alias("__y"),
-    )
+    ).localCheckpoint(eager=False)
     mx = pts.agg(
         F.greatest(
             F.lit(1).cast("long"),
@@ -124,6 +131,7 @@ def skyline_2d(
         b.join(F.broadcast(thr.select("xb", "y_above")), "xb")
         .filter(F.col("y_above").isNull() | (F.col("__y") >= F.col("y_above")))
         .select(*keep, "__x", "__y")
+        .localCheckpoint(eager=False)
     )
     a = cand.alias("a")
     q = cand.alias("q")
