@@ -5279,10 +5279,21 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = textstats.unigram_lm_score(docs).join(
         docs.select("doc_id", "lang"), "doc_id"
     )
+    # Materialize the per-doc score table once (lazy localCheckpoint,
+    # §3.3): it feeds both the histogram chain and the final labeling
+    # pass, so the whole unigram-LM scoring subtree (token explode +
+    # vocab frequency + per-doc aggregate) otherwise evaluates twice —
+    # and the bucket histogram feeds the cumulative window AND the
+    # per-language totals. b is (lang, id, score, bkt) — the
+    # operator's per-doc working set; hist is ≤1001 buckets/lang.
     b = sc.select(
         "lang", "doc_id", "lm_micro", F.expr("lm_micro div 1000").alias("bkt")
+    ).localCheckpoint(eager=False)
+    hist = (
+        b.groupBy("lang", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    hist = b.groupBy("lang", "bkt").agg(F.count(F.lit(1)).alias("n"))
     # Bounded window: ≤1001 score buckets per language.
     w = (
         Window.partitionBy("lang")
