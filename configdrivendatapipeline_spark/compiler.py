@@ -836,6 +836,32 @@ def _winnow_pairs(spark, dfs, p):
     )
 
 
+#: Per-compile memo of banded_norms frames keyed by (input frame,
+#: banding params): two ANN steps over the SAME input frame with the
+#: same plane family (pipeline_contrastive's knn_join + hard_negatives
+#: legs) band the corpus once instead of once per step — the compiler-
+#: path twin of llm_triplets' explicit ``shared=`` plumbing (§3.3).
+#: The cache holds a strong reference to the input frame so the id()
+#: component of the key cannot be recycled while the entry lives;
+#: cleared at every compile_pipeline start, so nothing is shared
+#: across pipeline runs.
+_BANDED_CACHE: dict[tuple, tuple] = {}
+
+
+def _shared_banded(df, id_col, vec_col, extra, n_tables, planes_per_table):
+    from configdrivendatapipeline_spark.llm.similarity import banded_norms
+
+    key = (id(df), id_col, vec_col, tuple(extra), n_tables, planes_per_table)
+    hit = _BANDED_CACHE.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    pair = banded_norms(
+        df, id_col, vec_col, tuple(extra), n_tables, planes_per_table
+    )
+    _BANDED_CACHE[key] = (df, pair)
+    return pair
+
+
 @op("knn_join")
 def _knn_join(spark, dfs, p):
     """Approximate k-NN self-join: LSH candidates → cosine verify →
@@ -843,15 +869,29 @@ def _knn_join(spark, dfs, p):
     argument — bucket-bounded equi-join, never O(n²))."""
     from configdrivendatapipeline_spark.llm.similarity import knn_join
 
+    group_col = p.get("group_column")
+    n_tables = int(p.get("n_tables", 6))
+    planes = int(p.get("planes_per_table", 4))
+    id_col = p.get("id_column", "vec_id")
+    vec_col = p.get("vector_column", "embedding")
+    shared = _shared_banded(
+        _one(dfs),
+        id_col,
+        vec_col,
+        (group_col,) if group_col else (),
+        n_tables,
+        planes,
+    )
     return knn_join(
         _one(dfs),
         k=int(p.get("k", 3)),
-        n_tables=int(p.get("n_tables", 6)),
-        planes_per_table=int(p.get("planes_per_table", 4)),
-        id_col=p.get("id_column", "vec_id"),
-        vec_col=p.get("vector_column", "embedding"),
-        group_col=p.get("group_column"),
+        n_tables=n_tables,
+        planes_per_table=planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        group_col=group_col,
         max_bucket=int(p["max_bucket"]) if "max_bucket" in p else None,
+        shared=shared,
     )
 
 
@@ -1619,14 +1659,23 @@ def _hard_negatives(spark, dfs, p):
     llm.similarity.hard_negatives)."""
     from configdrivendatapipeline_spark.llm.similarity import hard_negatives
 
+    id_col = p.get("id_column", "vec_id")
+    vec_col = p.get("vector_column", "embedding")
+    label_col = p.get("label_column", "label")
+    n_tables = int(p.get("n_tables", 6))
+    planes = int(p.get("planes_per_table", 4))
+    shared = _shared_banded(
+        _one(dfs), id_col, vec_col, (label_col,), n_tables, planes
+    )
     return hard_negatives(
         _one(dfs),
-        id_col=p.get("id_column", "vec_id"),
-        vec_col=p.get("vector_column", "embedding"),
-        label_col=p.get("label_column", "label"),
-        n_tables=int(p.get("n_tables", 6)),
-        planes_per_table=int(p.get("planes_per_table", 4)),
+        id_col=id_col,
+        vec_col=vec_col,
+        label_col=label_col,
+        n_tables=n_tables,
+        planes_per_table=planes,
         max_bucket=int(p["max_bucket"]) if "max_bucket" in p else None,
+        shared=shared,
     )
 
 
@@ -1796,6 +1845,7 @@ def compile_pipeline(
     compile against the uncut lineage rather than a read-back scan.
     """
     _OBSERVATIONS.clear()  # observations belong to one compiled pipeline
+    _BANDED_CACHE.clear()  # banded frames are shared within one compile only
     frames: dict[str, DataFrame] = {}
     for name, src in cfg.sources.items():
         frames[name] = read_source(spark, src.to_reader_cfg())

@@ -311,7 +311,60 @@ def banded_norms(
             _table_buckets(F.col("__v"), n_tables, planes_per_table)
         ).alias("table_id", "bucket"),
     ).localCheckpoint(eager=False)
+    # Stamp the banding parameters on both frames so a consumer
+    # receiving them via ``shared=`` can fail loudly at plan time on a
+    # parameter mismatch (wrong plane family silently changes the
+    # candidate set — the explicit n_tables/planes arguments would be
+    # ignored otherwise). Plain Python attributes: they ride the
+    # DataFrame handle, never the plan.
+    params = {
+        "id_col": id_col,
+        "extra": tuple(extra),
+        "n_tables": n_tables,
+        "planes_per_table": planes_per_table,
+    }
+    banded._banding_params = params  # type: ignore[attr-defined]
+    vn._banding_params = params  # type: ignore[attr-defined]
     return banded, vn
+
+
+def _check_shared(
+    shared: tuple[DataFrame, DataFrame],
+    id_col: str,
+    need_extra: tuple[str, ...],
+    n_tables: int,
+    planes_per_table: int,
+) -> None:
+    """Validate a ``shared`` (banded, vn) pair against the consumer's
+    own banding parameters. Frames from :func:`banded_norms` carry a
+    ``_banding_params`` stamp — mismatched plane family / id column /
+    missing extra columns raise here, at plan-build time, instead of
+    silently mining a different candidate set. Hand-built frames
+    (no stamp) are only checked structurally (required columns)."""
+    banded, vn = shared
+    p = getattr(banded, "_banding_params", None)
+    if p is not None:
+        if (
+            p["id_col"] != id_col
+            or p["n_tables"] != n_tables
+            or p["planes_per_table"] != planes_per_table
+            or any(c not in p["extra"] for c in need_extra)
+        ):
+            raise ValueError(
+                "shared banded frames were built with incompatible "
+                f"parameters {p} — consumer expects id_col={id_col!r}, "
+                f"n_tables={n_tables}, planes_per_table={planes_per_table}, "
+                f"extra covering {need_extra!r}"
+            )
+    missing = [
+        c for c in (id_col, *need_extra, "table_id", "bucket")
+        if c not in banded.columns
+    ]
+    missing += [c for c in (id_col, "__v", "__n") if c not in vn.columns]
+    if missing:
+        raise ValueError(
+            f"shared banded/norm frames are missing column(s) {missing}"
+        )
 
 
 def lsh_topk(
@@ -506,9 +559,13 @@ def knn_join(
     materializes) them here.
     """
     extra = [group_col] if group_col else []
-    banded, vn = shared if shared is not None else banded_norms(
-        emb, id_col, vec_col, tuple(extra), n_tables, planes_per_table
-    )
+    if shared is not None:
+        _check_shared(shared, id_col, tuple(extra), n_tables, planes_per_table)
+        banded, vn = shared
+    else:
+        banded, vn = banded_norms(
+            emb, id_col, vec_col, tuple(extra), n_tables, planes_per_table
+        )
     keys = extra + ["table_id", "bucket"]
     banded = _cap_buckets(banded, keys, max_bucket)
     a = banded.select(*keys, F.col(id_col).alias("left_id"))
@@ -1085,9 +1142,13 @@ def hard_negatives(
     ``extra=(label_col,)`` — the triplet miners band once and feed
     both the positive and negative leg. Default None builds here.
     """
-    banded, vn = shared if shared is not None else banded_norms(
-        emb, id_col, vec_col, (label_col,), n_tables, planes_per_table
-    )
+    if shared is not None:
+        _check_shared(shared, id_col, (label_col,), n_tables, planes_per_table)
+        banded, vn = shared
+    else:
+        banded, vn = banded_norms(
+            emb, id_col, vec_col, (label_col,), n_tables, planes_per_table
+        )
     banded = _cap_buckets(banded, ["table_id", "bucket"], max_bucket)
     a = banded.select(
         "table_id",
@@ -1216,6 +1277,13 @@ def pq_encode(
         cl.alias("__code"),
         F.round("__cos", 6).alias("__fit"),
     )
+    # Pivot invariant (r17 advice): every id yields exactly m
+    # assignment rows — posexplode emits one __sub per subspace
+    # unconditionally, and the assignment window keeps exactly one
+    # row per (__sub_id, id), so no (id, i) slot below can be empty.
+    # If that ever changed, min(when(...)) would emit a silent NULL
+    # code_i/fit_i where the old m-way inner-join chain dropped the
+    # id; tests/test_similarity_edges.py pins non-null codes.
     aggs = []
     for i in range(m):
         aggs.append(

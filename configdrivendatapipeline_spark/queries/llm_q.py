@@ -331,6 +331,40 @@ def _staged_neardup_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+#: Session-scoped memo of the CONVERGED connected-components label
+#: table over the staged t=0.95 edges (r17 verdict item 6). Three
+#: declared queries (llm_dup_clusters, llm_dedup_canonical,
+#: llm_cluster_sizes) run the identical 6-round label propagation over
+#: the identical staged pair table; the propagation's per-round
+#: localCheckpoints already materialize the labels, so re-running it
+#: per consumer re-paid ~6 driver-paced rounds × label shuffles for a
+#: bit-identical result. Keyed on (session, staged-table path) — the
+#: staged path embeds the documents fixture identity (mtime+size via
+#: _scratch) plus the code-version token, so a fixture swap or code
+#: bump can never serve a stale label table; the session object is
+#: held in the value to guard against id() reuse (same discipline as
+#: _BPE_CACHE below and queries.__init__._LOAD_CACHE). Session-scoped
+#: ONLY: nothing persists across runs, and the first consumer in any
+#: run computes from the parquet inputs.
+_CC_CACHE: dict = {}
+
+
+def _staged_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged (doc_id, component) labels over the staged t=0.95
+    edge set, computed once per (session, fixture)."""
+    key = (id(spark), _staged_neardup_paths(sf_dir)[0])
+    hit = _CC_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.filter_jaccard(
+        _staged_neardup_scores(spark, sf_dir), 0.95
+    ).select("id_a", "id_b")
+    comp = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+    _CC_CACHE[key] = (spark, comp)
+    return comp
+
+
 @declare(
     "llm_jaccard_neardup",
     """
@@ -978,11 +1012,7 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "build amortized across the CC family).",
 )
 def llm_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    pairs = dedup.filter_jaccard(
-        _staged_neardup_scores(spark, sf_dir), 0.95
-    ).select("id_a", "id_b")
-    return dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+    return _staged_cc_components(spark, sf_dir)
 
 
 @declare(
@@ -3166,12 +3196,13 @@ def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     # The staged raw-count table shares the PPJoin pair computation
-    # across the whole CC family; the component and rank branches
-    # both read the cheap filtered parquet scan.
+    # across the whole CC family, and the converged label table is
+    # additionally memoized per session (_staged_cc_components); the
+    # rank branch reads the cheap filtered parquet scan.
     pairs = dedup.filter_jaccard(
         _staged_neardup_scores(spark, sf_dir), 0.95
     ).select("id_a", "id_b")
-    clusters = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+    clusters = _staged_cc_components(spark, sf_dir)
     ranks = dedup.graph_rank(pairs, docs.select("doc_id"), id_col="doc_id")
     joined = clusters.join(ranks, "doc_id")
     w = Window.partitionBy("component").orderBy(
@@ -3492,11 +3523,7 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(one PPJoin build amortized across the CC family).",
 )
 def llm_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    pairs = dedup.filter_jaccard(
-        _staged_neardup_scores(spark, sf_dir), 0.95
-    ).select("id_a", "id_b")
-    comp = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+    comp = _staged_cc_components(spark, sf_dir)
     cs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     hist = cs.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
     tot = hist.agg(

@@ -1856,7 +1856,12 @@ _OBUDGET_Q = """
     ORDER BY s.keep_tier
     """,
     _SEC,
-    "YAML pipeline for the training-prep flagship: bpe_train emits "
+    "YAML pipeline for the training-prep flagship: bpe_train (mode: "
+    "local — bit-identical to the distributed trainer up to its 1M-"
+    "word collected-vocab cap, pinned by test_bpe_local_mode_is_bit_"
+    "identical_to_distributed; above the cap the capped local vocab "
+    "diverges by design, and the distributed mode remains the "
+    "declared llm_bpe_train path) emits "
     "the 20-merge tokenizer artifact, bpe_encode consumes it as a "
     "SECOND INPUT (train once, feed every encoder — the production "
     "shape), budget_select keeps the best docs until half the "

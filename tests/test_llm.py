@@ -1988,3 +1988,31 @@ def test_textstats_degenerate_docs_and_guards(spark):
     pi_clean = strip_markup(pi).collect()[0]["clean_text"]
     assert "<?xml" not in pi_clean and "body" in pi_clean
     assert "1 < 2" in pi_clean
+
+
+def test_cc_label_table_memoized_per_session(spark, sf_dir):
+    """r18 (verdict item 6): the three staged-edge CC consumers share
+    ONE converged label table per session; the memo must be identity-
+    stable within a session, keyed on the staged-table path (fixture
+    identity + code version), and value-identical to a direct build."""
+    from configdrivendatapipeline_spark.llm import dedup
+    from configdrivendatapipeline_spark.queries import llm_q
+
+    saved = dict(llm_q._CC_CACHE)
+    llm_q._CC_CACHE.clear()
+    try:
+        a = llm_q._staged_cc_components(spark, sf_dir)
+        b = llm_q._staged_cc_components(spark, sf_dir)
+        assert a is b  # second consumer reuses, not recomputes
+        assert len(llm_q._CC_CACHE) == 1
+        docs = llm_q.load(spark, sf_dir, "documents")
+        pairs = dedup.filter_jaccard(
+            llm_q._staged_neardup_scores(spark, sf_dir), 0.95
+        ).select("id_a", "id_b")
+        direct = dedup.duplicate_clusters(pairs, docs, id_col="doc_id")
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+    finally:
+        llm_q._CC_CACHE.clear()
+        llm_q._CC_CACHE.update(saved)

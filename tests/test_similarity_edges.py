@@ -88,6 +88,13 @@ def test_pq_encode_covers_every_dimension(spark):
     emb = _emb(spark, rows)
     out = S.pq_encode(emb, m=3, n_clusters=2).collect()
     assert len(out) == 6  # 10 dims over 3 subspaces (3+3+4) encodes
+    # Pivot invariant (r17 advice): every id yields exactly m
+    # assignment rows, so the min(when(__sub_id==i)) pivot can never
+    # emit a silent NULL code/fit slot.
+    for r in out:
+        for i in range(3):
+            assert r[f"code_{i}"] is not None
+            assert r[f"fit_{i}"] is not None
     with pytest.raises(Exception, match="exceeds vector dimension"):
         S.pq_encode(emb, m=11, n_clusters=2).collect()
 
@@ -338,3 +345,51 @@ def test_jaccard_duplicate_set_groups_expand_all_pairs(spark):
     # n_a belongs to the smaller id on both orientations: doc 7 (5 toks)
     for pair, na, nb in (((1, 7), 4, 5), ((5, 7), 4, 5), ((7, 9), 5, 4)):
         assert got[pair] == (4, na, nb)
+
+
+def test_shared_banded_frames_validate_params(spark):
+    """r17 advice: a `shared` (banded, vn) pair built with a
+    DIFFERENT plane family / missing extra column must fail loudly at
+    plan time — the explicit n_tables/planes arguments are otherwise
+    silently ignored and the candidate set changes."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], "en") for i in range(4)],
+        "vec_id LONG, embedding array<float>, label STRING",
+    )
+    ok = S.banded_norms(emb, extra=("label",), n_tables=2, planes_per_table=3)
+    # compatible consumer: fine
+    S.knn_join(emb, k=1, n_tables=2, planes_per_table=3,
+               group_col="label", shared=ok)
+    # plane-family mismatch: loud
+    with pytest.raises(ValueError, match="incompatible"):
+        S.knn_join(emb, k=1, n_tables=6, planes_per_table=4,
+                   group_col="label", shared=ok)
+    # extra does not cover the consumer's label column: loud
+    bare = S.banded_norms(emb, n_tables=2, planes_per_table=3)
+    with pytest.raises(ValueError, match="incompatible"):
+        S.hard_negatives(emb, n_tables=2, planes_per_table=3, shared=bare)
+
+
+def test_compiler_shares_banded_frames_within_one_compile(spark):
+    """r18: two ANN steps over the same source in one pipeline band
+    the corpus once (the compiler twin of llm_triplets' explicit
+    sharing) — and the shared plan is value-identical to unshared."""
+    from configdrivendatapipeline_spark import compiler as C
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0], i % 2) for i in range(30)],
+        "vec_id LONG, embedding array<float>, label LONG",
+    )
+    C._BANDED_CACHE.clear()
+    a = C.OPS["knn_join"](spark, [emb], {"k": 1, "group_column": "label"})
+    b = C.OPS["hard_negatives"](spark, [emb], {})
+    assert len(C._BANDED_CACHE) == 1  # one banding served both steps
+    unshared_a = S.knn_join(emb, k=1, group_col="label")
+    unshared_b = S.hard_negatives(emb)
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, unshared_a.collect())
+    )
+    assert sorted(map(tuple, b.collect())) == sorted(
+        map(tuple, unshared_b.collect())
+    )
+    C._BANDED_CACHE.clear()
