@@ -603,9 +603,10 @@ def jaccard_pairs(
     expanded afterwards — the standard set-dedup preprocessing of
     similarity joins, and exactly the corpora this operator targets
     (duplicate-heavy). The group table is materialized eagerly
-    (local checkpoint): it feeds several consumers whose subtrees
-    prune different columns (so ReuseExchange cannot dedup them),
-    and the RDD boundary stops InferFiltersFromGenerate's
+    (within-run scratch parquet — see scratch.scratch_parquet for why
+    not localCheckpoint at corpus scale): it feeds several consumers
+    whose subtrees prune different columns (so ReuseExchange cannot
+    dedup them), and the scan boundary stops InferFiltersFromGenerate's
     ``size(s) > 0`` predicate from pushing the full element
     expression below the source's widening exchange (guide §4.4's
     duplicated-evaluation trap — measured 3.5 s → 66 s on the
@@ -691,28 +692,38 @@ def jaccard_pairs(
             lambda acc, x: acc + x,
         ).cast("long")
 
-    # n_inter via direct set intersection of null-stripped arrays.
+    # n_inter via direct set intersection. Arrays arrive ALREADY
+    # null-stripped: the strip runs in the scan-side projection of
+    # each join side (once per set row), never inside the pair-level
+    # select where it would traverse both arrays once per pair
+    # (guide §4.4 duplicated-work flavor, r18).
     def inter_direct(sa, sb) -> Column:
-        return F.size(
-            F.array_intersect(
-                F.filter(sa, lambda x: x.isNotNull()),
-                F.filter(sb, lambda x: x.isNotNull()),
-            )
-        ).cast("long")
+        return F.size(F.array_intersect(sa, sb)).cast("long")
+
+    # Corpus-sized frames below materialize to within-run scratch
+    # parquet, NOT localCheckpoint (r17 verdict item 5): same eager
+    # §3.3 materialize-once semantics and the same RDD/scan boundary
+    # that stops InferFiltersFromGenerate's pushdown trap, but the
+    # bytes sit in committed files instead of non-replicated executor
+    # block storage — at 100 TB one lost executor re-reads instead of
+    # failing the whole build, and each differently-pruned consumer
+    # scans only its columns.
+    from configdrivendatapipeline_spark.scratch import scratch_parquet
 
     if candidates is not None:
         # Score exactly the given pairs. Direct intersection: LSH
         # candidate sets are per-doc and modest by construction (the
         # bucket cap bounds them), so a dictionary pass would cost
         # more than the scoring it accelerates.
-        keyed = sets.select(
-            "id", "s", F.size("s").alias("n_tok")
-        ).localCheckpoint(eager=True)
+        keyed = scratch_parquet(
+            sets.select("id", "s", F.size("s").alias("n_tok")),
+            "jaccard_keyed_cand",
+        )
         scored = filter_jaccard(
             candidates.join(
                 keyed.select(
                     F.col("id").alias("id_a"),
-                    F.col("s").alias("sa"),
+                    F.filter("s", lambda x: x.isNotNull()).alias("sa"),
                     F.col("n_tok").alias("n_ta"),
                 ),
                 "id_a",
@@ -720,7 +731,7 @@ def jaccard_pairs(
             .join(
                 keyed.select(
                     F.col("id").alias("id_b"),
-                    F.col("s").alias("sb"),
+                    F.filter("s", lambda x: x.isNotNull()).alias("sb"),
                     F.col("n_tok").alias("n_tb"),
                 ),
                 "id_b",
@@ -739,17 +750,47 @@ def jaccard_pairs(
 
     # One representative per distinct set; members expand after
     # scoring. gid = min member id, so rep pairs order as id pairs.
-    groups = (
-        sets.groupBy("s")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .select(
-            F.col("ids")[0].alias("gid"),
+    # r18: the set-dedup groupBy itself is now DATA-ADAPTIVE (guide
+    # §2.4 — a `distinct` on data that is already unique is a wasted
+    # shuffle, and this one shuffles the full element arrays through
+    # an exchange + collect_list). The materialized per-doc set table
+    # is one cheap count/approx-distinct aggregate away from knowing
+    # whether dedup pays: duplicate-heavy corpora (the regime this
+    # operator targets) keep the exact groupBy; near-unique corpora
+    # (shingle sets — a 3-shingle set is unique unless docs are copies)
+    # skip it and treat every doc as its own singleton group, which is
+    # value-identical by construction (a group of size 1). Routing is
+    # approximate and PERFORMANCE-ONLY — both branches produce the
+    # same exact pair set either way.
+    sets_m = scratch_parquet(sets, "jaccard_sets")
+    dup_stat = sets_m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct(F.xxhash64("s")).alias("n_sets"),
+    ).collect()[0]
+    dup_heavy = dup_stat["n_docs"] >= 1.05 * max(dup_stat["n_sets"], 1)
+    if dup_heavy:
+        groups = scratch_parquet(
+            sets_m.groupBy("s")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .select(
+                F.col("ids")[0].alias("gid"),
+                "s",
+                F.size("s").alias("n_tok"),
+                nn_of.alias("nn"),
+                "ids",
+            ),
+            "jaccard_groups",
+        )
+    else:
+        # Singleton groups: a pure projection over the materialized
+        # set table — no exchange, no collect_list, no second write.
+        groups = sets_m.select(
+            F.col("id").alias("gid"),
             "s",
             F.size("s").alias("n_tok"),
             nn_of.alias("nn"),
-            "ids",
+            F.array("id").alias("ids"),
         )
-    ).localCheckpoint(eager=True)
 
     # ⌈t·n⌉ in exact integer arithmetic: ceil(threshold*n) computed
     # as floor((t6·n + 999999) / 1e6) with t6 = round(t·1e6).
@@ -783,12 +824,30 @@ def jaccard_pairs(
     def cand_pairs(prefix: DataFrame) -> DataFrame:
         """(gid_a, gid_b) sharing ≥1 prefix token, length-compatible
         (t·n_a ≤ n_b ∧ t·n_b ≤ n_a — lossless: J ≥ t ⟹ min ≥ t·max),
-        deduped."""
+        deduped, then pruned by the PPJoin POSITIONAL filter (r18,
+        guide §2.3 — fewer pairs reach the array-shipping scoring
+        join): ``prefix`` carries each token's 1-based position
+        ``pos`` in the full sorted array. For a pair's FIRST shared
+        token (positions pa, pb): any earlier shared token would sort
+        before it in BOTH arrays — contradiction — so nothing before
+        (pa, pb) is shared and overlap ≤ 1 + min(n_a − pa, n_b − pb).
+        J ≥ t needs overlap·(1e6 + t6) ≥ t6·(n_a + n_b) (exact
+        integer form of o ≥ t·(n_a+n_b)/(1+t)); pairs whose bound
+        cannot reach that are dropped losslessly. The first shared
+        token minimizes BOTH positions, so min(pa)/min(pb) over the
+        pair's join rows IS the first match — the dedup becomes a
+        groupBy carrying two ints instead of a distinct."""
         pa = prefix.select(
-            F.col("gid").alias("gid_a"), F.col("n_tok").alias("na"), "tok"
+            F.col("gid").alias("gid_a"),
+            F.col("n_tok").alias("na"),
+            F.col("pos").alias("pa"),
+            "tok",
         )
         pb = prefix.select(
-            F.col("gid").alias("gid_b"), F.col("n_tok").alias("nb"), "tok"
+            F.col("gid").alias("gid_b"),
+            F.col("n_tok").alias("nb"),
+            F.col("pos").alias("pb"),
+            "tok",
         )
         return (
             pa.join(pb, "tok")
@@ -797,8 +856,19 @@ def jaccard_pairs(
                 & (F.lit(t6) * F.col("na") <= M * F.col("nb"))
                 & (F.lit(t6) * F.col("nb") <= M * F.col("na"))
             )
+            .groupBy("gid_a", "gid_b")
+            .agg(
+                F.min("pa").alias("pa"),
+                F.min("pb").alias("pb"),
+                F.min("na").alias("na"),
+                F.min("nb").alias("nb"),
+            )
+            .filter(
+                (F.lit(1) + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")))
+                * F.lit(1_000_000 + t6)
+                >= F.lit(t6) * (F.col("na") + F.col("nb"))
+            )
             .select("gid_a", "gid_b")
-            .distinct()
         )
 
     if dense:
@@ -834,16 +904,17 @@ def jaccard_pairs(
         # Materialized for the same two reasons as groups: four
         # differently-pruned consumers below, and the prefix explode
         # would re-infer a pushable size predicate.
-        keyed = (
+        keyed = scratch_parquet(
             groups.select("gid", "n_tok", "ids")
             .join(csets, "gid")
-            .join(wmap, "gid")
-        ).localCheckpoint(eager=True)
+            .join(wmap, "gid"),
+            "jaccard_keyed_dense",
+        )
         prefix = keyed.select(
             "gid",
             "n_tok",
-            F.explode(F.slice("cs", F.lit(1), plen)).alias("tok"),
-        )
+            F.posexplode(F.slice("cs", F.lit(1), plen)).alias("pos0", "tok"),
+        ).select("gid", "n_tok", (F.col("pos0") + 1).alias("pos"), "tok")
         cand = cand_pairs(prefix)
         ga = keyed.select(
             F.col("gid").alias("gid_a"),
@@ -878,18 +949,22 @@ def jaccard_pairs(
         prefix = groups.select(
             "gid",
             "n_tok",
-            F.explode(F.slice("s", F.lit(1), plen)).alias("tok"),
-        )
+            F.posexplode(F.slice("s", F.lit(1), plen)).alias("pos0", "tok"),
+        ).select("gid", "n_tok", (F.col("pos0") + 1).alias("pos"), "tok")
         cand = cand_pairs(prefix)
+        # Null-strip in the SCAN-SIDE projection — once per group row,
+        # not once per candidate pair (guide §4.4 duplicated-work
+        # flavor: the old inter_direct re-filtered both full arrays
+        # inside the pair-level select, 2 traversals × every pair).
         ga = groups.select(
             F.col("gid").alias("gid_a"),
-            F.col("s").alias("sa"),
+            F.filter("s", lambda x: x.isNotNull()).alias("sa"),
             F.col("n_tok").alias("n_ga"),
             F.col("ids").alias("ids_a"),
         )
         gb = groups.select(
             F.col("gid").alias("gid_b"),
-            F.col("s").alias("sb"),
+            F.filter("s", lambda x: x.isNotNull()).alias("sb"),
             F.col("n_tok").alias("n_gb"),
             F.col("ids").alias("ids_b"),
         )

@@ -299,6 +299,17 @@ def banded_norms(
     column sets (knn_join caps within the group, hard_negatives
     across it), so :func:`_cap_buckets` stays a cheap window applied
     by each caller on top of the shared frame.
+
+    Tradeoff accepted here (r17 advice): localCheckpoint blocks are
+    non-replicated executor storage with lineage severed — executor
+    loss after materialization fails the job rather than recomputing,
+    and single-use callers pay materialization for frames that could
+    stream. Both are fine for THESE frames because they are id-sized
+    (ids + buckets + one vector row per id), cheap to rebuild by
+    rerunning the job, and multi-consumer in every hot caller.
+    Corpus-sized intermediates must NOT use this pattern — see
+    :mod:`configdrivendatapipeline_spark.scratch` for the
+    storage-backed alternative the PPJoin build uses.
     """
     v = emb.select(
         F.col(id_col), *[F.col(c) for c in extra], as_double(vec_col).alias("__v")

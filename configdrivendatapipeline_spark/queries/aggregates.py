@@ -1917,13 +1917,19 @@ def triangle_counts(e: DataFrame) -> DataFrame:
     adjacency lists instead of 41 M wedge rows). Identical output
     fingerprint at sf0.1; 24 s → 4.8 s end to end."""
     # Materialize the edge set, degree table and oriented edges once
-    # (lazy localCheckpoint, same §3.3 pattern as banded_norms): the
-    # untruncated plan re-evaluates the EDGE BUILD — for the declared
-    # query an lineitem⋈lineitem self-join + distinct — through every
+    # (§3.3 pattern, same as banded_norms): the untruncated plan
+    # re-evaluates the EDGE BUILD — for the declared query an
+    # lineitem⋈lineitem self-join + distinct — through every
     # reference (deg's two join aliases, the orientation join, and o's
     # three references via the adjacency build and the wedge join).
-    # The frames are edge/node-sized, never wedge-sized.
-    e = e.localCheckpoint(eager=False)
+    # The frames are edge/node-sized, never wedge-sized. The EDGE set
+    # is the corpus-scale frame, so it goes to within-run scratch
+    # parquet (r17 verdict item 5 — executor-loss-safe, spillable;
+    # see scratch.scratch_parquet); deg (node-sized) and o (one cheap
+    # join from the scratch-backed e) stay lazy localCheckpoints.
+    from configdrivendatapipeline_spark.scratch import scratch_parquet
+
+    e = scratch_parquet(e, "triangle_edges")
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

@@ -41,12 +41,14 @@ ALLOWED = {
     # so bpe.py also hosts the artifact collects other layers use:
     # bpe_train_rows / merge_pairs_from_table.)
     ("llm/bpe.py", "collect"),
-    # jaccard_pairs regime routing: one 1-row aggregate (token count
-    # + approx vocab cardinality) over the materialized group table
-    # decides dense-bitmap vs sparse-prefix scoring. Scalar only —
-    # both paths compute identical results, so the stat never touches
-    # correctness; it is the AQE-style "look at the data, pick the
-    # plan" decision from the r17 optimization round.
+    # jaccard_pairs regime routing: two 1-row scalar aggregates over
+    # materialized tables — (doc count + approx distinct-set count)
+    # decides whether the set-dedup groupBy pays (r18), and (token
+    # count + approx vocab cardinality) decides dense-bitmap vs
+    # sparse-prefix scoring (r17). Scalar only — all routed paths
+    # compute identical results, so the stats never touch
+    # correctness; they are the AQE-style "look at the data, pick
+    # the plan" decision from the optimization rounds.
     ("llm/dedup.py", "collect"),
 }
 
