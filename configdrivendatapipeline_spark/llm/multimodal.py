@@ -796,6 +796,14 @@ def scene_segments(
     pass. Per-clip window, bounded by clip length."""
     from pyspark.sql import Window
 
+    # Materialize the motion table ONCE (lazy localCheckpoint — the
+    # id-sized-frame convention): it fans into the frame-count stats,
+    # the cut list, and the last-cut aggregate, and the incoming frame
+    # is a video-decode kernel — without the checkpoint each subtree
+    # re-runs the full Python decode (measured: 6 ArrowEvalPython +
+    # 6 MapInPandas nodes in mm_video_scenes' plan; 0 after). A few
+    # longs per frame pair, so block storage is the right tier.
+    motion = motion.localCheckpoint(eager=False)
     stats = motion.groupBy(id_col).agg(
         (F.max("frame_pair") + 2).alias("__nf")
     )
@@ -909,7 +917,18 @@ def phash_pairs(
             "bit bands out of 64"
         )
     bands = _hash_bands(max_hamming + 1)
-    h = hashes.select(id_col, "phash_hi", "phash_lo")
+    # Materialize the hash table ONCE (lazy localCheckpoint — the
+    # id-sized-frame convention, see similarity.banded_norms): the
+    # incoming frame is usually a decode kernel (payload gen +
+    # mapInPandas), and this function fans it into the banding
+    # explode, the bucket cap, and both verify-join sides — without
+    # the checkpoint each subtree re-runs the full Python decode over
+    # the corpus (measured: 6 ArrowEvalPython + 6 MapInPandas nodes
+    # in mm_phash_pairs' plan; 1 + 1 after). 24 bytes/id, so executor
+    # block storage is the right tier (guide §3.3 / §4.4).
+    h = hashes.select(id_col, "phash_hi", "phash_lo").localCheckpoint(
+        eager=False
+    )
     banded = h.select(
         id_col,
         "phash_hi",

@@ -228,10 +228,10 @@ def spread(df: DataFrame, min_factor: int = 2, key: "str | Column | None" = None
 
 #: The driver hash-checks the FIRST ~50 registry entries per round
 #: (observed exactly 50 in rounds 1-16), so registry order is the
-#: correctness-coverage budget. Round-17 window: ALL 390 ids ordered
+#: correctness-coverage budget. Round-18 window: ALL 390 ids ordered
 #: by how stale their latest driver hash-green evidence is, computed
 #: mechanically by ``tools/rotation_window.py`` over
-#: CORRECTNESS_r01..r16 (r9 tail first ... r16 cohort last; sorted
+#: CORRECTNESS_r01..r17 (r10 tail first ... r17 cohort last; sorted
 #: alphabetically within a cohort). hash_match must be literally True
 #: to count as evidence (r16 advice fix); no never-driver-checked ids
 #: remain, so staleness is the only ordering key. Covering the WHOLE
@@ -239,72 +239,20 @@ def spread(df: DataFrame, min_factor: int = 2, key: "str | Column | None" = None
 #: head, the stale-evidence refresh happens with no further
 #: reordering.
 #:
-#: Round 16's 50-budget drained the whole 40-id r8 tail plus the
-#: first 10 r9 ids alphabetically (agg_approx_topk ... agg_rfm),
-#: confirmed 50/50 green in CORRECTNESS_r16.json. The oldest
-#: remaining evidence is therefore the 40-id r9 tail (agg_top_paths
-#: ... win_time_to_event), followed by the 50-id r10 cohort.
+#: Round 17's 50-budget drained the whole 40-id r9 tail plus the
+#: first 10 r10 ids alphabetically (agg_ab_lift ... filter_bool),
+#: confirmed 50/50 green in CORRECTNESS_r17.json. The oldest
+#: remaining evidence is therefore the 40-id r10 tail
+#: (filter_compare ... win_dwell_time), followed by the r11 cohort.
 #:
-#: ROUND-18 HANDOFF: run ``python tools/rotation_window.py`` and paste
-#: its tuple body here (rename to _ROUND18_WINDOW; update registry()'s
-#: docstring + loop). Round 17's 50-budget drains the whole 40-id r9
-#: tail plus 10 of the 50-id r10 cohort (agg_ab_lift ... filter_bool),
-#: so after r17 the oldest remaining evidence should be the r10 tail
-#: (40 ids, filter_compare ... win_dwell_time) followed by the r11
-#: cohort.
-_ROUND17_WINDOW = (
-    # ---- latest driver evidence r9 (40 ids) ----
-    "agg_top_paths",
-    "agg_triangle_count",
-    "agg_wow_growth",
-    "fn_crypto",
-    "fn_geohash",
-    "fn_url",
-    "join_spatial_grid",
-    "llm_calibration_curve",
-    "llm_feature_hash",
-    "llm_hybrid_rrf",
-    "llm_injection_scan",
-    "llm_inverted_index",
-    "llm_keyword_search",
-    "llm_lang_confusion",
-    "llm_mixture_plan",
-    "llm_oversample",
-    "llm_pq_encode",
-    "llm_release_delta",
-    "llm_shard_balance",
-    "llm_winnow_clusters",
-    "llm_winnow_fingerprint",
-    "llm_winnow_pairs",
-    "mm_audio_vad",
-    "mm_image_tiles",
-    "mm_phash_pairs",
-    "mm_video_scenes",
-    "pipeline_budget",
-    "pipeline_contrastive",
-    "pipeline_retrieval",
-    "sink_orc",
-    "stream_checkpoint_resume",
-    "stream_topk",
-    "val_embed_norms",
-    "val_fd_profile",
-    "val_hash_chain",
-    "val_outage_windows",
-    "val_relationship_profile",
-    "val_volume_anomaly",
-    "win_nth_value",
-    "win_time_to_event",
-    # ---- latest driver evidence r10 (50 ids) ----
-    "agg_ab_lift",
-    "agg_jackknife_influence",
-    "agg_runs_test",
-    "agg_skyline",
-    "agg_stickiness",
-    "derive_column",
-    "enr_allocation",
-    "enr_date_dim",
-    "filter_between",
-    "filter_bool",
+#: ROUND-19 HANDOFF: run ``python tools/rotation_window.py`` and paste
+#: its tuple body here (rename to _ROUND19_WINDOW; update registry()'s
+#: docstring + loop). Round 18's 50-budget drains the whole 40-id r10
+#: tail plus 10 of the 50-id r11 cohort (agg_bucket_hist ...
+#: fn_posexplode), so after r18 the oldest remaining evidence should
+#: be the r11 tail (40 ids) followed by the r12 cohort.
+_ROUND18_WINDOW = (
+    # ---- latest driver evidence r10 (40 ids) ----
     "filter_compare",
     "filter_in",
     "filter_like",
@@ -651,13 +599,64 @@ _ROUND17_WINDOW = (
     "win_rank_change",
     "win_running_distinct",
     "win_seasonal_lite",
+    # ---- latest driver evidence r17 (50 ids) ----
+    "agg_ab_lift",
+    "agg_jackknife_influence",
+    "agg_runs_test",
+    "agg_skyline",
+    "agg_stickiness",
+    "agg_top_paths",
+    "agg_triangle_count",
+    "agg_wow_growth",
+    "derive_column",
+    "enr_allocation",
+    "enr_date_dim",
+    "filter_between",
+    "filter_bool",
+    "fn_crypto",
+    "fn_geohash",
+    "fn_url",
+    "join_spatial_grid",
+    "llm_calibration_curve",
+    "llm_feature_hash",
+    "llm_hybrid_rrf",
+    "llm_injection_scan",
+    "llm_inverted_index",
+    "llm_keyword_search",
+    "llm_lang_confusion",
+    "llm_mixture_plan",
+    "llm_oversample",
+    "llm_pq_encode",
+    "llm_release_delta",
+    "llm_shard_balance",
+    "llm_winnow_clusters",
+    "llm_winnow_fingerprint",
+    "llm_winnow_pairs",
+    "mm_audio_vad",
+    "mm_image_tiles",
+    "mm_phash_pairs",
+    "mm_video_scenes",
+    "pipeline_budget",
+    "pipeline_contrastive",
+    "pipeline_retrieval",
+    "sink_orc",
+    "stream_checkpoint_resume",
+    "stream_topk",
+    "val_embed_norms",
+    "val_fd_profile",
+    "val_hash_chain",
+    "val_outage_windows",
+    "val_relationship_profile",
+    "val_volume_anomaly",
+    "win_nth_value",
+    "win_time_to_event",
 )
 
 
 def registry() -> dict[str, DeclaredQuery]:
     """Import all query modules and return the full registry, ordered
     so a budget-limited driver always verifies the least-proven
-    operators first: the explicit ``_ROUND17_WINDOW`` ordering
+    operators first: the explicit ``_ROUND18_WINDOW`` ordering
     (never-checked ids, then oldest-driver-evidence first).
     """
     # Imports are deferred so a syntax error in one section surfaces
@@ -678,7 +677,7 @@ def registry() -> dict[str, DeclaredQuery]:
     )
 
     ordered: dict[str, DeclaredQuery] = {}
-    for name in _ROUND17_WINDOW:
+    for name in _ROUND18_WINDOW:
         ordered[name] = _REGISTRY[name]  # KeyError = stale window list
     for name, q in _REGISTRY.items():
         if name not in ordered:

@@ -561,3 +561,17 @@ def test_shingle_hash_sets_widens_in_memory_frames(spark):
     plan = hs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan  # the widening repartition is present
     assert hs.count() == 40
+
+
+def test_phash_pairs_decodes_once(spark, sf_dir):
+    """mm_phash_pairs fans the hash table into the banding explode,
+    the bucket cap, and both verify-join sides; without the
+    materialization in multimodal.phash_pairs each subtree re-runs
+    the full payload-generate + decode Python pipeline (measured: 6
+    ArrowEvalPython + 6 MapInPandas nodes, ~25% more summed task
+    time at sf0.1, 6x the decode CPU at scale). The checkpoint keeps
+    every Python crossing out of the executed pair plan — the decode
+    runs exactly once, in the materialization job."""
+    plan = _plan(spark, sf_dir, "mm_phash_pairs")
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "ExistingRDD" in plan  # consumers read the materialized table
