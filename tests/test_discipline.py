@@ -98,7 +98,7 @@ def test_survey_rows_and_window_names_resolve():
     must exist (a typo there silently reorders coverage)."""
     import re
 
-    from configdrivendatapipeline_spark.queries import registry, _ROUND17_WINDOW
+    from configdrivendatapipeline_spark.queries import registry, _ROUND18_WINDOW
 
     reg = set(registry())
     survey = (PKG.parent / "SURVEY.md").read_text()
@@ -111,10 +111,10 @@ def test_survey_rows_and_window_names_resolve():
     # TAIL via its fallback loop, which is exactly the silent
     # coverage loss this test exists to prevent.
     dupes = sorted(
-        n for n in set(_ROUND17_WINDOW) if _ROUND17_WINDOW.count(n) > 1
+        n for n in set(_ROUND18_WINDOW) if _ROUND18_WINDOW.count(n) > 1
     )
     assert not dupes, f"ordering-window ids listed twice: {dupes}"
-    missing = sorted(n for n in _ROUND17_WINDOW if n not in reg)
+    missing = sorted(n for n in _ROUND18_WINDOW if n not in reg)
     assert not missing, f"ordering-window ids not in registry: {missing}"
-    omitted = sorted(reg - set(_ROUND17_WINDOW))
+    omitted = sorted(reg - set(_ROUND18_WINDOW))
     assert not omitted, f"registry ids missing from ordering window: {omitted}"

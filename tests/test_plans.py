@@ -572,6 +572,8 @@ def test_phash_pairs_decodes_once(spark, sf_dir):
     time at sf0.1, 6x the decode CPU at scale). The checkpoint keeps
     every Python crossing out of the executed pair plan — the decode
     runs exactly once, in the materialization job."""
-    plan = _plan(spark, sf_dir, "mm_phash_pairs")
-    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
-    assert "ExistingRDD" in plan  # consumers read the materialized table
+    for name in ("mm_phash_pairs", "mm_video_scenes"):
+        plan = _plan(spark, sf_dir, name)
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+        # consumers read the materialized table
+        assert "ExistingRDD" in plan
